@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Bounds, ColumnRules, Report}
+import graft.operators.Describe
+import graft.queries.QueryDef.{r, rSql}
+import graft.sources.Tables
+
+/** Oracle-checked queries over the profiling/validation engine
+  * (reference surface petk/exploration.py + petk/tools.py + petk/
+  * validation.py). Each query routes through the engine ([[Report]]), not
+  * ad-hoc aggregation, so the oracle checks the engine itself. */
+object ProfilingQueries {
+
+  /** Driver-side twin of [[QueryDef.r]] for stats already collected. */
+  private def rd(x: Double, digits: Int): Double = {
+    val s = math.pow(10, digits)
+    math.floor(x * s + 0.5) / s
+  }
+
+  private def oneRow(spark: SparkSession, fields: Seq[(String, DataType, Any)]): DataFrame = {
+    val schema = StructType(fields.map { case (n, t, _) => StructField(n, t) })
+    spark.createDataFrame(
+      java.util.Collections.singletonList(Row(fields.map(_._3): _*)), schema)
+  }
+
+  /** Full numeric describe() ladder on lineitem.l_extendedprice
+    * (petk/tools.py:37-68). One row, every NUMERIC stat. */
+  def describeNumericLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val rep = Report(Tables.lineitem(spark, dir), key = Some("l_orderkey"))
+    val p = rep.describe(Seq("l_extendedprice")).head
+    val s = p.stats
+    def d(k: String) = s(k).asInstanceOf[Double]
+    def l(k: String) = s(k).asInstanceOf[Long]
+    def b(k: String) = s(k).asInstanceOf[Boolean]
+    oneRow(spark, Seq(
+      ("count", LongType, l("count")),
+      ("n_null", LongType, l("n_null")),
+      ("p_null", DoubleType, d("p_null")),
+      ("distinct_count", LongType, l("distinct_count")),
+      ("is_constant", BooleanType, b("is_constant")),
+      ("is_unique", BooleanType, b("is_unique")),
+      ("p_unique", DoubleType, d("p_unique")),
+      ("min", DoubleType, d("min")),
+      ("max", DoubleType, d("max")),
+      ("q05", DoubleType, rd(d("5%"), 6)),
+      ("q25", DoubleType, rd(d("25%"), 6)),
+      ("q50", DoubleType, rd(d("50%"), 6)),
+      ("q75", DoubleType, rd(d("75%"), 6)),
+      ("q95", DoubleType, rd(d("95%"), 6)),
+      ("mean", DoubleType, rd(d("mean"), 6)),
+      ("std", DoubleType, rd(d("std"), 6)),
+      ("variance", DoubleType, rd(d("variance"), 4)),
+      ("iqr", DoubleType, rd(d("iqr"), 6)),
+      ("kurtosis", DoubleType, rd(d("kurtosis"), 6)),
+      ("skewness", DoubleType, rd(d("skewness"), 6)),
+      ("sum", DoubleType, rd(d("sum"), 2)),
+      ("mad", DoubleType, rd(d("mad"), 6)),
+      ("cv", DoubleType, rd(d("cv"), 6)),
+      ("n_zeros", LongType, l("n_zeros")),
+      ("p_zeros", DoubleType, d("p_zeros")),
+      ("n_infinite", LongType, l("n_infinite")),
+      ("p_infinite", DoubleType, d("p_infinite"))))
+  }
+
+  private val describeNumericOracle: String = {
+    val c = "l_extendedprice"
+    def q(p: String) = s"quantile_cont($c, $p)"
+    s"""SELECT count($c) AS "count",
+       | count(*) - count($c) AS n_null,
+       | (count(*) - count($c)) / CAST(count(*) AS DOUBLE) AS p_null,
+       | count(DISTINCT $c) AS distinct_count,
+       | count(DISTINCT $c) = 1 AS is_constant,
+       | count(DISTINCT $c) = count(*) AS is_unique,
+       | count(DISTINCT $c) / CAST(count(*) AS DOUBLE) AS p_unique,
+       | min($c) AS "min", max($c) AS "max",
+       | ${rSql(q("0.05"), 6)} AS q05,
+       | ${rSql(q("0.25"), 6)} AS q25,
+       | ${rSql(q("0.5"), 6)} AS q50,
+       | ${rSql(q("0.75"), 6)} AS q75,
+       | ${rSql(q("0.95"), 6)} AS q95,
+       | ${rSql(s"avg($c)", 6)} AS mean,
+       | ${rSql(s"stddev_samp($c)", 6)} AS std,
+       | ${rSql(s"var_samp($c)", 4)} AS variance,
+       | ${rSql(s"${q("0.75")} - ${q("0.25")}", 6)} AS iqr,
+       | ${rSql(s"kurtosis($c)", 6)} AS kurtosis,
+       | ${rSql(s"skewness($c)", 6)} AS skewness,
+       | ${rSql(s"sum($c)", 2)} AS "sum",
+       | ${rSql(s"avg(abs($c - (SELECT avg($c) FROM lineitem)))", 6)} AS mad,
+       | ${rSql(s"stddev_samp($c) / avg($c)", 6)} AS cv,
+       | count(CASE WHEN $c = 0 THEN 1 END) AS n_zeros,
+       | count(CASE WHEN $c = 0 THEN 1 END) / CAST(count(*) AS DOUBLE) AS p_zeros,
+       | count(CASE WHEN isinf($c) THEN 1 END) AS n_infinite,
+       | count(CASE WHEN isinf($c) THEN 1 END) / CAST(count(*) AS DOUBLE) AS p_infinite
+       |FROM lineitem""".stripMargin
+  }
+
+  /** STRING-ladder describe on orders.o_orderpriority: base + distinct
+    * block only (petk/tools.py:18-34). */
+  def describeStringOrders(spark: SparkSession, dir: String): DataFrame = {
+    val rep = Report(Tables.orders(spark, dir), key = Some("o_orderkey"))
+    val p = rep.describe(Seq("o_orderpriority")).head
+    val s = p.stats
+    oneRow(spark, Seq(
+      ("content_type", StringType, s("content_type")),
+      ("count", LongType, s("count")),
+      ("n_null", LongType, s("n_null")),
+      ("p_null", DoubleType, s("p_null")),
+      ("distinct_count", LongType, s("distinct_count")),
+      ("is_constant", BooleanType, s("is_constant")),
+      ("is_unique", BooleanType, s("is_unique")),
+      ("p_unique", DoubleType, s("p_unique"))))
+  }
+
+  private val describeStringOracle: String =
+    """SELECT 'STRING' AS content_type,
+      | count(o_orderpriority) AS "count",
+      | count(*) - count(o_orderpriority) AS n_null,
+      | (count(*) - count(o_orderpriority)) / CAST(count(*) AS DOUBLE) AS p_null,
+      | count(DISTINCT o_orderpriority) AS distinct_count,
+      | count(DISTINCT o_orderpriority) = 1 AS is_constant,
+      | count(DISTINCT o_orderpriority) = count(*) AS is_unique,
+      | count(DISTINCT o_orderpriority) / CAST(count(*) AS DOUBLE) AS p_unique
+      |FROM orders""".stripMargin
+
+  /** DATE-ladder describe on lineitem.l_shipdate: base + distinct +
+    * min/max (petk/tools.py:41-48; interpolated date quantiles are
+    * unit-tested, not oracle-checked — SURVEY.md §5.2). */
+  def describeDateLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val rep = Report(Tables.lineitem(spark, dir), key = Some("l_orderkey"))
+    val p = rep.describe(Seq("l_shipdate")).head
+    val s = p.stats
+    oneRow(spark, Seq(
+      ("content_type", StringType, s("content_type")),
+      ("count", LongType, s("count")),
+      ("n_null", LongType, s("n_null")),
+      ("distinct_count", LongType, s("distinct_count")),
+      ("is_unique", BooleanType, s("is_unique")),
+      // NTZ, not instant: tz-aware parquet would mismatch DuckDB's naive
+      ("min", TimestampNTZType, s("min")),
+      ("max", TimestampNTZType, s("max"))))
+  }
+
+  private val describeDateOracle: String =
+    """SELECT 'DATE' AS content_type,
+      | count(l_shipdate) AS "count",
+      | count(*) - count(l_shipdate) AS n_null,
+      | count(DISTINCT l_shipdate) AS distinct_count,
+      | count(DISTINCT l_shipdate) = count(*) AS is_unique,
+      | min(l_shipdate) AS "min", max(l_shipdate) AS "max"
+      |FROM lineitem""".stripMargin
+
+  /** BOOLEAN-ladder describe (petk/tools.py:37-40) on a derived bool
+    * column (the corpus has no native bool column): l_returnflag = 'A'. */
+  def describeBoolLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("is_return", col("l_returnflag") === lit("A"))
+    val rep = Report(li, key = Some("l_orderkey"))
+    val p = rep.describe(Seq("is_return")).head
+    val s = p.stats
+    oneRow(spark, Seq(
+      ("content_type", StringType, s("content_type")),
+      ("count", LongType, s("count")),
+      ("distinct_count", LongType, s("distinct_count")),
+      ("is_constant", BooleanType, s("is_constant")),
+      ("mean", DoubleType, rd(s("mean").asInstanceOf[Double], 6))))
+  }
+
+  private val describeBoolOracle: String =
+    s"""SELECT 'BOOLEAN' AS content_type,
+       | count(*) AS "count",
+       | CAST(count(DISTINCT l_returnflag = 'A') AS BIGINT) AS distinct_count,
+       | count(DISTINCT l_returnflag = 'A') = 1 AS is_constant,
+       | ${rSql("avg(CAST(l_returnflag = 'A' AS INT))", 6)} AS mean
+       |FROM lineitem""".stripMargin
+
+  /** introduce() on lineitem (petk/exploration.py:34-49): rows/columns/
+    * observations + the column-type census (EMPTY-refined classifier).
+    * memory_usage is excluded — it is a Spark-side size estimate with no
+    * pandas/DuckDB equivalent (SURVEY.md A7). */
+  def introduceLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val rep = Report(Tables.lineitem(spark, dir), key = Some("l_orderkey"))
+    rep.introduce()
+      .filter(col("metric") =!= "memory_usage")
+      .orderBy("section", "metric")
+  }
+
+  private val introduceOracle: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate")
+    val missing = cols.map(c => s"(count(*) - count($c))").mkString(" + ")
+    s"""SELECT * FROM (
+       | SELECT 'basic' AS section, 'columns' AS metric, CAST(11 AS BIGINT) AS value FROM lineitem LIMIT 1)
+       |UNION ALL SELECT 'basic', 'rows', count(*) FROM lineitem
+       |UNION ALL SELECT 'observations', 'total', 11 * count(*) FROM lineitem
+       |UNION ALL SELECT 'observations', 'missing', $missing FROM lineitem
+       |UNION ALL SELECT 'columns', 'date', 1
+       |UNION ALL SELECT 'columns', 'numeric', 8
+       |UNION ALL SELECT 'columns', 'string', 2
+       |ORDER BY section, metric""".stripMargin
+  }
+
+  /** validate() `accepted` rule on orders.o_orderstatus
+    * (petk/validation.py:47-51): every row whose status is outside
+    * {O, F} — including nulls, matching pandas ~isin(NaN) = True. */
+  def validateAcceptedOrders(spark: SparkSession, dir: String): DataFrame = {
+    val rep = Report(Tables.orders(spark, dir),
+      schema = Map("o_orderstatus" -> ColumnRules(accepted = Some(Seq("O", "F")))),
+      key = Some("o_orderkey"))
+    rep.validate()
+  }
+
+  private val validateAcceptedOracle: String =
+    """SELECT 'o_orderstatus' AS "column", o_orderkey AS "index",
+      | 'accepted' AS "function",
+      | 'Value not within the accepted range' AS notes
+      |FROM orders
+      |WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F')
+      |ORDER BY "column", "index", "function"""".stripMargin
+
+  /** validate() `range` rule on lineitem.l_quantity with bounds [2, 49]
+    * (petk/validation.py:36-45, petk/tools.py:104-110). Row key is the
+    * composite l_orderkey*8 + l_linenumber (linenumber <= 7). */
+  def validateRangeLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("li_key", col("l_orderkey") * 8 + col("l_linenumber"))
+    val rep = Report(li,
+      schema = Map("l_quantity" -> ColumnRules(range = Some(Bounds(Some(2.0), Some(49.0))))),
+      key = Some("li_key"))
+    rep.validate()
+  }
+
+  private val validateRangeOracle: String =
+    """SELECT 'l_quantity' AS "column",
+      | l_orderkey * 8 + l_linenumber AS "index",
+      | 'range' AS "function",
+      | CASE WHEN l_quantity < 2 THEN 'Value is less than the lower bound'
+      |      WHEN l_quantity > 49 THEN 'Value is greater than the upper bound'
+      | END AS notes
+      |FROM lineitem
+      |WHERE l_quantity < 2 OR l_quantity > 49
+      |ORDER BY "column", "index", "function"""".stripMargin
+
+  /** Multi-rule validate() on orders — accepted + range in one schema,
+    * exercising findings assembly + (column, index, function) ordering
+    * (petk/exploration.py:107-124). */
+  def validateMultiOrders(spark: SparkSession, dir: String): DataFrame = {
+    val rep = Report(Tables.orders(spark, dir),
+      schema = Map(
+        "o_orderstatus" -> ColumnRules(accepted = Some(Seq("O", "F"))),
+        "o_totalprice" -> ColumnRules(range = Some(Bounds(Some(25000.0), Some(250000.0))))),
+      key = Some("o_orderkey"))
+    rep.validate()
+  }
+
+  private val validateMultiOracle: String =
+    """SELECT * FROM (
+      | SELECT 'o_orderstatus' AS "column", o_orderkey AS "index",
+      |  'accepted' AS "function", 'Value not within the accepted range' AS notes
+      | FROM orders WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F')
+      | UNION ALL
+      | SELECT 'o_totalprice', o_orderkey, 'range',
+      |  CASE WHEN o_totalprice < 25000 THEN 'Value is less than the lower bound'
+      |       WHEN o_totalprice > 250000 THEN 'Value is greater than the upper bound' END
+      | FROM orders WHERE o_totalprice < 25000 OR o_totalprice > 250000)
+      |ORDER BY "column", "index", "function"""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("describe_numeric_lineitem", describeNumericLineitem, Some(describeNumericOracle)),
+    QueryDef("describe_string_orders", describeStringOrders, Some(describeStringOracle)),
+    QueryDef("describe_date_lineitem", describeDateLineitem, Some(describeDateOracle)),
+    QueryDef("describe_bool_lineitem", describeBoolLineitem, Some(describeBoolOracle)),
+    QueryDef("introduce_lineitem", introduceLineitem, Some(introduceOracle)),
+    QueryDef("validate_accepted_orders", validateAcceptedOrders, Some(validateAcceptedOracle)),
+    QueryDef("validate_range_lineitem", validateRangeLineitem, Some(validateRangeOracle)),
+    QueryDef("validate_multi_orders", validateMultiOrders, Some(validateMultiOracle)))
+}

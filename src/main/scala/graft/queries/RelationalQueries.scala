@@ -1,0 +1,425 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.queries.QueryDef.{r, rSql}
+import graft.sources.Tables
+
+/** The relational query surface (SURVEY.md §2.C rows 1–8) over the
+  * TPC-H-ish corpus — scans, filter/project, joins (broadcast/semi/anti/
+  * outer), aggregation (group-by/rollup/cube/distinct), windows, top-k,
+  * set ops, scalar functions (string/date/math/JSON).
+  *
+  * All pure Spark built-ins: Catalyst pushes filters and projections into
+  * the parquet scans, plans broadcast joins for the small dimensions
+  * (explicit `broadcast()` hints where determinism matters for BENCH), and
+  * whole-stage-codegens every operator here. Every query ends in a
+  * canonical orderBy for the hash compare.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-style pricing summary (filter → groupBy → 7 aggregates). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp_ntz(lit("1998-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        r(sum("l_quantity"), 2).as("sum_qty"),
+        r(sum("l_extendedprice"), 2).as("sum_base_price"),
+        r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        r(avg("l_quantity"), 6).as("avg_qty"),
+        r(avg("l_extendedprice"), 6).as("avg_price"),
+        r(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1Oracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       | ${rSql("sum(l_quantity)", 2)} AS sum_qty,
+       | ${rSql("sum(l_extendedprice)", 2)} AS sum_base_price,
+       | ${rSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price,
+       | ${rSql("avg(l_quantity)", 6)} AS avg_qty,
+       | ${rSql("avg(l_extendedprice)", 6)} AS avg_price,
+       | ${rSql("avg(l_discount)", 6)} AS avg_disc,
+       | count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Filter + projection pushdown: both reach the parquet scan
+    * (PushedFilters / ReadSchema in .explain). */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 45 && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val filterProjectOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+      |FROM lineitem
+      |WHERE l_quantity >= 45 AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Star join: fact orders → customer → nation → region, dims broadcast.
+    * At 100 TB: orders shuffles only for the final groupBy; the dimension
+    * joins are map-side via broadcast. */
+  def joinBroadcastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(r(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+
+  private val joinBroadcastOracle: String =
+    s"""SELECT r_name, n_name,
+       | ${rSql("sum(o_totalprice)", 2)} AS revenue,
+       | count(*) AS n_orders
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin
+
+  /** Left-semi join: customers with at least one urgent order. */
+  def joinSemiCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  private val joinSemiOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join: customers with no urgent order. */
+  def joinAntiCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  private val joinAntiOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left outer join + aggregation: per-customer order count/total,
+    * keeping customers with zero orders. */
+  def joinLeftAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(r(sum("o_totalprice"), 2), lit(0.0)).as("total_spent"))
+      .orderBy("c_custkey")
+
+  private val joinLeftAggOracle: String =
+    s"""SELECT c_custkey, c_name,
+       | count(o_orderkey) AS n_orders,
+       | coalesce(${rSql("sum(o_totalprice)", 2)}, 0.0) AS total_spent
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey, c_name
+       |ORDER BY c_custkey""".stripMargin
+
+  /** Per-group top-k via row_number window (Spark plans a ranked window
+    * with partial pushdown; at scale this is the standard top-k idiom). */
+  def windowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  private val windowTopkOracle: String =
+    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+      | SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+      | FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** Running aggregates + lag over an explicit ROWS frame, per user over
+    * event time. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        row_number().over(order).as("rn"),
+        lag("event_type", 1).over(order).as("prev_type"),
+        r(sum("value").over(frame), 2).as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val windowRunningOracle: String =
+    s"""SELECT user_id, event_id,
+       | CAST(row_number() OVER w AS INT) AS rn,
+       | lag(event_type, 1) OVER w AS prev_type,
+       | ${rSql("sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)} AS running_value
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+       |ORDER BY user_id, event_id""".stripMargin
+
+  /** ROLLUP grouping sets over lineitem. */
+  def rollupLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), r(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val rollupOracle: String =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       | ${rSql("sum(l_quantity)", 2)} AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** CUBE grouping sets over orders. */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private val cubeOracle: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** UNION (distinct) of two segment projections. */
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      .union(c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey"))
+      .distinct()
+      .orderBy("c_custkey")
+  }
+
+  private val setUnionOracle: String =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION
+      |SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |ORDER BY c_custkey""".stripMargin
+
+  /** EXCEPT (distinct): BUILDING customers minus negative-balance ones. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      .except(c.filter(col("c_acctbal") < 0).select("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  private val setExceptOracle: String =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_acctbal < 0
+      |ORDER BY c_custkey""".stripMargin
+
+  /** INTERSECT (distinct): BUILDING ∩ high-balance. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      .intersect(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  private val setIntersectOracle: String =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Global top-k: Spark plans TakeOrderedAndProject (no full sort). */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  private val topkOrdersOracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** String scalar functions: upper/substring/regexp_extract/concat/LIKE. */
+  def scalarString(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_name").like("Customer%"))
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        concat(col("c_mktsegment"), lit(":"), col("c_name")).as("tagged"))
+      .orderBy("c_custkey")
+
+  private val scalarStringOracle: String =
+    """SELECT c_custkey,
+      | upper(c_name) AS uname,
+      | substring(c_name, 1, 8) AS prefix,
+      | regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+      | c_mktsegment || ':' || c_name AS tagged
+      |FROM customer
+      |WHERE c_name LIKE 'Customer%'
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Date scalar functions: year/month/quarter/date_trunc/datediff. */
+  def scalarDate(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mo"),
+        quarter(col("o_orderdate")).cast(LongType).as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast(LongType).as("days_since"))
+      .orderBy("o_orderkey")
+
+  private val scalarDateOracle: String =
+    """SELECT o_orderkey,
+      | year(o_orderdate) AS yr,
+      | month(o_orderdate) AS mo,
+      | quarter(o_orderdate) AS qtr,
+      | date_trunc('month', o_orderdate) AS month_start,
+      | datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Math scalar functions: abs/ln/sqrt/pow. */
+  def scalarMath(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        r(abs(col("l_extendedprice") - lit(50000.0)), 6).as("abs_centered"),
+        r(log(col("l_extendedprice")), 6).as("ln_price"),
+        r(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+        r(pow(lit(1.0) + col("l_discount"), 2), 6).as("disc_sq"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val scalarMathOracle: String =
+    s"""SELECT l_orderkey, l_linenumber,
+       | ${rSql("abs(l_extendedprice - 50000.0)", 6)} AS abs_centered,
+       | ${rSql("ln(l_extendedprice)", 6)} AS ln_price,
+       | ${rSql("sqrt(l_quantity)", 6)} AS sqrt_qty,
+       | ${rSql("pow(1.0 + l_discount, 2)", 6)} AS disc_sq
+       |FROM lineitem
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** JSON extraction from events.props + aggregation. */
+  def jsonEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("k_sum"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  private val jsonEventsOracle: String =
+    """SELECT event_type,
+      | CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+      | count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Exact distinct aggregation per group. */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(count_distinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  private val aggDistinctOracle: String =
+    """SELECT o_orderstatus,
+      | count(DISTINCT o_custkey) AS n_customers,
+      | count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** Range join: purchases within 5 minutes after a click by the same
+    * user — equi on user_id + time-range predicate; Spark plans the equi
+    * part as a hash join with the range as a post-filter, the
+    * scale-correct shape (never a pure BNLJ). */
+  def rangeJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    clicks.join(purchases,
+        col("cu") === col("pu") &&
+        col("pts") > col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("cu").as("user_id"), col("click_id"), col("purchase_id"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  private val rangeJoinOracle: String =
+    """SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM events c JOIN events p
+      | ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
+      |ORDER BY user_id, click_id, purchase_id""".stripMargin
+
+  /** Tumbling-window aggregation over event time (batch twin of the
+    * streaming hourly window — graft.streaming). */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      // cast to NTZ: instant timestamps would be written tz-aware while the
+      // DuckDB oracle's are naive — UTC session zone makes the cast exact
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r(sum("value"), 2).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  private val eventsHourlyOracle: String =
+    s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+       | count(*) AS n,
+       | ${rSql("sum(value)", 2)} AS total_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY hour, event_type""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q1_agg", q1Agg, Some(q1Oracle)),
+    QueryDef("filter_project", filterProject, Some(filterProjectOracle)),
+    QueryDef("join_broadcast_revenue", joinBroadcastRevenue, Some(joinBroadcastOracle)),
+    QueryDef("join_semi_customers", joinSemiCustomers, Some(joinSemiOracle)),
+    QueryDef("join_anti_customers", joinAntiCustomers, Some(joinAntiOracle)),
+    QueryDef("join_left_agg", joinLeftAgg, Some(joinLeftAggOracle)),
+    QueryDef("window_topk", windowTopk, Some(windowTopkOracle)),
+    QueryDef("window_running", windowRunning, Some(windowRunningOracle)),
+    QueryDef("rollup_lineitem", rollupLineitem, Some(rollupOracle)),
+    QueryDef("cube_orders", cubeOrders, Some(cubeOracle)),
+    QueryDef("set_union", setUnion, Some(setUnionOracle)),
+    QueryDef("set_except", setExcept, Some(setExceptOracle)),
+    QueryDef("set_intersect", setIntersect, Some(setIntersectOracle)),
+    QueryDef("topk_orders", topkOrders, Some(topkOrdersOracle)),
+    QueryDef("scalar_string", scalarString, Some(scalarStringOracle)),
+    QueryDef("scalar_date", scalarDate, Some(scalarDateOracle)),
+    QueryDef("scalar_math", scalarMath, Some(scalarMathOracle)),
+    QueryDef("json_events", jsonEvents, Some(jsonEventsOracle)),
+    QueryDef("agg_distinct", aggDistinct, Some(aggDistinctOracle)),
+    QueryDef("range_join_events", rangeJoinEvents, Some(rangeJoinOracle)),
+    QueryDef("events_hourly", eventsHourly, Some(eventsHourlyOracle)))
+}
