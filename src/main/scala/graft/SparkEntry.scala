@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ProfilingQueries, QueryDef, RelationalQueries}
+import graft.queries.{LlmQueries, ProfilingQueries, QueryDef, RelationalQueries, StreamShapeQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{ProfilingQueries, QueryDef, RelationalQueries}
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    ProfilingQueries.all ++ RelationalQueries.all
+    ProfilingQueries.all ++ RelationalQueries.all ++ LlmQueries.all ++
+      StreamShapeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

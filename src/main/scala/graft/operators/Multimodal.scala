@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.SemanticType
+
+/** Multimodal column support (SURVEY.md §2.C row 12): image/audio/video
+  * payloads as opaque BinaryType columns with a typed metadata struct,
+  * plus the Spark-side plumbing for decode / feature-extraction.
+  *
+  * The decode step itself is STUBBED (this environment ships no image or
+  * audio codec libraries): [[stubFeatures]] derives a deterministic
+  * pseudo-feature vector from the payload bytes via seeded xxhash64 — the
+  * schema, batching, partitioning and column plumbing around it are real
+  * and tested, and a production deployment swaps only the feature
+  * expression (or a mapPartitions batch decoder) for a real codec.
+  */
+object Multimodal {
+
+  /** Metadata struct carried next to every payload column. */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("n_bytes", LongType),
+    StructField("digest", StringType)))
+
+  /** Attach a payload (binary) + metadata struct derived from a source
+    * column; marks the payload with the BINARY modality metadata so the
+    * describe() ladder classifies it. */
+  def withPayload(df: DataFrame, srcCol: String, mime: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val payload = col(srcCol).cast(BinaryType)
+    df.withColumn(payloadCol, payload)
+      .withColumn(s"${payloadCol}_meta", struct(
+        lit(mime).as("mime"),
+        octet_length(payload).cast(LongType).as("n_bytes"),
+        md5(payload).as("digest")))
+  }
+
+  /** STUB decode/feature-extract: `dim` deterministic pseudo-features in
+    * [-1, 1) from seeded hashes of the payload. Replace with a real
+    * decoder (e.g. a mapPartitions batch over a codec) in production; the
+    * signature — binary in, fixed-width float array out — is the real
+    * contract. */
+  def stubFeatures(payload: Column, dim: Int, seed: Int = 42): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      (pmod(xxhash64(i + lit(seed), payload), lit(2000000L)).cast(DoubleType) / 1000000.0
+        - 1.0).cast(FloatType))
+
+  /** Frame-sample stub: pick `k` deterministic byte offsets (the real
+    * pipeline would sample video frames); returns the bytes at those
+    * offsets as ints. */
+  def sampleBytes(payload: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      get(split(hex(payload), ""), pmod(i * 7919, greatest(octet_length(payload), lit(1)))))
+
+  /** Feature extraction over a payload column: adds an
+    * ArrayType(FloatType) features column (classified VECTOR by the
+    * describe ladder). Pure expression — no shuffle, survives any
+    * partitioning. */
+  def extractFeatures(df: DataFrame, payloadCol: String, dim: Int,
+      featuresCol: String = "features"): DataFrame =
+    df.withColumn(featuresCol, stubFeatures(col(payloadCol), dim))
+}

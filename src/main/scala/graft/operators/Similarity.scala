@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (SURVEY.md §2.C row 11).
+  *
+  * Two paths, one API:
+  *  - [[cosineTopK]] — exact brute force. The query side is broadcast, so
+  *    the corpus is scanned once with no shuffle of the big side; cost is
+  *    O(|corpus| * |queries|). Correct at any scale where |queries| is
+  *    small; this is the oracle-checkable baseline.
+  *  - [[annTopK]] — LSH-bucketed approximate path for query sets too large
+  *    to broadcast-cross: random-hyperplane signatures (seed-pinned plane
+  *    matrix, driver-generated, shipped as a literal) bucket both sides;
+  *    candidates only meet inside a bucket, turning the cross product into
+  *    an equi-join Spark shuffles by bucket key. Recall is tunable via
+  *    planes/bands (unit-tested against the exact path).
+  *
+  * Never an unguarded crossJoin: the exact path requires an explicit
+  * maxQueries cap to keep the broadcast side bounded.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: for every query vector, the k nearest corpus
+    * vectors by cosine (ties broken by ascending corpus id). */
+  def cosineTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, maxQueries: Int = 1000): DataFrame = {
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv")).limit(maxQueries)
+    val sim = corpus
+      .join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(
+        col("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col(vecCol), col("__qv")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** All pairs (a < b) with cosine >= threshold among a bounded id range —
+    * embedding-cosine near-duplicate detection. Bounded sides broadcast. */
+  def cosinePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxId: Long): DataFrame = {
+    val a = df.filter(col(idCol) < maxId)
+      .select(col(idCol).as("a"), col(vecCol).as("__va"))
+    val b = df.filter(col(idCol) < maxId)
+      .select(col(idCol).as("b"), col(vecCol).as("__vb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("__va"), col("__vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Deterministic random-hyperplane matrix (planes x dim), seed-pinned. */
+  private[graft] def planeMatrix(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit signature of a vector against the plane matrix, as an
+    * Int bucket key (planes <= 30). Computed with codegen'd higher-order
+    * functions over a literal matrix — no UDF. */
+  private[graft] def signature(vec: Column, planesLit: Column, planes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), p =>
+        when(aggregate(
+          zip_with(toDoubleArray(vec), element_at(planesLit, p + 1), (x, h) => x * h),
+          lit(0.0), (acc, x) => acc + x) >= 0, lit(1)).otherwise(lit(0))),
+      lit(0), (acc, bit) => acc * 2 + bit)
+
+  /** Approximate nearest neighbors: both sides hashed into hyperplane
+    * buckets; exact cosine ranks candidates inside each bucket only. */
+  def annTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, planes: Int = 12, seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val planesLit = typedLit(planeMatrix(planes, dim, seed))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      signature(col(vecCol), planesLit, planes).as("__bucket"))
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
+      signature(col(qVecCol), planesLit, planes).as("__bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(q, Seq("__bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__cv"), col("__qv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+}

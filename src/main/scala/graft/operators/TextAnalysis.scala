@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Report
+
+/** Text-analysis operators for document pipelines (SURVEY.md §2.C row 13):
+  * token statistics, top terms, language census, quality scoring,
+  * fingerprinting, and an n-gram language-ID heuristic. Everything is
+  * built-in Column expressions (codegen'd, distributable); the only
+  * driver-side step is the tiny per-language profile table for language
+  * ID, which ships to executors as a literal.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (multi-space safe). */
+  def tokens(text: Column): Column = filter(split(text, " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Per-document token stats: count + mean token length. */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      length(col(textCol)).cast("long").as("n_text_chars"),
+      (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks)).as("avg_token_len"))
+  }
+
+  /** Corpus-wide top-n terms by frequency (explode → count → top-k). */
+  def topTerms(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(n)
+
+  /** Language census over a label column. */
+  def langCensus(df: DataFrame, langCol: String): DataFrame =
+    df.groupBy(col(langCol).as("lang")).agg(count(lit(1)).as("n"))
+
+  /** Quality metrics per document: alpha ratio, whitespace ratio,
+    * stopword ratio, mean token length, and a blended score in [0, 1].
+    * Pure arithmetic over codegen'd string functions — the same formula is
+    * expressible in the SQL oracle. */
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nToks = size(toks)
+    val alphaRatio = (length(t) - length(regexp_replace(t, "[a-zA-Z]", ""))).cast("double") /
+      greatest(length(t), lit(1))
+    val spaceRatio = (length(t) - length(regexp_replace(t, " ", ""))).cast("double") /
+      greatest(length(t), lit(1))
+    val stopRatio = size(filter(toks, x => x.isin(stopwords: _*))).cast("double") /
+      greatest(nToks, lit(1))
+    val avgTokLen = aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+      greatest(nToks, lit(1))
+    val score =
+      least(greatest(nToks.cast("double") / 20.0, lit(0.0)), lit(1.0)) * 0.3 +
+        alphaRatio * 0.4 +
+        (lit(1.0) - abs(avgTokLen - 5.0) / 5.0) * 0.2 +
+        (lit(1.0) - stopRatio) * 0.1
+    df.select(col(idCol),
+      alphaRatio.as("alpha_ratio"),
+      spaceRatio.as("space_ratio"),
+      stopRatio.as("stopword_ratio"),
+      avgTokLen.as("avg_token_len"),
+      score.as("quality_score"))
+  }
+
+  /** Canonical content fingerprint: md5 of the lower-cased trimmed text —
+    * portable (any engine computes the identical digest). */
+  def fingerprintMd5(text: Column): Column = md5(trim(lower(text)))
+
+  /** Polynomial rolling hash (base 31 mod 1e9+7) over the character
+    * codepoints — cheap locality-free fingerprint when a cryptographic
+    * digest is overkill. Modular so the fold never overflows ANSI longs. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), greatest(length(text), lit(1))),
+        i => ascii(substring(text, i, lit(1))).cast("long")),
+      lit(0L), (acc, c) => pmod(acc * 31L + c, lit(1000000007L)))
+
+  /** Character-trigram language-ID: fit collects the top-k most frequent
+    * trigrams per language from a labeled corpus (driver-side — the
+    * profile is a few KB), classify scores each document by profile
+    * overlap and picks the argmax (ties: lexicographically first lang).
+    * A heuristic, not a model — mechanics over accuracy. */
+  def fitLanguageProfiles(labeled: DataFrame, textCol: String, langCol: String,
+      topK: Int = 50): Map[String, Seq[String]] = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = labeled
+      .select(col(langCol).as("lang"), explode(Dedup.charNgrams(col(textCol), 3)).as("g"))
+      .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("g").asc)
+    grams.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select("lang", "g", "rn")
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getString(1)).toSeq)
+      .toMap
+  }
+
+  /** Classify with fitted profiles: per-language overlap score of the
+    * document's trigram set with the profile, argmax by (score, lang). */
+  def classifyLanguage(df: DataFrame, idCol: String, textCol: String,
+      profiles: Map[String, Seq[String]]): DataFrame = {
+    val grams = Dedup.charNgrams(col(textCol), 3)
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, profile) =>
+      struct(size(array_intersect(grams, typedLit(profile))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang) is lexicographic: highest score,
+    // then highest lang — invert lang order for deterministic first-lang ties
+    df.select(col(idCol),
+      array_max(array(scored: _*)).getField("lang").as("predicted_lang"))
+  }
+}

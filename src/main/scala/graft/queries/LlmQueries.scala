@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.QueryDef.{r, rSql}
+import graft.sources.Tables
+
+/** LLM-training-data-pipeline operators as oracle-checked queries
+  * (SURVEY.md §2.C rows 9–13): deduplication (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding cosine), similarity search, text analysis,
+  * and multimodal column plumbing. Operators whose hash family has no
+  * DuckDB equivalent (MinHash signatures, SimHash, LSH buckets, stub
+  * features) are registered without oracle → the driver records the
+  * weaker rows-only check; their semantics are unit-tested instead, and
+  * for MinHash the FINAL verified output is oracle-checked against
+  * brute-force Jaccard (LSH recall at the planted similarity level is
+  * 1 - ~1e-11). */
+object LlmQueries {
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup of documents on (lang, source), keeping the lowest
+    * doc_id per group — deterministic dropDuplicates. */
+  def dedupExactDocs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), Seq("lang", "source"), "doc_id")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  private val dedupExactOracle: String =
+    """SELECT min(doc_id) AS doc_id, lang, source
+      |FROM documents GROUP BY lang, source ORDER BY doc_id""".stripMargin
+
+  /** Duplicate-key report over documents (lang, source) groups. */
+  def dupReportDocs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateReport(Tables.documents(spark, dir), Seq("lang", "source"), "doc_id")
+      .orderBy("lang", "source")
+
+  private val dupReportOracle: String =
+    """SELECT lang, source, count(*) AS n_dups, min(doc_id) AS keep_id
+      |FROM documents GROUP BY lang, source HAVING count(*) > 1
+      |ORDER BY lang, source""".stripMargin
+
+  /** Near-dup test corpus: the documents plus, for every 7th doc, a
+    * variant with the last two words dropped (planted near-duplicates at
+    * Jaccard ~0.85). Constructed identically in the SQL oracle. */
+  private def nearDupCorpus(docs: DataFrame): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val variants = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), size(toks) - 2)).as("text"))
+    docs.select("doc_id", "text").unionByName(variants)
+  }
+
+  private val nearDupCorpusSql: String =
+    """corpus AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id,
+      |  array_to_string(list_slice(t, 1, len(t) - 2), ' ') AS text
+      | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |       FROM documents)
+      | WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** MinHash/LSH near-dup detection with exact-Jaccard verify over the
+    * planted corpus. The oracle brute-forces all-pairs Jaccard — feasible
+    * at verify scale only; the Spark side never leaves LSH buckets. */
+  def minhashNeardupDocs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairsMinhash(
+      nearDupCorpus(Tables.documents(spark, dir)), "doc_id", "text",
+      shingleWords = 3, numHashes = 128, bands = 32, rowsPerBand = 4,
+      threshold = 0.7)
+      .select(col("a"), col("b"), r(col("jaccard"), 6).as("jaccard"))
+      .orderBy("a", "b")
+
+  private val minhashNeardupOracle: String =
+    s"""WITH $nearDupCorpusSql,
+       |sh AS (
+       | SELECT doc_id,
+       |  list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+       |    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |       FROM corpus))
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       | ${rSql("len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)", 6)} AS jaccard
+       |FROM sh a, sh b
+       |WHERE a.doc_id < b.doc_id
+       | AND len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7
+       |ORDER BY a, b""".stripMargin
+
+  /** SimHash signatures + near-dup pairs (hash family not expressible in
+    * the oracle — rows-only check; semantics unit-tested). */
+  def simhashNeardupDocs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairsSimhash(
+      nearDupCorpus(Tables.documents(spark, dir)), "doc_id", "text", maxHamming = 8)
+      .orderBy("a", "b")
+
+  /** All-pairs character-3-gram Jaccard for a bounded id range —
+    * threshold-free n-gram similarity. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 40)
+      .select(col("doc_id"), Dedup.charNgrams(col("text"), 3).as("g"))
+    val a = docs.select(col("doc_id").as("a"), col("g").as("ga"))
+    val b = docs.select(col("doc_id").as("b"), col("g").as("gb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"), r(Dedup.jaccard(col("ga"), col("gb")), 6).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  private val ngramJaccardOracle: String =
+    s"""WITH g AS (
+       | SELECT doc_id,
+       |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+       |    i -> substring(text, i, 3))) AS g
+       | FROM documents WHERE doc_id < 40)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       | ${rSql("len(list_intersect(a.g, b.g)) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)", 6)} AS jaccard
+       |FROM g a, g b WHERE a.doc_id < b.doc_id
+       |ORDER BY a, b""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs over a bounded id range. */
+  def cosineNeardupPairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = 0.25, maxId = 300)
+      .select(col("a"), col("b"), r(col("sim"), 6).as("sim"))
+      .orderBy("a", "b")
+
+  private val cosineNeardupOracle: String =
+    s"""SELECT a, b, ${rSql("sim", 6)} AS sim FROM (
+       | SELECT x.vec_id AS a, y.vec_id AS b,
+       |  list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+       |                         CAST(y.embedding AS DOUBLE[])) AS sim
+       | FROM embeddings x, embeddings y
+       | WHERE x.vec_id < 300 AND y.vec_id < 300 AND x.vec_id < y.vec_id)
+       |WHERE sim >= 0.25
+       |ORDER BY a, b""".stripMargin
+
+  // ----------------------------------------------------------- similarity
+
+  /** Exact brute-force cosine top-5 for the first five vectors. */
+  def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.cosineTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), r(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val cosineTopkOracle: String =
+    s"""SELECT query_id,
+       | CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS "rank",
+       | neighbor_id, ${rSql("sim", 6)} AS sim
+       |FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                         CAST(c.embedding AS DOUBLE[])) AS sim
+       | FROM embeddings q, embeddings c
+       | WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+       |QUALIFY "rank" <= 5
+       |ORDER BY query_id, "rank"""".stripMargin
+
+  /** LSH-bucketed approximate top-k (the 100 TB path; recall vs the exact
+    * path is unit-tested — no SQL oracle for the hyperplane hashes). */
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.annTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, planes = 6)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), r(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  // -------------------------------------------------------- text analysis
+
+  /** Per-document token statistics. */
+  def textTokenStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val textTokenStatsOracle: String =
+    """SELECT doc_id,
+      | len(t) AS n_tokens,
+      | CAST(length(text) AS BIGINT) AS n_text_chars,
+      | CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_token_len
+      |FROM (SELECT doc_id, text,
+      |       list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus-wide top-20 terms. */
+  def topTerms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTerms(Tables.documents(spark, dir), "text", 20)
+
+  private val topTermsOracle: String =
+    """SELECT term, count(*) AS cnt
+      |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |      FROM documents)
+      |GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""".stripMargin
+
+  /** Language census. */
+  def langCensus(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langCensus(Tables.documents(spark, dir), "lang").orderBy("lang")
+
+  private val langCensusOracle: String =
+    "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Per-document quality metrics + blended score. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityMetrics(Tables.documents(spark, dir), "doc_id", "text", Stopwords)
+      .select(col("doc_id"),
+        r(col("alpha_ratio"), 6).as("alpha_ratio"),
+        r(col("space_ratio"), 6).as("space_ratio"),
+        r(col("stopword_ratio"), 6).as("stopword_ratio"),
+        r(col("avg_token_len"), 6).as("avg_token_len"),
+        r(col("quality_score"), 6).as("quality_score"))
+      .orderBy("doc_id")
+
+  private val textQualityOracle: String = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    val alpha = "(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) / CAST(greatest(length(text), 1) AS DOUBLE)"
+    val space = "(length(text) - length(regexp_replace(text, ' ', '', 'g'))) / CAST(greatest(length(text), 1) AS DOUBLE)"
+    val stop = s"len(list_filter(t, x -> list_contains($stopList, x))) / CAST(greatest(len(t), 1) AS DOUBLE)"
+    val avgTok = "CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / greatest(len(t), 1)"
+    val score = s"least(greatest(len(t) / 20.0, 0.0), 1.0) * 0.3 + ($alpha) * 0.4 + (1.0 - abs(($avgTok) - 5.0) / 5.0) * 0.2 + (1.0 - ($stop)) * 0.1"
+    s"""SELECT doc_id,
+       | ${rSql(alpha, 6)} AS alpha_ratio,
+       | ${rSql(space, 6)} AS space_ratio,
+       | ${rSql(stop, 6)} AS stopword_ratio,
+       | ${rSql(avgTok, 6)} AS avg_token_len,
+       | ${rSql(score, 6)} AS quality_score
+       |FROM (SELECT doc_id, text,
+       |       list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Portable md5 content fingerprint per document. */
+  def fingerprintDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  private val fingerprintOracle: String =
+    """SELECT doc_id, md5(trim(lower(text))) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document length statistics through the numeric describe kernel. */
+  def doclenDescribe(spark: SparkSession, dir: String): DataFrame = {
+    val rep = graft.core.Report(Tables.documents(spark, dir), key = Some("doc_id"))
+    val p = rep.describe(Seq("n_chars")).head
+    val s = p.stats
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("count", LongType), StructField("distinct_count", LongType),
+      StructField("min", LongType), StructField("max", LongType),
+      StructField("q50", DoubleType), StructField("mean", DoubleType),
+      StructField("std", DoubleType), StructField("sum", LongType),
+      StructField("n_zeros", LongType)))
+    def rd6(x: Any) = { val v = x.asInstanceOf[Double]; math.floor(v * 1e6 + 0.5) / 1e6 }
+    spark.createDataFrame(java.util.Collections.singletonList(Row(
+      s("count"), s("distinct_count"), s("min"), s("max"),
+      rd6(s("50%")), rd6(s("mean")), rd6(s("std")), s("sum"), s("n_zeros"))), schema)
+  }
+
+  private val doclenDescribeOracle: String =
+    s"""SELECT count(n_chars) AS "count",
+       | count(DISTINCT n_chars) AS distinct_count,
+       | min(n_chars) AS "min", max(n_chars) AS "max",
+       | ${rSql("quantile_cont(n_chars, 0.5)", 6)} AS q50,
+       | ${rSql("avg(n_chars)", 6)} AS mean,
+       | ${rSql("stddev_samp(n_chars)", 6)} AS std,
+       | CAST(sum(n_chars) AS BIGINT) AS "sum",
+       | count(CASE WHEN n_chars = 0 THEN 1 END) AS n_zeros
+       |FROM documents""".stripMargin
+
+  /** Trigram-profile language ID (heuristic; profiles fitted on the same
+    * corpus — no SQL oracle, rows-only + unit tests). */
+  def langidDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val profiles = TextAnalysis.fitLanguageProfiles(docs, "text", "lang")
+    TextAnalysis.classifyLanguage(docs, "doc_id", "text", profiles).orderBy("doc_id")
+  }
+
+  // ----------------------------------------------------------- multimodal
+
+  /** Binary payload + typed metadata struct from the text corpus. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.withPayload(Tables.documents(spark, dir), "text", "text/plain")
+      .select(col("doc_id"),
+        col("payload_meta.mime").as("mime"),
+        col("payload_meta.n_bytes").as("n_bytes"),
+        col("payload_meta.digest").as("digest"))
+      .orderBy("doc_id")
+
+  private val multimodalMetaOracle: String =
+    """SELECT doc_id, 'text/plain' AS mime,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | md5(text) AS digest
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stubbed feature extraction over payload bytes (deterministic fake —
+    * hash family not in DuckDB, rows-only + unit tests). */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.withPayload(Tables.documents(spark, dir), "text", "text/plain"),
+      "payload", dim = 8)
+      .select("doc_id", "features")
+      .orderBy("doc_id")
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact_docs", dedupExactDocs, Some(dedupExactOracle)),
+    QueryDef("dup_report_docs", dupReportDocs, Some(dupReportOracle)),
+    QueryDef("minhash_neardup_docs", minhashNeardupDocs, Some(minhashNeardupOracle)),
+    QueryDef("simhash_neardup_docs", simhashNeardupDocs, None),
+    QueryDef("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardOracle)),
+    QueryDef("cosine_neardup_pairs", cosineNeardupPairs, Some(cosineNeardupOracle)),
+    QueryDef("cosine_topk", cosineTopk, Some(cosineTopkOracle)),
+    QueryDef("ann_lsh_topk", annLshTopk, None),
+    QueryDef("text_token_stats", textTokenStats, Some(textTokenStatsOracle)),
+    QueryDef("top_terms", topTerms, Some(topTermsOracle)),
+    QueryDef("lang_census", langCensus, Some(langCensusOracle)),
+    QueryDef("text_quality", textQuality, Some(textQualityOracle)),
+    QueryDef("fingerprint_docs", fingerprintDocs, Some(fingerprintOracle)),
+    QueryDef("doclen_describe", doclenDescribe, Some(doclenDescribeOracle)),
+    QueryDef("langid_docs", langidDocs, None),
+    QueryDef("multimodal_meta", multimodalMeta, Some(multimodalMetaOracle)),
+    QueryDef("multimodal_features", multimodalFeatures, None))
+}

@@ -23,8 +23,10 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // any nanos-as-long column comes back as LongType where the writer meant
     // a timestamp; convert the known stream-time column.
+    // integer `div`, NOT `/`: double division of epoch-nanos (~1.7e18)
+    // exceeds the 2^53 double mantissa and corrupts the microsecond digit
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps the lowest tie-break row per key group, deterministically") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((3L, "k1", "c"), (1L, "k1", "a"), (2L, "k2", "b")).toDF("id", "k", "v")
+    val out = Dedup.exact(df, Seq("k"), "id").orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out.map(_.getString(2)).toSeq === Seq("a", "b"))
+  }
+
+  test("duplicate report lists only groups with more than one row") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "k1"), (2L, "k1"), (3L, "k2")).toDF("id", "k")
+    val out = Dedup.duplicateReport(df, Seq("k"), "id").collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "k1")
+    assert(out.head.getLong(1) === 2L) // n_dups
+    assert(out.head.getLong(2) === 1L) // keep_id
+  }
+
+  test("jaccard of distinct shingle arrays is |∩|/|∪|") {
+    val df = docs((1L, "a b c d"), (2L, "b c d e"))
+    val sh = df.select(Dedup.wordShingles(col("text"), 2).as("s"))
+    val Array(s1, s2) = sh.collect().map(_.getSeq[String](0))
+    assert(s1.toSet === Set("a b", "b c", "c d"))
+    val j = df.as("x").crossJoin(df.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(Dedup.jaccard(
+        Dedup.wordShingles(col("x.text"), 2), Dedup.wordShingles(col("y.text"), 2)))
+      .head().getDouble(0)
+    assert(j === 2.0 / 4.0) // {b c, c d} over {a b, b c, c d, d e}
+  }
+
+  test("minhash signatures are deterministic and identical for identical texts") {
+    val df = docs((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"))
+    val sigs = df.select(
+      Dedup.minhashSignature(Dedup.wordShingles(col("text"), 2), 16).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0).length === 16)
+  }
+
+  test("minhash/LSH + verify finds a planted near-duplicate and not unrelated docs") {
+    val df = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"), // 1 word dropped
+      (3L, "one two three four five six seven eight nine ten"))
+    val pairs = Dedup.nearDupPairsMinhash(df, "doc_id", "text",
+      shingleWords = 2, numHashes = 64, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .collect()
+    assert(pairs.length === 1)
+    assert((pairs.head.getLong(0), pairs.head.getLong(1)) === (1L, 2L))
+    assert(pairs.head.getDouble(2) === 8.0 / 9.0) // 8 shared of 9 union bigrams
+  }
+
+  test("simhash: identical texts collide, unrelated texts differ; hamming is symmetric") {
+    val df = docs((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+    val sigs = df.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+    val s = spark
+    import s.implicits._
+    val h = Seq((sigs(1L), sigs(3L))).toDF("a", "b")
+      .select(Dedup.hamming64(col("a"), col("b"))).head().getInt(0)
+    assert(h > 0 && h <= 64)
+  }
+
+  test("cosine matches manual dot/norm arithmetic") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 3.0f))).toDF("a", "b")
+    val c = df.select(VectorFunctions.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(c - (1 * 2 + 2 * 3) / (math.sqrt(5) * math.sqrt(13))) < 1e-15)
+  }
+
+  test("exact cosineTopK ranks by similarity desc with id tiebreak") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.9f, 0.1f)),
+      (12L, Array(0.0f, 1.0f)), (13L, Array(-1.0f, 0.0f))).toDF("id", "v")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "v")
+    val out = Similarity.cosineTopK(corpus, "id", "v", queries, "id", "v", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(10L, 11L, 12L))
+    assert(out.head.getDouble(3) === 1.0)
+  }
+
+  test("ANN LSH achieves full recall on well-separated clusters") {
+    val s = spark
+    import s.implicits._
+    // two tight clusters in 64-d: e1-aligned and e2-aligned
+    def vec(axis: Int, jitter: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(axis) = 1.0f; a((axis + 2) % 64) = jitter; a
+    }
+    val corpus = (0 until 20).map(i =>
+      (i.toLong, vec(if (i < 10) 0 else 1, 0.01f * i))).toDF("id", "v")
+    val queries = Seq((100L, vec(0, 0.05f))).toDF("id", "v")
+    val exact = Similarity.cosineTopK(corpus, "id", "v", queries, "id", "v", k = 5)
+      .collect().map(_.getLong(2)).toSet
+    val ann = Similarity.annTopK(corpus, "id", "v", queries, "id", "v", k = 5, planes = 4)
+      .collect().map(_.getLong(2)).toSet
+    assert((exact intersect ann).size >= 4) // near-full recall on separated clusters
+  }
+
+  test("multimodal stub features are deterministic, bounded, fixed-width") {
+    val df = Multimodal.extractFeatures(
+      Multimodal.withPayload(docs((1L, "hello world")), "text", "text/plain"),
+      "payload", dim = 4)
+    val f1 = df.select("features").head().getSeq[Float](0)
+    val f2 = df.select("features").head().getSeq[Float](0)
+    assert(f1 === f2)
+    assert(f1.length === 4)
+    assert(f1.forall(v => v >= -1.0f && v < 1.0f))
+  }
+}

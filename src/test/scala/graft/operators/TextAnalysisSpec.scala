@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("tokenizer drops empties from repeated/trailing whitespace") {
+    val out = docs((1L, "a  b c ")).select(TextAnalysis.tokens(col("text"))).head().getSeq[String](0)
+    assert(out === Seq("a", "b", "c"))
+  }
+
+  test("quality metrics on a hand-computed document") {
+    val text = "the cat sat" // 11 chars, 9 alpha, 2 spaces, 3 tokens, 1 stopword
+    val m = TextAnalysis.qualityMetrics(docs((1L, text)), "doc_id", "text", Seq("the"))
+      .head()
+    assert(m.getAs[Double]("alpha_ratio") === 9.0 / 11)
+    assert(m.getAs[Double]("space_ratio") === 2.0 / 11)
+    assert(m.getAs[Double]("stopword_ratio") === 1.0 / 3)
+    assert(m.getAs[Double]("avg_token_len") === 3.0)
+  }
+
+  test("top terms ranks by count desc with lexicographic tiebreak") {
+    val out = TextAnalysis.topTerms(docs((1L, "b a b c a b")), "text", 2).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("b", 3L), ("a", 2L)))
+  }
+
+  test("md5 fingerprint is case/trim canonical and stable") {
+    val out = docs((1L, "  Hello World "), (2L, "hello world"))
+      .select(TextAnalysis.fingerprintMd5(col("text")).as("f")).collect()
+    assert(out(0).getString(0) === out(1).getString(0))
+    assert(out(0).getString(0) === "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+  }
+
+  test("rolling hash is deterministic and respects content") {
+    val out = docs((1L, "abc"), (2L, "abc"), (3L, "abd"))
+      .select(TextAnalysis.rollingHash(col("text")).as("h")).collect().map(_.getLong(0))
+    assert(out(0) === out(1))
+    assert(out(0) !== out(2))
+    // manual: ((0*31+97)*31+98)*31+99 mod 1e9+7
+    assert(out(0) === ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+  }
+
+  test("language-ID classifies by trigram-profile overlap, deterministically") {
+    val labeled = {
+      val s = spark
+      import s.implicits._
+      Seq(
+        (1L, "aaaa aaaa aaaa", "aa"), (2L, "aaab aaaa aaaa", "aa"),
+        (3L, "zzzz zzzz zzzz", "zz"), (4L, "zzzy zzzz zzzz", "zz")).toDF("doc_id", "text", "lang")
+    }
+    val profiles = TextAnalysis.fitLanguageProfiles(labeled, "text", "lang", topK = 10)
+    assert(profiles.keySet === Set("aa", "zz"))
+    val preds = TextAnalysis.classifyLanguage(
+      docs((10L, "aaaa aaaa"), (11L, "zzzz zzzy")), "doc_id", "text", profiles)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(preds.toSeq === Seq("aa", "zz"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** True incremental-execution tests: the same Streams transforms that the
+  * batch oracle checks, driven through MemoryStream micro-batches with
+  * watermarks, late data, and streaming dedup. */
+case class Ev(ts: Timestamp, user_id: Long, value: Double, event_id: Long)
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked tumbling aggregation drops events later than the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = Streams.watermarkedTumbling(
+      mem.toDF(), "ts", "10 minutes", "1 hour", "user_id")
+    val q = agg.writeStream.format("memory").queryName("wm_tumbling")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 10:05:00"), 1L, 1.0, 1),
+        Ev(ts("2024-01-01 10:55:00"), 1L, 2.0, 2))
+      q.processAllAvailable()
+      // advance event time far enough to close the 10:00 window
+      mem.addData(Ev(ts("2024-01-01 12:00:00"), 1L, 4.0, 3))
+      q.processAllAvailable()
+      // a late event for the already-closed 10:00 window: dropped
+      mem.addData(Ev(ts("2024-01-01 10:30:00"), 1L, 100.0, 4))
+      q.processAllAvailable()
+      val rows = spark.table("wm_tumbling")
+        .select("wstart", "n", "total_value").orderBy("wstart").collect()
+      assert(rows.length === 1) // only the closed 10:00 window emitted so far
+      assert(rows.head.getTimestamp(0) === ts("2024-01-01 10:00:00"))
+      assert(rows.head.getLong(1) === 2L) // late event NOT counted
+      assert(rows.head.getDouble(2) === 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark removes re-deliveries, bounded state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = Streams.streamingDedup(mem.toDF(), "ts", "30 minutes", Seq("event_id"))
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1L, 1.0, 100),
+        Ev(ts("2024-01-01 10:01:00"), 1L, 1.0, 100), // duplicate id
+        Ev(ts("2024-01-01 10:02:00"), 2L, 2.0, 101))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 10:03:00"), 1L, 1.0, 100)) // re-delivery
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() === 2)
+    } finally q.stop()
+  }
+
+  test("streaming session windows merge events within the gap per user") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sessions = Streams.sessionAgg(
+      mem.toDF().withWatermark("ts", "10 minutes"), "ts", "10 minutes", "user_id")
+    val q = sessions.writeStream.format("memory").queryName("sessions_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1L, 1.0, 1),
+        Ev(ts("2024-01-01 10:05:00"), 1L, 1.0, 2), // same session (gap 5m)
+        Ev(ts("2024-01-01 10:30:00"), 1L, 1.0, 3)) // new session (gap 25m)
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 12:00:00"), 1L, 1.0, 4)) // close sessions
+      q.processAllAvailable()
+      val rows = spark.table("sessions_stream")
+        .select("session_start", "n_events").orderBy("session_start").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getTimestamp(0) === ts("2024-01-01 10:00:00"))
+      assert(rows(0).getLong(1) === 2L)
+      assert(rows(1).getTimestamp(0) === ts("2024-01-01 10:30:00"))
+      assert(rows(1).getLong(1) === 1L)
+    } finally q.stop()
+  }
+
+  test("batch and streaming session windows agree on the same data") {
+    val s = spark
+    import s.implicits._
+    val batch = Seq(
+      Ev(ts("2024-01-01 10:00:00"), 1L, 1.0, 1),
+      Ev(ts("2024-01-01 10:05:00"), 1L, 1.0, 2),
+      Ev(ts("2024-01-01 10:30:00"), 1L, 1.0, 3)).toDF()
+    val out = Streams.sessionAgg(batch, "ts", "10 minutes", "user_id")
+      .orderBy("session_start").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(2L, 1L))
+  }
+}
