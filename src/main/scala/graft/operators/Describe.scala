@@ -1,6 +1,8 @@
 package graft.operators
 
 import scala.collection.immutable.ListMap
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -11,31 +13,46 @@ import graft.core.SemanticType
 /** Per-column statistics kernel — the Spark-native equivalent of the
   * reference's `get_description` (petk/tools.py:14-70).
   *
-  * Design (SURVEY.md §4.2): the naive port runs one job per stat per column
-  * (~20 jobs/column); this kernel folds EVERY stat for EVERY requested
-  * column into ONE wide aggregation (partial + final hash agg, no shuffle
-  * besides the single final-agg exchange), plus one dependent second pass
-  * for `mad` (mean absolute deviation needs the mean first). At 100 TB this
-  * is two scans total, independent of column count, and with
-  * `approximate = true` the two exact O(distinct)/O(sort) aggregates
-  * (`count_distinct`, `percentile`) switch to HLL++ and t-digest sketches.
+  * Execution shape (SURVEY.md §4.2, revised after benching):
+  *
+  *  1. ONE wide codegen'd hash aggregation computes every
+  *     moment/count/extremum stat for every requested column (count, min,
+  *     max, mean, std, var, kurtosis, skewness, sum, zeros, infinities,
+  *     measured bytes). Partial + final hash agg, whole-stage codegen,
+  *     one exchange — independent of column count.
+  *  2. Exact distinct counts and exact (type-7) percentiles do NOT join
+  *     that aggregation: mixing a distinct aggregate and the
+  *     TypedImperative Percentile in one agg forces an Expand-based plan
+  *     that benched 2-6x slower than running the pieces separately (57s
+  *     vs ~15s at sf0.1) and single-reducer Percentile cannot scale.
+  *     Instead each column gets a two-phase `groupBy(col).count()`
+  *     frequency table — a scalable hash aggregation that shuffles only
+  *     distinct values — from which one tiny job reads BOTH
+  *     distinct_count and the frequency-weighted exact percentile.
+  *     Per-column jobs are submitted concurrently; the Spark scheduler
+  *     interleaves their stages across the cluster.
+  *  3. `approximate = true` (the 100 TB mode) folds distinct + quantiles
+  *     back into pass 1 as mergeable sketches (HLL++
+  *     `approx_count_distinct`, `percentile_approx`) — benched ~10x
+  *     cheaper than the exact pair and single-pass.
+  *  4. `mad` needs the mean first: one dependent second aggregation for
+  *     all numeric columns together (petk/tools.py:62).
   *
   * Stat-definition parity with the reference (pandas):
-  *  - quantiles: linear (type-7) interpolation — Spark `percentile` matches
-  *    pandas `Series.quantile` (petk/tools.py:47-48).
-  *  - std/variance: sample (ddof=1) — `stddev_samp`/`var_samp`
+  *  - quantiles: linear (type-7) interpolation — Spark `percentile`
+  *    matches pandas `Series.quantile` (petk/tools.py:47-48).
+  *  - std/variance: sample, ddof=1 — `stddev_samp`/`var_samp`
   *    (petk/tools.py:56-57).
   *  - kurtosis/skewness: pandas returns bias-corrected G2/G1
-  *    (petk/tools.py:59-60); Spark returns population g2/g1, so we apply
-  *    the standard corrections driver-side:
+  *    (petk/tools.py:59-60); Spark returns population g2/g1, corrected
+  *    driver-side:
   *      G1 = g1 * sqrt(n(n-1)) / (n-2)               (n > 2)
   *      G2 = (n-1)/((n-2)(n-3)) * ((n+1) g2 + 6)     (n > 3)
-  *  - mad: mean absolute deviation around the mean (petk/tools.py:62,
-  *    removed in pandas >= 2.0) — dependent second aggregation pass.
+  *  - mad: mean absolute deviation around the mean (petk/tools.py:62).
   *  - n_zeros counts exact zeros; nulls/NaN are NOT zeros
-  *    (petk/tools.py:51: `size - np.count_nonzero`, NaN is nonzero).
-  *  - is_unique compares distinct to SIZE not count, so any null makes a
-  *    column non-unique (petk/tools.py:33).
+  *    (petk/tools.py:51).
+  *  - is_unique compares distinct against SIZE, so any null breaks
+  *    uniqueness (petk/tools.py:33).
   */
 object Describe {
 
@@ -44,8 +61,8 @@ object Describe {
   val QuantileNames: Seq[String] = Seq("5%", "25%", "50%", "75%", "95%")
 
   /** One profiled column: reference-ordered stat map (petk/tools.py:18-68).
-    * Values are Any (Long / Double / Boolean / String / java.sql.Timestamp)
-    * exactly as heterogeneous as the reference's pandas Series. */
+    * Values are Any (Long / Double / Boolean / String / timestamp) exactly
+    * as heterogeneous as the reference's pandas Series. */
   final case class ColumnProfile(
       column: String,
       contentType: SemanticType,
@@ -58,8 +75,14 @@ object Describe {
     case _ => false
   }
 
-  /** Profile `columns` of `df` in one aggregation job (+ one dependent pass
-    * for mad). `df` must already be null-normalized (graft.core.Report). */
+  private def wantsDistinct(st: SemanticType) =
+    st != SemanticType.Unsupported && st != SemanticType.Geometry
+
+  private def wantsQuantiles(st: SemanticType) =
+    st == SemanticType.Date || st == SemanticType.Numeric
+
+  /** Profile `columns` of `df`. `df` must already be null-normalized
+    * (graft.core.Report). */
   def profile(
       df: DataFrame,
       columns: Seq[String],
@@ -68,13 +91,14 @@ object Describe {
     val static = columns.map(c => c -> SemanticType.ofField(fields(c))).toMap
 
     def cnt(cond: Column): Column = count(when(cond, lit(1)))
-    def nDistinct(c: Column): Column =
-      if (approximate) approx_count_distinct(c) else count_distinct(c)
-    def quantiles(c: Column): Column =
-      if (approximate) percentile_approx(c, typedLit(QuantilePs), lit(10000))
-      else percentile(c, typedLit(QuantilePs))
+    def quantileInput(name: String): Column = static(name) match {
+      // NTZ timestamps cast through TimestampType under the UTC session
+      // zone; DATE through epoch days — both lossless.
+      case SemanticType.Date => unix_micros(col(name).cast(TimestampType))
+      case _ => col(name).cast(DoubleType)
+    }
 
-    // ---- pass 1: one wide agg ------------------------------------------
+    // ---- pass 1: one wide codegen'd hash agg ---------------------------
     val aggs = Seq.newBuilder[Column]
     aggs += count(lit(1)).as(s"${SEP}n")
     columns.foreach { name =>
@@ -82,48 +106,73 @@ object Describe {
       val c = col(name)
       def a(stat: String, e: Column): Unit = aggs += e.as(s"$name$SEP$stat")
       a("count", count(c))
-      f.dataType match { // memory estimate: var-width measured, fixed-width derived
+      f.dataType match { // memory estimate: var-width measured, fixed derived
         case StringType | BinaryType => a("bytes", sum(octet_length(c)))
         case _ => ()
       }
-      static(name) match {
-        case SemanticType.Unsupported | SemanticType.Geometry => ()
-        case st =>
-          a("distinct_count", nDistinct(c))
-          st match {
-            case SemanticType.Boolean =>
-              a("mean", avg(c.cast(IntegerType)))
-            case SemanticType.Date =>
-              a("min", min(c)); a("max", max(c))
-              // NTZ timestamps cast through TimestampType under the UTC
-              // session zone; Date through epoch days — both lossless.
-              a("quantiles", quantiles(unix_micros(c.cast(TimestampType))))
-            case SemanticType.Numeric =>
-              val d = c.cast(DoubleType)
-              a("min", min(c)); a("max", max(c))
-              a("quantiles", quantiles(d))
-              a("mean", avg(c)); a("std", stddev_samp(c)); a("variance", var_samp(c))
-              a("kurtosis", kurtosis(c)); a("skewness", skewness(c)); a("sum", sum(c))
-              if (isFloating(f.dataType)) {
-                a("n_infinite", cnt(d === Double.PositiveInfinity || d === Double.NegativeInfinity))
-              }
-              a("n_zeros", cnt(c === lit(0)))
-            case _ => () // STRING/TEXT/VECTOR/EMPTY: distinct block only
-          }
+      val st = static(name)
+      if (approximate && wantsDistinct(st))
+        a("distinct_count", approx_count_distinct(c))
+      if (approximate && wantsQuantiles(st))
+        a("quantiles", percentile_approx(quantileInput(name), typedLit(QuantilePs), lit(10000)))
+      st match {
+        case SemanticType.Boolean =>
+          a("mean", avg(c.cast(IntegerType)))
+        case SemanticType.Date =>
+          a("min", min(c)); a("max", max(c))
+        case SemanticType.Numeric =>
+          val d = c.cast(DoubleType)
+          a("min", min(c)); a("max", max(c))
+          a("mean", avg(c)); a("std", stddev_samp(c)); a("variance", var_samp(c))
+          a("kurtosis", kurtosis(c)); a("skewness", skewness(c)); a("sum", sum(c))
+          if (isFloating(f.dataType))
+            a("n_infinite", cnt(d === Double.PositiveInfinity || d === Double.NegativeInfinity))
+          a("n_zeros", cnt(c === lit(0)))
+        case _ => ()
       }
     }
-    val row = df.agg(aggs.result().head, aggs.result().tail: _*).head()
+    val allAggs = aggs.result()
+    val row = df.agg(allAggs.head, allAggs.tail: _*).head()
     val idx = row.schema.fieldNames.zipWithIndex.toMap
-    def get(name: String, stat: String): Option[Any] = {
-      val k = s"$name$SEP$stat"
-      idx.get(k).map(row.get).filter(_ != null)
-    }
+    def get(name: String, stat: String): Option[Any] =
+      idx.get(s"$name$SEP$stat").map(row.get).filter(_ != null)
     val n = row.getLong(idx(s"${SEP}n"))
 
-    // ---- pass 2: mad (needs pass-1 means) ------------------------------
+    // ---- pass 2 (exact mode): per-column frequency tables --------------
+    // distinct_count + frequency-weighted exact percentile from one
+    // two-phase hash agg per column, submitted concurrently.
+    val freqStats: Map[String, (Long, Option[Seq[Any]])] =
+      if (approximate) Map.empty
+      else {
+        implicit val ec: ExecutionContext = Describe.freqEc
+        val futures = columns.filter(c => wantsDistinct(static(c))).map { name =>
+          name -> Future {
+            val freq = df.filter(col(name).isNotNull)
+              .groupBy(col(name)).agg(count(lit(1)).as(s"${SEP}f"))
+            val withQ = wantsQuantiles(static(name))
+            val exprs =
+              count(lit(1)).as("d") +:
+                (if (withQ)
+                  Seq(percentile(quantileInput(name), typedLit(QuantilePs), col(s"${SEP}f")).as("q"))
+                else Nil)
+            val r = freq.agg(exprs.head, exprs.tail: _*).head()
+            val qs = if (withQ && !r.isNullAt(1)) Some(r.getSeq[Any](1)) else None
+            (r.getLong(0), qs)
+          }
+        }
+        futures.map { case (name, fut) => name -> Await.result(fut, Duration.Inf) }.toMap
+      }
+
+    def distinctOf(name: String): Option[Long] =
+      if (approximate) get(name, "distinct_count").map(_.asInstanceOf[Number].longValue())
+      else freqStats.get(name).map(_._1)
+    def quantilesOf(name: String): Option[scala.collection.Seq[Any]] =
+      if (approximate) get(name, "quantiles").map(_.asInstanceOf[scala.collection.Seq[Any]])
+      else freqStats.get(name).flatMap(_._2)
+
+    // ---- pass 3: mad (needs pass-1 means) ------------------------------
     val numericWithMean = columns.filter { name =>
-      static(name) == SemanticType.Numeric &&
-        get(name, "mean").isDefined
+      static(name) == SemanticType.Numeric && get(name, "mean").isDefined
     }
     val madByCol: Map[String, Any] =
       if (numericWithMean.isEmpty) Map.empty
@@ -151,7 +200,7 @@ object Describe {
       s += "n_null" -> (n - cn)
 
       if (tpe != SemanticType.Unsupported && tpe != SemanticType.Geometry) {
-        val nd = get(name, "distinct_count").map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+        val nd = distinctOf(name).getOrElse(0L)
         s += "distinct_count" -> nd
         s += "is_constant" -> (nd == 1L)
         s += "is_unique" -> (nd == n) // vs size, petk/tools.py:33
@@ -164,7 +213,7 @@ object Describe {
         } else if (tpe == SemanticType.Date || tpe == SemanticType.Numeric) {
           get(name, "min").foreach(v => s += "min" -> v)
           get(name, "max").foreach(v => s += "max" -> v)
-          val qs = get(name, "quantiles").map(_.asInstanceOf[scala.collection.Seq[Any]])
+          val qs = quantilesOf(name)
           qs.foreach { q =>
             QuantileNames.zip(q).foreach { case (qn, v) =>
               val vv = if (tpe == SemanticType.Date && v != null)
@@ -208,6 +257,13 @@ object Describe {
       ColumnProfile(name, tpe, s.result())
     }
   }
+
+  /** Bounded pool for concurrent per-column frequency jobs (driver-side
+    * job submission only; the work runs on executors). */
+  private lazy val freqEc: ExecutionContext = ExecutionContext.fromExecutor(
+    java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+      val t = new Thread(r, "describe-freq"); t.setDaemon(true); t
+    }))
 
   /** Bias-corrected sample excess kurtosis (pandas `Series.kurt`) from
     * Spark's population excess kurtosis g2. */

@@ -1,30 +1,28 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
 
 /** Dev-only scratch main for iterating locally. Not part of the engine. */
 object Scratch {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[time] $label%-35s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+  }
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.001"
-
-    val events = graft.sources.Tables.events(spark, sf)
-    events.printSchema()
-    events.show(3, truncate = false)
-
-    val li = spark.read.parquet(s"$sf/lineitem.parquet")
-    val rep = graft.core.Report(li, key = Some("l_orderkey"))
-    rep.describe(Seq("l_extendedprice", "l_returnflag", "l_shipdate")).foreach { p =>
-      println(s"== ${p.column} (${p.contentType})")
-      p.stats.foreach { case (k, v) => println(f"  $k%-15s $v") }
-    }
-    rep.introduce().show(30, truncate = false)
+    val dir = "/root/testdata/sf0.1"
+    val q = graft.SparkEntry.queries
+    time("minhash cold")(println(q("minhash_neardup_docs")(spark, dir).count()))
+    time("minhash warm")(println(q("minhash_neardup_docs")(spark, dir).count()))
+    time("simhash cold")(println(q("simhash_neardup_docs")(spark, dir).count()))
     spark.stop()
   }
 }

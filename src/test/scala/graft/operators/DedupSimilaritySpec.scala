@@ -70,7 +70,7 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("simhash: identical texts collide, unrelated texts differ; hamming is symmetric") {
     val df = docs((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
-    val sigs = df.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+    val sigs = Dedup.simhashSignatures(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(1L) === sigs(2L))
     assert(sigs(1L) !== sigs(3L))
