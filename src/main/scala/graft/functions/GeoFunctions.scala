@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+import org.locationtech.jts.geom.Geometry
+import org.locationtech.jts.io.WKTReader
+import org.locationtech.jts.operation.valid.IsValidOp
+
+/** Geometry expressions over WKT string columns, backed by JTS (the only
+  * geometry library on the Spark classpath — SURVEY.md §1.4). Spark
+  * 4.1's native GeometryType has no usable ST expression surface yet, so
+  * columns are WKT strings (mark them with SemanticType.GeometryKey
+  * metadata) and these scalar UDFs provide the operator surface the
+  * reference uses (petk/tools.py:72-118, petk/validation.py:11-60).
+  *
+  * Scalar UDFs are executor-local and shuffle-free; they are not
+  * codegen'd, which is acceptable off the hot path (profiling/validation
+  * of geometry columns) — a custom Catalyst Expression is the upgrade
+  * path if geometry ever dominates a benchmark (SURVEY.md §4.2).
+  */
+object GeoFunctions {
+
+  // WKTReader is not thread-safe; one per executor thread.
+  private val readers: ThreadLocal[WKTReader] =
+    ThreadLocal.withInitial(() => new WKTReader())
+
+  private def parse(wkt: String): Geometry = readers.get().read(wkt)
+
+  private def g1[T](f: Geometry => T): String => Option[T] =
+    (wkt: String) =>
+      if (wkt == null) None
+      else try Some(f(parse(wkt))) catch { case _: Exception => None }
+
+  val stIsValid: UserDefinedFunction = udf((wkt: String) => g1(_.isValid)(wkt))
+
+  /** JTS explanation of invalidity (petk/validation.py:31-34 uses
+    * shapely's explain_validity, which wraps the same JTS logic). */
+  val stIsValidReason: UserDefinedFunction = udf((wkt: String) =>
+    g1 { g =>
+      val err = new IsValidOp(g).getValidationError
+      if (err == null) "Valid Geometry" else err.toString
+    }(wkt))
+
+  val stArea: UserDefinedFunction = udf((wkt: String) => g1(_.getArea)(wkt))
+  val stLength: UserDefinedFunction = udf((wkt: String) => g1(_.getLength)(wkt))
+  val stGeometryType: UserDefinedFunction = udf((wkt: String) => g1(_.getGeometryType)(wkt))
+  val stNumGeometries: UserDefinedFunction = udf((wkt: String) => g1(_.getNumGeometries)(wkt))
+
+  val stCentroidX: UserDefinedFunction = udf((wkt: String) => g1(_.getCentroid.getX)(wkt))
+  val stCentroidY: UserDefinedFunction = udf((wkt: String) => g1(_.getCentroid.getY)(wkt))
+
+  /** Envelope [minx, miny, maxx, maxy]. */
+  val stEnvelope: UserDefinedFunction = udf((wkt: String) =>
+    g1 { g =>
+      val e = g.getEnvelopeInternal
+      Seq(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+    }(wkt))
+
+  /** Z-dimension presence (petk/exploration.py:53 `has_z`). */
+  val stHasZ: UserDefinedFunction = udf((wkt: String) =>
+    g1(g => !java.lang.Double.isNaN(g.getCoordinate.getZ))(wkt))
+
+  /** Multi-part explode (petk/validation.py:54 `.explode()`): component
+    * WKTs of a (multi-)geometry. */
+  val stDump: UserDefinedFunction = udf((wkt: String) =>
+    if (wkt == null) Seq.empty[String]
+    else try {
+      val g = parse(wkt)
+      (0 until g.getNumGeometries).map(i => g.getGeometryN(i).toText)
+    } catch { case _: Exception => Seq.empty[String] })
+
+  /** Does the geometry's envelope intersect the box? — matches geopandas'
+    * `.cx[minx:maxx, miny:maxy]` coordinate-slice semantics
+    * (petk/validation.py:16: bbox-intersection, not containment). */
+  def envelopeIntersects(wkt: Column,
+      xmin: Double, xmax: Double, ymin: Double, ymax: Double): Column = {
+    val e = stEnvelope(wkt)
+    !(element_at(e, 3) < xmin || element_at(e, 1) > xmax ||
+      element_at(e, 4) < ymin || element_at(e, 2) > ymax)
+  }
+
+  /** Equirectangular lon/lat -> local metric approximation for the sliver
+    * check (petk/validation.py:54 reprojects with geopandas `to_crs`; no
+    * proj library ships on this classpath, so we scale degrees to metres
+    * around the geometry's own latitude — SURVEY.md §7.8 documents the
+    * deviation; exact CRS parity is not oracle-checkable anyway). */
+  val stAreaMetric: UserDefinedFunction = udf((wkt: String) =>
+    g1 { g =>
+      val latRad = math.toRadians(g.getCentroid.getY)
+      val mPerDegLat = 111320.0
+      val mPerDegLon = mPerDegLat * math.cos(latRad)
+      g.getArea * mPerDegLat * mPerDegLon
+    }(wkt))
+
+  val stLengthMetric: UserDefinedFunction = udf((wkt: String) =>
+    g1 { g =>
+      val latRad = math.toRadians(g.getCentroid.getY)
+      val scale = 111320.0 * math.sqrt(math.cos(latRad) max 0.0)
+      g.getLength * scale
+    }(wkt))
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.SliverParams
+import graft.functions.GeoFunctions._
+
+/** Geospatial profiling + validation operators (SURVEY.md A13–A17,
+  * A48–A50), over WKT geometry columns.
+  *
+  * All dataset-level metrics fold into single aggregations; per-row rules
+  * are lazy filter+projects like every other validation rule.
+  */
+object Geo {
+
+  /** The geospatial `introduce()` section (petk/exploration.py:52-66):
+    * crs, centroid_location, bounds, 3d_shapes + geometry-type census.
+    * Returns DataFrame(section, metric, value: String). One agg job plus
+    * one tiny census agg. reverse-geocoding of the centroid is out of
+    * scope (network egress) — the value is the "x, y" coordinate string
+    * fallback (petk/tools.py:79-80). */
+  def introduceGeo(df: DataFrame, geomCol: String, crs: String = "epsg:4326"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = col(geomCol)
+    val e = stEnvelope(g)
+    val row = df.agg(
+      avg(stCentroidX(g)).as("cx"), avg(stCentroidY(g)).as("cy"),
+      min(element_at(e, 1)).as("minx"), min(element_at(e, 2)).as("miny"),
+      max(element_at(e, 3)).as("maxx"), max(element_at(e, 4)).as("maxy"),
+      sum(when(stHasZ(g), 1L).otherwise(0L)).as("zs")).head()
+    // geometry-type census, pluralized lowercase (petk/exploration.py:64-66)
+    val census = df.groupBy(stGeometryType(g).as("t")).count()
+      .collect().filter(_.get(0) != null)
+      .map(r => (r.getString(0).toLowerCase + "s", r.getLong(1)))
+      .sortBy(_._1)
+    val rows = Seq(
+      ("geospatial", "crs", crs),
+      ("geospatial", "centroid_location", s"${row.getAs[Double]("cx")}, ${row.getAs[Double]("cy")}"),
+      ("geospatial", "bounds",
+        s"[${row.getAs[Double]("minx")}, ${row.getAs[Double]("miny")}, " +
+          s"${row.getAs[Double]("maxx")}, ${row.getAs[Double]("maxy")}]"),
+      ("geospatial", "3d_shapes", row.getAs[Long]("zs").toString)) ++
+      census.map { case (t, n) => ("geospatial", t, n.toString) }
+    rows.toDF("section", "metric", "value")
+  }
+
+  /** Numeric bounds of the dataset (petk/exploration.py:59 total_bounds)
+    * as a typed one-row frame — oracle-checkable against plain arithmetic
+    * when the geometry is constructed from numeric columns. */
+  def totalBounds(df: DataFrame, geomCol: String): DataFrame = {
+    val e = stEnvelope(col(geomCol))
+    df.agg(
+      min(element_at(e, 1)).as("minx"), min(element_at(e, 2)).as("miny"),
+      max(element_at(e, 3)).as("maxx"), max(element_at(e, 4)).as("maxy"))
+  }
+
+  /** `geospatial` validity rule (petk/validation.py:30-34): invalid
+    * geometries -> JTS validity explanation; nulls -> "Null geometry". */
+  def geospatial(df: DataFrame, keyCol: String, column: String): DataFrame = {
+    val g = col(column)
+    df.filter(g.isNull || !coalesce(stIsValid(g), lit(false)))
+      .select(
+        lit(column).as("column"),
+        col(keyCol).as("index"),
+        lit("geospatial").as("function"),
+        when(g.isNull, lit("Null geometry"))
+          .otherwise(stIsValidReason(g)).as("notes"))
+  }
+
+  /** `bounding_box` rule (petk/validation.py:11-19): rows whose geometry
+    * does NOT intersect the box (geopandas `.cx` slice semantics). */
+  def boundingBox(df: DataFrame, keyCol: String, column: String,
+      box: (Double, Double, Double, Double)): DataFrame = {
+    val (xmin, xmax, ymin, ymax) = box
+    require(xmin < xmax && ymin < ymax, "Invalid bounding box given")
+    val g = col(column)
+    df.filter(g.isNotNull && !envelopeIntersects(g, xmin, xmax, ymin, ymax))
+      .select(
+        lit(column).as("column"),
+        col(keyCol).as("index"),
+        lit("bounding_box").as("function"),
+        lit(s"Geometry outside of bbox($xmin, $xmax, $ymin, $ymax)").as("notes"))
+  }
+
+  /** `sliver` rule (petk/validation.py:53-60): explode multi-part
+    * geometries, flag polygon parts with metric area below the threshold
+    * (linestrings: metric length), count slivers per original row. */
+  def sliver(df: DataFrame, keyCol: String, column: String,
+      params: SliverParams): DataFrame = {
+    val part = col("part")
+    val tpe = lower(stGeometryType(part))
+    val isSliver =
+      when(tpe.contains("polygon"), stAreaMetric(part) < params.threshold)
+        .when(tpe.contains("linestring"), stLengthMetric(part) < params.threshold)
+        .otherwise(lit(false)) // points are never slivers (tools.py:117-118)
+    df.select(col(keyCol), explode(stDump(col(column))).as("part"))
+      .filter(isSliver)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        lit(column).as("column"),
+        col(keyCol).as("index"),
+        lit("sliver").as("function"),
+        concat(col("n").cast("string"), lit(" slivers found within geometry")).as("notes"))
+  }
+}

@@ -29,8 +29,14 @@ object Validation {
     * 101-114). */
   def findingsFor(df: DataFrame, keyCol: String, column: String, rules: ColumnRules): DataFrame = {
     val parts = Seq.newBuilder[DataFrame]
+    // implicit validity audit for the column literally named `geometry`
+    // (petk/exploration.py:95-99 — runs whenever that column has a schema
+    // entry, regardless of which rules it declares)
+    if (column == "geometry") parts += Geo.geospatial(df, keyCol, column)
     rules.accepted.foreach(vs => parts += accepted(df, keyCol, column, vs))
     rules.range.foreach(b => parts += range(df, keyCol, column, b))
+    rules.boundingBox.foreach(b => parts += Geo.boundingBox(df, keyCol, column, b))
+    rules.sliver.foreach(p => parts += Geo.sliver(df, keyCol, column, p))
     val all = parts.result()
     if (all.isEmpty)
       df.sparkSession.createDataFrame(

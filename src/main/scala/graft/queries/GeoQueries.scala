@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{ColumnRules, Report, SliverParams}
+import graft.operators.Geo
+import graft.queries.QueryDef.{r, rSql}
+import graft.sources.Tables
+
+/** Geospatial operator queries (SURVEY.md A13–A17, A48–A50). The corpus
+  * ships no geometry table, so geometries are constructed as WKT from
+  * customer columns — deterministically on BOTH sides, which makes the
+  * JTS-backed bounds/census oracle-checkable against plain arithmetic.
+  * Rules whose notes carry JTS-specific text (validity reasons) are
+  * rows-only + unit-tested. */
+object GeoQueries {
+
+  /** POINT(c_acctbal/1000, c_custkey % 90); every 10th customer gets a
+    * 0.2-degree square POLYGON instead. */
+  private def geomCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("c_acctbal") / 1000.0
+    val y = (col("c_custkey") % 90).cast("double")
+    val point = concat(lit("POINT ("), x, lit(" "), y, lit(")"))
+    val square = concat(
+      lit("POLYGON (("), x, lit(" "), y, lit(", "),
+      x + 0.2, lit(" "), y, lit(", "),
+      x + 0.2, lit(" "), y + 0.2, lit(", "),
+      x, lit(" "), y + 0.2, lit(", "),
+      x, lit(" "), y, lit("))"))
+    Tables.customer(spark, dir)
+      .withColumn("geometry", when(col("c_custkey") % 10 === 0, square).otherwise(point))
+  }
+
+  /** Dataset bounds through the JTS envelope aggregation, checked against
+    * plain min/max arithmetic (petk/exploration.py:59 total_bounds). */
+  def geoBounds(spark: SparkSession, dir: String): DataFrame =
+    Geo.totalBounds(geomCustomers(spark, dir), "geometry")
+      .select(r(col("minx"), 6).as("minx"), r(col("miny"), 6).as("miny"),
+        r(col("maxx"), 6).as("maxx"), r(col("maxy"), 6).as("maxy"))
+
+  private val geoBoundsOracle: String =
+    s"""SELECT
+       | ${rSql("min(c_acctbal / 1000.0)", 6)} AS minx,
+       | ${rSql("min(CAST(c_custkey % 90 AS DOUBLE))", 6)} AS miny,
+       | ${rSql("max(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal / 1000.0 + 0.2 ELSE c_acctbal / 1000.0 END)", 6)} AS maxx,
+       | ${rSql("max(CASE WHEN c_custkey % 10 = 0 THEN CAST(c_custkey % 90 AS DOUBLE) + 0.2 ELSE CAST(c_custkey % 90 AS DOUBLE) END)", 6)} AS maxy
+       |FROM customer""".stripMargin
+
+  /** Geometry-type census through JTS (petk/exploration.py:64-66), checked
+    * against the modular construction rule. */
+  def geoCensus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions.stGeometryType
+    geomCustomers(spark, dir)
+      .groupBy(stGeometryType(col("geometry")).as("gtype"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("gtype")
+  }
+
+  private val geoCensusOracle: String =
+    """SELECT 'Point' AS gtype, count(*) AS n FROM customer WHERE c_custkey % 10 <> 0
+      |UNION ALL
+      |SELECT 'Polygon', count(*) FROM customer WHERE c_custkey % 10 = 0
+      |ORDER BY gtype""".stripMargin
+
+  /** Validity audit with planted self-intersecting bowties (every 25th
+    * customer). Notes carry the JTS validity reason — rows-only, message
+    * text pinned in GeoSpec. */
+  def geoValidate(spark: SparkSession, dir: String): DataFrame = {
+    val bowtie = "POLYGON ((0 0, 2 2, 0 2, 2 0, 0 0))"
+    val df = geomCustomers(spark, dir)
+      .withColumn("geometry",
+        when(col("c_custkey") % 25 === 0, lit(bowtie)).otherwise(col("geometry")))
+    Report(df, schema = Map("geometry" -> ColumnRules()), key = Some("c_custkey"))
+      .validate()
+  }
+
+  /** Sliver detection: every 4th customer's square shrinks to 0.002
+    * degrees — far below the 1e6 m2 threshold. Metric scaling is the
+    * documented equirectangular approximation — rows-only. */
+  def geoSliver(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("c_acctbal") / 1000.0
+    val y = (col("c_custkey") % 90).cast("double")
+    def square(side: Double) = concat(
+      lit("POLYGON (("), x, lit(" "), y, lit(", "),
+      x + side, lit(" "), y, lit(", "),
+      x + side, lit(" "), y + side, lit(", "),
+      x, lit(" "), y + side, lit(", "),
+      x, lit(" "), y, lit("))"))
+    val df = Tables.customer(spark, dir)
+      .withColumn("geometry",
+        when(col("c_custkey") % 4 === 0, square(0.002)).otherwise(square(0.5)))
+    Report(df,
+      schema = Map("geometry" -> ColumnRules(
+        sliver = Some(SliverParams(projectedEpsg = 3857, threshold = 1e6)))),
+      key = Some("c_custkey"))
+      .validate()
+      .filter(col("function") === "sliver") // drop the implicit validity audit
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("geo_bounds", geoBounds, Some(geoBoundsOracle)),
+    QueryDef("geo_census", geoCensus, Some(geoCensusOracle)),
+    QueryDef("geo_validate", geoValidate, None),
+    QueryDef("geo_sliver", geoSliver, None))
+}
