@@ -4,7 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
 import graft.functions.VectorFunctions._
+import graft.plans.CosineSimilarityExpr
 
 /** Similarity search over an embedding column (SURVEY.md §2.C row 11).
   *
@@ -25,6 +28,16 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Cosine over the fastest path for the column's type: the native
+    * codegen'd expression for float arrays (one fused loop inside
+    * whole-stage codegen), the interpreted higher-order-function
+    * formulation otherwise. Both produce bit-identical doubles. */
+  private def cosineFor(df: DataFrame, vecCol: String)(a: Column, b: Column): Column =
+    df.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) => CosineSimilarityExpr.cosine(a, b)
+      case _ => cosine(a, b)
+    }
+
   /** Exact cosine top-k: for every query vector, the k nearest corpus
     * vectors by cosine (ties broken by ascending corpus id). */
   def cosineTopK(
@@ -32,11 +45,12 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, maxQueries: Int = 1000): DataFrame = {
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv")).limit(maxQueries)
+    val cos = cosineFor(corpus, vecCol) _
     val sim = corpus
       .join(broadcast(q), col(idCol) =!= col("query_id"))
       .select(
         col("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col(vecCol), col("__qv")).as("sim"))
+        cos(col(vecCol), col("__qv")).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     sim.withColumn("rank", row_number().over(w))
@@ -54,7 +68,8 @@ object Similarity {
     val b = df.filter(col(idCol) < maxId)
       .select(col(idCol).as("b"), col(vecCol).as("__vb"))
     a.join(b, col("a") < col("b"))
-      .select(col("a"), col("b"), cosine(col("__va"), col("__vb")).as("sim"))
+      .select(col("a"), col("b"),
+        cosineFor(df, vecCol)(col("__va"), col("__vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -92,7 +107,7 @@ object Similarity {
     c.join(q, Seq("__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__cv"), col("__qv")).as("sim"))
+        cosineFor(corpus, vecCol)(col("__cv"), col("__qv")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")

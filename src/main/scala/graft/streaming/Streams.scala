@@ -1,7 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Running per-key numeric profile state: Welford-merged moments +
+  * extrema. The streaming counterpart of the describe() numeric kernel's
+  * count/mean/variance/min/max block. */
+case class ProfileState(
+    n: Long, nNull: Long, mean: Double, m2: Double, min: Double, max: Double)
+
+/** One emitted profile update (per key, per micro-batch). */
+case class ProfileUpdate(
+    key: String, count: Long, n_null: Long,
+    mean: Double, variance: Double, min: Double, max: Double)
 
 /** Structured-Streaming operators (SURVEY.md §2.C row 14). Each transform
   * is written against the unified DataFrame API, so the same function
@@ -46,4 +58,39 @@ object Streams {
       idCols: Seq[String]): DataFrame =
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
+
+  /** Incremental per-key describe(): custom keyed state via
+    * mapGroupsWithState maintaining Welford-merged running moments
+    * (numerically stable single-pass mean/variance), null counts and
+    * extrema; every micro-batch emits the updated profile for the keys it
+    * touched (run the sink in Update mode). This is the streaming
+    * counterpart of the batch numeric kernel — the same stat definitions
+    * (ddof=1 variance) emerge from state instead of a rescan, with state
+    * size O(keys), independent of stream length. Works identically on a
+    * batch Dataset (one "batch" = the whole input). */
+  def incrementalProfile(stream: DataFrame, keyCol: String, valueCol: String): Dataset[ProfileUpdate] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(keyCol).cast("string").as("_1"), col(valueCol).cast("double").as("_2"))
+      .as[(String, Option[Double])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[ProfileState, ProfileUpdate](GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          var s = state.getOption.getOrElse(
+            ProfileState(0L, 0L, 0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity))
+          rows.foreach {
+            case (_, None) => s = s.copy(nNull = s.nNull + 1)
+            case (_, Some(v)) =>
+              val n1 = s.n + 1
+              val d = v - s.mean
+              val mean = s.mean + d / n1
+              s = ProfileState(n1, s.nNull, mean, s.m2 + d * (v - mean),
+                math.min(s.min, v), math.max(s.max, v))
+          }
+          state.update(s)
+          ProfileUpdate(key, s.n, s.nNull, s.mean,
+            if (s.n > 1) s.m2 / (s.n - 1) else Double.NaN, s.min, s.max)
+      }
+  }
 }

@@ -1,8 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.operators.Dedup
 
 /** Dev-only scratch main for iterating locally. Not part of the engine. */
 object Scratch {
@@ -20,9 +18,8 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     val q = graft.SparkEntry.queries
-    time("minhash cold")(println(q("minhash_neardup_docs")(spark, dir).count()))
-    time("minhash warm")(println(q("minhash_neardup_docs")(spark, dir).count()))
-    time("simhash cold")(println(q("simhash_neardup_docs")(spark, dir).count()))
+    time("cosine_neardup_pairs")(println(q("cosine_neardup_pairs")(spark, dir).count()))
+    time("cosine_topk")(println(q("cosine_topk")(spark, dir).count()))
     spark.stop()
   }
 }

@@ -119,6 +119,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((exact intersect ann).size >= 4) // near-full recall on separated clusters
   }
 
+  test("native cosine expression matches the HOF formulation bit-exactly") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((Array.fill(64)(rnd.nextFloat() - 0.5f),
+      Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      graft.plans.CosineSimilarityExpr.cosine(col("a"), col("b")).as("native"),
+      VectorFunctions.cosine(col("a"), col("b")).as("hof")).collect()
+    out.foreach(r => assert(r.getDouble(0) === r.getDouble(1))) // bit-identical
+  }
+
   test("multimodal stub features are deterministic, bounded, fixed-width") {
     val df = Multimodal.extractFeatures(
       Multimodal.withPayload(docs((1L, "hello world")), "text", "text/plain"),

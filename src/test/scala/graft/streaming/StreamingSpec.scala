@@ -93,6 +93,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental profile evolves across micro-batches and matches batch stats") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val profiles = Streams.incrementalProfile(mem.toDF(), "user_id", "value")
+    val q = profiles.writeStream.format("memory").queryName("inc_profile")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1L, 2.0, 1),
+        Ev(ts("2024-01-01 10:01:00"), 1L, 4.0, 2))
+      q.processAllAvailable()
+      val b1 = spark.table("inc_profile").orderBy("count").collect().last
+      assert(b1.getAs[Long]("count") === 2L)
+      assert(b1.getAs[Double]("mean") === 3.0)
+      assert(math.abs(b1.getAs[Double]("variance") - 2.0) < 1e-12) // var_samp([2,4])
+      // second batch merges into existing state
+      mem.addData(Ev(ts("2024-01-01 10:02:00"), 1L, 6.0, 3))
+      q.processAllAvailable()
+      val b2 = spark.table("inc_profile").orderBy("count").collect().last
+      assert(b2.getAs[Long]("count") === 3L)
+      assert(b2.getAs[Double]("mean") === 4.0)
+      assert(math.abs(b2.getAs[Double]("variance") - 4.0) < 1e-12) // var_samp([2,4,6])
+      assert(b2.getAs[Double]("min") === 2.0)
+      assert(b2.getAs[Double]("max") === 6.0)
+    } finally q.stop()
+  }
+
   test("batch and streaming session windows agree on the same data") {
     val s = spark
     import s.implicits._
