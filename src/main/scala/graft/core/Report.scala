@@ -95,6 +95,18 @@ final class Report private (
   def describeAsMap(columns: Seq[String] = Nil): Map[String, Map[String, Any]] =
     describe(columns).map(p => p.column -> (p.stats: Map[String, Any])).toMap
 
+  /** Nested-dict render of validation findings keyed
+    * column -> index -> function -> notes, the as_dict shape of the
+    * reference's (column, index, function) MultiIndex
+    * (petk/exploration.py:120-124, 143-162). */
+  def validateAsMap(columns: Seq[String] = Nil): Map[String, Map[Any, Map[String, String]]] =
+    validate(columns).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(
+        _.groupBy(_.get(1)).view.mapValues(
+          _.map(r => r.getString(2) -> r.getString(3)).toMap).toMap)
+      .toMap
+
   /** petk/exploration.py:128-137 — default-all + missing assert. */
   private def findColumns(columns: Seq[String]): Seq[String] = {
     if (columns.isEmpty) dataColumns
@@ -171,6 +183,10 @@ object Report {
       case _ => c
     }
   }
+
+  /** petk/exploration.py:164 — result frames drop rows whose values are
+    * all null before they are returned. */
+  def dropAllNullRows(df: DataFrame): DataFrame = df.na.drop("all")
 
   private[graft] def render(v: Any): String = v match {
     case null => null

@@ -6,6 +6,8 @@ import org.apache.spark.sql.types._
 import graft.SparkSpec
 import graft.core.{Bounds, ColumnRules, Report}
 
+// (Report companion helpers under test: validateAsMap, dropAllNullRows)
+
 class ValidationSpec extends SparkSpec {
   import scala.jdk.CollectionConverters._
 
@@ -62,6 +64,24 @@ class ValidationSpec extends SparkSpec {
     val row = out.head
     assert(row.getAs[Double]("amount") === 42.0) // source columns present
     assert(row.getAs[String]("notes") === "Value not within the accepted range")
+  }
+
+  test("validateAsMap renders the nested column -> index -> function -> notes dict") {
+    val r = rep(Seq(Row(1L, "X", -5.0), Row(2L, "O", 1.0)),
+      Map(
+        "status" -> ColumnRules(accepted = Some(Seq("O"))),
+        "amount" -> ColumnRules(range = Some(Bounds(Some(0.0), None)))))
+    val m = r.validateAsMap()
+    assert(m("status")(1L)("accepted") === "Value not within the accepted range")
+    assert(m("amount")(1L)("range") === "Value is less than the lower bound")
+    assert(!m.contains("id"))
+  }
+
+  test("dropAllNullRows drops rows whose values are all null (exploration.py:164)") {
+    val df = spark.createDataFrame(Seq(
+      Row(null, null), Row("a", null)).asJava,
+      StructType(Seq(StructField("x", StringType), StructField("y", StringType))))
+    assert(Report.dropAllNullRows(df).count() === 1)
   }
 
   test("columns without rules produce no findings; unmatched rules yield empty frame") {

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkSpec
+
+/** Physical-plan audits: the optimizations the engine is designed around
+  * must actually appear in the executed plans (SURVEY.md §4.2) — filter
+  * and projection pushdown into the parquet scan, broadcast joins for
+  * dimensions, TakeOrderedAndProject for global top-k, partial (map-side)
+  * aggregation, and whole-stage codegen on the hot paths. Guards against
+  * regressions that stay correct but stop scaling. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter_project pushes predicate and projection into the parquet scan") {
+    val plan = planOf(RelationalQueries.filterProject(spark, dir))
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,45.0)"))
+    // column pruning: the scan reads exactly the 4 projected columns
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema:")).get
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"))
+  }
+
+  test("star join broadcasts every dimension — no sort-merge join") {
+    val plan = planOf(RelationalQueries.joinBroadcastRevenue(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("global top-k plans TakeOrderedAndProject, not a full sort") {
+    val plan = planOf(RelationalQueries.topkOrders(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q1 aggregation is partial+final hash agg (map-side combine)") {
+    val plan = planOf(RelationalQueries.q1Agg(spark, dir))
+    // partial aggregation: two HashAggregate nodes around the exchange
+    // (WholeStageCodegen spans only appear in the post-execution AQE plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+    assert(plan.contains("Exchange"))
+  }
+
+  test("semi and anti joins plan as join types, not filters over subquery scans") {
+    val semi = planOf(RelationalQueries.joinSemiCustomers(spark, dir))
+    assert(semi.contains("LeftSemi"))
+    val anti = planOf(RelationalQueries.joinAntiCustomers(spark, dir))
+    assert(anti.contains("LeftAnti"))
+  }
+
+  test("range join keeps the equi key as the join key with the range as post-condition") {
+    val plan = planOf(RelationalQueries.rangeJoinEvents(spark, dir))
+    // equi part hashed (broadcast or shuffled), never a pure nested loop
+    assert(plan.contains("HashJoin"))
+  }
+}
