@@ -286,6 +286,37 @@ object LlmQueries {
     TextAnalysis.classifyLanguage(docs, "doc_id", "text", profiles).orderBy("doc_id")
   }
 
+  /** Per-vector dimension + L2 norm (array scalar functions over the
+    * VECTOR modality). */
+  def vectorNorms(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Vectors.norms(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .select(col("vec_id"), col("dim"), r(col("norm"), 6).as("norm"))
+      .orderBy("vec_id")
+
+  private val vectorNormsOracle: String =
+    s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+       | ${rSql("sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))", 6)} AS norm
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** One-row VECTOR-column profile: dimension range + norm statistics. */
+  def vectorProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Vectors.profile(Tables.embeddings(spark, dir), "embedding")
+      .select(col("n"), col("count"), col("dim_min"), col("dim_max"),
+        r(col("avg_norm"), 6).as("avg_norm"),
+        r(col("min_norm"), 6).as("min_norm"),
+        r(col("max_norm"), 6).as("max_norm"))
+
+  private val vectorProfileOracle: String = {
+    val norm = "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))"
+    s"""SELECT count(*) AS n, count(embedding) AS "count",
+       | CAST(min(len(embedding)) AS BIGINT) AS dim_min,
+       | CAST(max(len(embedding)) AS BIGINT) AS dim_max,
+       | ${rSql(s"avg($norm)", 6)} AS avg_norm,
+       | ${rSql(s"min($norm)", 6)} AS min_norm,
+       | ${rSql(s"max($norm)", 6)} AS max_norm
+       |FROM embeddings""".stripMargin
+  }
+
   // ----------------------------------------------------------- multimodal
 
   /** Binary payload + typed metadata struct from the text corpus. */
@@ -328,6 +359,8 @@ object LlmQueries {
     QueryDef("fingerprint_docs", fingerprintDocs, Some(fingerprintOracle)),
     QueryDef("doclen_describe", doclenDescribe, Some(doclenDescribeOracle)),
     QueryDef("langid_docs", langidDocs, None),
+    QueryDef("vector_norms", vectorNorms, Some(vectorNormsOracle)),
+    QueryDef("vector_profile", vectorProfile, Some(vectorProfileOracle)),
     QueryDef("multimodal_meta", multimodalMeta, Some(multimodalMetaOracle)),
     QueryDef("multimodal_features", multimodalFeatures, None))
 }

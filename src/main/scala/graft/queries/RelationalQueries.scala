@@ -382,6 +382,39 @@ object RelationalQueries {
       | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
       |ORDER BY user_id, click_id, purchase_id""".stripMargin
 
+  /** Fact-to-part join: lineitem against the broadcast part dimension,
+    * revenue per brand. */
+  def joinPartRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  private val joinPartRevenueOracle: String =
+    s"""SELECT p_brand,
+       | ${rSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue,
+       | count(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin
+
+  /** Dimension-chain projection: supplier -> nation -> region. */
+  def supplierNation(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "n_name", "r_name")
+      .orderBy("s_suppkey")
+
+  private val supplierNationOracle: String =
+    """SELECT s_suppkey, s_name, n_name, r_name
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Tumbling-window aggregation over event time (batch twin of the
     * streaming hourly window — graft.streaming). */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
@@ -420,6 +453,8 @@ object RelationalQueries {
     QueryDef("scalar_math", scalarMath, Some(scalarMathOracle)),
     QueryDef("json_events", jsonEvents, Some(jsonEventsOracle)),
     QueryDef("agg_distinct", aggDistinct, Some(aggDistinctOracle)),
+    QueryDef("join_part_revenue", joinPartRevenue, Some(joinPartRevenueOracle)),
+    QueryDef("supplier_nation", supplierNation, Some(supplierNationOracle)),
     QueryDef("range_join_events", rangeJoinEvents, Some(rangeJoinOracle)),
     QueryDef("events_hourly", eventsHourly, Some(eventsHourlyOracle)))
 }
