@@ -24,12 +24,17 @@ object Geo {
     val spark = df.sparkSession
     import spark.implicits._
     val g = col(geomCol)
-    val e = stEnvelope(g)
-    val row = df.agg(
-      avg(stCentroidX(g)).as("cx"), avg(stCentroidY(g)).as("cy"),
+    // evaluate each UDF once per row in a projection — aggregate expression
+    // lists get no common-subexpression elimination across UDF calls
+    val pre = df.select(
+      stCentroidX(g).as("cx0"), stCentroidY(g).as("cy0"),
+      stEnvelope(g).as("e"), stHasZ(g).as("z"))
+    val e = col("e")
+    val row = pre.agg(
+      avg(col("cx0")).as("cx"), avg(col("cy0")).as("cy"),
       min(element_at(e, 1)).as("minx"), min(element_at(e, 2)).as("miny"),
       max(element_at(e, 3)).as("maxx"), max(element_at(e, 4)).as("maxy"),
-      sum(when(stHasZ(g), 1L).otherwise(0L)).as("zs")).head()
+      sum(when(col("z"), 1L).otherwise(0L)).as("zs")).head()
     // geometry-type census, pluralized lowercase (petk/exploration.py:64-66)
     val census = df.groupBy(stGeometryType(g).as("t")).count()
       .collect().filter(_.get(0) != null)
@@ -50,10 +55,11 @@ object Geo {
     * as a typed one-row frame — oracle-checkable against plain arithmetic
     * when the geometry is constructed from numeric columns. */
   def totalBounds(df: DataFrame, geomCol: String): DataFrame = {
-    val e = stEnvelope(col(geomCol))
-    df.agg(
-      min(element_at(e, 1)).as("minx"), min(element_at(e, 2)).as("miny"),
-      max(element_at(e, 3)).as("maxx"), max(element_at(e, 4)).as("maxy"))
+    val e = col("e")
+    df.select(stEnvelope(col(geomCol)).as("e")) // one UDF eval per row
+      .agg(
+        min(element_at(e, 1)).as("minx"), min(element_at(e, 2)).as("miny"),
+        max(element_at(e, 3)).as("maxx"), max(element_at(e, 4)).as("maxy"))
   }
 
   /** `geospatial` validity rule (petk/validation.py:30-34): invalid

@@ -269,8 +269,25 @@ object ProfilingQueries {
       | FROM orders WHERE o_totalprice < 25000 OR o_totalprice > 250000)
       |ORDER BY "column", "index", "function"""".stripMargin
 
+  /** The 100 TB mode: single-pass describe with HLL++ distinct and
+    * t-digest quantiles (sketches are approximate — rows-only check;
+    * tracking accuracy vs the exact kernel is unit-tested). */
+  def describeApproxLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val rep = Report(Tables.lineitem(spark, dir), key = Some("l_orderkey"),
+      approximate = true)
+    val p = rep.describe(Seq("l_extendedprice")).head
+    val s = p.stats
+    oneRow(spark, Seq(
+      ("count", LongType, s("count")),
+      ("distinct_count", LongType, s("distinct_count")),
+      ("q50", DoubleType, s("50%")),
+      ("mean", DoubleType, s("mean")),
+      ("std", DoubleType, s("std"))))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("describe_numeric_lineitem", describeNumericLineitem, Some(describeNumericOracle)),
+    QueryDef("describe_approx_lineitem", describeApproxLineitem, None),
     QueryDef("describe_string_orders", describeStringOrders, Some(describeStringOracle)),
     QueryDef("describe_date_lineitem", describeDateLineitem, Some(describeDateOracle)),
     QueryDef("describe_bool_lineitem", describeBoolLineitem, Some(describeBoolOracle)),

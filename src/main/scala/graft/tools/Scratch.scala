@@ -18,8 +18,8 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     val q = graft.SparkEntry.queries
-    time("cosine_neardup_pairs")(println(q("cosine_neardup_pairs")(spark, dir).count()))
-    time("cosine_topk")(println(q("cosine_topk")(spark, dir).count()))
+    time("geo_bounds")(println(q("geo_bounds")(spark, dir).count()))
+    time("geo_sliver")(println(q("geo_sliver")(spark, dir).count()))
     spark.stop()
   }
 }

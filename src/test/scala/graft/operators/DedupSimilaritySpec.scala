@@ -132,6 +132,22 @@ class DedupSimilaritySpec extends SparkSpec {
     out.foreach(r => assert(r.getDouble(0) === r.getDouble(1))) // bit-identical
   }
 
+  test("salted join equals the plain join on skewed data (inner and left)") {
+    val s = spark
+    import s.implicits._
+    // one hot key (90% of rows) + a key missing from the small side
+    val skewed = ((1 to 90).map(i => (1L, s"row$i")) ++
+      Seq((2L, "x"), (3L, "y"))).toDF("k", "payload")
+    val small = Seq((1L, "dim1"), (2L, "dim2")).toDF("k", "attr")
+    for (jt <- Seq("inner", "left")) {
+      val expected = skewed.join(small, Seq("k"), jt)
+        .orderBy("k", "payload").collect().toSeq
+      val got = SkewJoin.saltedJoin(skewed, small, "k", buckets = 8, joinType = jt)
+        .orderBy("k", "payload").collect().toSeq
+      assert(got === expected, jt)
+    }
+  }
+
   test("multimodal stub features are deterministic, bounded, fixed-width") {
     val df = Multimodal.extractFeatures(
       Multimodal.withPayload(docs((1L, "hello world")), "text", "text/plain"),
