@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Result sinks (SURVEY.md §2.C scans/sinks row): columnar parquet as
+  * the default, csv/json for interop, and bucketed managed tables for
+  * co-located (shuffle-free) joins on a stable key.
+  *
+  * Bucketing is the 100 TB lever here: two tables bucketed+sorted on the
+  * same key with the same bucket count join WITHOUT a shuffle exchange on
+  * either side — the exchange that would otherwise move the fact table is
+  * pre-paid once at write time. */
+object Sinks {
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Write a managed table bucketed (and sorted) by `key` for co-located
+    * joins; read back with `spark.table(name)`. */
+  def writeBucketed(df: DataFrame, name: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(name)
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}

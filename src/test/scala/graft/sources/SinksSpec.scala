@@ -1,0 +1,47 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SinksSpec extends SparkSpec {
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("parquet/csv/json sinks round-trip rows and schema-compatible values") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "name", "v")
+    val pq = tmp("pq"); val csv = tmp("csv"); val js = tmp("js")
+    Sinks.writeParquet(df, pq); Sinks.writeCsv(df, csv); Sinks.writeJson(df, js)
+    assert(spark.read.parquet(pq).orderBy("id").collect() === df.orderBy("id").collect())
+    val backCsv = spark.read.option("header", "true").option("inferSchema", "true").csv(csv)
+    assert(backCsv.count() === 2 && backCsv.columns.toSeq === Seq("id", "name", "v"))
+    val backJson = spark.read.json(js)
+    assert(backJson.count() === 2)
+    assert(backJson.select("id", "name", "v").orderBy("id").collect()
+      .map(_.getString(1)).toSeq === Seq("a", "b"))
+  }
+
+  test("bucketed tables join without a shuffle exchange on either side") {
+    val s = spark
+    import s.implicits._
+    val fact = (1 to 1000).map(i => (i.toLong % 50, s"f$i")).toDF("k", "payload")
+    val dim = (0 until 50).map(i => (i.toLong, s"d$i")).toDF("k", "attr")
+    Sinks.writeBucketed(fact, "fact_b", "k", 8)
+    Sinks.writeBucketed(dim, "dim_b", "k", 8)
+    val joined = spark.table("fact_b").join(spark.table("dim_b"), "k")
+    // disable broadcast so the join would otherwise shuffle both sides
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = spark.table("fact_b").join(spark.table("dim_b"), "k")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(joined.count() === 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+}
