@@ -16,10 +16,9 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
     val q = graft.SparkEntry.queries
-    time("geo_bounds")(println(q("geo_bounds")(spark, dir).count()))
-    time("geo_sliver")(println(q("geo_sliver")(spark, dir).count()))
+    time("full describe sf0.01 (60k rows)")(println(q("describe_full_lineitem")(spark, "/root/testdata/sf0.01").count()))
+    time("full describe sf0.1 (600k rows)")(println(q("describe_full_lineitem")(spark, "/root/testdata/sf0.1").count()))
     spark.stop()
   }
 }

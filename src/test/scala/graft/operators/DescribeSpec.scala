@@ -89,6 +89,15 @@ class DescribeSpec extends SparkSpec {
     assert(s("cv") === 0.0) // std/mean = 0/7
   }
 
+  test("whole-table profile covers every column/type in one call") {
+    val out = graft.queries.ProfilingQueries.describeFullLineitem(spark, "/root/testdata/sf0.001")
+    val byCol = out.collect().groupBy(_.getString(0))
+    assert(byCol.keySet.size === 11)
+    assert(byCol("l_extendedprice").exists(_.getString(1) == "kurtosis"))
+    assert(byCol("l_shipdate").exists(_.getString(1) == "min"))
+    assert(byCol("l_returnflag").exists(_.getString(1) == "distinct_count"))
+  }
+
   test("small-n guards: kurtosis undefined below 4, skewness below 3 (pandas parity)") {
     assert(Describe.kurtosisG2(3, 1.0).isEmpty)
     assert(Describe.skewnessG1(2, 1.0).isEmpty)
