@@ -203,6 +203,61 @@ object RelationalQueries {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status,
+    * and grand total in one pass. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("li_gs")
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         | floor(sum(l_quantity)*1e2 + 0.5)/1e2 AS sum_qty
+         |FROM li_gs
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val groupingSetsOracle: String =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       | ${rSql("sum(l_quantity)", 2)} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Pivot: linestatus values become columns (conditional-aggregation
+    * equivalent in the oracle). */
+  def pivotLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("O", "F"))
+      .agg(r(sum("l_quantity"), 2))
+      .orderBy("l_returnflag")
+
+  private val pivotOracle: String =
+    s"""SELECT l_returnflag,
+       | ${rSql("sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)", 2)} AS "O",
+       | ${rSql("sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)", 2)} AS "F"
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Rank-family window functions: dense_rank, percent_rank, ntile. */
+  def windowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        dense_rank().over(w).cast(LongType).as("drank"),
+        percent_rank().over(w).as("prank"),
+        ntile(4).over(w).cast(LongType).as("quartile"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  private val windowRanksOracle: String =
+    """SELECT o_orderpriority, o_orderkey,
+      | CAST(dense_rank() OVER w AS BIGINT) AS drank,
+      | percent_rank() OVER w AS prank,
+      | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   /** UNION (distinct) of two segment projections. */
   def setUnion(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -444,6 +499,9 @@ object RelationalQueries {
     QueryDef("window_running", windowRunning, Some(windowRunningOracle)),
     QueryDef("rollup_lineitem", rollupLineitem, Some(rollupOracle)),
     QueryDef("cube_orders", cubeOrders, Some(cubeOracle)),
+    QueryDef("grouping_sets", groupingSets, Some(groupingSetsOracle)),
+    QueryDef("pivot_lineitem", pivotLineitem, Some(pivotOracle)),
+    QueryDef("window_ranks", windowRanks, Some(windowRanksOracle)),
     QueryDef("set_union", setUnion, Some(setUnionOracle)),
     QueryDef("set_except", setExcept, Some(setExceptOracle)),
     QueryDef("set_intersect", setIntersect, Some(setIntersectOracle)),

@@ -89,6 +89,19 @@ class DescribeSpec extends SparkSpec {
     assert(s("cv") === 0.0) // std/mean = 0/7
   }
 
+  test("empty input: zero counts, no stat blocks, no crash") {
+    val data = make(Seq.empty[Row], "id" -> LongType, "x" -> DoubleType, "s" -> StringType)
+    val ps = Report(data, key = Some("id")).describe(Seq("x", "s"))
+    ps.foreach { p =>
+      assert(p.stats("count") === 0L)
+      assert(p.stats("n_null") === 0L)
+      assert(p.stats("p_null") === 0.0)
+      assert(p.stats("distinct_count") === 0L)
+      assert(!p.stats.contains("mean"))
+      assert(!p.stats.contains("min"))
+    }
+  }
+
   test("whole-table profile covers every column/type in one call") {
     val out = graft.queries.ProfilingQueries.describeFullLineitem(spark, "/root/testdata/sf0.001")
     val byCol = out.collect().groupBy(_.getString(0))
