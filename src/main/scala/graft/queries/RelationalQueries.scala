@@ -470,6 +470,34 @@ object RelationalQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |ORDER BY s_suppkey""".stripMargin
 
+  /** As-of join: every event picks the customer's most recent order at
+    * event time (right side deduped to one row per (key, time) for
+    * determinism). The oracle uses DuckDB's native ASOF LEFT JOIN. */
+  def asofJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+    val orders = Tables.orders(spark, dir)
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+    graft.operators.AsofJoin.asofLeft(
+        events, orders, "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"),
+        col("asof_o_orderkey"), col("asof_o_orderdate"))
+      .orderBy("event_id")
+  }
+
+  private val asofJoinOracle: String =
+    """WITH r AS (
+      | SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      | FROM orders GROUP BY o_custkey, o_orderdate)
+      |SELECT e.event_id, e.user_id,
+      | r.o_orderkey AS asof_o_orderkey,
+      | r.o_orderdate AS asof_o_orderdate
+      |FROM events e ASOF LEFT JOIN r
+      | ON e.user_id = r.o_custkey AND CAST(e.ts AS TIMESTAMP) >= r.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
   /** Tumbling-window aggregation over event time (batch twin of the
     * streaming hourly window — graft.streaming). */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
@@ -514,5 +542,6 @@ object RelationalQueries {
     QueryDef("join_part_revenue", joinPartRevenue, Some(joinPartRevenueOracle)),
     QueryDef("supplier_nation", supplierNation, Some(supplierNationOracle)),
     QueryDef("range_join_events", rangeJoinEvents, Some(rangeJoinOracle)),
+    QueryDef("asof_join_events", asofJoinEvents, Some(asofJoinOracle)),
     QueryDef("events_hourly", eventsHourly, Some(eventsHourlyOracle)))
 }

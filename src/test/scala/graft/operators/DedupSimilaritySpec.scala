@@ -132,6 +132,22 @@ class DedupSimilaritySpec extends SparkSpec {
     out.foreach(r => assert(r.getDouble(0) === r.getDouble(1))) // bit-identical
   }
 
+  test("as-of join picks the greatest right time <= left time, inclusive, null when none") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"), (3L, 9L, "z"))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 3L, "x"), (1L, 8L, "y"), (2L, 7L, "w")).toDF("k", "t", "rid")
+    val out = AsofJoin.asofLeft(left, right, "k", "k", "t", "t")
+      .select("k", "t", "lid", "asof_rid", "asof_t")
+      .orderBy("k", "t").collect()
+    // mirrors the DuckDB ASOF LEFT JOIN reference behavior
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      Option(r.get(3)).orNull, Option(r.get(4)).orNull)).toSeq === Seq(
+      (1L, 5L, "b", "x", 3L), (1L, 10L, "a", "y", 8L),
+      (2L, 7L, "c", "w", 7L), (3L, 9L, "z", null, null)))
+  }
+
   test("salted join equals the plain join on skewed data (inner and left)") {
     val s = spark
     import s.implicits._
