@@ -84,7 +84,11 @@ final class Report private (
       if (parts.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Validation.findingsSchema(df.schema(KeyCol).dataType))
       else parts.reduce(_ unionByName _)
-    val ordered = findings.orderBy(col("column"), col("index"), col("function"))
+    // notes as the final tiebreak: the reference sorts by (column, index,
+    // function) only (petk/exploration.py:120-122), but rows sharing all
+    // three keys (possible with non-unique row keys) need a total order
+    // for deterministic output
+    val ordered = findings.orderBy(col("column"), col("index"), col("function"), col("notes"))
     if (verbose) ordered.join(df, Seq(KeyCol), "left") // petk/exploration.py:139-141
     else ordered
   }

@@ -220,7 +220,7 @@ object ProfilingQueries {
       | 'Value not within the accepted range' AS notes
       |FROM orders
       |WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F')
-      |ORDER BY "column", "index", "function"""".stripMargin
+      |ORDER BY "column", "index", "function", notes""".stripMargin
 
   /** validate() `range` rule on lineitem.l_quantity with bounds [2, 49]
     * (petk/validation.py:36-45, petk/tools.py:104-110). Row key is the
@@ -243,7 +243,7 @@ object ProfilingQueries {
       | END AS notes
       |FROM lineitem
       |WHERE l_quantity < 2 OR l_quantity > 49
-      |ORDER BY "column", "index", "function"""".stripMargin
+      |ORDER BY "column", "index", "function", notes""".stripMargin
 
   /** Multi-rule validate() on orders — accepted + range in one schema,
     * exercising findings assembly + (column, index, function) ordering
@@ -267,7 +267,7 @@ object ProfilingQueries {
       |  CASE WHEN o_totalprice < 25000 THEN 'Value is less than the lower bound'
       |       WHEN o_totalprice > 250000 THEN 'Value is greater than the upper bound' END
       | FROM orders WHERE o_totalprice < 25000 OR o_totalprice > 250000)
-      |ORDER BY "column", "index", "function"""".stripMargin
+      |ORDER BY "column", "index", "function", notes""".stripMargin
 
   /** The 100 TB mode: single-pass describe with HLL++ distinct and
     * t-digest quantiles (sketches are approximate — rows-only check;

@@ -25,6 +25,21 @@ class SinksSpec extends SparkSpec {
       .map(_.getString(1)).toSeq === Seq("a", "b"))
   }
 
+  test("partitioned layout prunes partitions at the scan") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, s"seg${i % 5}", i * 1.0)).toDF("id", "seg", "v")
+    val path = tmp("part")
+    df.write.mode("overwrite").partitionBy("seg").parquet(path)
+    val read = spark.read.parquet(path).filter(col("seg") === "seg3")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("seg3"), plan)
+    assert(read.count() === 200)
+    // the pushed partition filter means only one of five directories is read
+    val scanned = read.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(scanned.forall(_.contains("seg=seg3")))
+  }
+
   test("bucketed tables join without a shuffle exchange on either side") {
     val s = spark
     import s.implicits._
