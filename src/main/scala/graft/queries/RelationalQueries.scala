@@ -56,13 +56,15 @@ object RelationalQueries {
     Tables.lineitem(spark, dir)
       .filter(col("l_quantity") >= 45 && col("l_discount") > 0.05)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (orderkey, linenumber) is NOT unique in the corpus — order by every
+      // output column for a total order the oracle can reproduce
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
 
   private val filterProjectOracle: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
       |FROM lineitem
       |WHERE l_quantity >= 45 AND l_discount > 0.05
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin
 
   /** Star join: fact orders → customer → nation → region, dims broadcast.
     * At 100 TB: orders shuffles only for the final groupBy; the dimension
@@ -367,7 +369,8 @@ object RelationalQueries {
         r(log(col("l_extendedprice")), 6).as("ln_price"),
         r(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
         r(pow(lit(1.0) + col("l_discount"), 2), 6).as("disc_sq"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // total order: (orderkey, linenumber) is not unique in the corpus
+      .orderBy("l_orderkey", "l_linenumber", "abs_centered", "ln_price", "sqrt_qty", "disc_sq")
 
   private val scalarMathOracle: String =
     s"""SELECT l_orderkey, l_linenumber,
@@ -376,7 +379,7 @@ object RelationalQueries {
        | ${rSql("sqrt(l_quantity)", 6)} AS sqrt_qty,
        | ${rSql("pow(1.0 + l_discount, 2)", 6)} AS disc_sq
        |FROM lineitem
-       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+       |ORDER BY l_orderkey, l_linenumber, abs_centered, ln_price, sqrt_qty, disc_sq""".stripMargin
 
   /** JSON extraction from events.props + aggregation. */
   def jsonEvents(spark: SparkSession, dir: String): DataFrame =
