@@ -122,6 +122,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: hourly aggregation over the events parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    // nanosecond timestamps: same rescue as the batch loader
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(dir.toString).schema)
+      .parquet(dir.toString)
+    val events = raw.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val agg = Streams.tumblingAgg(events.withWatermark("ts", "1 hour"), "ts", "1 hour", "event_type")
+    val q = agg.writeStream.format("memory").queryName("file_stream_hourly")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; with a bounded
+      // file all but the last in-flight hour close
+      val n = spark.table("file_stream_hourly").count()
+      assert(n > 0)
+    } finally q.stop()
+  }
+
   test("batch and streaming session windows agree on the same data") {
     val s = spark
     import s.implicits._
