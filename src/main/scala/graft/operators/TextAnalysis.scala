@@ -19,6 +19,18 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-ish pre-tokenization: letter runs, digit runs, and punctuation
+    * runs as separate tokens (the segmentation BPE vocabularies are
+    * trained over) — the corpus-token-count estimator for LLM-pipeline
+    * budgeting. Pattern kept to RE2-compatible classes so SQL oracles
+    * reproduce it exactly. */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0)) // group 0: whole match
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text)).cast("long")
+
   /** Per-document token stats: count + mean token length. */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))

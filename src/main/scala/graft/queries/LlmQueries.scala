@@ -188,6 +188,21 @@ object LlmQueries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Whitespace vs BPE-ish token counts per document + corpus totals —
+    * the token-budget estimator of an LLM data pipeline. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+      .orderBy("doc_id")
+
+  private val tokenBudgetOracle: String =
+    s"""SELECT doc_id,
+       | CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       | CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS BIGINT) AS bpeish_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Corpus-wide top-20 terms. */
   def topTerms(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTerms(Tables.documents(spark, dir), "text", 20)
@@ -353,6 +368,7 @@ object LlmQueries {
     QueryDef("cosine_topk", cosineTopk, Some(cosineTopkOracle)),
     QueryDef("ann_lsh_topk", annLshTopk, None),
     QueryDef("text_token_stats", textTokenStats, Some(textTokenStatsOracle)),
+    QueryDef("token_budget", tokenBudget, Some(tokenBudgetOracle)),
     QueryDef("top_terms", topTerms, Some(topTermsOracle)),
     QueryDef("lang_census", langCensus, Some(langCensusOracle)),
     QueryDef("text_quality", textQuality, Some(textQualityOracle)),

@@ -27,6 +27,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m.getAs[Double]("avg_token_len") === 3.0)
   }
 
+  test("BPE-ish tokenizer separates letter, digit and punctuation runs") {
+    val out = docs((1L, "the cats ran 42 times, fast!"))
+      .select(TextAnalysis.bpeishTokens(col("text"))).head().getSeq[String](0)
+    assert(out === Seq("the", "cats", "ran", "42", "times", ",", "fast", "!"))
+  }
+
+  test("multimodal byte sampling is deterministic with fixed width") {
+    val df = Multimodal.withPayload(docs((1L, "hello world payload")), "text", "text/plain")
+    val a = df.select(Multimodal.sampleBytes(col("payload"), 4)).head().getSeq[String](0)
+    val b = df.select(Multimodal.sampleBytes(col("payload"), 4)).head().getSeq[String](0)
+    assert(a === b)
+    assert(a.length === 4)
+  }
+
   test("top terms ranks by count desc with lexicographic tiebreak") {
     val out = TextAnalysis.topTerms(docs((1L, "b a b c a b")), "text", 2).collect()
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("b", 3L), ("a", 2L)))
