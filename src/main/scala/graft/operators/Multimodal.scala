@@ -42,11 +42,24 @@ object Multimodal {
     * [-1, 1) from seeded hashes of the payload. Replace with a real
     * decoder (e.g. a mapPartitions batch over a codec) in production; the
     * signature — binary in, fixed-width float array out — is the real
-    * contract. */
-  def stubFeatures(payload: Column, dim: Int, seed: Int = 42): Column =
-    transform(sequence(lit(0), lit(dim - 1)), i =>
-      (pmod(xxhash64(i + lit(seed), payload), lit(2000000L)).cast(DoubleType) / 1000000.0
-        - 1.0).cast(FloatType))
+    * contract.
+    *
+    * The hash is built from md5 + ascii only, so any engine reproduces it
+    * bit-for-bit (the DuckDB oracle checks this query end to end): feature
+    * i = ((a*65536 + b*256 + c) % 2e6) / 1e6 - 1 where a,b,c are the code
+    * points of the first three hex chars of md5(md5(payload) || (i+seed)).
+    * Each value is an exact multiple of 1e-6, so the float round-trip is
+    * stable under 6-digit rounding on both sides. */
+  def stubFeatures(payload: Column, dim: Int, seed: Int = 42): Column = {
+    val digest = md5(payload)
+    transform(sequence(lit(0), lit(dim - 1)), i => {
+      val h = md5(concat(digest, (i + lit(seed)).cast(StringType)))
+      val v = ascii(substring(h, 1, 1)) * 65536 +
+        ascii(substring(h, 2, 1)) * 256 +
+        ascii(substring(h, 3, 1))
+      (pmod(v, lit(2000000)).cast(DoubleType) / 1000000.0 - 1.0).cast(FloatType)
+    })
+  }
 
   /** Frame-sample stub: pick `k` deterministic byte offsets (the real
     * pipeline would sample video frames); returns the bytes at those

@@ -75,9 +75,26 @@ object GeoQueries {
       .validate()
   }
 
+  /** Notes-free projection of [[geoValidate]]: the planted-bowtie
+    * population (c_custkey % 25 = 0) is pure arithmetic, so the
+    * (column, index, function) triple is oracle-checkable — the JTS
+    * validity REASONS stay in the rows-only variant above. */
+  def geoValidateKeys(spark: SparkSession, dir: String): DataFrame =
+    geoValidate(spark, dir).select("column", "index", "function")
+
+  private val geoValidateKeysOracle: String =
+    """SELECT 'geometry' AS "column", c_custkey AS "index",
+      | 'geospatial' AS "function"
+      |FROM customer WHERE c_custkey % 25 = 0
+      |ORDER BY "index"""".stripMargin
+
   /** Sliver detection: every 4th customer's square shrinks to 0.002
-    * degrees — far below the 1e6 m2 threshold. Metric scaling is the
-    * documented equirectangular approximation — rows-only. */
+    * degrees — far below the 1e6 m2 threshold, while the 0.5-degree
+    * squares stay above it at every latitude in range (worst case ~5.4e7
+    * m2 at y=89). The planted population (% 4) and the per-geometry
+    * sliver count (always 1 — single-part polygons) are therefore both
+    * pure arithmetic, giving the JTS+equirectangular pipeline an exact
+    * DuckDB oracle. */
   def geoSliver(spark: SparkSession, dir: String): DataFrame = {
     val x = col("c_acctbal") / 1000.0
     val y = (col("c_custkey") % 90).cast("double")
@@ -98,9 +115,17 @@ object GeoQueries {
       .filter(col("function") === "sliver") // drop the implicit validity audit
   }
 
+  private val geoSliverOracle: String =
+    """SELECT 'geometry' AS "column", c_custkey AS "index",
+      | 'sliver' AS "function",
+      | '1 slivers found within geometry' AS notes
+      |FROM customer WHERE c_custkey % 4 = 0
+      |ORDER BY "index"""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("geo_bounds", geoBounds, Some(geoBoundsOracle)),
     QueryDef("geo_census", geoCensus, Some(geoCensusOracle)),
     QueryDef("geo_validate", geoValidate, None),
-    QueryDef("geo_sliver", geoSliver, None))
+    QueryDef("geo_validate_keys", geoValidateKeys, Some(geoValidateKeysOracle)),
+    QueryDef("geo_sliver", geoSliver, Some(geoSliverOracle)))
 }

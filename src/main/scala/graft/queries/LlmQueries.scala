@@ -349,14 +349,33 @@ object LlmQueries {
       | md5(text) AS digest
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Stubbed feature extraction over payload bytes (deterministic fake —
-    * hash family not in DuckDB, rows-only + unit tests). */
+  /** Stubbed feature extraction over payload bytes. The stub hash is
+    * md5+ascii arithmetic (see Multimodal.stubFeatures) so DuckDB
+    * reproduces every feature exactly; features are emitted as one scalar
+    * column per element — sortable by any checker, unlike a raw
+    * array<float> column. */
+  private val FeatureDim = 8
+
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.withPayload(Tables.documents(spark, dir), "text", "text/plain"),
-      "payload", dim = 8)
-      .select("doc_id", "features")
+      "payload", dim = FeatureDim)
+      .select(col("doc_id") +: (0 until FeatureDim).map(j =>
+        r(element_at(col("features"), j + 1).cast("double"), 6).as(s"f$j")): _*)
       .orderBy("doc_id")
+
+  private val multimodalFeaturesOracle: String = {
+    // mirror of Multimodal.stubFeatures (seed 42): the payload is the utf-8
+    // bytes of `text`, so DuckDB's md5(text) equals Spark's md5(payload)
+    def f(i: Int): String = {
+      val h = s"md5(md5(text) || '${i + 42}')"
+      val v = s"(ascii(substring($h, 1, 1)) * 65536 + ascii(substring($h, 2, 1)) * 256 + ascii(substring($h, 3, 1)))"
+      rSql(s"($v % 2000000) / 1000000.0 - 1.0", 6)
+    }
+    s"""SELECT doc_id,
+       | ${(0 until FeatureDim).map(i => s"${f(i)} AS f$i").mkString(",\n ")}
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact_docs", dedupExactDocs, Some(dedupExactOracle)),
@@ -378,5 +397,5 @@ object LlmQueries {
     QueryDef("vector_norms", vectorNorms, Some(vectorNormsOracle)),
     QueryDef("vector_profile", vectorProfile, Some(vectorProfileOracle)),
     QueryDef("multimodal_meta", multimodalMeta, Some(multimodalMetaOracle)),
-    QueryDef("multimodal_features", multimodalFeatures, None))
+    QueryDef("multimodal_features", multimodalFeatures, Some(multimodalFeaturesOracle)))
 }

@@ -270,8 +270,10 @@ object ProfilingQueries {
       |ORDER BY "column", "index", "function", notes""".stripMargin
 
   /** The 100 TB mode: single-pass describe with HLL++ distinct and
-    * t-digest quantiles (sketches are approximate — rows-only check;
-    * tracking accuracy vs the exact kernel is unit-tested). */
+    * t-digest quantiles. The SKETCH fields (distinct_count, q50) are
+    * approximate by design — rows-only check here, accuracy vs the exact
+    * kernel unit-tested; the exact-by-definition fields of the same pass
+    * are oracle-checked by [[describeApproxMoments]]. */
   def describeApproxLineitem(spark: SparkSession, dir: String): DataFrame = {
     val rep = Report(Tables.lineitem(spark, dir), key = Some("l_orderkey"),
       approximate = true)
@@ -283,6 +285,38 @@ object ProfilingQueries {
       ("q50", DoubleType, s("50%")),
       ("mean", DoubleType, s("mean")),
       ("std", DoubleType, s("std"))))
+  }
+
+  /** Exact-by-definition statistics of the approximate (single-pass) mode:
+    * count/mean/std/sum/min/max come from the same codegen'd moments agg
+    * whether or not sketches ride along, so they have an exact oracle even
+    * in 100 TB mode. */
+  def describeApproxMoments(spark: SparkSession, dir: String): DataFrame = {
+    val rep = Report(Tables.lineitem(spark, dir), key = Some("l_orderkey"),
+      approximate = true)
+    val p = rep.describe(Seq("l_extendedprice")).head
+    val s = p.stats
+    oneRow(spark, Seq(
+      ("count", LongType, s("count")),
+      ("n_null", LongType, s("n_null")),
+      ("min", DoubleType, s("min")),
+      ("max", DoubleType, s("max")),
+      ("mean", DoubleType, rd(s("mean").asInstanceOf[Double], 6)),
+      ("std", DoubleType, rd(s("std").asInstanceOf[Double], 6)),
+      ("sum", DoubleType, rd(s("sum").asInstanceOf[Double], 2)),
+      ("n_zeros", LongType, s("n_zeros"))))
+  }
+
+  private val describeApproxMomentsOracle: String = {
+    val c = "l_extendedprice"
+    s"""SELECT count($c) AS "count",
+       | count(*) - count($c) AS n_null,
+       | min($c) AS "min", max($c) AS "max",
+       | ${rSql(s"avg($c)", 6)} AS mean,
+       | ${rSql(s"stddev_samp($c)", 6)} AS std,
+       | ${rSql(s"sum($c)", 2)} AS "sum",
+       | count(CASE WHEN $c = 0 THEN 1 END) AS n_zeros
+       |FROM lineitem""".stripMargin
   }
 
   /** Whole-table profile: every lineitem column through the describe
@@ -300,6 +334,7 @@ object ProfilingQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("describe_numeric_lineitem", describeNumericLineitem, Some(describeNumericOracle)),
     QueryDef("describe_approx_lineitem", describeApproxLineitem, None),
+    QueryDef("describe_approx_moments", describeApproxMoments, Some(describeApproxMomentsOracle)),
     QueryDef("describe_string_orders", describeStringOrders, Some(describeStringOracle)),
     QueryDef("describe_date_lineitem", describeDateLineitem, Some(describeDateOracle)),
     QueryDef("describe_bool_lineitem", describeBoolLineitem, Some(describeBoolOracle)),
