@@ -87,10 +87,13 @@ final class Report private (
     // notes as the final tiebreak: the reference sorts by (column, index,
     // function) only (petk/exploration.py:120-122), but rows sharing all
     // three keys (possible with non-unique row keys) need a total order
-    // for deterministic output
-    val ordered = findings.orderBy(col("column"), col("index"), col("function"), col("notes"))
-    if (verbose) ordered.join(df, Seq(KeyCol), "left") // petk/exploration.py:139-141
-    else ordered
+    // for deterministic output. The sort goes AFTER the verbose join —
+    // Spark does not preserve sort order through a shuffle join, while the
+    // reference's pandas join keeps left order (petk/exploration.py:139-141).
+    val joined =
+      if (verbose) findings.join(df, Seq(KeyCol), "left")
+      else findings
+    joined.orderBy(col("column"), col("index"), col("function"), col("notes"))
   }
 
   /** Driver-side nested-dict render of describe results
@@ -147,6 +150,13 @@ object Report {
       require(cols.contains(c),
         s"Invalid input schema, column $c does not exist in data") // exploration.py:20
     }
+    // A data column literally named "index" would be silently clobbered by
+    // the stamped key (the reference's pandas index and an 'index' column
+    // coexist; one flat namespace here cannot) — reject unless that column
+    // IS the chosen key.
+    require(!cols.contains(KeyCol) || key.contains(KeyCol),
+      s"Column '$KeyCol' collides with the row-key column stamped by Report; " +
+        s"rename it or pass key = Some(\"$KeyCol\")")
     val keyed = key match {
       case Some(k) =>
         require(cols.contains(k), s"Key column $k does not exist in data")

@@ -91,17 +91,27 @@ object Similarity {
       lit(0), (acc, bit) => acc * 2 + bit)
 
   /** Approximate nearest neighbors: both sides hashed into hyperplane
-    * buckets; exact cosine ranks candidates inside each bucket only. */
+    * buckets; exact cosine ranks candidates inside each bucket only.
+    *
+    * `dim` is the plane dimension; when 0 (default) it is probed from the
+    * first corpus vector (one tiny driver-side action). Every hashed
+    * vector is guarded against that dimension at runtime — a mismatched
+    * length raises instead of silently hashing to bucket 0 (zip_with pads
+    * with null, nulling the dot product), which would collapse the LSH
+    * partitioning into the cross product it exists to avoid. */
   def annTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, planes: Int = 12, seed: Long = 42L): DataFrame = {
-    val dim = 64
-    val planesLit = typedLit(planeMatrix(planes, dim, seed))
+      k: Int, planes: Int = 12, seed: Long = 42L, dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else corpus.select(size(col(vecCol))).head.getInt(0)
+    val planesLit = typedLit(planeMatrix(planes, d, seed))
+    def guarded(v: Column): Column = when(size(v) === d, v).otherwise(
+      raise_error(concat(lit("annTopK: vector length "), size(v).cast("string"),
+        lit(s" != plane dim $d"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      signature(col(vecCol), planesLit, planes).as("__bucket"))
+      signature(guarded(col(vecCol)), planesLit, planes).as("__bucket"))
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
-      signature(col(qVecCol), planesLit, planes).as("__bucket"))
+      signature(guarded(col(qVecCol)), planesLit, planes).as("__bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.join(q, Seq("__bucket"))

@@ -123,12 +123,15 @@ object TextAnalysis {
   def classifyLanguage(df: DataFrame, idCol: String, textCol: String,
       profiles: Map[String, Seq[String]]): DataFrame = {
     val grams = Dedup.charNgrams(col(textCol), 3)
-    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, profile) =>
+    // array_max on a struct is lexicographic over its fields in order:
+    // highest score first, then highest SECOND field — so ties are broken
+    // by a rank that DESCENDS through the lang-sorted profile list, making
+    // the lexicographically first language win an equal score
+    val langs = profiles.toSeq.sortBy(_._1)
+    val scored = langs.zipWithIndex.map { case ((lang, profile), i) =>
       struct(size(array_intersect(grams, typedLit(profile))).as("score"),
-        lit(lang).as("lang"))
+        lit(langs.size - i).as("tie"), lit(lang).as("lang"))
     }
-    // array_max on struct(score, lang) is lexicographic: highest score,
-    // then highest lang — invert lang order for deterministic first-lang ties
     df.select(col(idCol),
       array_max(array(scored: _*)).getField("lang").as("predicted_lang"))
   }

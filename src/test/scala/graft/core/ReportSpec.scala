@@ -53,6 +53,26 @@ class ReportSpec extends SparkSpec {
     assert(first eq again) // same cached instance, no recompute
   }
 
+  test("a data column named 'index' is rejected unless it IS the key") {
+    val s = StructType(Seq(StructField("index", LongType), StructField("v", DoubleType)))
+    val data = df(Seq(Row(1L, 1.0), Row(2L, 2.0)), s)
+    val e = intercept[IllegalArgumentException](Report(data))
+    assert(e.getMessage.contains("collides"))
+    // choosing it as the key is fine: key and column coincide by request
+    val rep = Report(data, key = Some("index"))
+    assert(rep.describe(Seq("v")).head.stats("count") === 2L)
+  }
+
+  test("verbose validate stays (column, index, function, notes)-ordered after the join") {
+    val s = StructType(Seq(StructField("id", LongType), StructField("v", DoubleType)))
+    val data = df((1L to 40L).map(i => Row(41L - i, i.toDouble)), s)
+    val rep = Report(data, schema = Map("v" -> ColumnRules(
+      range = Some(Bounds(Some(100.0), None)))), key = Some("id"))
+    val out = rep.validate(verbose = true).select("index").collect().map(_.getLong(0))
+    assert(out.toSeq === out.sorted.toSeq)
+    assert(out.length === 40)
+  }
+
   test("findColumns default-all and missing assert (exploration.py:128-137)") {
     val data = df(Seq(Row(1L, "a", 1.0)), schema)
     val rep = Report(data, key = Some("id"))

@@ -119,6 +119,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((exact intersect ann).size >= 4) // near-full recall on separated clusters
   }
 
+  test("ANN LSH probes dimension from the data: non-64-d vectors bucket correctly") {
+    val s = spark
+    import s.implicits._
+    // 8-d clusters: with the old hardcoded dim=64 every row hashed to
+    // bucket 0 (null-padded dot products) — here the two clusters must
+    // land in different buckets and recall must still hold
+    def vec(axis: Int, jitter: Float): Array[Float] = {
+      val a = Array.fill(8)(0.0f); a(axis) = 1.0f; a((axis + 2) % 8) = jitter; a
+    }
+    val corpus = (0 until 20).map(i =>
+      (i.toLong, vec(if (i < 10) 0 else 4, 0.01f * i))).toDF("id", "v")
+    val queries = Seq((100L, vec(0, 0.05f))).toDF("id", "v")
+    val exact = Similarity.cosineTopK(corpus, "id", "v", queries, "id", "v", k = 5)
+      .collect().map(_.getLong(2)).toSet
+    val ann = Similarity.annTopK(corpus, "id", "v", queries, "id", "v", k = 5, planes = 6)
+      .collect().map(_.getLong(2)).toSet
+    assert((exact intersect ann).size >= 4)
+    // and the buckets genuinely partition: fewer candidates than the cross product
+    val candidates = Similarity.annTopK(corpus, "id", "v", queries, "id", "v",
+      k = 100, planes = 6).count()
+    assert(candidates < 20)
+  }
+
+  test("ANN LSH raises on vectors that do not match the plane dimension") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.5f)))
+      .toDF("id", "v")
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("id", "v")
+    val ex = intercept[Exception] {
+      Similarity.annTopK(corpus, "id", "v", queries, "id", "v", k = 1, dim = 2).collect()
+    }
+    assert(ex.getMessage.contains("vector length") ||
+      Option(ex.getCause).exists(_.getMessage.contains("vector length")))
+  }
+
   test("native cosine expression matches the HOF formulation bit-exactly") {
     val s = spark
     import s.implicits._
@@ -130,6 +166,16 @@ class DedupSimilaritySpec extends SparkSpec {
       graft.plans.CosineSimilarityExpr.cosine(col("a"), col("b")).as("native"),
       VectorFunctions.cosine(col("a"), col("b")).as("hof")).collect()
     out.foreach(r => assert(r.getDouble(0) === r.getDouble(1))) // bit-identical
+  }
+
+  test("native cosine matches the HOF formulation on ragged inputs: both NULL") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val out = df.select(
+      graft.plans.CosineSimilarityExpr.cosine(col("a"), col("b")).as("native"),
+      VectorFunctions.cosine(col("a"), col("b")).as("hof")).collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1))
   }
 
   test("as-of join picks the greatest right time <= left time, inclusive, null when none") {

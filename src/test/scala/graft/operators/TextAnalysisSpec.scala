@@ -77,4 +77,14 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getString(1))
     assert(preds.toSeq === Seq("aa", "zz"))
   }
+
+  test("language-ID ties resolve to the lexicographically first language") {
+    // identical profiles for every language -> every doc scores equal
+    val profiles = Map("de" -> Seq("abc"), "en" -> Seq("abc"), "fr" -> Seq("abc"))
+    val preds = TextAnalysis.classifyLanguage(
+      docs((1L, "abcabc"), (2L, "xyz")), "doc_id", "text", profiles)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    // doc 1 matches all three equally; doc 2 matches none (score 0 everywhere)
+    assert(preds.toSeq === Seq("de", "de"))
+  }
 }
