@@ -77,20 +77,72 @@ object Streams {
       .groupByKey(_._1)
       .mapGroupsWithState[ProfileState, ProfileUpdate](GroupStateTimeout.NoTimeout) {
         (key, rows, state) =>
-          var s = state.getOption.getOrElse(
-            ProfileState(0L, 0L, 0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity))
-          rows.foreach {
-            case (_, None) => s = s.copy(nNull = s.nNull + 1)
-            case (_, Some(v)) =>
-              val n1 = s.n + 1
-              val d = v - s.mean
-              val mean = s.mean + d / n1
-              s = ProfileState(n1, s.nNull, mean, s.m2 + d * (v - mean),
-                math.min(s.min, v), math.max(s.max, v))
-          }
+          var s = state.getOption.getOrElse(emptyState)
+          rows.foreach { case (_, v) => s = welford(s, v) }
           state.update(s)
-          ProfileUpdate(key, s.n, s.nNull, s.mean,
-            if (s.n > 1) s.m2 / (s.n - 1) else Double.NaN, s.min, s.max)
+          render(key, s)
       }
   }
+
+  /** The 100 TB form of [[incrementalProfile]]: per-key state is DROPPED
+    * once a key has been idle past `idleGap` of event time — an
+    * EventTimeTimeout fires when the stream's watermark passes
+    * (last event time seen for the key + idleGap); the final profile is
+    * emitted once more and the state removed, so a later event restarts
+    * the key from zero. State size is O(keys active within the idle
+    * horizon), not O(keys ever seen) — the difference between a bounded
+    * and an unbounded state store on an unbounded key space. */
+  def incrementalProfileEvicting(
+      stream: DataFrame, tsCol: String, watermark: String,
+      keyCol: String, valueCol: String, idleGapMs: Long): Dataset[ProfileUpdate] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.withWatermark(tsCol, watermark)
+      // no cast on the event-time column: a cast would strip the watermark
+      // metadata the EventTimeTimeout checker looks for
+      .select(col(keyCol).cast("string").as("_1"),
+        col(valueCol).cast("double").as("_2"),
+        col(tsCol).as("_3"))
+      .as[(String, Option[Double], java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[ProfileState, ProfileUpdate](GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove() // eviction: the watermark passed the idle horizon
+            render(key, s)
+          } else {
+            var s = state.getOption.getOrElse(emptyState)
+            var lastSeen = Long.MinValue
+            rows.foreach { case (_, v, t) =>
+              lastSeen = math.max(lastSeen, t.getTime)
+              s = welford(s, v)
+            }
+            state.update(s)
+            // timeout must sit beyond the current watermark: a key fed only
+            // watermark-old events still gets a (near-immediate) horizon
+            state.setTimeoutTimestamp(
+              math.max(lastSeen + idleGapMs, state.getCurrentWatermarkMs + 1))
+            render(key, s)
+          }
+      }
+  }
+
+  private val emptyState =
+    ProfileState(0L, 0L, 0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity)
+
+  /** One Welford step (numerically stable running mean/M2). */
+  private def welford(s: ProfileState, v: Option[Double]): ProfileState = v match {
+    case None => s.copy(nNull = s.nNull + 1)
+    case Some(x) =>
+      val n1 = s.n + 1
+      val d = x - s.mean
+      val mean = s.mean + d / n1
+      ProfileState(n1, s.nNull, mean, s.m2 + d * (x - mean),
+        math.min(s.min, x), math.max(s.max, x))
+  }
+
+  private def render(key: String, s: ProfileState): ProfileUpdate =
+    ProfileUpdate(key, s.n, s.nNull, s.mean,
+      if (s.n > 1) s.m2 / (s.n - 1) else Double.NaN, s.min, s.max)
 }

@@ -122,6 +122,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("evicting profile drops state for keys idle past the watermark horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // 10-minute watermark, 1-hour idle gap
+    val profiles = Streams.incrementalProfileEvicting(
+      mem.toDF(), "ts", "10 minutes", "user_id", "value", idleGapMs = 3600 * 1000L)
+    val q = profiles.writeStream.format("memory").queryName("inc_profile_evict")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1L, 2.0, 1),
+        Ev(ts("2024-01-01 10:01:00"), 1L, 4.0, 2),
+        Ev(ts("2024-01-01 10:00:00"), 2L, 1.0, 3))
+      q.processAllAvailable()
+      // key 2 keeps flowing; key 1 goes silent. Watermark moves to 12:50,
+      // far past key 1's timeout (10:01 + 1h) -> its state is evicted.
+      mem.addData(Ev(ts("2024-01-01 13:00:00"), 2L, 1.0, 4))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 13:01:00"), 2L, 1.0, 5)) // let the timeout batch run
+      q.processAllAvailable()
+      // key 1 comes back: a fresh profile, NOT a continuation
+      mem.addData(Ev(ts("2024-01-01 13:02:00"), 1L, 10.0, 6))
+      q.processAllAvailable()
+      val key1 = spark.table("inc_profile_evict").filter($"key" === "1")
+        .select("count", "mean").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(key1.contains((2L, 3.0)))  // pre-eviction profile of [2,4]
+      assert(key1.contains((1L, 10.0))) // restarted from zero after eviction
+      assert(!key1.exists(_._1 === 3L)) // never merged across the eviction
+    } finally q.stop()
+  }
+
   test("file-source stream: hourly aggregation over the events parquet") {
     val dir = java.nio.file.Files.createTempDirectory("evstream")
     java.nio.file.Files.copy(
