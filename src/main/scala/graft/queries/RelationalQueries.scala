@@ -155,6 +155,17 @@ object RelationalQueries {
       |WHERE rn <= 3
       |ORDER BY o_orderpriority, rn""".stripMargin
 
+  /** [[windowTopk]] re-planned for scale: o_orderpriority has 5 distinct
+    * values, so the plain ranked window sorts 20% of the table per task —
+    * GroupTopK's salted two-phase plan gives #keys x salts-way parallelism
+    * with identical output (same oracle as window_topk). */
+  def windowTopkScaled(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GroupTopK.topK(
+      Tables.orders(spark, dir), Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rn")
+
   /** Running aggregates + lag over an explicit ROWS frame, per user over
     * event time. */
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {
@@ -527,6 +538,7 @@ object RelationalQueries {
     QueryDef("join_anti_customers", joinAntiCustomers, Some(joinAntiOracle)),
     QueryDef("join_left_agg", joinLeftAgg, Some(joinLeftAggOracle)),
     QueryDef("window_topk", windowTopk, Some(windowTopkOracle)),
+    QueryDef("window_topk_scaled", windowTopkScaled, Some(windowTopkOracle)),
     QueryDef("window_running", windowRunning, Some(windowRunningOracle)),
     QueryDef("rollup_lineitem", rollupLineitem, Some(rollupOracle)),
     QueryDef("cube_orders", cubeOrders, Some(cubeOracle)),

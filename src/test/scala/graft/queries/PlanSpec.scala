@@ -54,6 +54,21 @@ class PlanSpec extends SparkSpec {
     assert(anti.contains("LeftAnti"))
   }
 
+  test("scaled group top-k never sorts a whole group in one task") {
+    // simple mode prints root-first, so the LAST key exchange in the text
+    // is the deepest one — the exchange over the full table
+    val plan = RelationalQueries.windowTopkScaled(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    val keyExchanges = plan.linesIterator
+      .filter(l => l.contains("hashpartitioning") && l.contains("o_orderpriority"))
+      .toSeq
+    assert(keyExchanges.nonEmpty)
+    assert(keyExchanges.last.contains("__salt"),
+      s"the full-data exchange must include the salt:\n${keyExchanges.last}")
+    // both phases plan as ranked windows
+    assert("\\bWindow\\b".r.findAllIn(plan).size >= 2)
+  }
+
   test("range join keeps the equi key as the join key with the range as post-condition") {
     val plan = planOf(RelationalQueries.rangeJoinEvents(spark, dir))
     // equi part hashed (broadcast or shuffled), never a pure nested loop
