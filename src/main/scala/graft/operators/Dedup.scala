@@ -173,18 +173,43 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 16-bit chunks (a pair within
-    * Hamming distance 3 shares at least one of 4 chunks — pigeonhole), then
-    * verify exact Hamming distance. */
+  /** SimHash near-dup pairs: pigeonhole blocking + exact Hamming verify.
+    *
+    * The signature is split into `chunks` equal blocks. A pair within
+    * Hamming distance k differs in at most k blocks, so it AGREES on at
+    * least m = chunks - k blocks — hence it shares at least one of the
+    * C(chunks, m) possible m-block combinations. Each combination becomes
+    * a blocking table whose key is the m blocks concatenated
+    * (Manku/Jain/Sarma-style); candidates only meet inside a bucket and
+    * the exact Hamming filter makes the output exact (full recall by the
+    * pigeonhole argument, full precision by the verify).
+    *
+    * Scaling the blocking to the corpus: per table the key is
+    * m * (64/chunks) bits wide, so expected bucket occupancy is
+    * n / 2^(m*64/chunks) and verify work is about
+    * C(chunks, m) * n^2 / 2^(m*64/chunks + 1) candidate pairs. The
+    * default (chunks=4, k=3 -> m=1, 16-bit keys) caps at 65,536 buckets —
+    * fine to ~10^6 docs; at 10^9 docs use chunks=8 (m=5, 40-bit keys:
+    * ~10^6 verify pairs per table) at the cost of C(8,5)=56 table entries
+    * per row instead of 4. Pick the smallest `chunks` whose key width
+    * keeps n / 2^(m*64/chunks) near 1. */
   def nearDupPairsSimhash(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, seed: Int = 42): DataFrame = {
+      maxHamming: Int = 3, seed: Int = 42, chunks: Int = 4): DataFrame = {
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    val m = chunks - maxHamming
+    require(m >= 1, s"pigeonhole blocking needs chunks > maxHamming ($chunks <= $maxHamming)")
+    val width = 64 / chunks
+    val mask = lit(if (width == 64) -1L else (1L << width) - 1)
     val sigs = simhashSignatures(df, idCol, textCol, seed)
+    def block(c: Int): Column = shiftright(col("sig"), c * width).bitwiseAND(mask)
+    val tables = (0 until chunks).combinations(m).toSeq.zipWithIndex.map {
+      case (combo, t) =>
+        val key = combo.map(block).reduce((acc, b) => shiftleft(acc, width).bitwiseOR(b))
+        struct(lit(t).as("chunk"), key.as("ckey"))
+    }
     val chunked = sigs.select(col("id"), col("sig"),
-      explode(array((0 to 3).map { c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("ckey"))
-      }: _*)).as("ck"))
+      explode(array(tables: _*)).as("ck"))
     val l = chunked.select(col("ck"), col("id").as("a"), col("sig").as("siga"))
     val r = chunked.select(col("ck"), col("id").as("b"), col("sig").as("sigb"))
     l.join(r, Seq("ck"))

@@ -81,6 +81,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(h > 0 && h <= 64)
   }
 
+  test("simhash blocking with 8 chunks keeps exact recall vs brute-force Hamming") {
+    val s = spark
+    import s.implicits._
+    // corpus with planted near-dups: each doc repeats its vocabulary 10x
+    // (large vote margins), the twin changes ONE token occurrence — so the
+    // twin's signature flips only the few bits with tiny margins and lands
+    // within Hamming 3; brute-force all-pairs Hamming is the ground truth
+    val base = Seq("red green blue yellow purple orange pink brown",
+      "north south east west up down left right",
+      "cat dog bird fish horse cow sheep goat",
+      "one two three four five six seven eight")
+    val rows = base.zipWithIndex.flatMap { case (t, i) =>
+      val rep = (Seq.fill(10)(t)).mkString(" ")
+      Seq((2L * i, rep), (2L * i + 1, rep.replaceFirst(t.split(' ').head, "zzz")))
+    }
+    val df = docs(rows: _*)
+    val sigs = Dedup.simhashSignatures(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty) // the planted near-dups must actually be within Hamming 3
+    for (chunks <- Seq(4, 8)) {
+      val blocked = Dedup.nearDupPairsSimhash(df, "doc_id", "text", chunks = chunks)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked === brute, s"chunks=$chunks")
+    }
+  }
+
   test("cosine matches manual dot/norm arithmetic") {
     val s = spark
     import s.implicits._
