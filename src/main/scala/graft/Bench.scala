@@ -17,15 +17,23 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // best-of-2 measured passes: a transient contention/GC spike during a
+    // single pass can double a query's reading (BENCH_r02 recorded 5x on
+    // simhash vs the reproducible value); the min of two passes is the
+    // steady-state number a re-run reproduces.
+    def measure(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val p1 = measure()
+    val p2 = measure()
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val partitions = spark.conf.get("spark.sql.shuffle.partitions")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","config":{"cpus":"$cpus","shuffle_partitions":"$partitions","passes":"best-of-2 after warmup"}}""")
     spark.stop()
   }
 }

@@ -31,6 +31,27 @@ object SemanticType {
   val ModalityKey = "graft.modality"
   /** Metadata key marking a string/binary column as WKT/WKB geometry. */
   val GeometryKey = "graft.geometry"
+  /** Metadata key carrying a geometry column's CRS (e.g. "epsg:4326") —
+    * the Spark-schema equivalent of the reference's `df.crs` GeoDataFrame
+    * attribute (petk/exploration.py:57). */
+  val CrsKey = "graft.crs"
+
+  /** Stamp `column` as a geometry column, optionally recording its CRS in
+    * the column metadata (read back by [[crsOf]] / Geo.introduceGeo). */
+  def asGeometry(df: org.apache.spark.sql.DataFrame, column: String,
+      crs: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val b = new MetadataBuilder()
+      .withMetadata(df.schema(column).metadata)
+      .putBoolean(GeometryKey, true)
+    crs.foreach(b.putString(CrsKey, _))
+    df.withMetadata(column, b.build())
+  }
+
+  /** The CRS recorded in `column`'s metadata, if any. */
+  def crsOf(df: org.apache.spark.sql.DataFrame, column: String): Option[String] = {
+    val meta = df.schema(column).metadata
+    if (meta.contains(CrsKey)) Some(meta.getString(CrsKey)) else None
+  }
 
   /** Static classification from the schema field. The EMPTY refinement
     * (all-null column ⇒ EMPTY regardless of physical type, reference

@@ -81,12 +81,24 @@ object Describe {
   private def wantsQuantiles(st: SemanticType) =
     st == SemanticType.Date || st == SemanticType.Numeric
 
+  /** Exact-percentile guard (SURVEY.md §4.2): a column's exact
+    * frequency-weighted percentile puts its whole distinct-value set into
+    * ONE TypedImperative Percentile buffer — fine at oracle scale, an OOM
+    * for a near-unique column at 100 TB. Above this many distinct values
+    * the quantiles fall back to the mergeable t-digest sketch
+    * (percentile_approx), same as `approximate = true`; distinct_count
+    * stays exact either way (the frequency table is a scalable hash agg).
+    * ~4M doubles ≈ a few hundred MB of buffer — the default keeps well
+    * under a normal executor's headroom. */
+  val DefaultExactQuantileMaxDistinct: Long = 4L * 1000 * 1000
+
   /** Profile `columns` of `df`. `df` must already be null-normalized
     * (graft.core.Report). */
   def profile(
       df: DataFrame,
       columns: Seq[String],
-      approximate: Boolean = false): Seq[ColumnProfile] = {
+      approximate: Boolean = false,
+      exactQuantileMaxDistinct: Long = DefaultExactQuantileMaxDistinct): Seq[ColumnProfile] = {
     val fields = df.schema.fields.map(f => f.name -> f).toMap
     val static = columns.map(c => c -> SemanticType.ofField(fields(c))).toMap
 
@@ -175,23 +187,34 @@ object Describe {
           }: _*)).as("p"))
             .select(col("p.c").as("c"), col("p.v").as("v"))
             .filter(col("v").isNotNull)
-          val freq = pairs.groupBy("c", "v").agg(count(lit(1)).as("f"))
-          val withQ = family != "string"
-          val aggExprs = count(lit(1)).as("d") +:
-            (if (withQ)
-              Seq(percentile(col("v"), typedLit(QuantilePs), col("f")).as("q"))
-            else Nil)
-          val rows = freq.groupBy("c").agg(aggExprs.head, aggExprs.tail: _*).collect()
-          rows.foreach { r =>
-            val name = r.getString(0)
-            val qs = if (withQ && wantsQuantiles(static(name)) && !r.isNullAt(2))
-              Some(r.getSeq[Any](2))
-            else None
-            results(name) = (r.getLong(1), qs)
-          }
-          members.foreach { case (_, n, _) => // all-null columns: no freq row
-            if (!results.contains(n)) results(n) = (0L, None)
-          }
+          val freq = pairs.groupBy("c", "v").agg(count(lit(1)).as("f")).persist()
+          try {
+            // distinct counts first (scalable hash agg, tiny result) — they
+            // gate which columns may run the single-buffer exact Percentile
+            val dByCol = freq.groupBy("c").agg(count(lit(1)).as("d")).collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            val wantQ = members.map(_._2)
+              .filter(n => family != "string" && wantsQuantiles(static(n)))
+            val (exactQ, sketchQ) =
+              wantQ.partition(n => dByCol.getOrElse(n, 0L) <= exactQuantileMaxDistinct)
+            val qByCol = scala.collection.mutable.Map.empty[String, scala.collection.Seq[Any]]
+            if (exactQ.nonEmpty)
+              freq.filter(col("c").isin(exactQ: _*)).groupBy("c")
+                .agg(percentile(col("v"), typedLit(QuantilePs), col("f")).as("q"))
+                .collect()
+                .foreach(r => if (!r.isNullAt(1)) qByCol(r.getString(0)) = r.getSeq[Any](1))
+            if (sketchQ.nonEmpty)
+              // the guard fired: t-digest sketch (mergeable, bounded memory)
+              // instead of a distinct-set-sized Percentile buffer; one extra
+              // scan of the affected columns only
+              pairs.filter(col("c").isin(sketchQ: _*)).groupBy("c")
+                .agg(percentile_approx(col("v"), typedLit(QuantilePs), lit(10000)).as("q"))
+                .collect()
+                .foreach(r => if (!r.isNullAt(1)) qByCol(r.getString(0)) = r.getSeq[Any](1))
+            members.foreach { case (_, n, _) => // absent = all-null column
+              results(n) = (dByCol.getOrElse(n, 0L), qByCol.get(n).map(_.toSeq))
+            }
+          } finally freq.unpersist()
         }
 
         // fallback: per-column jobs for non-family types, run concurrently
@@ -201,15 +224,24 @@ object Describe {
           val futures = rest.map { name =>
             name -> Future {
               val freq = df.filter(col(name).isNotNull)
-                .groupBy(col(name)).agg(count(lit(1)).as(s"${SEP}f"))
-              val withQ = wantsQuantiles(static(name))
-              val exprs = count(lit(1)).as("d") +:
-                (if (withQ)
-                  Seq(percentile(quantileInput(name), typedLit(QuantilePs), col(s"${SEP}f")).as("q"))
-                else Nil)
-              val r = freq.agg(exprs.head, exprs.tail: _*).head()
-              val qs = if (withQ && !r.isNullAt(1)) Some(r.getSeq[Any](1)) else None
-              (r.getLong(0), qs)
+                .groupBy(col(name)).agg(count(lit(1)).as(s"${SEP}f")).persist()
+              try {
+                val d = freq.count() // same guard as the family path
+                val withQ = wantsQuantiles(static(name))
+                val qs =
+                  if (!withQ) None
+                  else if (d <= exactQuantileMaxDistinct) {
+                    val r = freq.agg(percentile(quantileInput(name),
+                      typedLit(QuantilePs), col(s"${SEP}f")).as("q")).head()
+                    if (r.isNullAt(0)) None else Some(r.getSeq[Any](0).toSeq)
+                  } else {
+                    val r = df.filter(col(name).isNotNull)
+                      .agg(percentile_approx(quantileInput(name),
+                        typedLit(QuantilePs), lit(10000)).as("q")).head()
+                    if (r.isNullAt(0)) None else Some(r.getSeq[Any](0).toSeq)
+                  }
+                (d, qs)
+              } finally freq.unpersist()
             }
           }
           futures.foreach { case (name, fut) =>

@@ -19,10 +19,16 @@ object Geo {
     * Returns DataFrame(section, metric, value: String). One agg job plus
     * one tiny census agg. reverse-geocoding of the centroid is out of
     * scope (network egress) — the value is the "x, y" coordinate string
-    * fallback (petk/tools.py:79-80). */
+    * fallback (petk/tools.py:79-80).
+    *
+    * The CRS comes from the geometry column's metadata when stamped
+    * (SemanticType.asGeometry / CrsKey) — the schema-borne equivalent of
+    * the reference reading `df.crs` (petk/exploration.py:57) — falling
+    * back to the `crs` parameter. */
   def introduceGeo(df: DataFrame, geomCol: String, crs: String = "epsg:4326"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val effectiveCrs = graft.core.SemanticType.crsOf(df, geomCol).getOrElse(crs)
     val g = col(geomCol)
     // evaluate each UDF once per row in a projection — aggregate expression
     // lists get no common-subexpression elimination across UDF calls
@@ -41,7 +47,7 @@ object Geo {
       .map(r => (r.getString(0).toLowerCase + "s", r.getLong(1)))
       .sortBy(_._1)
     val rows = Seq(
-      ("geospatial", "crs", crs),
+      ("geospatial", "crs", effectiveCrs),
       ("geospatial", "centroid_location", s"${row.getAs[Double]("cx")}, ${row.getAs[Double]("cy")}"),
       ("geospatial", "bounds",
         s"[${row.getAs[Double]("minx")}, ${row.getAs[Double]("miny")}, " +

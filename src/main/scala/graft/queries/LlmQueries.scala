@@ -91,10 +91,16 @@ object LlmQueries {
        |ORDER BY a, b""".stripMargin
 
   /** SimHash signatures + near-dup pairs (hash family not expressible in
-    * the oracle — rows-only check; semantics unit-tested). */
+    * the oracle — rows-only check; semantics unit-tested).
+    *
+    * maxHamming = 3, the standard radius for 64-bit SimHash (Manku et al.):
+    * the 4-block pigeonhole only guarantees recall up to chunks - 1
+    * differing blocks. The previous maxHamming = 8 exceeded that bound and
+    * silently missed pairs differing in all 4 blocks — the blocking now
+    * rejects unsound combinations outright. */
   def simhashNeardupDocs(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDupPairsSimhash(
-      nearDupCorpus(Tables.documents(spark, dir)), "doc_id", "text", maxHamming = 8)
+      nearDupCorpus(Tables.documents(spark, dir)), "doc_id", "text", maxHamming = 3)
       .orderBy("a", "b")
 
   /** All-pairs character-3-gram Jaccard for a bounded id range —

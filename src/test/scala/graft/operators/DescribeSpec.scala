@@ -111,6 +111,22 @@ class DescribeSpec extends SparkSpec {
     assert(byCol("l_returnflag").exists(_.getString(1) == "distinct_count"))
   }
 
+  test("near-unique column above the distinct threshold falls back to sketch quantiles") {
+    val data = make((1 to 1000).map(i => Row(i.toLong, i.toDouble)),
+      "id" -> LongType, "x" -> DoubleType)
+    // exact path (threshold default): type-7 median of 1..1000 interpolates
+    val exact = Describe.profile(data, Seq("x")).head.stats
+    assert(exact("50%").asInstanceOf[Number].doubleValue() === 500.5)
+    assert(exact("distinct_count") === 1000L)
+    // guard fired (threshold 10 << 1000 distinct): t-digest returns an
+    // ACTUAL element, never an interpolated value — proof the sketch ran
+    val guarded = Describe.profile(data, Seq("x"), exactQuantileMaxDistinct = 10).head.stats
+    val q50 = guarded("50%").asInstanceOf[Number].doubleValue()
+    assert(q50 === 500.0 || q50 === 501.0)
+    assert(guarded("distinct_count") === 1000L) // distinct stays exact
+    assert(guarded("min") === 1.0 && guarded("max") === 1000.0)
+  }
+
   test("small-n guards: kurtosis undefined below 4, skewness below 3 (pandas parity)") {
     assert(Describe.kurtosisG2(3, 1.0).isEmpty)
     assert(Describe.skewnessG1(2, 1.0).isEmpty)

@@ -34,6 +34,22 @@ class GeoSpec extends SparkSpec {
     assert(out(1).getString(3) === "Null geometry") // petk/validation.py:34
   }
 
+  test("introduce reads crs from column metadata, falling back to the parameter") {
+    val df = wkts((1L, "POINT (1 2)"))
+    def crsRow(d: org.apache.spark.sql.DataFrame) =
+      Geo.introduceGeo(d, "geometry", crs = "epsg:4326")
+        .filter(col("metric") === "crs").head().getString(2)
+    // unstamped: the parameter
+    assert(crsRow(df) === "epsg:4326")
+    // stamped: metadata wins (the reference reads df.crs, exploration.py:57)
+    val stamped = graft.core.SemanticType.asGeometry(df, "geometry", Some("epsg:2952"))
+    assert(graft.core.SemanticType.crsOf(stamped, "geometry") === Some("epsg:2952"))
+    assert(crsRow(stamped) === "epsg:2952")
+    // the stamp also classifies the column GEOMETRY
+    assert(graft.core.SemanticType.ofField(stamped.schema("geometry")) ===
+      graft.core.SemanticType.Geometry)
+  }
+
   test("envelope/bounds math matches the coordinates") {
     val df = wkts((1L, "POINT (3 4)"), (2L, "POLYGON ((0 1, 2 1, 2 5, 0 5, 0 1))"))
     val b = Geo.totalBounds(df, "geometry").head()
