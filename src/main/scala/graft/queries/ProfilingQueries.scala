@@ -319,6 +319,48 @@ object ProfilingQueries {
        |FROM lineitem""".stripMargin
   }
 
+  /** Whole-table profile in the engine's long-form result-sink shape:
+    * (column, statistic, value) for every numeric lineitem column at once
+    * — the describe ladder's cross-column assembly under ONE oracle row
+    * set, not just per-type single-column slices. */
+  def describeLongLineitem(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rep = Report(Tables.lineitem(spark, dir), key = Some("l_orderkey"))
+    val rows = rep.describe(LongFormCols).flatMap { p =>
+      val s = p.stats
+      def d(k: String) = s(k).asInstanceOf[Number].doubleValue()
+      Seq(
+        ("count", d("count")), ("n_null", d("n_null")),
+        ("distinct_count", d("distinct_count")),
+        ("min", d("min")), ("max", d("max")),
+        ("mean", rd(d("mean"), 6)), ("std", rd(d("std"), 6)),
+        ("sum", rd(d("sum"), 2)), ("q50", rd(d("50%"), 6))
+      ).map { case (stat, v) => Row(p.column, stat, v) }
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("column", StringType), StructField("statistic", StringType),
+      StructField("value", DoubleType))))
+      .orderBy("column", "statistic")
+  }
+
+  private val LongFormCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private val describeLongOracle: String = {
+    def stats(c: String) = Seq(
+      "count" -> s"CAST(count($c) AS DOUBLE)",
+      "n_null" -> s"CAST(count(*) - count($c) AS DOUBLE)",
+      "distinct_count" -> s"CAST(count(DISTINCT $c) AS DOUBLE)",
+      "min" -> s"CAST(min($c) AS DOUBLE)",
+      "max" -> s"CAST(max($c) AS DOUBLE)",
+      "mean" -> rSql(s"avg($c)", 6),
+      "std" -> rSql(s"stddev_samp($c)", 6),
+      "sum" -> rSql(s"sum($c)", 2),
+      "q50" -> rSql(s"quantile_cont($c, 0.5)", 6))
+    val selects = for { c <- LongFormCols; (st, ex) <- stats(c) } yield
+      s"""SELECT '$c' AS "column", '$st' AS statistic, $ex AS "value" FROM lineitem"""
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\", statistic")
+  }
+
   /** Whole-table profile: every lineitem column through the describe
     * ladder — one codegen pass + per-family unpivoted frequency jobs,
     * rendered long-form (column, statistic, value). Exercised by the test
@@ -335,6 +377,7 @@ object ProfilingQueries {
     QueryDef("describe_numeric_lineitem", describeNumericLineitem, Some(describeNumericOracle)),
     QueryDef("describe_approx_lineitem", describeApproxLineitem, None),
     QueryDef("describe_approx_moments", describeApproxMoments, Some(describeApproxMomentsOracle)),
+    QueryDef("describe_long_lineitem", describeLongLineitem, Some(describeLongOracle)),
     QueryDef("describe_string_orders", describeStringOrders, Some(describeStringOracle)),
     QueryDef("describe_date_lineitem", describeDateLineitem, Some(describeDateOracle)),
     QueryDef("describe_bool_lineitem", describeBoolLineitem, Some(describeBoolOracle)),

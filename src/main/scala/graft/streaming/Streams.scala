@@ -128,6 +128,26 @@ object Streams {
       }
   }
 
+  /** Watermarked stream-stream interval join (the impression/click shape):
+    * inner-join rows of the same `key` where the right event time falls in
+    * [left.ts - beforeMs, left.ts + afterMs]. Both sides carry watermarks
+    * and the join condition bounds event time in BOTH directions, which is
+    * what lets Spark evict each side's join state once the other side's
+    * watermark passes the interval — bounded state on unbounded streams.
+    * Right-side columns come back suffixed `_r`. Works identically in
+    * batch (a plain interval join). */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      watermark: String, beforeMs: Long, afterMs: Long): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val r0 = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_r"))
+    val r = r0.withWatermark(tsCol + "_r", watermark)
+    l.join(r,
+      col(key) === col(key + "_r") &&
+        col(tsCol + "_r") >= col(tsCol) - expr(s"INTERVAL $beforeMs MILLISECONDS") &&
+        col(tsCol + "_r") <= col(tsCol) + expr(s"INTERVAL $afterMs MILLISECONDS"))
+  }
+
   private val emptyState =
     ProfileState(0L, 0L, 0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity)
 

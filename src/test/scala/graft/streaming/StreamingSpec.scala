@@ -180,6 +180,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the window, bounded state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Ev] // impressions
+    val clicks = MemoryStream[Ev]
+    // clicks join their user's impression within [0, 10 min] after it
+    val joined = Streams.intervalJoin(
+      imps.toDF(), clicks.toDF(), "user_id", "ts", "5 minutes",
+      beforeMs = 0L, afterMs = 10 * 60 * 1000L)
+      .select("user_id", "event_id", "event_id_r")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1L, 1.0, 10),
+        Ev(ts("2024-01-01 10:00:00"), 2L, 1.0, 20))
+      clicks.addData(
+        Ev(ts("2024-01-01 10:05:00"), 1L, 1.0, 11), // within 10 min -> joins
+        Ev(ts("2024-01-01 10:30:00"), 2L, 1.0, 21)) // 30 min later -> no join
+      q.processAllAvailable()
+      // advance both watermarks so results flush in append mode
+      imps.addData(Ev(ts("2024-01-01 12:00:00"), 9L, 1.0, 90))
+      clicks.addData(Ev(ts("2024-01-01 12:00:00"), 9L, 1.0, 91))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .filter($"user_id" < 9).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSet === Set((1L, 10L, 11L)))
+    } finally q.stop()
+  }
+
   test("batch and streaming session windows agree on the same data") {
     val s = spark
     import s.implicits._
