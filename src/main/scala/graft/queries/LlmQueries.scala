@@ -307,6 +307,48 @@ object LlmQueries {
     TextAnalysis.classifyLanguage(docs, "doc_id", "text", profiles).orderBy("doc_id")
   }
 
+  /** Fixed literal trigram profiles for the oracle-checked language-ID
+    * variant: classification mechanics (distinct-trigram overlap, argmax
+    * with first-language tie-break) under an exact DuckDB oracle. The
+    * corpus vocabulary is language-independent, so accuracy is not the
+    * point — determinism of the operator is. */
+  private val FixedLangProfiles: Map[String, Seq[String]] = Map(
+    "de" -> Seq("agg", "tab", "sor", "gro"),
+    "en" -> Seq("key", "row", "sca", "mer"),
+    "es" -> Seq("dat", "str", "fil", "col"))
+
+  /** Language-ID with pinned profiles — same classify kernel as
+    * [[langidDocs]], exact oracle. */
+  def langidFixed(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.classifyLanguage(
+      Tables.documents(spark, dir), "doc_id", "text", FixedLangProfiles)
+      .orderBy("doc_id")
+
+  private val langidFixedOracle: String = {
+    val langs = FixedLangProfiles.keys.toSeq.sorted
+    def listLit(ts: Seq[String]) = ts.map(t => s"'$t'").mkString("[", ", ", "]")
+    val scores = langs.map(l =>
+      s"len(list_intersect(t, ${listLit(FixedLangProfiles(l))})) AS s_$l").mkString(",\n  ")
+    // first-wins >= chain = argmax with lexicographically-first tie-break,
+    // exactly classifyLanguage's documented tie rule
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      s"WHEN ${rest.map(o => s"s_$l >= s_$o").mkString(" AND ")} THEN '$l'"
+    }.mkString("\n  ")
+    s"""WITH g AS (
+       | SELECT doc_id, list_distinct(list_transform(
+       |   range(1, greatest(length(text) - 2, 1) + 1),
+       |   i -> substring(text, i, 3))) AS t
+       | FROM documents),
+       |s AS (SELECT doc_id,
+       |  $scores
+       | FROM g)
+       |SELECT doc_id, CASE
+       |  $cases
+       |  ELSE '${langs.last}' END AS predicted_lang
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-vector dimension + L2 norm (array scalar functions over the
     * VECTOR modality). */
   def vectorNorms(spark: SparkSession, dir: String): DataFrame =
@@ -400,6 +442,7 @@ object LlmQueries {
     QueryDef("fingerprint_docs", fingerprintDocs, Some(fingerprintOracle)),
     QueryDef("doclen_describe", doclenDescribe, Some(doclenDescribeOracle)),
     QueryDef("langid_docs", langidDocs, None),
+    QueryDef("langid_fixed", langidFixed, Some(langidFixedOracle)),
     QueryDef("vector_norms", vectorNorms, Some(vectorNormsOracle)),
     QueryDef("vector_profile", vectorProfile, Some(vectorProfileOracle)),
     QueryDef("multimodal_meta", multimodalMeta, Some(multimodalMetaOracle)),
