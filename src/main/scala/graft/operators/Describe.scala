@@ -161,6 +161,25 @@ object Describe {
     val freqStats: Map[String, (Long, Option[Seq[Any]])] =
       if (approximate) Map.empty
       else {
+        // Exact-percentile gate: a column with more than
+        // exactQuantileMaxDistinct distinct values would pull its whole
+        // distinct set into ONE Percentile buffer — those columns use the
+        // mergeable t-digest sketch instead. The estimates come from a
+        // separate small job (HLL inside pass 1 is an ImperativeAggregate
+        // and would knock the whole wide agg off whole-stage codegen) and
+        // ONLY when the table's row count even makes an overflow possible
+        // — below the threshold the gate is free. Routing only: both
+        // paths are correct, so the ~2% HLL error is harmless.
+        val gateEstimates: Map[String, Long] = {
+          val qCols = columns.filter(c => wantsQuantiles(static(c)))
+          if (n <= exactQuantileMaxDistinct || qCols.isEmpty) Map.empty
+          else {
+            val est = df.agg(
+              approx_count_distinct(col(qCols.head)).as(qCols.head),
+              qCols.tail.map(c => approx_count_distinct(col(c)).as(c)): _*).head()
+            qCols.map(c => c -> est.getAs[Long](c)).toMap
+          }
+        }
         // family = unified unpivot type; conversions preserve distinctness
         // (date -> epoch micros, integral -> long) and feed percentile
         // with the same double arithmetic as the direct cast
@@ -187,34 +206,35 @@ object Describe {
           }: _*)).as("p"))
             .select(col("p.c").as("c"), col("p.v").as("v"))
             .filter(col("v").isNotNull)
-          val freq = pairs.groupBy("c", "v").agg(count(lit(1)).as("f")).persist()
-          try {
-            // distinct counts first (scalable hash agg, tiny result) — they
-            // gate which columns may run the single-buffer exact Percentile
-            val dByCol = freq.groupBy("c").agg(count(lit(1)).as("d")).collect()
-              .map(r => r.getString(0) -> r.getLong(1)).toMap
-            val wantQ = members.map(_._2)
-              .filter(n => family != "string" && wantsQuantiles(static(n)))
-            val (exactQ, sketchQ) =
-              wantQ.partition(n => dByCol.getOrElse(n, 0L) <= exactQuantileMaxDistinct)
-            val qByCol = scala.collection.mutable.Map.empty[String, scala.collection.Seq[Any]]
-            if (exactQ.nonEmpty)
-              freq.filter(col("c").isin(exactQ: _*)).groupBy("c")
-                .agg(percentile(col("v"), typedLit(QuantilePs), col("f")).as("q"))
-                .collect()
-                .foreach(r => if (!r.isNullAt(1)) qByCol(r.getString(0)) = r.getSeq[Any](1))
-            if (sketchQ.nonEmpty)
-              // the guard fired: t-digest sketch (mergeable, bounded memory)
-              // instead of a distinct-set-sized Percentile buffer; one extra
-              // scan of the affected columns only
-              pairs.filter(col("c").isin(sketchQ: _*)).groupBy("c")
-                .agg(percentile_approx(col("v"), typedLit(QuantilePs), lit(10000)).as("q"))
-                .collect()
-                .foreach(r => if (!r.isNullAt(1)) qByCol(r.getString(0)) = r.getSeq[Any](1))
-            members.foreach { case (_, n, _) => // absent = all-null column
-              results(n) = (dByCol.getOrElse(n, 0L), qByCol.get(n).map(_.toSeq))
-            }
-          } finally freq.unpersist()
+          val freq = pairs.groupBy("c", "v").agg(count(lit(1)).as("f"))
+          val wantQ = members.map(_._2)
+            .filter(n => family != "string" && wantsQuantiles(static(n)))
+          val (exactQ, sketchQ) = wantQ.partition(
+            gateEstimates.getOrElse(_, 0L) <= exactQuantileMaxDistinct)
+          // ONE job for distinct counts + exact percentiles: over-threshold
+          // columns feed the percentile NULLs, so their buffer stays empty
+          val aggExprs = count(lit(1)).as("d") +:
+            (if (exactQ.nonEmpty)
+              Seq(percentile(
+                when(col("c").isin(exactQ: _*), col("v")),
+                typedLit(QuantilePs), col("f")).as("q"))
+            else Nil)
+          val qByCol = scala.collection.mutable.Map.empty[String, scala.collection.Seq[Any]]
+          val dByCol = scala.collection.mutable.Map.empty[String, Long]
+          freq.groupBy("c").agg(aggExprs.head, aggExprs.tail: _*).collect().foreach { r =>
+            dByCol(r.getString(0)) = r.getLong(1)
+            if (exactQ.nonEmpty && exactQ.contains(r.getString(0)) && !r.isNullAt(2))
+              qByCol(r.getString(0)) = r.getSeq[Any](2)
+          }
+          if (sketchQ.nonEmpty)
+            // the guard fired: one extra scan of the affected columns only
+            pairs.filter(col("c").isin(sketchQ: _*)).groupBy("c")
+              .agg(percentile_approx(col("v"), typedLit(QuantilePs), lit(10000)).as("q"))
+              .collect()
+              .foreach(r => if (!r.isNullAt(1)) qByCol(r.getString(0)) = r.getSeq[Any](1))
+          members.foreach { case (_, n, _) => // absent = all-null column
+            results(n) = (dByCol.getOrElse(n, 0L), qByCol.get(n).map(_.toSeq))
+          }
         }
 
         // fallback: per-column jobs for non-family types, run concurrently
@@ -224,24 +244,23 @@ object Describe {
           val futures = rest.map { name =>
             name -> Future {
               val freq = df.filter(col(name).isNotNull)
-                .groupBy(col(name)).agg(count(lit(1)).as(s"${SEP}f")).persist()
-              try {
-                val d = freq.count() // same guard as the family path
-                val withQ = wantsQuantiles(static(name))
-                val qs =
-                  if (!withQ) None
-                  else if (d <= exactQuantileMaxDistinct) {
-                    val r = freq.agg(percentile(quantileInput(name),
-                      typedLit(QuantilePs), col(s"${SEP}f")).as("q")).head()
-                    if (r.isNullAt(0)) None else Some(r.getSeq[Any](0).toSeq)
-                  } else {
-                    val r = df.filter(col(name).isNotNull)
-                      .agg(percentile_approx(quantileInput(name),
-                        typedLit(QuantilePs), lit(10000)).as("q")).head()
-                    if (r.isNullAt(0)) None else Some(r.getSeq[Any](0).toSeq)
-                  }
-                (d, qs)
-              } finally freq.unpersist()
+                .groupBy(col(name)).agg(count(lit(1)).as(s"${SEP}f"))
+              val withQ = wantsQuantiles(static(name))
+              val exact = gateEstimates.getOrElse(name, 0L) <= exactQuantileMaxDistinct
+              val exprs = count(lit(1)).as("d") +:
+                (if (withQ && exact)
+                  Seq(percentile(quantileInput(name), typedLit(QuantilePs), col(s"${SEP}f")).as("q"))
+                else Nil)
+              val r = freq.agg(exprs.head, exprs.tail: _*).head()
+              val qs =
+                if (withQ && exact && !r.isNullAt(1)) Some(r.getSeq[Any](1).toSeq)
+                else if (withQ && !exact) { // gate fired: t-digest over raw rows
+                  val rr = df.filter(col(name).isNotNull)
+                    .agg(percentile_approx(quantileInput(name),
+                      typedLit(QuantilePs), lit(10000)).as("q")).head()
+                  if (rr.isNullAt(0)) None else Some(rr.getSeq[Any](0).toSeq)
+                } else None
+              (r.getLong(0), qs)
             }
           }
           futures.foreach { case (name, fut) =>

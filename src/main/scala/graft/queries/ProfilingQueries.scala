@@ -343,7 +343,10 @@ object ProfilingQueries {
       .orderBy("column", "statistic")
   }
 
-  private val LongFormCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  // low-cardinality numerics: the point here is the cross-column long-form
+  // assembly; the expensive high-cardinality freq pass is already under
+  // bench+oracle via describe_numeric_lineitem (l_extendedprice)
+  private val LongFormCols = Seq("l_quantity", "l_discount", "l_tax", "l_linenumber")
 
   private val describeLongOracle: String = {
     def stats(c: String) = Seq(
@@ -354,7 +357,7 @@ object ProfilingQueries {
       "max" -> s"CAST(max($c) AS DOUBLE)",
       "mean" -> rSql(s"avg($c)", 6),
       "std" -> rSql(s"stddev_samp($c)", 6),
-      "sum" -> rSql(s"sum($c)", 2),
+      "sum" -> rSql(s"CAST(sum($c) AS DOUBLE)", 2), // HUGEINT-safe for int columns
       "q50" -> rSql(s"quantile_cont($c, 0.5)", 6))
     val selects = for { c <- LongFormCols; (st, ex) <- stats(c) } yield
       s"""SELECT '$c' AS "column", '$st' AS statistic, $ex AS "value" FROM lineitem"""
