@@ -73,6 +73,55 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** IVF (inverted-file) approximate nearest neighbors — the second ANN
+    * family next to the hyperplane LSH: a coarse quantizer of `cells`
+    * centroids partitions the corpus into inverted lists (each vector is
+    * assigned to its best-cosine centroid); a query probes only its
+    * `nprobe` nearest cells and exact cosine ranks those lists. The cell
+    * id is an equi-join key, so candidates meet only inside probed cells —
+    * never all-pairs — and the shuffle partitions by cell.
+    *
+    * Centroids are sampled deterministically from the corpus (the `cells`
+    * lowest-id vectors, KBs collected driver-side and shipped as
+    * literals). A production fit would run a few Lloyd iterations on a
+    * sample first; the assignment/probe/join plumbing — the part that has
+    * to scale — is identical either way.
+    *
+    * `nprobe = cells` probes every list and is exactly exhaustive search
+    * (the oracle case); recall at `nprobe < cells` is unit-tested on
+    * clustered data. */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    require(cells > 0 && nprobe > 0 && nprobe <= cells,
+      s"need 0 < nprobe <= cells, got nprobe=$nprobe cells=$cells")
+    val cos = cosineFor(corpus, vecCol) _
+    val cents = corpus.orderBy(col(idCol)).limit(cells)
+      .select(col(vecCol)).collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0)) }
+    // per-centroid (similarity, cell) structs: argmax via array_max is
+    // lexicographic on (s, cell) — deterministic ties
+    def centScores(v: Column): Column = array(cents.map { case (cid, cv) =>
+      struct(cos(v, typedLit(cv)).as("s"), lit(cid).as("cell"))
+    }: _*)
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      array_max(centScores(col(vecCol))).getField("cell").as("__cell"))
+    val probes = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
+      explode(transform(
+        slice(reverse(array_sort(centScores(col(qVecCol)))), 1, nprobe),
+        s => s.getField("cell"))).as("__cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned.join(probes, Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cos(col("__cv"), col("__qv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Deterministic random-hyperplane matrix (planes x dim), seed-pinned. */
   private[graft] def planeMatrix(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -104,13 +104,13 @@ object TextAnalysis {
     * A heuristic, not a model — mechanics over accuracy. */
   def fitLanguageProfiles(labeled: DataFrame, textCol: String, langCol: String,
       topK: Int = 50): Map[String, Seq[String]] = {
-    import org.apache.spark.sql.expressions.Window
     val grams = labeled
       .select(col(langCol).as("lang"), explode(Dedup.charNgrams(col(textCol), 3)).as("g"))
       .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("g").asc)
-    grams.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topK)
+    // per-language top-k via the salted two-phase operator: languages are
+    // a LOW-cardinality partition key, exactly the single-task-sort shape
+    // GroupTopK exists to avoid
+    GroupTopK.topK(grams, Seq("lang"), Seq(col("cnt").desc, col("g").asc), topK)
       .select("lang", "g", "rn")
       .collect()
       .groupBy(_.getString(0))

@@ -167,6 +167,18 @@ object LlmQueries {
        |QUALIFY "rank" <= 5
        |ORDER BY query_id, "rank"""".stripMargin
 
+  /** IVF ANN run exhaustively (nprobe = cells): the quantize/probe/join
+    * machinery end-to-end under the same exact oracle as cosine_topk —
+    * probing every inverted list IS exhaustive search. The approximate
+    * nprobe < cells path is recall-tested in DedupSimilaritySpec. */
+  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, cells = 8, nprobe = 8)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), r(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed approximate top-k (the 100 TB path; recall vs the exact
     * path is unit-tested — no SQL oracle for the hyperplane hashes). */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -434,6 +446,7 @@ object LlmQueries {
     QueryDef("cosine_neardup_pairs", cosineNeardupPairs, Some(cosineNeardupOracle)),
     QueryDef("cosine_topk", cosineTopk, Some(cosineTopkOracle)),
     QueryDef("ann_lsh_topk", annLshTopk, None),
+    QueryDef("ivf_topk", ivfTopk, Some(cosineTopkOracle)),
     QueryDef("text_token_stats", textTokenStats, Some(textTokenStatsOracle)),
     QueryDef("token_budget", tokenBudget, Some(tokenBudgetOracle)),
     QueryDef("top_terms", topTerms, Some(topTermsOracle)),

@@ -185,6 +185,33 @@ class DedupSimilaritySpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("vector length")))
   }
 
+  test("IVF with nprobe = cells is exactly exhaustive search; nprobe < cells keeps recall") {
+    val s = spark
+    import s.implicits._
+    def vec(axis: Int, jitter: Float): Array[Float] = {
+      val a = Array.fill(16)(0.0f); a(axis) = 1.0f; a((axis + 3) % 16) = jitter; a
+    }
+    // 4 tight clusters along distinct axes; queries land in cluster 0
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, vec(i % 4, 0.02f * (i / 4)))).toDF("id", "v")
+    val queries = Seq((100L, vec(0, 0.03f))).toDF("id", "v")
+    val exact = Similarity.cosineTopK(corpus, "id", "v", queries, "id", "v", k = 5)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    val exhaustive = Similarity.ivfTopK(corpus, "id", "v", queries, "id", "v",
+      k = 5, cells = 8, nprobe = 8)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    assert(exhaustive === exact)
+    // approximate probe: top-5 all live in cluster 0's cell(s)
+    val probed = Similarity.ivfTopK(corpus, "id", "v", queries, "id", "v",
+      k = 5, cells = 8, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    assert(probed.map(_.getLong(2)).toSet === exact.map(_.getLong(2)).toSet)
+    // and the inverted lists genuinely bound the candidates
+    val candidates = Similarity.ivfTopK(corpus, "id", "v", queries, "id", "v",
+      k = 100, cells = 8, nprobe = 1).count()
+    assert(candidates < 40)
+  }
+
   test("native cosine expression matches the HOF formulation bit-exactly") {
     val s = spark
     import s.implicits._
