@@ -81,23 +81,58 @@ object GeoFunctions {
       element_at(e, 4) < ymin || element_at(e, 2) > ymax)
   }
 
-  /** Equirectangular lon/lat -> local metric approximation for the sliver
-    * check (petk/validation.py:54 reprojects with geopandas `to_crs`; no
-    * proj library ships on this classpath, so we scale degrees to metres
-    * around the geometry's own latitude — SURVEY.md §7.8 documents the
-    * deviation; exact CRS parity is not oracle-checkable anyway). */
-  val stAreaMetric: UserDefinedFunction = udf((wkt: String) =>
+  /** Reproject a copy of the geometry vertex-by-vertex. */
+  private def reproject(g: Geometry, fwd: Projections.Forward): Geometry = {
+    val c = g.copy()
+    c.apply(new org.locationtech.jts.geom.CoordinateSequenceFilter {
+      def filter(seq: org.locationtech.jts.geom.CoordinateSequence, i: Int): Unit = {
+        val (x, y) = fwd(seq.getX(i), seq.getY(i))
+        seq.setOrdinate(i, 0, x); seq.setOrdinate(i, 1, y)
+      }
+      def isDone: Boolean = false
+      def isGeometryChanged: Boolean = true
+    })
+    c.geometryChanged()
+    c
+  }
+
+  private def equirectAreaScale(g: Geometry): Double = {
+    val latRad = math.toRadians(g.getCentroid.getY)
+    111320.0 * 111320.0 * math.cos(latRad)
+  }
+
+  private def equirectLengthScale(g: Geometry): Double = {
+    val latRad = math.toRadians(g.getCentroid.getY)
+    111320.0 * math.sqrt(math.cos(latRad) max 0.0)
+  }
+
+  /** Metric area after reprojecting lon/lat to the given EPSG — the
+    * reference's `to_crs(epsg).area` step (petk/validation.py:54). The
+    * common projected families (Web Mercator, UTM WGS84/NAD83, MTM
+    * NAD83(CSRS)) are vendored forward projections
+    * (graft.functions.Projections); an unknown code falls back to the
+    * equirectangular local approximation documented in SURVEY.md §7.8. */
+  val stAreaIn: UserDefinedFunction = udf((wkt: String, epsg: Int) =>
     g1 { g =>
-      val latRad = math.toRadians(g.getCentroid.getY)
-      val mPerDegLat = 111320.0
-      val mPerDegLon = mPerDegLat * math.cos(latRad)
-      g.getArea * mPerDegLat * mPerDegLon
+      Projections.forEpsg(epsg) match {
+        case Some(fwd) => reproject(g, fwd).getArea
+        case None => g.getArea * equirectAreaScale(g)
+      }
     }(wkt))
 
-  val stLengthMetric: UserDefinedFunction = udf((wkt: String) =>
+  /** Metric length, same projection dispatch as [[stAreaIn]]. */
+  val stLengthIn: UserDefinedFunction = udf((wkt: String, epsg: Int) =>
     g1 { g =>
-      val latRad = math.toRadians(g.getCentroid.getY)
-      val scale = 111320.0 * math.sqrt(math.cos(latRad) max 0.0)
-      g.getLength * scale
+      Projections.forEpsg(epsg) match {
+        case Some(fwd) => reproject(g, fwd).getLength
+        case None => g.getLength * equirectLengthScale(g)
+      }
     }(wkt))
+
+  /** Equirectangular-only variants (no CRS known). */
+  val stAreaMetric: UserDefinedFunction = udf((wkt: String) =>
+    g1(g => g.getArea * equirectAreaScale(g))(wkt))
+
+  val stLengthMetric: UserDefinedFunction = udf((wkt: String) =>
+    g1(g => g.getLength * equirectLengthScale(g))(wkt))
 }

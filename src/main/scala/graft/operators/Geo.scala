@@ -98,14 +98,20 @@ object Geo {
 
   /** `sliver` rule (petk/validation.py:53-60): explode multi-part
     * geometries, flag polygon parts with metric area below the threshold
-    * (linestrings: metric length), count slivers per original row. */
+    * (linestrings: metric length), count slivers per original row.
+    * The metric comes from a true forward reprojection to
+    * `params.projectedEpsg` when the code's family is vendored
+    * (Web Mercator / UTM / MTM — graft.functions.Projections), matching
+    * the reference's `to_crs` step; unknown codes fall back to the
+    * documented equirectangular approximation. */
   def sliver(df: DataFrame, keyCol: String, column: String,
       params: SliverParams): DataFrame = {
     val part = col("part")
+    val epsg = lit(params.projectedEpsg)
     val tpe = lower(stGeometryType(part))
     val isSliver =
-      when(tpe.contains("polygon"), stAreaMetric(part) < params.threshold)
-        .when(tpe.contains("linestring"), stLengthMetric(part) < params.threshold)
+      when(tpe.contains("polygon"), stAreaIn(part, epsg) < params.threshold)
+        .when(tpe.contains("linestring"), stLengthIn(part, epsg) < params.threshold)
         .otherwise(lit(false)) // points are never slivers (tools.py:117-118)
     df.select(col(keyCol), explode(stDump(col(column))).as("part"))
       .filter(isSliver)

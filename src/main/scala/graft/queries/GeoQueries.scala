@@ -88,13 +88,16 @@ object GeoQueries {
       |FROM customer WHERE c_custkey % 25 = 0
       |ORDER BY "index"""".stripMargin
 
-  /** Sliver detection: every 4th customer's square shrinks to 0.002
-    * degrees — far below the 1e6 m2 threshold, while the 0.5-degree
-    * squares stay above it at every latitude in range (worst case ~5.4e7
-    * m2 at y=89). The planted population (% 4) and the per-geometry
-    * sliver count (always 1 — single-part polygons) are therefore both
-    * pure arithmetic, giving the JTS+equirectangular pipeline an exact
-    * DuckDB oracle. */
+  /** Sliver detection under a TRUE Web Mercator (EPSG:3857) reprojection:
+    * every 4th customer's square shrinks to 0.002 degrees; its projected
+    * area ranges from ~5.0e4 m2 (y=0) to ~2.9e6 m2 (y=89, where the
+    * ln-tan stretching inflates the north-south span by 1/cos(89) ~ 57x),
+    * while the 0.5-degree squares measure at least ~3.1e9 m2 (y=0) — the
+    * 1e8 threshold splits the two planted populations with >30x margin on
+    * both sides at every latitude in range. The planted population (% 4)
+    * and the per-geometry sliver count (always 1 — single-part polygons)
+    * are therefore pure arithmetic, giving the JTS+projection pipeline an
+    * exact DuckDB oracle. */
   def geoSliver(spark: SparkSession, dir: String): DataFrame = {
     val x = col("c_acctbal") / 1000.0
     val y = (col("c_custkey") % 90).cast("double")
@@ -109,7 +112,7 @@ object GeoQueries {
         when(col("c_custkey") % 4 === 0, square(0.002)).otherwise(square(0.5)))
     Report(df,
       schema = Map("geometry" -> ColumnRules(
-        sliver = Some(SliverParams(projectedEpsg = 3857, threshold = 1e6)))),
+        sliver = Some(SliverParams(projectedEpsg = 3857, threshold = 1e8)))),
       key = Some("c_custkey"))
       .validate()
       .filter(col("function") === "sliver") // drop the implicit validity audit

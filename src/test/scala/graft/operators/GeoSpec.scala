@@ -50,6 +50,49 @@ class GeoSpec extends SparkSpec {
       graft.core.SemanticType.Geometry)
   }
 
+  test("vendored projections match independent fixtures") {
+    import graft.functions.Projections
+    // Web Mercator: equator/antimeridian and the 45N parallel
+    val wm = Projections.webMercator
+    assert(math.abs(wm(0, 0)._1) < 1e-6 && math.abs(wm(0, 0)._2) < 1e-6)
+    assert(math.abs(wm(180, 0)._1 - 20037508.342789244) < 1e-6)
+    assert(math.abs(wm(0, 45)._2 - 5621521.486192066) < 1e-6)
+    // UTM 33N (EPSG:32633): the central meridian maps to (500000, k0 * M)
+    // where M is the meridian arc — fixture computed by numerical
+    // integration of the ellipsoid meridian curvature, independent of the
+    // Snyder series implemented here
+    val utm = Projections.forEpsg(32633).get
+    assert(math.abs(utm(15, 0)._1 - 500000.0) < 1e-9 && math.abs(utm(15, 0)._2) < 1e-9)
+    val (e45, n45) = utm(15, 45)
+    assert(math.abs(e45 - 500000.0) < 1e-9)
+    assert(math.abs(n45 - 4982950.4002265) < 0.001)
+    // east-west symmetry about the central meridian
+    val (xe, _) = utm(16, 45); val (xw, _) = utm(14, 45)
+    assert(math.abs((xe - 500000.0) + (xw - 500000.0)) < 1e-6)
+    // MTM zone 10 (EPSG:2952, Toronto): central meridian 79.5W, FE 304800
+    val mtm = Projections.forEpsg(2952).get
+    assert(math.abs(mtm(-79.5, 0)._1 - 304800.0) < 1e-9 && math.abs(mtm(-79.5, 0)._2) < 1e-9)
+    // ~26 km east of the CM at Toronto's latitude stays in-zone and east
+    val (mx, my) = mtm(-79.3871, 43.6426)
+    assert(mx > 304800.0 && mx < 330000.0)
+    assert(my > 4.8e6 && my < 4.9e6) // k0 * meridian arc at ~43.64N
+  }
+
+  test("sliver metric uses the true projection: Web Mercator area inflates with latitude") {
+    import graft.functions.GeoFunctions.stAreaIn
+    val sq = (y: Double) =>
+      s"POLYGON ((0 $y, 0.002 $y, 0.002 ${y + 0.002}, 0 ${y + 0.002}, 0 $y))"
+    val df = wkts((1L, sq(0.0)), (2L, sq(89.0)))
+    val out = df.select(col("id"), stAreaIn(col("geometry"), lit(3857)).as("a"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    assert(out(0) > 4.5e4 && out(0) < 5.5e4) // ~ (222.6 m)^2 at the equator
+    assert(out(1) > 2.0e6 && out(1) < 4.0e6) // 1/cos(89) stretching north-south
+    assert(out(1) > out(0) * 40)
+    // unknown EPSG falls back to the equirectangular approximation
+    val eq = df.select(stAreaIn(col("geometry"), lit(99999)).as("a")).head().getDouble(0)
+    assert(eq > 4.0e4 && eq < 5.5e4)
+  }
+
   test("envelope/bounds math matches the coordinates") {
     val df = wkts((1L, "POINT (3 4)"), (2L, "POLYGON ((0 1, 2 1, 2 5, 0 5, 0 1))"))
     val b = Geo.totalBounds(df, "geometry").head()
