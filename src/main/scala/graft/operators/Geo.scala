@@ -24,8 +24,15 @@ object Geo {
     * The CRS comes from the geometry column's metadata when stamped
     * (SemanticType.asGeometry / CrsKey) — the schema-borne equivalent of
     * the reference reading `df.crs` (petk/exploration.py:57) — falling
-    * back to the `crs` parameter. */
-  def introduceGeo(df: DataFrame, geomCol: String, crs: String = "epsg:4326"): DataFrame = {
+    * back to the `crs` parameter.
+    *
+    * `geocode` is the pluggable reverse-geocoder hook (the reference
+    * optionally calls geopy's Nominatim over HTTP, petk/tools.py:72-78);
+    * when absent — or when a supplied geocoder throws — the value is the
+    * "x, y" coordinate fallback the reference itself emits on geocoding
+    * failure (petk/tools.py:79-80). */
+  def introduceGeo(df: DataFrame, geomCol: String, crs: String = "epsg:4326",
+      geocode: Option[(Double, Double) => String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val effectiveCrs = graft.core.SemanticType.crsOf(df, geomCol).getOrElse(crs)
@@ -46,9 +53,13 @@ object Geo {
       .collect().filter(_.get(0) != null)
       .map(r => (r.getString(0).toLowerCase + "s", r.getLong(1)))
       .sortBy(_._1)
+    val cx = row.getAs[Double]("cx"); val cy = row.getAs[Double]("cy")
+    val location = geocode.flatMap(f =>
+      try Option(f(cx, cy)) catch { case _: Exception => None })
+      .getOrElse(s"$cx, $cy")
     val rows = Seq(
       ("geospatial", "crs", effectiveCrs),
-      ("geospatial", "centroid_location", s"${row.getAs[Double]("cx")}, ${row.getAs[Double]("cy")}"),
+      ("geospatial", "centroid_location", location),
       ("geospatial", "bounds",
         s"[${row.getAs[Double]("minx")}, ${row.getAs[Double]("miny")}, " +
           s"${row.getAs[Double]("maxx")}, ${row.getAs[Double]("maxy")}]"),

@@ -50,6 +50,20 @@ class GeoSpec extends SparkSpec {
       graft.core.SemanticType.Geometry)
   }
 
+  test("centroid geocoder is pluggable; failures fall back to the coordinate string") {
+    val df = wkts((1L, "POINT (2 4)"), (2L, "POINT (4 8)"))
+    def loc(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("metric") === "centroid_location").head().getString(2)
+    // no geocoder: the reference's own "x, y" fallback (tools.py:79-80)
+    assert(loc(Geo.introduceGeo(df, "geometry")) === "3.0, 6.0")
+    // plugged geocoder sees the centroid
+    assert(loc(Geo.introduceGeo(df, "geometry",
+      geocode = Some((x, y) => s"city at $x/$y"))) === "city at 3.0/6.0")
+    // a throwing geocoder degrades to the fallback, like the reference
+    assert(loc(Geo.introduceGeo(df, "geometry",
+      geocode = Some((_, _) => throw new RuntimeException("offline")))) === "3.0, 6.0")
+  }
+
   test("vendored projections match independent fixtures") {
     import graft.functions.Projections
     // Web Mercator: equator/antimeridian and the 45N parallel
