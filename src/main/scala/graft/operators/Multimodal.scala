@@ -75,4 +75,44 @@ object Multimodal {
   def extractFeatures(df: DataFrame, payloadCol: String, dim: Int,
       featuresCol: String = "features"): DataFrame =
     df.withColumn(featuresCol, stubFeatures(col(payloadCol), dim))
+
+  /** A per-partition batch codec: `init` runs ONCE per partition and
+    * returns the decode function — the handle a real decoder (image
+    * codec, audio resampler, ONNX session) amortizes across its batch,
+    * exactly the role a pandas-batched decoder plays under mapInPandas.
+    * Must be serializable to ship to executors. */
+  final case class Codec(dim: Int, init: () => Array[Byte] => Array[Float])
+    extends Serializable
+
+  /** The stub codec: JVM-side twin of [[stubFeatures]], bit-identical
+    * feature values (unit-asserted), so the mapPartitions plumbing is
+    * testable without any codec on the classpath. */
+  def stubCodec(dim: Int, seed: Int = 42): Codec = Codec(dim, () => {
+    // the "expensive handle": one digest instance per partition
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    (payload: Array[Byte]) => {
+      val digest = hex(md.digest(payload))
+      Array.tabulate(dim) { i =>
+        val h = hex(md.digest((digest + (i + seed)).getBytes("UTF-8")))
+        val v = (h(0).toInt * 65536 + h(1).toInt * 256 + h(2).toInt) % 2000000
+        (v / 1000000.0 - 1.0).toFloat
+      }
+    }
+  })
+
+  /** Batch decode over mapPartitions — the Scala analog of a pandas
+    * mapInPandas decoder: codec init once per partition, then the
+    * decode function streams through the partition's rows. Narrow (no
+    * shuffle), preserves the incoming partitioning, appends an
+    * ArrayType(FloatType) column with an explicit Row encoder. */
+  def decodeBatched(df: DataFrame, payloadCol: String, codec: Codec,
+      featuresCol: String = "features"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = df.schema.add(featuresCol, ArrayType(FloatType))
+    df.mapPartitions { it =>
+      val decode = codec.init() // once per partition, like a batch handle
+      it.map(r => Row.fromSeq(r.toSeq :+ decode(r.getAs[Array[Byte]](payloadCol))))
+    }(Encoders.row(outSchema))
+  }
 }

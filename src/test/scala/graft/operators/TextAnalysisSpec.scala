@@ -41,6 +41,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.length === 4)
   }
 
+  test("mapPartitions batch decode: init once per partition, bit-identical to the expression stub") {
+    val s = spark
+    import s.implicits._
+    val texts = (1L to 40L).map(i => (i, s"payload number $i"))
+    val df = Multimodal.withPayload(texts.toDF("doc_id", "text").repartition(4),
+      "text", "text/plain")
+    val inits = spark.sparkContext.longAccumulator("codec_inits")
+    val base = Multimodal.stubCodec(dim = 6)
+    val counting = base.copy(init = () => { inits.add(1); base.init() })
+    // no orderBy before collect: range partitioning would add a sampling
+    // pass that re-runs the map stage and double-counts the inits
+    val batched = Multimodal.decodeBatched(df, "payload", counting)
+      .select("doc_id", "features")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
+    // codec handle opened once per partition, not once per row
+    assert(inits.value === 4)
+    val expr = Multimodal.extractFeatures(df, "payload", dim = 6)
+      .select("doc_id", "features")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
+    assert(batched === expr) // JVM codec == codegen expression, bit for bit
+  }
+
   test("top terms ranks by count desc with lexicographic tiebreak") {
     val out = TextAnalysis.topTerms(docs((1L, "b a b c a b")), "text", 2).collect()
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("b", 3L), ("a", 2L)))
