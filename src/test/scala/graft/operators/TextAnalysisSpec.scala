@@ -33,6 +33,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Seq("the", "cats", "ran", "42", "times", ",", "fast", "!"))
   }
 
+  test("multimodal resize stub always yields exactly outBytes, deterministically") {
+    val df = Multimodal.withPayload(
+      docs((1L, "a much longer payload than the target size"),
+        (2L, "tiny"), (3L, "")), "text", "text/plain")
+    val out = df.select(col("doc_id"), Multimodal.stubResize(col("payload"), 8).as("r"))
+      .orderBy("doc_id").collect().map(r => r.getAs[Array[Byte]](1))
+    assert(out.forall(_.length === 8)) // fixed width incl. shorter-than-target and empty
+    val again = df.select(Multimodal.stubResize(col("payload"), 8))
+      .orderBy(col("doc_id")).collect().map(_.getAs[Array[Byte]](0))
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    assert(out(0).toSeq !== out(1).toSeq) // different payloads resample differently
+  }
+
   test("multimodal byte sampling is deterministic with fixed width") {
     val df = Multimodal.withPayload(docs((1L, "hello world payload")), "text", "text/plain")
     val a = df.select(Multimodal.sampleBytes(col("payload"), 4)).head().getSeq[String](0)
