@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Scale-safe per-group top-k for LOW-CARDINALITY group keys
   * (SURVEY.md §2.C row 5; 100 TB design notes).
@@ -42,9 +43,16 @@ object GroupTopK {
       rankCol: String = "rn", salts: Int = 32): DataFrame = {
     require(k > 0 && salts > 0)
     // deterministic salt: hash of the full row (as in SkewJoin.saltedJoin)
-    // — stable under retry/replay, uniform on any non-degenerate data
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(salts)).cast("int"))
+    // — stable under retry/replay, uniform on any non-degenerate data.
+    // Map-typed columns are not hashable in Spark; skip them (any other
+    // column set still spreads, and with NO hashable columns the salt
+    // degenerates to 0 = the plain window plan, which stays correct).
+    val hashable = df.schema.fields
+      .filterNot(f => hasMapType(f.dataType)).map(f => col(f.name)).toSeq
+    val saltExpr =
+      if (hashable.isEmpty) lit(0)
+      else pmod(xxhash64(hashable: _*), lit(salts)).cast("int")
+    val salted = df.withColumn("__salt", saltExpr)
     val local = Window.partitionBy((keys.map(col) :+ col("__salt")): _*)
       .orderBy(ordering: _*)
     val survivors = salted
@@ -54,5 +62,12 @@ object GroupTopK {
     val merge = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     survivors.withColumn(rankCol, row_number().over(merge))
       .filter(col(rankCol) <= k)
+  }
+
+  private def hasMapType(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case ArrayType(e, _) => hasMapType(e)
+    case s: StructType => s.fields.exists(f => hasMapType(f.dataType))
+    case _ => false
   }
 }

@@ -29,6 +29,18 @@ class GroupTopKSpec extends SparkSpec {
     }
   }
 
+  test("map-typed columns are excluded from the salt (hash would reject them)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", 3, Map("x" -> 1)), (2L, "a", 1, Map("y" -> 2)),
+      (3L, "b", 2, Map.empty[String, Int])).toDF("id", "key", "score", "m")
+    val out = GroupTopK.topK(df, Seq("key"),
+      Seq(col("score").desc, col("id").asc), k = 1, salts = 4)
+      .select("key", "id").orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a", 1L), ("b", 3L)))
+  }
+
   test("multi-key groups and k larger than some groups") {
     val s = spark
     import s.implicits._
