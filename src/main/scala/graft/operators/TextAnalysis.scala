@@ -84,6 +84,29 @@ object TextAnalysis {
       score.as("quality_score"))
   }
 
+  /** Ingest-side text cleaning (the first stage of any training-data
+    * pipeline): strip HTML tags, replace control characters, collapse
+    * whitespace runs, trim. Patterns stay RE2-compatible so SQL oracles
+    * reproduce the transform byte-for-byte, and everything is a codegen'd
+    * regexp chain — no UDF. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(text,
+      "<[^>]*>", " "),
+      "[\\x00-\\x1F\\x7F]", " "),
+      " +", " "))
+
+  /** Redaction: replace every match of `pattern` with `token` (emails,
+    * long digit runs, ... — compliance scrubbing before training). */
+  def redact(text: Column, pattern: String, token: String = "[REDACTED]"): Column =
+    regexp_replace(text, pattern, token)
+
+  /** RE2-compatible e-mail shape (kept simple enough that Java and RE2
+    * agree byte-for-byte). */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** Runs of 6+ digits — phone-number/id-shaped tokens. */
+  val LongDigitsPattern = "[0-9]{6,}"
+
   /** Canonical content fingerprint: md5 of the lower-cased trimmed text —
     * portable (any engine computes the identical digest). */
   def fingerprintMd5(text: Column): Column = md5(trim(lower(text)))

@@ -319,6 +319,37 @@ object LlmQueries {
     TextAnalysis.classifyLanguage(docs, "doc_id", "text", profiles).orderBy("doc_id")
   }
 
+  /** Text cleaning + redaction end-to-end: the documents get DETERMINISTIC
+    * planted dirt (HTML wrapper, a tab control char, a per-doc e-mail,
+    * trailing spaces) so every cleaning rule fires, then cleanText
+    * normalizes and redact scrubs the e-mail — both fully reproduced by
+    * the DuckDB oracle (identical RE2-compatible patterns, 'g' flag). */
+  def textClean(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(lit("<p> "), col("text"), lit(" </p>"),
+      chr(lit(9)), lit("  user"), col("doc_id").cast("string"), lit("@example.com  "))
+    val cleaned = TextAnalysis.cleanText(dirty)
+    Tables.documents(spark, dir).select(col("doc_id"),
+      cleaned.as("cleaned"),
+      TextAnalysis.redact(cleaned, TextAnalysis.EmailPattern).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  private val textCleanOracle: String =
+    s"""WITH dirty AS (
+       | SELECT doc_id,
+       |  '<p> ' || text || ' </p>' || chr(9) || '  user' || doc_id || '@example.com  ' AS d
+       | FROM documents),
+       |c AS (
+       | SELECT doc_id,
+       |  trim(regexp_replace(regexp_replace(regexp_replace(d,
+       |   '<[^>]*>', ' ', 'g'),
+       |   '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+       |   ' +', ' ', 'g')) AS cleaned
+       | FROM dirty)
+       |SELECT doc_id, cleaned,
+       | regexp_replace(cleaned, '${TextAnalysis.EmailPattern}', '[REDACTED]', 'g') AS redacted
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** Fixed literal trigram profiles for the oracle-checked language-ID
     * variant: classification mechanics (distinct-trigram overlap, argmax
     * with first-language tie-break) under an exact DuckDB oracle. The
@@ -456,6 +487,7 @@ object LlmQueries {
     QueryDef("doclen_describe", doclenDescribe, Some(doclenDescribeOracle)),
     QueryDef("langid_docs", langidDocs, None),
     QueryDef("langid_fixed", langidFixed, Some(langidFixedOracle)),
+    QueryDef("text_clean", textClean, Some(textCleanOracle)),
     QueryDef("vector_norms", vectorNorms, Some(vectorNormsOracle)),
     QueryDef("vector_profile", vectorProfile, Some(vectorProfileOracle)),
     QueryDef("multimodal_meta", multimodalMeta, Some(multimodalMetaOracle)),

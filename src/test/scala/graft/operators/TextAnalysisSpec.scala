@@ -88,6 +88,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getString(0) === "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
   }
 
+  test("cleanText strips tags/control chars, collapses spaces; redact scrubs emails") {
+    val out = docs((1L, "<b>hello</b>  world  <br/>from a@b.io now"))
+      .select(
+        TextAnalysis.cleanText(col("text")).as("c"),
+        TextAnalysis.redact(TextAnalysis.cleanText(col("text")),
+          TextAnalysis.EmailPattern).as("r"),
+        TextAnalysis.redact(lit("call 1234567 or 42"),
+          TextAnalysis.LongDigitsPattern, "<num>").as("d"))
+      .head()
+    assert(out.getString(0) === "hello world from a@b.io now")
+    assert(out.getString(1) === "hello world from [REDACTED] now")
+    assert(out.getString(2) === "call <num> or 42")
+  }
+
   test("rolling hash is deterministic and respects content") {
     val out = docs((1L, "abc"), (2L, "abc"), (3L, "abd"))
       .select(TextAnalysis.rollingHash(col("text")).as("h")).collect().map(_.getLong(0))
