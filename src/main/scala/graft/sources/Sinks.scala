@@ -21,6 +21,21 @@ object Sinks {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Compacting writer — the small-files remedy: pick the output file
+    * count from the optimizer's size estimate so each file lands near
+    * `targetFileBytes` (default 128 MB, the usual HDFS/parquet sweet
+    * spot). A 100 TB pipeline that writes per-micro-batch or
+    * per-fine-partition otherwise accumulates millions of KB-sized files
+    * whose open/footer overhead dominates reads. Uses repartition (a
+    * shuffle) for even file sizes — compaction IS the job here, so the
+    * one-time shuffle is the point, not an accident. */
+  def writeCompacted(df: DataFrame, path: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1L, (bytes.toLong + targetFileBytes - 1) / targetFileBytes).toInt
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Write a managed table bucketed (and sorted) by `key` for co-located
     * joins; read back with `spark.table(name)`. */
   def writeBucketed(df: DataFrame, name: String, key: String, buckets: Int): Unit =

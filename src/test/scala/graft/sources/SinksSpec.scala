@@ -40,6 +40,20 @@ class SinksSpec extends SparkSpec {
     assert(scanned.forall(_.contains("seg=seg3")))
   }
 
+  test("compacting writer sizes file count from the estimated bytes") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 20000).map(i => (i.toLong, s"row-payload-$i" * 4)).toDF("id", "s")
+      .repartition(16) // simulate a fragmented upstream (16 small files)
+    val path = tmp("compact")
+    // ~1.5 MB of data at a 512 KB target -> a handful of files, not 16
+    Sinks.writeCompacted(df, path, targetFileBytes = 512 * 1024)
+    val files = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files >= 1 && files < 16, s"got $files files")
+    assert(spark.read.parquet(path).count() === 20000)
+  }
+
   test("bucketed tables join without a shuffle exchange on either side") {
     val s = spark
     import s.implicits._
