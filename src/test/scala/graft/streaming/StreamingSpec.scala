@@ -212,6 +212,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch integrates the stream with the compacting sink") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = java.nio.file.Files.createTempDirectory("stream_compact").toString
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.Sinks.writeCompacted(
+          batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(id)),
+          s"$out/batch=$id")
+      }
+      .start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 10:00:00"), 1L, 1.0, 1),
+        Ev(ts("2024-01-01 10:01:00"), 2L, 2.0, 2))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 10:02:00"), 3L, 3.0, 3))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$out/batch=0", s"$out/batch=1")
+      assert(back.count() === 3)
+      assert(back.select("event_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("batch and streaming session windows agree on the same data") {
     val s = spark
     import s.implicits._
