@@ -125,8 +125,31 @@ object GeoQueries {
       |FROM customer WHERE c_custkey % 4 = 0
       |ORDER BY "index"""".stripMargin
 
+  /** bounding_box rule under the `.cx` envelope-intersection semantics:
+    * points sit outside bbox(0, 10, 0, 90) exactly when c_acctbal < 0
+    * (x = acctbal/1000 ∈ [-1, 10); y ∈ [0, 89] is always inside), squares
+    * when their right edge x+0.2 < 0 i.e. acctbal < -200 — both pure
+    * arithmetic, so the JTS envelope pipeline gets an exact oracle. */
+  def geoBbox(spark: SparkSession, dir: String): DataFrame =
+    Report(geomCustomers(spark, dir),
+      schema = Map("geometry" -> ColumnRules(
+        boundingBox = Some((0.0, 10.0, 0.0, 90.0)))),
+      key = Some("c_custkey"))
+      .validate()
+      .filter(col("function") === "bounding_box")
+
+  private val geoBboxOracle: String =
+    """SELECT 'geometry' AS "column", c_custkey AS "index",
+      | 'bounding_box' AS "function",
+      | 'Geometry outside of bbox(0.0, 10.0, 0.0, 90.0)' AS notes
+      |FROM customer
+      |WHERE (c_custkey % 10 <> 0 AND c_acctbal < 0)
+      |   OR (c_custkey % 10 = 0 AND c_acctbal < -200)
+      |ORDER BY "index"""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("geo_bounds", geoBounds, Some(geoBoundsOracle)),
+    QueryDef("geo_bbox", geoBbox, Some(geoBboxOracle)),
     QueryDef("geo_census", geoCensus, Some(geoCensusOracle)),
     QueryDef("geo_validate", geoValidate, None),
     QueryDef("geo_validate_keys", geoValidateKeys, Some(geoValidateKeysOracle)),
