@@ -251,13 +251,19 @@ object LlmQueries {
         r(col("quality_score"), 6).as("quality_score"))
       .orderBy("doc_id")
 
-  private val textQualityOracle: String = {
-    val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+  // SQL twins of the qualityMetrics expressions (shared by the quality
+  // and corpus-filter oracles; assume `text` and tokens `t` in scope)
+  private object QualitySql {
+    val stopList: String = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
     val alpha = "(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) / CAST(greatest(length(text), 1) AS DOUBLE)"
     val space = "(length(text) - length(regexp_replace(text, ' ', '', 'g'))) / CAST(greatest(length(text), 1) AS DOUBLE)"
     val stop = s"len(list_filter(t, x -> list_contains($stopList, x))) / CAST(greatest(len(t), 1) AS DOUBLE)"
     val avgTok = "CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / greatest(len(t), 1)"
     val score = s"least(greatest(len(t) / 20.0, 0.0), 1.0) * 0.3 + ($alpha) * 0.4 + (1.0 - abs(($avgTok) - 5.0) / 5.0) * 0.2 + (1.0 - ($stop)) * 0.1"
+  }
+
+  private val textQualityOracle: String = {
+    import QualitySql.{alpha, space, stop, avgTok, score}
     s"""SELECT doc_id,
        | ${rSql(alpha, 6)} AS alpha_ratio,
        | ${rSql(space, 6)} AS space_ratio,
@@ -267,6 +273,41 @@ object LlmQueries {
        |FROM (SELECT doc_id, text,
        |       list_filter(string_split(text, ' '), x -> x <> '') AS t
        |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** End-to-end training-corpus filter — the composition a real pipeline
+    * runs: exact-dedup (keep lowest doc_id per identical text), language
+    * allowlist, token-budget band, quality threshold on the ROUNDED score
+    * (rounding on both sides keeps the float boundary engine-stable).
+    * Every stage reuses the standalone operator it demonstrates. */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val dd = Dedup.exact(Tables.documents(spark, dir), Seq("text"), "doc_id")
+    val quality = TextAnalysis.qualityMetrics(dd, "doc_id", "text", Stopwords)
+      .select(col("doc_id"), r(col("quality_score"), 6).as("quality_score"))
+    dd.select(col("doc_id"), col("lang"), col("text"))
+      .join(quality, Seq("doc_id"))
+      .filter(col("lang").isin("en", "de") &&
+        TextAnalysis.tokenCount(col("text")).between(5, 180) &&
+        col("quality_score") >= 0.5)
+      .select("doc_id", "lang", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  private val corpusFilterOracle: String = {
+    import QualitySql.score
+    s"""WITH dd AS (
+       | SELECT doc_id, lang, text FROM documents
+       | QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+       |q AS (
+       | SELECT doc_id, lang, text,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS t
+       | FROM dd)
+       |SELECT doc_id, lang, ${rSql(score, 6)} AS quality_score
+       |FROM q
+       |WHERE lang IN ('en', 'de')
+       | AND len(t) BETWEEN 5 AND 180
+       | AND ${rSql(score, 6)} >= 0.5
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -488,6 +529,7 @@ object LlmQueries {
     QueryDef("langid_docs", langidDocs, None),
     QueryDef("langid_fixed", langidFixed, Some(langidFixedOracle)),
     QueryDef("text_clean", textClean, Some(textCleanOracle)),
+    QueryDef("corpus_filter", corpusFilter, Some(corpusFilterOracle)),
     QueryDef("vector_norms", vectorNorms, Some(vectorNormsOracle)),
     QueryDef("vector_profile", vectorProfile, Some(vectorProfileOracle)),
     QueryDef("multimodal_meta", multimodalMeta, Some(multimodalMetaOracle)),
