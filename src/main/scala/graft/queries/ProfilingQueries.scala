@@ -257,17 +257,47 @@ object ProfilingQueries {
     rep.validate()
   }
 
-  private val validateMultiOracle: String =
-    """SELECT * FROM (
-      | SELECT 'o_orderstatus' AS "column", o_orderkey AS "index",
+  // findings relation shared by the plain and verbose validation oracles
+  private val multiFindingsSql: String =
+    """SELECT 'o_orderstatus' AS "column", o_orderkey AS "index",
       |  'accepted' AS "function", 'Value not within the accepted range' AS notes
       | FROM orders WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F')
       | UNION ALL
       | SELECT 'o_totalprice', o_orderkey, 'range',
       |  CASE WHEN o_totalprice < 25000 THEN 'Value is less than the lower bound'
       |       WHEN o_totalprice > 250000 THEN 'Value is greater than the upper bound' END
-      | FROM orders WHERE o_totalprice < 25000 OR o_totalprice > 250000)
-      |ORDER BY "column", "index", "function", notes""".stripMargin
+      | FROM orders WHERE o_totalprice < 25000 OR o_totalprice > 250000""".stripMargin
+
+  private val validateMultiOracle: String =
+    s"""SELECT * FROM (
+       |$multiFindingsSql)
+       |ORDER BY "column", "index", "function", notes""".stripMargin
+
+  /** Verbose validation (A56): findings joined back to the source rows —
+    * the reference's validate(verbose=True) (petk/exploration.py:139-141)
+    * under an exact oracle. Projects a stable column subset (the join
+    * itself is what A56 asserts; floats ride rounded). */
+  def validateVerboseOrders(spark: SparkSession, dir: String): DataFrame = {
+    val rep = Report(Tables.orders(spark, dir),
+      schema = Map(
+        "o_orderstatus" -> ColumnRules(accepted = Some(Seq("O", "F"))),
+        "o_totalprice" -> ColumnRules(range = Some(Bounds(Some(25000.0), Some(250000.0))))),
+      key = Some("o_orderkey"))
+    rep.validate(verbose = true)
+      .select(col("column"), col("index"), col("function"), col("notes"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        r(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("column", "index", "function", "notes")
+  }
+
+  private val validateVerboseOracle: String =
+    s"""WITH f AS (
+       |$multiFindingsSql)
+       |SELECT f."column", f."index", f."function", f.notes,
+       | o.o_orderstatus, o.o_orderpriority,
+       | ${rSql("o.o_totalprice", 2)} AS o_totalprice
+       |FROM f JOIN orders o ON f."index" = o.o_orderkey
+       |ORDER BY "column", "index", "function", notes""".stripMargin
 
   /** The 100 TB mode: single-pass describe with HLL++ distinct and
     * t-digest quantiles. The SKETCH fields (distinct_count, q50) are
@@ -387,5 +417,6 @@ object ProfilingQueries {
     QueryDef("introduce_lineitem", introduceLineitem, Some(introduceOracle)),
     QueryDef("validate_accepted_orders", validateAcceptedOrders, Some(validateAcceptedOracle)),
     QueryDef("validate_range_lineitem", validateRangeLineitem, Some(validateRangeOracle)),
-    QueryDef("validate_multi_orders", validateMultiOrders, Some(validateMultiOracle)))
+    QueryDef("validate_multi_orders", validateMultiOrders, Some(validateMultiOracle)),
+    QueryDef("validate_verbose_orders", validateVerboseOrders, Some(validateVerboseOracle)))
 }
