@@ -78,8 +78,36 @@ object StreamShapeQueries {
       |FROM numbered GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Batch twin of Streams.intervalJoin (the impression/click shape):
+    * 1%-sampled left events joined to all same-user events within the
+    * following 12 hours (sized to the corpus's per-user event density —
+    * 10 minutes finds zero pairs). The oracle canonicalizes DuckDB's nanosecond
+    * timestamps to microseconds first, matching the engine's
+    * nanos-div-1000 ingest rescue, so boundary comparisons agree. */
+  def intervalJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val left = ev.filter(col("event_id") % 100 === 0)
+    Streams.intervalJoin(left, ev, "user_id", "ts", "10 minutes",
+      beforeMs = 0L, afterMs = 12 * 3600 * 1000L)
+      .filter(col("event_id") =!= col("event_id_r"))
+      .select(col("user_id"), col("event_id"), col("event_id_r"),
+        (unix_micros(col("ts_r")) - unix_micros(col("ts"))).as("lag_us"))
+      .orderBy("user_id", "event_id", "event_id_r")
+  }
+
+  private val intervalJoinOracle: String =
+    """WITH e AS (
+      | SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS ts FROM events)
+      |SELECT l.user_id, l.event_id, r.event_id AS event_id_r,
+      | epoch_us(r.ts) - epoch_us(l.ts) AS lag_us
+      |FROM e l JOIN e r ON l.user_id = r.user_id
+      |WHERE l.event_id % 100 = 0 AND r.event_id <> l.event_id
+      | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 12 HOUR
+      |ORDER BY l.user_id, l.event_id, event_id_r""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("window_tumbling", windowTumbling, Some(windowTumblingOracle)),
     QueryDef("window_sliding", windowSliding, Some(windowSlidingOracle)),
-    QueryDef("session_windows", sessionWindows, Some(sessionWindowsOracle)))
+    QueryDef("session_windows", sessionWindows, Some(sessionWindowsOracle)),
+    QueryDef("interval_join_events", intervalJoinEvents, Some(intervalJoinOracle)))
 }
