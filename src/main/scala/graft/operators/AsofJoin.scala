@@ -24,11 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** @param tolerance pandas-merge_asof-style bound: the match is kept
+    *   only when leftTime - rightTime <= tolerance (same comparison
+    *   domain as the time columns — a numeric difference for numeric
+    *   times, an `expr("INTERVAL ...")` for timestamps); matches beyond
+    *   it become nulls, exactly like no match at all. */
   def asofLeft(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightPrefix: String = "asof_"): DataFrame = {
+      rightPrefix: String = "asof_",
+      tolerance: Option[Column] = None): DataFrame = {
     val leftStruct = struct(left.columns.map(col): _*)
     val rightStruct = struct(right.columns.map(col): _*)
     val lType = left.select(leftStruct).schema.head.dataType
@@ -44,9 +50,14 @@ object AsofJoin {
     val w = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = l.unionByName(r)
+    val matched0 = l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val matched = tolerance match {
+      case Some(tol) => matched0.withColumn("__match",
+        when(col("__t") - col(s"__match.$rightTime") <= tol, col("__match")))
+      case None => matched0
+    }
 
     val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
     val rightCols = right.columns.map(c => col(s"__match.$c").as(s"$rightPrefix$c"))

@@ -512,6 +512,38 @@ object RelationalQueries {
       | ON e.user_id = r.o_custkey AND CAST(e.ts AS TIMESTAMP) >= r.o_orderdate
       |ORDER BY event_id""".stripMargin
 
+  /** [[asofJoinEvents]] with a pandas-merge_asof tolerance: matches older
+    * than 90 days dissolve to nulls, exactly like no match. Oracle = the
+    * native DuckDB ASOF join with the same post-bound applied. */
+  def asofToleranceEvents(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+    val orders = Tables.orders(spark, dir)
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+    graft.operators.AsofJoin.asofLeft(
+        events, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+        tolerance = Some(expr("INTERVAL 90 DAYS")))
+      .select(col("event_id"), col("user_id"),
+        col("asof_o_orderkey"), col("asof_o_orderdate"))
+      .orderBy("event_id")
+  }
+
+  private val asofToleranceOracle: String =
+    """WITH r AS (
+      | SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      | FROM orders GROUP BY o_custkey, o_orderdate),
+      |m AS (
+      | SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+      |  r.o_orderkey, r.o_orderdate
+      | FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.o_custkey AND CAST(e.ts AS TIMESTAMP) >= r.o_orderdate)
+      |SELECT event_id, user_id,
+      | CASE WHEN ts - o_orderdate <= INTERVAL 90 DAY THEN o_orderkey END AS asof_o_orderkey,
+      | CASE WHEN ts - o_orderdate <= INTERVAL 90 DAY THEN o_orderdate END AS asof_o_orderdate
+      |FROM m ORDER BY event_id""".stripMargin
+
   /** Tumbling-window aggregation over event time (batch twin of the
     * streaming hourly window — graft.streaming). */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
@@ -558,5 +590,6 @@ object RelationalQueries {
     QueryDef("supplier_nation", supplierNation, Some(supplierNationOracle)),
     QueryDef("range_join_events", rangeJoinEvents, Some(rangeJoinOracle)),
     QueryDef("asof_join_events", asofJoinEvents, Some(asofJoinOracle)),
+    QueryDef("asof_tolerance_events", asofToleranceEvents, Some(asofToleranceOracle)),
     QueryDef("events_hourly", eventsHourly, Some(eventsHourlyOracle)))
 }

@@ -251,6 +251,27 @@ class DedupSimilaritySpec extends SparkSpec {
       (2L, 7L, "c", "w", 7L), (3L, 9L, "z", null, null)))
   }
 
+  test("as-of join tolerance dissolves matches older than the bound (merge_asof parity)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c")).toDF("k", "t", "lid")
+    val right = Seq((1L, 3L, "x"), (1L, 8L, "y"), (2L, 7L, "w")).toDF("k", "t", "rid")
+    val out = AsofJoin.asofLeft(left, right, "k", "k", "t", "t",
+      tolerance = Some(lit(2L)))
+      .select("k", "t", "lid", "asof_rid")
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(3)).orNull))
+    // (1,5): match x@3, lag 2 <= 2 kept; (1,10): match y@8, lag 2 kept;
+    // (2,7): w@7, lag 0 kept — then tighten: with tolerance 1 the first two dissolve
+    assert(out.toSeq === Seq((1L, 5L, "x"), (1L, 10L, "y"), (2L, 7L, "w")))
+    val tight = AsofJoin.asofLeft(left, right, "k", "k", "t", "t",
+      tolerance = Some(lit(1L)))
+      .select("k", "t", "asof_rid")
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).orNull))
+    assert(tight.toSeq === Seq((1L, 5L, null), (1L, 10L, null), (2L, 7L, "w")))
+  }
+
   test("salted join equals the plain join on skewed data (inner and left)") {
     val s = spark
     import s.implicits._
