@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and dataset splitting.
+  *
+  * `df.sample()` draws from Spark's per-partition RNG: the result changes
+  * with partitioning, retries and Spark versions — useless for a
+  * reproducible pipeline. These operators hash a KEY column instead: a
+  * row's fate depends only on its key, so the sample is stable across
+  * engines, runs, repartitions and appends (new rows join the same
+  * buckets), and any engine with md5 can reproduce it exactly (the
+  * DuckDB oracle does).
+  *
+  * The hash bucket is the first 4 hex chars of md5(key) read as a
+  * base-16 number — uniform over [0, 65536).
+  */
+object Sampling {
+
+  val Buckets = 65536
+
+  /** Uniform bucket in [0, 65536) from the key's md5 — pure codegen'd
+    * string ops, no UDF, portable across engines. */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int")
+
+  /** Keep ~`fraction` of rows, deterministically by key. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    df.filter(hashBucket(col(keyCol)) < (fraction * Buckets).toInt)
+  }
+
+  /** Assign every row a split label by hash range: `weights` are
+    * (label, weight) pairs, normalized over their sum — e.g.
+    * Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)). Stable under
+    * appends: a row's split never changes when the dataset grows. */
+  def assignSplits(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0))
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .map(f => (f * Buckets).toInt)
+    val b = hashBucket(col(keyCol))
+    val labeled = weights.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((label, _), i)) =>
+        // the last range extends to the top bucket so every row labels
+        val upper = if (i == weights.size - 1) lit(true) else b < cuts(i + 1)
+        when(b >= cuts(i) && upper, lit(label)).otherwise(acc)
+    }
+    df.withColumn(splitCol, labeled)
+  }
+}

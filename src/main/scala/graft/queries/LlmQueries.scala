@@ -311,6 +311,32 @@ object LlmQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic 10% sample + 80/10/10 split assignment by key hash —
+    * stable under repartition/retry/append, reproduced exactly by the
+    * DuckDB oracle (md5 hex → bucket). The split census checks the
+    * assignment end-to-end without 500 rows of labels. */
+  def sampleSplitDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sampled = graft.operators.Sampling.deterministicSample(docs, "doc_id", 0.10)
+      .agg(count(lit(1)).as("n_sampled"))
+    val splits = graft.operators.Sampling.assignSplits(docs, "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .groupBy("split").agg(count(lit(1)).as("n"))
+    splits.crossJoin(sampled).select("split", "n", "n_sampled").orderBy("split")
+  }
+
+  private val sampleSplitOracle: String = {
+    val bucket = "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT"
+    s"""WITH b AS (SELECT $bucket AS bkt FROM documents),
+       |s AS (SELECT count(*) AS n_sampled FROM b WHERE bkt < ${(0.10 * 65536).toInt}),
+       |sp AS (
+       | SELECT CASE WHEN bkt < ${(0.8 * 65536).toInt} THEN 'train'
+       |             WHEN bkt < ${(0.9 * 65536).toInt} THEN 'val'
+       |             ELSE 'test' END AS split, count(*) AS n
+       | FROM b GROUP BY 1)
+       |SELECT sp.split, sp.n, s.n_sampled FROM sp, s ORDER BY split""".stripMargin
+  }
+
   /** Portable md5 content fingerprint per document. */
   def fingerprintDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -530,6 +556,7 @@ object LlmQueries {
     QueryDef("langid_fixed", langidFixed, Some(langidFixedOracle)),
     QueryDef("text_clean", textClean, Some(textCleanOracle)),
     QueryDef("corpus_filter", corpusFilter, Some(corpusFilterOracle)),
+    QueryDef("sample_split_docs", sampleSplitDocs, Some(sampleSplitOracle)),
     QueryDef("vector_norms", vectorNorms, Some(vectorNormsOracle)),
     QueryDef("vector_profile", vectorProfile, Some(vectorProfileOracle)),
     QueryDef("multimodal_meta", multimodalMeta, Some(multimodalMetaOracle)),

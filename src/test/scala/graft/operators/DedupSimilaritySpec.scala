@@ -272,6 +272,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(tight.toSeq === Seq((1L, 5L, null), (1L, 10L, null), (2L, 7L, "w")))
   }
 
+  test("deterministic sampling/splits: stable by key, complete, append-invariant") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val assigned = Sampling.assignSplits(df, "id", splits)
+    val census = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census.values.sum === 2000L)              // every row labeled
+    assert(census("train") > census("val") * 4)      // ~80/10/10 shape
+    // append-invariance: the first 1000 rows keep their labels exactly
+    val firstHalf = Sampling.assignSplits(df.filter($"id" <= 1000), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val fromFull = assigned.filter($"id" <= 1000)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(firstHalf === fromFull)
+    // sampling is a subset selection by the same hash, ~10%
+    val n = Sampling.deterministicSample(df, "id", 0.10).count()
+    assert(n > 120 && n < 280, s"sampled $n of 2000")
+  }
+
   test("salted join equals the plain join on skewed data (inner and left)") {
     val s = spark
     import s.implicits._
