@@ -512,6 +512,38 @@ object RelationalQueries {
       | ON e.user_id = r.o_custkey AND CAST(e.ts AS TIMESTAMP) >= r.o_orderdate
       |ORDER BY event_id""".stripMargin
 
+  /** Full outer join with deterministic one-side-only populations:
+    * low-nation customers vs high-nation suppliers overlap only on
+    * nations 10-14, leaving left-only and right-only rows on both
+    * flanks — the join-type matrix's last member under an exact oracle. */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val custs = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") <= 14)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_customers"))
+    val supps = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") >= 10)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n_suppliers"))
+    custs.join(supps, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
+  private val joinFullOuterOracle: String =
+    """WITH c AS (
+      | SELECT c_nationkey, count(*) AS n_customers FROM customer
+      | WHERE c_nationkey <= 14 GROUP BY c_nationkey),
+      |s AS (
+      | SELECT s_nationkey, count(*) AS n_suppliers FROM supplier
+      | WHERE s_nationkey >= 10 GROUP BY s_nationkey)
+      |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+      | coalesce(n_customers, 0) AS n_customers,
+      | coalesce(n_suppliers, 0) AS n_suppliers
+      |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   /** [[asofJoinEvents]] with a pandas-merge_asof tolerance: matches older
     * than 90 days dissolve to nulls, exactly like no match. Oracle = the
     * native DuckDB ASOF join with the same post-bound applied. */
@@ -588,6 +620,7 @@ object RelationalQueries {
     QueryDef("agg_distinct", aggDistinct, Some(aggDistinctOracle)),
     QueryDef("join_part_revenue", joinPartRevenue, Some(joinPartRevenueOracle)),
     QueryDef("supplier_nation", supplierNation, Some(supplierNationOracle)),
+    QueryDef("join_full_outer", joinFullOuter, Some(joinFullOuterOracle)),
     QueryDef("range_join_events", rangeJoinEvents, Some(rangeJoinOracle)),
     QueryDef("asof_join_events", asofJoinEvents, Some(asofJoinOracle)),
     QueryDef("asof_tolerance_events", asofToleranceEvents, Some(asofToleranceOracle)),
