@@ -143,6 +143,45 @@ object LlmQueries {
        |WHERE sim >= 0.25
        |ORDER BY a, b""".stripMargin
 
+  /** Near-dup PAIRS → dedup CLUSTERS: connected components of the
+    * embedding-cosine similarity graph (same pair construction as
+    * [[cosineNeardupPairs]]), every vector labeled with its component's
+    * minimum id — the canonical-document assignment of a dedup pipeline.
+    * Spark runs the O(log n) alternating-star contraction; the oracle
+    * recomputes exact reachability with a recursive CTE (feasible at
+    * oracle scale only). Singletons keep their own id. Threshold 0.35
+    * yields ~250 components with a largest of ~40-60 members — chains,
+    * mid-size clusters and singletons all present, so the contraction
+    * genuinely iterates. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = Similarity.cosinePairs(emb, "vec_id", "embedding",
+      threshold = 0.35, maxId = 500)
+    val comp = Dedup.connectedComponents(pairs, "a", "b")
+    emb.filter(col("vec_id") < 500)
+      .select(col("vec_id"))
+      .join(comp, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).cast(LongType).as("component"))
+      .orderBy("vec_id")
+  }
+
+  private val dedupClustersOracle: String =
+    """WITH RECURSIVE p AS (
+      | SELECT x.vec_id AS a, y.vec_id AS b
+      | FROM embeddings x, embeddings y
+      | WHERE x.vec_id < 500 AND y.vec_id < 500 AND x.vec_id < y.vec_id
+      |  AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+      |                             CAST(y.embedding AS DOUBLE[])) >= 0.35),
+      |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+      |n AS (SELECT vec_id AS id FROM embeddings WHERE vec_id < 500),
+      |reach(id, lbl) AS (
+      | SELECT id, id FROM n
+      | UNION
+      | SELECT e.b AS id, r.lbl FROM reach r JOIN e ON e.a = r.id)
+      |SELECT id AS vec_id, CAST(min(lbl) AS BIGINT) AS component
+      |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+
   // ----------------------------------------------------------- similarity
 
   /** Exact brute-force cosine top-5 for the first five vectors. */
@@ -542,6 +581,7 @@ object LlmQueries {
     QueryDef("simhash_neardup_docs", simhashNeardupDocs, None),
     QueryDef("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardOracle)),
     QueryDef("cosine_neardup_pairs", cosineNeardupPairs, Some(cosineNeardupOracle)),
+    QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("cosine_topk", cosineTopk, Some(cosineTopkOracle)),
     QueryDef("ann_lsh_topk", annLshTopk, None),
     QueryDef("ivf_topk", ivfTopk, Some(cosineTopkOracle)),

@@ -111,6 +111,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("connected components: path graph converges to min label across hops") {
+    val s = spark
+    import s.implicits._
+    // a 10-node path (multi-round convergence) plus a disjoint triangle
+    val path = (0L until 9L).map(i => (i, i + 1))
+    val tri = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val pairs = (path ++ tri).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 9L).foreach(i => assert(out(i) === 0L, s"node $i"))
+    Seq(20L, 21L, 22L).foreach(i => assert(out(i) === 20L, s"node $i"))
+    assert(out.size === 13)
+  }
+
+  test("connected components: edge direction and duplicates do not matter; empty graph is empty") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((5L, 3L), (3L, 5L), (5L, 3L), (7L, 5L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
+    val empty = Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(empty.isEmpty)
+  }
+
   test("cosine matches manual dot/norm arithmetic") {
     val s = spark
     import s.implicits._
