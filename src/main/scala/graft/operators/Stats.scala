@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-column statistics the profiling surface needs beyond the
+  * per-column describe ladder (pandas-profiling-style extensions the
+  * reference does not have; SURVEY.md §2.C): correlation matrices,
+  * equi-width histograms, Shannon entropy, and per-column frequent
+  * values. Every operator is a fixed number of hash aggregations — no
+  * all-pairs row joins, no driver-side loops over data — so the shapes
+  * hold at 100 TB.
+  */
+object Stats {
+
+  /** Pairwise Pearson correlation of `cols` in ONE aggregation pass:
+    * n*(n-1)/2 codegen'd `corr` aggregates over a single scan, emitted
+    * long-form (col_a, col_b, corr) with col_a < col_b. Spark's `corr`
+    * is the sample correlation over pairwise-complete rows — the same
+    * definition pandas `DataFrame.corr()` and DuckDB `corr()` use. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__$b") }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val longForm = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col(s"${a}__$b").as("corr"))
+    }
+    row.select(explode(array(longForm: _*)).as("p")).select("p.*")
+  }
+
+  /** Average rank of `c` (ties get the mean of their rank range — the
+    * convention pandas `rank(method='average')` uses, which makes
+    * Spearman well-defined under ties): rank() + (ties - 1) / 2.
+    * Nulls rank last and are excluded by the downstream `corr`. */
+  private def avgRank(c: String): Column = {
+    val byValue = Window.orderBy(col(c).asc_nulls_last)
+    when(col(c).isNotNull,
+      rank().over(byValue) + (count(col(c)).over(byValue.rangeBetween(0, 0)) - 1) / 2.0)
+  }
+
+  /** Spearman rank correlation of two columns: Pearson on average ranks.
+    * The rank transform is a global sort per column — at scale, run it on
+    * a deterministic sample or quantile-sketch ranks; this exact form is
+    * the oracle-parity baseline. */
+  def spearman(df: DataFrame, a: String, b: String): DataFrame =
+    df.select(avgRank(a).as("ra"), avgRank(b).as("rb"))
+      .agg(corr(col("ra"), col("rb")).as("spearman"))
+
+  /** Equi-width histogram of a numeric column: `bins` buckets spanning
+    * [min, max] (bounds from a first tiny agg pass), bucket =
+    * floor((x - min) / width) clamped to bins - 1 so x = max lands in the
+    * last bucket. Returns (bucket, lo, hi, cnt) for non-empty buckets.
+    * Two passes over the scan, both codegen'd hash aggs. */
+  def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins > 0)
+    val Seq(mn, mx) = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double])
+    val width = (mx - mn) / bins
+    val bucket =
+      if (width == 0.0) lit(0) // constant column: everything in bucket 0
+      else least(floor((col(c) - mn) / width), lit(bins - 1)).cast("int")
+    df.filter(col(c).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"),
+        (lit(mn) + col("bucket") * width).as("lo"),
+        (lit(mn) + (col("bucket") + 1) * width).as("hi"),
+        col("cnt"))
+  }
+
+  /** Shannon entropy (natural log) of a column's value distribution,
+    * nulls excluded: -sum(p * ln p) over the value frequencies. One
+    * groupBy + one tiny agg. An approximate dual at extreme cardinality
+    * would sketch the frequencies (CMS); exact is the oracle baseline. */
+  def entropy(df: DataFrame, c: String): DataFrame = {
+    val freq = df.filter(col(c).isNotNull).groupBy(col(c)).agg(count(lit(1)).as("n"))
+    freq.agg((lit(0.0) - sum(col("n") * log(col("n")))).as("w"), sum("n").as("t"))
+      .select((col("w") / col("t") + log(col("t"))).as("entropy"))
+    // -sum((n/t) ln(n/t)) = ln t - sum(n ln n)/t — one pass, no join back
+  }
+
+  /** Top `k` most frequent values per column, long-form
+    * (column, value, cnt, rank), values cast to string for a uniform
+    * schema. Frequencies are one hash agg per column over a shared scan;
+    * the per-column ranking goes through [[GroupTopK]] — the
+    * low-cardinality partition key ("column") never becomes a
+    * single-task sort of the full frequency table. */
+  def topValues(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    val stacked = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*)).as("cv"))
+      .select("cv.*")
+      .filter(col("value").isNotNull)
+    val freq = stacked.groupBy("column", "value").agg(count(lit(1)).as("cnt"))
+    GroupTopK.topK(freq, Seq("column"),
+        Seq(col("cnt").desc, col("value").asc), k, rankCol = "rank")
+      .select(col("column"), col("value"), col("cnt"), col("rank").cast("int").as("rank"))
+  }
+}

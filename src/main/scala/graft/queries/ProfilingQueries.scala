@@ -406,7 +406,111 @@ object ProfilingQueries {
     rep.describeDF().orderBy("column", "statistic")
   }
 
+  // ------------------------------------------- cross-column profile extras
+
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey")
+
+  /** Pairwise Pearson correlation matrix over five lineitem columns —
+    * ten codegen'd corr aggregates in ONE scan (Stats.correlationMatrix),
+    * long-form output. */
+  def corrMatrixLineitem(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.correlationMatrix(Tables.lineitem(spark, dir), CorrCols)
+      .select(col("col_a"), col("col_b"), r(col("corr"), 6).as("corr"))
+      .orderBy("col_a", "col_b")
+
+  private val corrMatrixOracle: String = {
+    val pairs = for {
+      i <- CorrCols.indices; j <- (i + 1) until CorrCols.size
+    } yield (CorrCols(i), CorrCols(j))
+    val selects = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, ${rSql(s"corr($a, $b)", 6)} AS corr FROM lineitem"""
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+  }
+
+  /** Spearman rank correlation (Pearson on average ranks, pandas
+    * rank(method='average') tie convention). */
+  def spearmanLineitem(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.spearman(
+        Tables.lineitem(spark, dir), "l_extendedprice", "l_quantity")
+      .select(r(col("spearman"), 6).as("spearman"))
+
+  private val spearmanOracle: String =
+    s"""WITH rk AS (
+       | SELECT rank() OVER (ORDER BY l_extendedprice)
+       |         + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ra,
+       |        rank() OVER (ORDER BY l_quantity)
+       |         + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rb
+       | FROM lineitem)
+       |SELECT ${rSql("corr(ra, rb)", 6)} AS spearman FROM rk""".stripMargin
+
+  /** Equi-width 20-bin histogram of l_extendedprice: bounds pass + bucket
+    * hash-agg (Stats.histogram). */
+  def histogramLineitem(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.histogram(Tables.lineitem(spark, dir), "l_extendedprice", 20)
+      .select(col("bucket"), r(col("lo"), 6).as("lo"), r(col("hi"), 6).as("hi"), col("cnt"))
+      .orderBy("bucket")
+
+  private val histogramOracle: String = {
+    val w = "((b.mx - b.mn) / 20)"
+    s"""WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem),
+       |h AS (
+       | SELECT CAST(least(floor((l_extendedprice - b.mn) / $w), 19) AS INT) AS bucket,
+       |        count(*) AS cnt
+       | FROM lineitem, b WHERE l_extendedprice IS NOT NULL GROUP BY 1)
+       |SELECT h.bucket,
+       | ${rSql(s"b.mn + h.bucket * $w", 6)} AS lo,
+       | ${rSql(s"b.mn + (h.bucket + 1) * $w", 6)} AS hi,
+       | h.cnt
+       |FROM h, b ORDER BY h.bucket""".stripMargin
+  }
+
+  /** Shannon entropy (nats) of the two categorical orders columns. */
+  def entropyOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    Seq("o_orderpriority", "o_orderstatus").map { c =>
+      graft.operators.Stats.entropy(o, c)
+        .select(lit(c).as("column"), r(col("entropy"), 6).as("entropy"))
+    }.reduce(_.unionByName(_)).orderBy("column")
+  }
+
+  private val entropyOracle: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", ${rSql("ln(sum(n)) - sum(n * ln(n)) / sum(n)", 6)} AS entropy
+         |FROM (SELECT CAST(count(*) AS DOUBLE) AS n FROM orders
+         |      WHERE $c IS NOT NULL GROUP BY $c)""".stripMargin
+    s"""${one("o_orderpriority")}
+       |UNION ALL
+       |${one("o_orderstatus")}
+       |ORDER BY "column"""".stripMargin
+  }
+
+  /** Top-3 most frequent values per categorical column, ranked through
+    * the salted GroupTopK (no single-task sort on the low-cardinality
+    * "column" key). */
+  def topValuesOrders(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.topValues(
+        Tables.orders(spark, dir), Seq("o_orderpriority", "o_orderstatus"), 3)
+      .orderBy("column", "rank")
+
+  private val topValuesOracle: String =
+    """SELECT "column", "value", cnt, rank FROM (
+      | SELECT "column", "value", cnt,
+      |  CAST(row_number() OVER (PARTITION BY "column" ORDER BY cnt DESC, "value" ASC) AS INT) AS rank
+      | FROM (
+      |  SELECT 'o_orderpriority' AS "column", o_orderpriority AS "value", count(*) AS cnt
+      |  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', o_orderstatus, count(*)
+      |  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 2))
+      |WHERE rank <= 3 ORDER BY "column", rank""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("corr_matrix_lineitem", corrMatrixLineitem, Some(corrMatrixOracle)),
+    QueryDef("spearman_lineitem", spearmanLineitem, Some(spearmanOracle)),
+    QueryDef("histogram_lineitem", histogramLineitem, Some(histogramOracle)),
+    QueryDef("entropy_orders", entropyOrders, Some(entropyOracle)),
+    QueryDef("top_values_orders", topValuesOrders, Some(topValuesOracle)),
     QueryDef("describe_numeric_lineitem", describeNumericLineitem, Some(describeNumericOracle)),
     QueryDef("describe_approx_lineitem", describeApproxLineitem, None),
     QueryDef("describe_approx_moments", describeApproxMoments, Some(describeApproxMomentsOracle)),

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+
+  test("correlation matrix: exact on a hand-computed linear pair, long-form, a < b") {
+    val s = spark
+    import s.implicits._
+    // y = 2x exactly (corr 1); z anti-correlates with x (corr -1)
+    val df = Seq((1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0))
+      .toDF("x", "y", "z")
+    val out = Stats.correlationMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out(("x", "y")) - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "z")) + 1.0) < 1e-12)
+    assert(math.abs(out(("y", "z")) + 1.0) < 1e-12)
+    assert(out.size === 3)
+  }
+
+  test("spearman: rank correlation is 1 for any monotone map, ties averaged") {
+    val s = spark
+    import s.implicits._
+    // monotone but non-linear (Pearson < 1, Spearman = 1)
+    val mono = Seq((1.0, 1.0), (2.0, 8.0), (3.0, 27.0), (4.0, 64.0)).toDF("a", "b")
+    assert(math.abs(Stats.spearman(mono, "a", "b").head().getDouble(0) - 1.0) < 1e-12)
+    // ties: a = (1,2,2,3) avg-ranks to (1, 2.5, 2.5, 4) — matches pandas
+    val ties = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 40.0)).toDF("a", "b")
+    val got = ties.select(
+      rank().over(org.apache.spark.sql.expressions.Window.orderBy(col("a"))).as("r")).collect()
+    // sanity of the underlying rank; the averaged variant is covered by
+    // equality with the closed-form Spearman on these values: rs with one
+    // tied pair of size 2 against untied b = 0.9486832980505138
+    val rs = Stats.spearman(ties, "a", "b").head().getDouble(0)
+    assert(math.abs(rs - 0.9486832980505138) < 1e-9, s"got $rs (ranks ${got.mkString(",")})")
+  }
+
+  test("histogram: buckets, bounds and clamp of the max value") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 10.0).toDF("v")
+    val out = Stats.histogram(df, "v", 5).orderBy("bucket").collect()
+    // width 2: [0,2)x2 [2,4)x2 [4,6)x2(4 and clamped 10? no: 10 -> bucket 4)
+    assert(out.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 4))
+    assert(out.map(_.getLong(3)).toSeq === Seq(2L, 2L, 1L, 1L))
+    assert(out.head.getDouble(1) === 0.0 && out.head.getDouble(2) === 2.0)
+    // constant column: single bucket 0 holding everything
+    val const = Seq(7.0, 7.0, 7.0).toDF("v")
+    val c = Stats.histogram(const, "v", 4).collect()
+    assert(c.length === 1 && c.head.getInt(0) === 0 && c.head.getLong(3) === 3L)
+  }
+
+  test("entropy: uniform = ln k, constant = 0, nulls excluded") {
+    val s = spark
+    import s.implicits._
+    val uni = Seq("a", "b", "c", "d").toDF("c")
+    assert(math.abs(Stats.entropy(uni, "c").head().getDouble(0) - math.log(4)) < 1e-12)
+    val const = Seq("a", "a", "a").toDF("c")
+    assert(math.abs(Stats.entropy(const, "c").head().getDouble(0)) < 1e-12)
+    val withNull = Seq(Some("a"), Some("b"), None).toDF("c")
+    assert(math.abs(Stats.entropy(withNull, "c").head().getDouble(0) - math.log(2)) < 1e-12)
+  }
+
+  test("top values: count-desc, value-asc ties, per-column k, nulls excluded") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", "x"), ("a", "y"), ("b", "y"), ("b", null), ("c", "y"))
+      .toDF("c1", "c2")
+    val out = Stats.topValues(df, Seq("c1", "c2"), 2)
+      .orderBy("column", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq === Seq(
+      ("c1", "a", 2L, 1), ("c1", "b", 2L, 2), // tie a/b -> value asc
+      ("c2", "y", 3L, 1), ("c2", "x", 1L, 2)))
+  }
+}
