@@ -451,6 +451,29 @@ object RelationalQueries {
       | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
       |ORDER BY user_id, click_id, purchase_id""".stripMargin
 
+  /** Time-proximity join with NO equi key: purchases within 2 minutes
+    * after ANY click, by any user. Without banding this can only be a
+    * nested-loop; [[graft.operators.RangeJoin.bandedAfter]] turns it into
+    * a shuffled equi join on the time band (PlanSpec asserts no BNLJ /
+    * cartesian appears). The oracle runs the plain theta join. */
+  def rangeJoinBanded(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("cts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("pts"))
+    graft.operators.RangeJoin.bandedAfter(clicks, "cts", purchases, "pts", 120)
+      .select(col("click_id"), col("purchase_id"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  private val rangeJoinBandedOracle: String =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM events c JOIN events p
+      | ON c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 2 MINUTE
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   /** Fact-to-part join: lineitem against the broadcast part dimension,
     * revenue per brand. */
   def joinPartRevenue(spark: SparkSession, dir: String): DataFrame =
@@ -622,6 +645,7 @@ object RelationalQueries {
     QueryDef("supplier_nation", supplierNation, Some(supplierNationOracle)),
     QueryDef("join_full_outer", joinFullOuter, Some(joinFullOuterOracle)),
     QueryDef("range_join_events", rangeJoinEvents, Some(rangeJoinOracle)),
+    QueryDef("range_join_banded", rangeJoinBanded, Some(rangeJoinBandedOracle)),
     QueryDef("asof_join_events", asofJoinEvents, Some(asofJoinOracle)),
     QueryDef("asof_tolerance_events", asofToleranceEvents, Some(asofToleranceOracle)),
     QueryDef("events_hourly", eventsHourly, Some(eventsHourlyOracle)))

@@ -74,4 +74,11 @@ class PlanSpec extends SparkSpec {
     // equi part hashed (broadcast or shuffled), never a pure nested loop
     assert(plan.contains("HashJoin"))
   }
+
+  test("banded range join without an equi key still plans an equi join, never a nested loop") {
+    val plan = planOf(RelationalQueries.rangeJoinBanded(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded plan fell back to a nested loop:\n$plan")
+    assert(plan.contains("Join") && plan.contains("__band"))
+  }
 }
