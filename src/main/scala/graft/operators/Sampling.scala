@@ -31,6 +31,22 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < (fraction * Buckets).toInt)
   }
 
+  /** Stratified deterministic sample: a per-stratum keep fraction (e.g.
+    * downsampling a dominant language to rebalance a corpus). Strata not
+    * listed keep `defaultFraction`. The keep decision still hashes only
+    * the KEY, so it stays stable under appends and across engines; a row
+    * changing stratum WOULD change its threshold — by design (the
+    * stratum is part of the policy, the key is the identity). */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1))
+    val cut = fractions.foldLeft(lit((defaultFraction * Buckets).toInt)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit((f * Buckets).toInt)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < cut)
+  }
+
   /** Assign every row a split label by hash range: `weights` are
     * (label, weight) pairs, normalized over their sum — e.g.
     * Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)). Stable under

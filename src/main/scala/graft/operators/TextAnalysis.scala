@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Report
@@ -49,6 +50,27 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(n)
+
+  /** Per-document TF-IDF top-k terms: tf = in-document term count,
+    * idf = ln(N / df) with df = number of documents containing the term.
+    * Three hash aggregations over exploded token rows plus a broadcast of
+    * the 1-row corpus count; the per-document ranking window partitions
+    * on doc id — high cardinality, so no salting is needed (contrast
+    * [[GroupTopK]] for low-cardinality keys). Ties rank by term asc for
+    * determinism. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+  }
 
   /** Language census over a label column. */
   def langCensus(df: DataFrame, langCol: String): DataFrame =

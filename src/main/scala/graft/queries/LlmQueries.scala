@@ -376,6 +376,56 @@ object LlmQueries {
        |SELECT sp.split, sp.n, s.n_sampled FROM sp, s ORDER BY split""".stripMargin
   }
 
+  /** Per-document TF-IDF top-3 terms over a bounded doc range (keeps the
+    * oracle row set reviewable; the operator itself is corpus-wide hash
+    * aggs). idf uses the classic ln(N/df) over the FULL corpus. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        r(col("tfidf"), 6).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val tfidfOracle: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       | FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       | SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       |  tf.tf * ln(n.n_docs / CAST(dfreq.df AS DOUBLE)) AS tfidf
+       | FROM tf JOIN dfreq USING (term), n)
+       |SELECT doc_id,
+       | CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS "rank",
+       | term, tf, df, ${rSql("tfidf", 6)} AS tfidf
+       |FROM scored
+       |QUALIFY "rank" <= 3 AND doc_id < 50
+       |ORDER BY doc_id, "rank"""".stripMargin
+
+  /** Stratified rebalancing sample: per-language keep fractions
+    * (en halved, es kept, de dropped to 20%), census output. */
+  def stratifiedSampleDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+        Tables.documents(spark, dir), "doc_id", "lang",
+        Map("en" -> 0.5, "es" -> 1.0, "de" -> 0.2), defaultFraction = 0.1)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+
+  private val stratifiedSampleOracle: String = {
+    val bucket = "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT"
+    def cut(f: Double) = (f * 65536).toInt
+    s"""SELECT lang, count(*) AS n_kept
+       |FROM documents
+       |WHERE $bucket < CASE lang
+       |  WHEN 'en' THEN ${cut(0.5)} WHEN 'es' THEN ${cut(1.0)}
+       |  WHEN 'de' THEN ${cut(0.2)} ELSE ${cut(0.1)} END
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Portable md5 content fingerprint per document. */
   def fingerprintDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -588,6 +638,8 @@ object LlmQueries {
     QueryDef("text_token_stats", textTokenStats, Some(textTokenStatsOracle)),
     QueryDef("token_budget", tokenBudget, Some(tokenBudgetOracle)),
     QueryDef("top_terms", topTerms, Some(topTermsOracle)),
+    QueryDef("tfidf_top_terms", tfidfTopTerms, Some(tfidfOracle)),
+    QueryDef("stratified_sample_docs", stratifiedSampleDocs, Some(stratifiedSampleOracle)),
     QueryDef("lang_census", langCensus, Some(langCensusOracle)),
     QueryDef("text_quality", textQuality, Some(textQualityOracle)),
     QueryDef("fingerprint_docs", fingerprintDocs, Some(fingerprintOracle)),

@@ -127,6 +127,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(preds.toSeq === Seq("aa", "zz"))
   }
 
+  test("tfidf: hand-computed scores, per-doc top-k, term-asc ties") {
+    val s = spark
+    import s.implicits._
+    // 4 docs; "common" in all (idf = ln 1 = 0), "rare" only in doc 1
+    val df = Seq(
+      (1L, "common rare rare"), (2L, "common"), (3L, "common"), (4L, "common half"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(5)))
+    // doc 1: rare tf=2 idf=ln(4/1) -> 2 ln 4; common tfidf 0
+    assert(out(0)._3 === "rare")
+    assert(math.abs(out(0)._4 - 2 * math.log(4.0)) < 1e-12)
+    assert(out(1) === ((1L, 2, "common", 0.0)))
+    // doc 4: half tf=1 idf=ln 4 beats common's 0
+    val doc4 = out.filter(_._1 == 4L)
+    assert(doc4.head._3 === "half" && math.abs(doc4.head._4 - math.log(4.0)) < 1e-12)
+  }
+
+  test("stratified sample: per-stratum fractions, key-stable, default applies") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+      .toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 1.0, "de" -> 0.2), defaultFraction = 0.0)
+    val census = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census("en") === 1000L)                    // fraction 1 keeps all
+    assert(census("de") > 100 && census("de") < 320)  // ~20%
+    assert(!census.contains("fr"))                    // default 0 drops all
+    // key-stability: kept 'de' ids are exactly the plain 20% sample of de rows
+    val deKept = kept.filter($"lang" === "de").collect().map(_.getLong(0)).toSet
+    val dePlain = Sampling.deterministicSample(df.filter($"lang" === "de"), "id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(deKept === dePlain)
+  }
+
   test("language-ID ties resolve to the lexicographically first language") {
     // identical profiles for every language -> every doc scores equal
     val profiles = Map("de" -> Seq("abc"), "en" -> Seq("abc"), "fr" -> Seq("abc"))
