@@ -492,6 +492,33 @@ object RelationalQueries {
        |GROUP BY p_brand
        |ORDER BY p_brand""".stripMargin
 
+  /** Non-parquet source/sink round trip under the oracle: nation goes
+    * out as headered CSV, region as JSON lines (graft.sources.Sinks),
+    * both come back through spark.read with explicit schemas, and the
+    * broadcast join + census over the ROUND-TRIPPED data must match the
+    * oracle computed on the original parquet — any encode/decode drift
+    * in either format fails the hash compare. Key/name columns only: CSV
+    * is not the place for free-text comment columns. */
+  def csvJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-roundtrip").toString
+    val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val region = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    graft.sources.Sinks.writeCsv(nation, s"$tmp/nation_csv")
+    graft.sources.Sinks.writeJson(region, s"$tmp/region_json")
+    val nationBack = spark.read.option("header", "true").schema(nation.schema)
+      .csv(s"$tmp/nation_csv")
+    val regionBack = spark.read.schema(region.schema).json(s"$tmp/region_json")
+    nationBack.join(broadcast(regionBack), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"), min("n_name").as("first_nation"))
+      .orderBy("r_name")
+  }
+
+  private val csvJsonRoundtripOracle: String =
+    """SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   /** Dimension-chain projection: supplier -> nation -> region. */
   def supplierNation(spark: SparkSession, dir: String): DataFrame =
     Tables.supplier(spark, dir)
@@ -646,6 +673,7 @@ object RelationalQueries {
     QueryDef("join_full_outer", joinFullOuter, Some(joinFullOuterOracle)),
     QueryDef("range_join_events", rangeJoinEvents, Some(rangeJoinOracle)),
     QueryDef("range_join_banded", rangeJoinBanded, Some(rangeJoinBandedOracle)),
+    QueryDef("csv_json_roundtrip", csvJsonRoundtrip, Some(csvJsonRoundtripOracle)),
     QueryDef("asof_join_events", asofJoinEvents, Some(asofJoinOracle)),
     QueryDef("asof_tolerance_events", asofToleranceEvents, Some(asofToleranceOracle)),
     QueryDef("events_hourly", eventsHourly, Some(eventsHourlyOracle)))
