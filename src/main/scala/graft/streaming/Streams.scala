@@ -148,6 +148,17 @@ object Streams {
         col(tsCol + "_r") <= col(tsCol) + expr(s"INTERVAL $afterMs MILLISECONDS"))
   }
 
+  /** Stream-static enrichment: every micro-batch joins the static
+    * dimension with an explicit broadcast hint — stateless (nothing to
+    * evict; the static side is re-resolved per batch, so a refreshed
+    * dimension snapshot is picked up on the next batch). The 100 TB
+    * shape: the stream never shuffles, the dimension ships once per
+    * executor. Left join keeps un-enrichable events (null dim columns)
+    * rather than silently dropping them. */
+  def enrichWithStatic(stream: DataFrame, static: DataFrame,
+      streamKey: String, staticKey: String): DataFrame =
+    stream.join(broadcast(static), col(streamKey) === col(staticKey), "left")
+
   private val emptyState =
     ProfileState(0L, 0L, 0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity)
 

