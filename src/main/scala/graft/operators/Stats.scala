@@ -83,6 +83,38 @@ object Stats {
     // -sum((n/t) ln(n/t)) = ln t - sum(n ln n)/t — one pass, no join back
   }
 
+  /** Per-group exact interpolated quantiles (type-7, matching pandas /
+    * quantile_cont) of a numeric column: one hash aggregation keyed by
+    * the group. Per-group percentile buffers hold that group's values —
+    * fine for grouped profiling (groups partition the data); the
+    * whole-table single-group case is what Describe's distinct-count
+    * guard / sketch fallback is for. */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      probs: Seq[Double]): DataFrame = {
+    val aggs = probs.map(p =>
+      percentile(col(valueCol), lit(p)).as(s"q${(p * 100).toInt}")) :+
+      count(col(valueCol)).as("n")
+    df.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Z-score standardization of `cols`: (x - mean) / stddev_samp, the
+    * feature-scaling transform of a training pipeline. One tiny
+    * moments-agg row broadcast back over the data — never a window over
+    * an unpartitioned frame (which would single-task the table). Appends
+    * `z_<col>` columns; a constant column (std = 0) yields null. */
+  def zscore(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(avg(col(c)).as(s"__m_$c"), stddev_samp(col(c)).as(s"__s_$c")))
+    val moments = df.agg(aggs.head, aggs.tail: _*)
+    val out = df.crossJoin(broadcast(moments))
+    // nullified zero divisor: a constant column z-scores to null rather
+    // than tripping ANSI division-by-zero
+    val zCols = cols.map(c =>
+      ((col(c) - col(s"__m_$c")) /
+        when(col(s"__s_$c") =!= 0.0, col(s"__s_$c"))).as(s"z_$c"))
+    out.select(df.columns.map(col) ++ zCols: _*)
+  }
+
   /** Top `k` most frequent values per column, long-form
     * (column, value, cnt, rank), values cast to string for a uniform
     * schema. Frequencies are one hash agg per column over a shared scan;

@@ -548,6 +548,27 @@ object LlmQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-label embedding centroids (element-wise mean vector per class)
+    * in long form (label, pos, centroid): posexplode to value rows, one
+    * hash agg keyed (label, pos) — the scale shape for element-wise
+    * vector reduction; never an array-typed aggregation buffer (which
+    * would knock the agg off codegen — BASELINE.md measurement). */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(r(avg(col("v").cast("double")), 6).as("centroid"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos").cast("int").as("pos"), col("centroid"), col("n"))
+      .orderBy("label", "pos")
+
+  private val labelCentroidsOracle: String =
+    s"""SELECT label, CAST(pos AS INT) AS pos,
+       | ${rSql("avg(CAST(v AS DOUBLE))", 6)} AS centroid, count(*) AS n
+       |FROM (SELECT label, unnest(range(len(embedding))) AS pos,
+       |             unnest(embedding) AS v
+       |      FROM embeddings)
+       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   /** Per-vector dimension + L2 norm (array scalar functions over the
     * VECTOR modality). */
   def vectorNorms(spark: SparkSession, dir: String): DataFrame =
@@ -650,6 +671,7 @@ object LlmQueries {
     QueryDef("corpus_filter", corpusFilter, Some(corpusFilterOracle)),
     QueryDef("sample_split_docs", sampleSplitDocs, Some(sampleSplitOracle)),
     QueryDef("vector_norms", vectorNorms, Some(vectorNormsOracle)),
+    QueryDef("label_centroids", labelCentroids, Some(labelCentroidsOracle)),
     QueryDef("vector_profile", vectorProfile, Some(vectorProfileOracle)),
     QueryDef("multimodal_meta", multimodalMeta, Some(multimodalMetaOracle)),
     QueryDef("multimodal_features", multimodalFeatures, Some(multimodalFeaturesOracle)))

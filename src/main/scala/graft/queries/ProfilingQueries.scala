@@ -485,6 +485,44 @@ object ProfilingQueries {
        |ORDER BY "column"""".stripMargin
   }
 
+  /** Per-language document-length quantiles: the describe quantile
+    * kernel grouped by a categorical — exact type-7 interpolation per
+    * group in one hash agg (Stats.groupedQuantiles). */
+  def groupedQuantilesDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.groupedQuantiles(
+        Tables.documents(spark, dir), "lang", "n_chars", Seq(0.25, 0.5, 0.75))
+      .select(col("lang"), r(col("q25"), 6).as("q25"), r(col("q50"), 6).as("q50"),
+        r(col("q75"), 6).as("q75"), col("n"))
+      .orderBy("lang")
+
+  private val groupedQuantilesOracle: String =
+    s"""SELECT lang,
+       | ${rSql("quantile_cont(n_chars, 0.25)", 6)} AS q25,
+       | ${rSql("quantile_cont(n_chars, 0.50)", 6)} AS q50,
+       | ${rSql("quantile_cont(n_chars, 0.75)", 6)} AS q75,
+       | count(n_chars) AS n
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Z-score feature standardization over two lineitem measures —
+    * moments once, broadcast back, never an unpartitioned window. */
+  def zscoreLineitem(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.zscore(
+        Tables.lineitem(spark, dir), Seq("l_quantity", "l_extendedprice"))
+      .select((col("l_orderkey") * 8 + col("l_linenumber")).as("li_key"),
+        r(col("z_l_quantity"), 6).as("z_l_quantity"),
+        r(col("z_l_extendedprice"), 6).as("z_l_extendedprice"))
+      .orderBy("li_key")
+
+  private val zscoreOracle: String =
+    s"""WITH m AS (
+       | SELECT avg(l_quantity) AS mq, stddev_samp(l_quantity) AS sq,
+       |        avg(l_extendedprice) AS me, stddev_samp(l_extendedprice) AS se
+       | FROM lineitem)
+       |SELECT l_orderkey * 8 + l_linenumber AS li_key,
+       | ${rSql("(l_quantity - m.mq) / m.sq", 6)} AS z_l_quantity,
+       | ${rSql("(l_extendedprice - m.me) / m.se", 6)} AS z_l_extendedprice
+       |FROM lineitem, m ORDER BY li_key""".stripMargin
+
   /** Top-3 most frequent values per categorical column, ranked through
     * the salted GroupTopK (no single-task sort on the low-cardinality
     * "column" key). */
@@ -511,6 +549,8 @@ object ProfilingQueries {
     QueryDef("histogram_lineitem", histogramLineitem, Some(histogramOracle)),
     QueryDef("entropy_orders", entropyOrders, Some(entropyOracle)),
     QueryDef("top_values_orders", topValuesOrders, Some(topValuesOracle)),
+    QueryDef("grouped_quantiles_docs", groupedQuantilesDocs, Some(groupedQuantilesOracle)),
+    QueryDef("zscore_lineitem", zscoreLineitem, Some(zscoreOracle)),
     QueryDef("describe_numeric_lineitem", describeNumericLineitem, Some(describeNumericOracle)),
     QueryDef("describe_approx_lineitem", describeApproxLineitem, None),
     QueryDef("describe_approx_moments", describeApproxMoments, Some(describeApproxMomentsOracle)),

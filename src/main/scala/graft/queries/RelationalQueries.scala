@@ -189,6 +189,29 @@ object RelationalQueries {
        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
        |ORDER BY user_id, event_id""".stripMargin
 
+  /** Time-RANGE window frame: trailing 30-minute event count and value
+    * sum per user, keyed on epoch micros — the frame member the ROWS
+    * queries don't cover (peers by VALUE distance, not row count). */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-1800000000L, 0L)
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_30min"),
+        r(sum("value").over(w), 2).as("val_30min"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val windowRangeFrameOracle: String =
+    s"""SELECT user_id, event_id,
+       | count(*) OVER w AS n_30min,
+       | ${rSql("sum(value) OVER w", 2)} AS val_30min
+       |FROM (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events)
+       |WINDOW w AS (PARTITION BY user_id ORDER BY us
+       |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, event_id""".stripMargin
+
   /** ROLLUP grouping sets over lineitem. */
   def rollupLineitem(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -674,6 +697,7 @@ object RelationalQueries {
     QueryDef("range_join_events", rangeJoinEvents, Some(rangeJoinOracle)),
     QueryDef("range_join_banded", rangeJoinBanded, Some(rangeJoinBandedOracle)),
     QueryDef("csv_json_roundtrip", csvJsonRoundtrip, Some(csvJsonRoundtripOracle)),
+    QueryDef("window_range_frame", windowRangeFrame, Some(windowRangeFrameOracle)),
     QueryDef("asof_join_events", asofJoinEvents, Some(asofJoinOracle)),
     QueryDef("asof_tolerance_events", asofToleranceEvents, Some(asofToleranceOracle)),
     QueryDef("events_hourly", eventsHourly, Some(eventsHourlyOracle)))

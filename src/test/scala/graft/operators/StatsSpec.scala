@@ -63,6 +63,31 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(Stats.entropy(withNull, "c").head().getDouble(0) - math.log(2)) < 1e-12)
   }
 
+  test("zscore: standardized columns have mean 0 / std 1; constant column yields null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0), (4.0, 5.0)).toDF("x", "c")
+    val out = Stats.zscore(df, Seq("x", "c"))
+    // x = 1..4: mean 2.5, std_samp = sqrt(5/3)
+    val zx = out.orderBy("x").collect().map(_.getDouble(2))
+    val expected = Seq(1.0, 2.0, 3.0, 4.0).map(v => (v - 2.5) / math.sqrt(5.0 / 3.0))
+    zx.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+    assert(out.select("z_c").collect().forall(_.isNullAt(0))) // std 0 -> null
+    assert(out.columns.toSeq === Seq("x", "c", "z_x", "z_c"))
+  }
+
+  test("grouped quantiles: exact type-7 interpolation per group") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0), ("b", 7.0))
+      .toDF("g", "v")
+    val out = Stats.groupedQuantiles(df, "g", "v", Seq(0.5))
+      .orderBy("g").collect()
+    // a: (1,2,3,10) -> median 2.5 (linear interpolation); b: single value
+    assert(math.abs(out(0).getDouble(1) - 2.5) < 1e-12 && out(0).getLong(2) === 4L)
+    assert(out(1).getDouble(1) === 7.0 && out(1).getLong(2) === 1L)
+  }
+
   test("top values: count-desc, value-asc ties, per-column k, nulls excluded") {
     val s = spark
     import s.implicits._
