@@ -90,6 +90,49 @@ object LlmQueries {
        | AND len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7
        |ORDER BY a, b""".stripMargin
 
+  /** The COMPLETE near-dup dedup pipeline as one query: shingle →
+    * MinHash → LSH bucket-join → exact-Jaccard verify (pairs) →
+    * connected components (clusters) → keep each cluster's minimum id.
+    * Returns the surviving doc ids. The oracle recomputes survivors from
+    * brute-force Jaccard pairs + recursive reachability — so LSH recall,
+    * verification, clustering and canonical selection are all checked in
+    * composition, not just piecewise. */
+  def minhashDedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(Tables.documents(spark, dir))
+    val pairs = Dedup.nearDupPairsMinhash(corpus, "doc_id", "text",
+      shingleWords = 3, numHashes = 128, bands = 32, rowsPerBand = 4,
+      threshold = 0.7)
+    val comp = Dedup.connectedComponents(pairs, "a", "b")
+    corpus.join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .filter(col("doc_id") === col("component"))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val minhashDedupKeepOracle: String =
+    s"""WITH RECURSIVE $nearDupCorpusSql,
+       |sh AS (
+       | SELECT doc_id,
+       |  list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+       |    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |       FROM corpus)),
+       |p AS (
+       | SELECT a.doc_id AS a, b.doc_id AS b
+       | FROM sh a, sh b
+       | WHERE a.doc_id < b.doc_id
+       |  AND len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7),
+       |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+       |reach(id, lbl) AS (
+       | SELECT doc_id, doc_id FROM corpus
+       | UNION
+       | SELECT e.b AS id, r.lbl FROM reach r JOIN e ON e.a = r.id)
+       |SELECT id AS doc_id FROM reach
+       |GROUP BY id HAVING id = min(lbl)
+       |ORDER BY doc_id""".stripMargin
+
   /** SimHash signatures + near-dup pairs (hash family not expressible in
     * the oracle — rows-only check; semantics unit-tested).
     *
@@ -649,6 +692,7 @@ object LlmQueries {
     QueryDef("dedup_exact_docs", dedupExactDocs, Some(dedupExactOracle)),
     QueryDef("dup_report_docs", dupReportDocs, Some(dupReportOracle)),
     QueryDef("minhash_neardup_docs", minhashNeardupDocs, Some(minhashNeardupOracle)),
+    QueryDef("minhash_dedup_keep", minhashDedupKeep, Some(minhashDedupKeepOracle)),
     QueryDef("simhash_neardup_docs", simhashNeardupDocs, None),
     QueryDef("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardOracle)),
     QueryDef("cosine_neardup_pairs", cosineNeardupPairs, Some(cosineNeardupOracle)),

@@ -515,6 +515,41 @@ object RelationalQueries {
        |GROUP BY p_brand
        |ORDER BY p_brand""".stripMargin
 
+  /** SQL entry path with correlated subqueries: EXISTS (Catalyst
+    * rewrites to left-semi), NOT EXISTS (anti), and a correlated scalar
+    * count subquery (rewritten to a left outer aggregate join) — the
+    * subquery-decorrelation surface the DataFrame-built queries don't
+    * exercise. */
+  def subqueriesCustomers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_custkey,
+        | (SELECT count(*) FROM orders_v o
+        |  WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders_v o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val subqueriesOracle: String =
+    """SELECT c_custkey,
+      | (SELECT count(*) FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
   /** Non-parquet source/sink round trip under the oracle: nation goes
     * out as headered CSV, region as JSON lines (graft.sources.Sinks),
     * both come back through spark.read with explicit schemas, and the
@@ -698,6 +733,7 @@ object RelationalQueries {
     QueryDef("range_join_banded", rangeJoinBanded, Some(rangeJoinBandedOracle)),
     QueryDef("csv_json_roundtrip", csvJsonRoundtrip, Some(csvJsonRoundtripOracle)),
     QueryDef("window_range_frame", windowRangeFrame, Some(windowRangeFrameOracle)),
+    QueryDef("subqueries_customers", subqueriesCustomers, Some(subqueriesOracle)),
     QueryDef("asof_join_events", asofJoinEvents, Some(asofJoinOracle)),
     QueryDef("asof_tolerance_events", asofToleranceEvents, Some(asofToleranceOracle)),
     QueryDef("events_hourly", eventsHourly, Some(eventsHourlyOracle)))
