@@ -97,6 +97,31 @@ object Stats {
     df.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Equi-DEPTH binning: bucket edges are exact type-7 quantiles (one
+    * percentile agg), rows fall into [edge_i, edge_i+1) with the last
+    * bin closed — each bin holds ~1/bins of the data regardless of
+    * distribution, the binning a feature pipeline actually wants for
+    * skewed measures. Returns (bin, lo, hi, cnt). Duplicate edges from
+    * heavy ties collapse naturally (empty bins are absent). */
+  def equiDepthHistogram(df: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins > 0)
+    val probs = (0 to bins).map(_.toDouble / bins)
+    val edges = df.agg(percentile(col(c), typedLit(probs)).as("e"))
+      .head().getSeq[Double](0)
+    // CASE ladder over the literal edges: value < edge_1 -> bin 0, etc.;
+    // the max value lands in the last bin (<= top edge)
+    val bin = (1 until bins).foldRight(lit(bins - 1)) { case (i, acc) =>
+      when(col(c) < edges(i), lit(i - 1)).otherwise(acc)
+    }.cast("int")
+    df.filter(col(c).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bin"),
+        element_at(typedLit(edges), col("bin") + 1).as("lo"),
+        element_at(typedLit(edges), col("bin") + 2).as("hi"),
+        col("cnt"))
+  }
+
   /** Z-score standardization of `cols`: (x - mean) / stddev_samp, the
     * feature-scaling transform of a training pipeline. One tiny
     * moments-agg row broadcast back over the data — never a window over

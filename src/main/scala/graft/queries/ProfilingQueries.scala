@@ -465,6 +465,35 @@ object ProfilingQueries {
        |FROM h, b ORDER BY h.bucket""".stripMargin
   }
 
+  /** Equi-depth 10-bin histogram of l_extendedprice: bucket edges are
+    * exact type-7 deciles, so each bin holds ~10% of rows — the binning
+    * for skewed measures (Stats.equiDepthHistogram). */
+  def equidepthLineitem(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.equiDepthHistogram(Tables.lineitem(spark, dir), "l_extendedprice", 10)
+      .select(col("bin"), r(col("lo"), 6).as("lo"), r(col("hi"), 6).as("hi"), col("cnt"))
+      .orderBy("bin")
+
+  private val equidepthOracle: String = {
+    val bins = 10
+    val probs = (0 to bins).map(i => (i.toDouble / bins).toString).mkString("[", ", ", "]")
+    // DuckDB arrays are 1-indexed: edge i+1 = ed[i+1]; CASE ladder
+    // mirrors Stats.equiDepthHistogram bit for bit
+    val cases = (1 until bins)
+      .map(i => s"WHEN l_extendedprice < e.ed[${i + 1}] THEN ${i - 1}")
+      .mkString("\n   ")
+    s"""WITH e AS (SELECT quantile_cont(l_extendedprice, $probs) AS ed FROM lineitem),
+       |b AS (
+       | SELECT CASE
+       |   $cases
+       |   ELSE ${bins - 1} END AS bin
+       | FROM lineitem, e WHERE l_extendedprice IS NOT NULL)
+       |SELECT b.bin,
+       | ${rSql("e.ed[b.bin + 1]", 6)} AS lo,
+       | ${rSql("e.ed[b.bin + 2]", 6)} AS hi,
+       | count(*) AS cnt
+       |FROM b, e GROUP BY b.bin, lo, hi ORDER BY b.bin""".stripMargin
+  }
+
   /** Shannon entropy (nats) of the two categorical orders columns. */
   def entropyOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -547,6 +576,7 @@ object ProfilingQueries {
     QueryDef("corr_matrix_lineitem", corrMatrixLineitem, Some(corrMatrixOracle)),
     QueryDef("spearman_lineitem", spearmanLineitem, Some(spearmanOracle)),
     QueryDef("histogram_lineitem", histogramLineitem, Some(histogramOracle)),
+    QueryDef("equidepth_lineitem", equidepthLineitem, Some(equidepthOracle)),
     QueryDef("entropy_orders", entropyOrders, Some(entropyOracle)),
     QueryDef("top_values_orders", topValuesOrders, Some(topValuesOracle)),
     QueryDef("grouped_quantiles_docs", groupedQuantilesDocs, Some(groupedQuantilesOracle)),

@@ -515,6 +515,36 @@ object RelationalQueries {
        |GROUP BY p_brand
        |ORDER BY p_brand""".stripMargin
 
+  /** The bucketing lever under the t2 gate: both join sides are written
+    * as bucketed+sorted external tables on the join key (same bucket
+    * count), re-read through the catalog, and joined — Spark elides the
+    * shuffle exchange on both sides (asserted in SinksSpec); the oracle
+    * computes the same join + aggregate from the original parquet, so
+    * the bucketed write/read path must be lossless. */
+  def bucketedJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    graft.sources.Sinks.writeBucketedExternal(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+      "graft_li_bucketed", s"$tmp/li", "l_orderkey", 8)
+    graft.sources.Sinks.writeBucketedExternal(
+      Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+      "graft_ord_bucketed", s"$tmp/ord", "o_orderkey", 8)
+    spark.table("graft_li_bucketed")
+      .join(spark.table("graft_ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bucketedJoinOracle: String =
+    s"""SELECT o_orderpriority,
+       | ${rSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue,
+       | count(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   /** SQL entry path with correlated subqueries: EXISTS (Catalyst
     * rewrites to left-semi), NOT EXISTS (anti), and a correlated scalar
     * count subquery (rewritten to a left outer aggregate join) — the
@@ -734,6 +764,7 @@ object RelationalQueries {
     QueryDef("csv_json_roundtrip", csvJsonRoundtrip, Some(csvJsonRoundtripOracle)),
     QueryDef("window_range_frame", windowRangeFrame, Some(windowRangeFrameOracle)),
     QueryDef("subqueries_customers", subqueriesCustomers, Some(subqueriesOracle)),
+    QueryDef("bucketed_join_revenue", bucketedJoinRevenue, Some(bucketedJoinOracle)),
     QueryDef("asof_join_events", asofJoinEvents, Some(asofJoinOracle)),
     QueryDef("asof_tolerance_events", asofToleranceEvents, Some(asofToleranceOracle)),
     QueryDef("events_hourly", eventsHourly, Some(eventsHourlyOracle)))

@@ -45,5 +45,16 @@ object Sinks {
       .format("parquet")
       .saveAsTable(name)
 
+  /** [[writeBucketed]] with an explicit filesystem location (external
+    * table) — bucketed layouts outside the session warehouse. */
+  def writeBucketedExternal(df: DataFrame, name: String, path: String,
+      key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(name)
+
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }
