@@ -71,7 +71,14 @@ object Dedup {
     * the shingle rows. Documents with fewer than k tokens yield no
     * shingles (the array form yields one truncated shingle — irrelevant
     * for real corpora, noted for parity). */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    gramRows(df, idCol, textCol, k).distinct()
+
+  /** Every k-word gram occurrence in ROW form — (id, s), NOT
+    * deduplicated: one row per gram position, so repetition statistics
+    * (how often a gram repeats within a document) are computable.
+    * [[shingleRows]] is this plus distinct. */
+  def gramRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
       .filter(col("t") =!= "")
@@ -80,7 +87,6 @@ object Dedup {
     toks.select(col("id"), concat_ws(" ", parts: _*).as("s"),
         lead(col("t"), k - 1).over(w).isNotNull.as("full"))
       .filter(col("full")).select("id", "s")
-      .distinct()
   }
 
   /** Bulk MinHash signing over shingle rows: returns (id, sig). The
@@ -221,16 +227,31 @@ object Dedup {
     * would overflow the sign bit and trip ANSI arithmetic checks.
     * Returns (id, sig). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42): DataFrame =
+    simhashSignaturesWith(df, idCol, textCol,
+      t => xxhash64(lit(seed), t), bits = 64)
+
+  /** SimHash with a caller-supplied token-hash expression and bit width
+    * (≤ 64). The xxhash64 default is the production choice; an
+    * md5-derived hash (conv over hex digits — arithmetic both Spark and
+    * a SQL oracle can express identically) makes the whole operator
+    * end-to-end verifiable against an independent engine. */
+  def simhashSignaturesWith(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column, bits: Int): DataFrame = {
+    require(bits >= 2 && bits <= 64, s"bits must be in [2, 64], got $bits")
     val ex = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-    val h = xxhash64(lit(seed), col("t"))
-    val votes = (0 until 64).map(b =>
+    val h = tokenHash(col("t"))
+    val votes = (0 until bits).map(b =>
       sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
     val aggd = ex.groupBy("id").agg(votes.head, votes.tail: _*)
     def bit(b: Int): Column = when(col(s"v$b") > 0, 1L).otherwise(0L)
-    def half(msb: Int): Column =
-      (msb to (msb - 31) by -1).map(bit).reduce((acc, x) => acc * 2 + x)
-    aggd.select(col("id"), shiftleft(half(63), 32).bitwiseOR(half(31)).as("sig"))
+    // assemble in two halves combined with shift/or: a plain *2 fold of
+    // 64 bits would overflow the sign bit and trip ANSI checks
+    val lo = bits / 2
+    def fold(msb: Int, lsb: Int): Column =
+      (msb to lsb by -1).map(bit).reduce((acc, x) => acc * 2 + x)
+    aggd.select(col("id"),
+      shiftleft(fold(bits - 1, lo), lo).bitwiseOR(fold(lo - 1, 0)).as("sig"))
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -258,13 +279,20 @@ object Dedup {
     * keeps n / 2^(m*64/chunks) near 1. */
   def nearDupPairsSimhash(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, seed: Int = 42, chunks: Int = 4): DataFrame = {
-    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+      maxHamming: Int = 3, seed: Int = 42, chunks: Int = 4): DataFrame =
+    nearDupPairsFromSigs(simhashSignatures(df, idCol, textCol, seed),
+      maxHamming, chunks, bits = 64)
+
+  /** Pigeonhole blocking + Hamming verify over precomputed (id, sig)
+    * signatures of `bits` significant bits — the blocking half of
+    * [[nearDupPairsSimhash]], reusable for any signature family. */
+  def nearDupPairsFromSigs(sigs: DataFrame, maxHamming: Int, chunks: Int,
+      bits: Int): DataFrame = {
+    require(bits % chunks == 0, s"chunks must divide $bits, got $chunks")
     val m = chunks - maxHamming
     require(m >= 1, s"pigeonhole blocking needs chunks > maxHamming ($chunks <= $maxHamming)")
-    val width = 64 / chunks
+    val width = bits / chunks
     val mask = lit(if (width == 64) -1L else (1L << width) - 1)
-    val sigs = simhashSignatures(df, idCol, textCol, seed)
     def block(c: Int): Column = shiftright(col("sig"), c * width).bitwiseAND(mask)
     val tables = (0 until chunks).combinations(m).toSeq.zipWithIndex.map {
       case (combo, t) =>

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Contiguous sequence packing for LLM training batches: documents are
+  * laid end-to-end in a deterministic total order and the token stream is
+  * chunked into fixed-size context windows ("concat-and-chunk" packing).
+  * Each document gets its global token start offset, its window (seq_id),
+  * and a flag for whether it straddles a window boundary.
+  *
+  * The global running sum is the scale problem: a single
+  * `Window.orderBy(id)` moves the whole table into ONE partition (Spark
+  * even warns "No Partition Defined for Window operation"). This
+  * implementation is the two-phase shape that survives 100 TB:
+  *
+  *   1. range-repartition by id, so each partition holds a contiguous id
+  *      span; the local running sum is a window PER PARTITION — parallel;
+  *   2. the per-partition token totals (one row per partition) are
+  *      cumulated on a single tiny partition and broadcast back as each
+  *      partition's base offset.
+  *
+  * The result depends only on the total order of `idCol`, not on where
+  * the range partitioner happened to place boundaries, so the output is
+  * deterministic even though the partitioning is sampled.
+  *
+  * Greedy never-split packing (close the window when the next document
+  * would overflow) requires a running sum with data-dependent resets —
+  * inherently sequential, not a window function. Contiguous packing is
+  * what large-scale training pipelines use precisely because it is a
+  * pure prefix sum; documents longer than the budget simply span
+  * multiple windows.
+  */
+object Packing {
+
+  /** Pack by a precomputed token-count column. Returns the input columns
+    * plus start_offset (global tokens before this doc), seq_id
+    * (floor(start_offset / budget)) and crosses_boundary (true when the
+    * document's tokens span two or more windows). */
+  def packContiguous(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    // phase 1: per-partition running sum — parallel across partitions
+    val local = Window.partitionBy("_pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = ranged.withColumn("_local_cum",
+      sum(col(tokenCol)).over(local))
+    // phase 2: one row per partition; cumulate on the tiny side and
+    // broadcast the base offsets back. Ordered by each partition's min
+    // id, not _pid, so correctness never leans on partition-id order.
+    val offsets = withLocal.groupBy("_pid")
+      .agg(min(col(idCol)).as("_min_id"), sum(col(tokenCol)).as("_ptotal"))
+    val offW = Window.orderBy("_min_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = offsets
+      .withColumn("_base", sum(col("_ptotal")).over(offW) - col("_ptotal"))
+      .select("_pid", "_base")
+    val packed = withLocal.join(broadcast(bases), Seq("_pid"))
+      .withColumn("start_offset", col("_base") + col("_local_cum") - col(tokenCol))
+      .withColumn("seq_id", floor(col("start_offset") / budget.toLong))
+      .withColumn("crosses_boundary",
+        col(tokenCol) > 0 &&
+          floor((col("start_offset") + col(tokenCol) - 1) / budget.toLong) > col("seq_id"))
+    packed.drop("_pid", "_local_cum", "_base")
+  }
+}

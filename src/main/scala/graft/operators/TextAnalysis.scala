@@ -43,6 +43,25 @@ object TextAnalysis {
         size(toks)).as("avg_token_len"))
   }
 
+  /** Per-document n-gram repetition signal (the Gopher/C4-family quality
+    * heuristic: heavily self-repeating documents are boilerplate or spam
+    * and get filtered before training). For each document: total n-gram
+    * occurrences, distinct n-grams, the duplicate fraction
+    * (total - distinct) / total, and the highest single-gram repeat
+    * count. Two hash aggregations over codegen'd gram rows
+    * ([[Dedup.gramRows]]) — gram counts combine map-side, so the shuffle
+    * carries (id, gram, count) partials, never raw text. Documents with
+    * fewer than n tokens emit no grams and are absent from the result. */
+  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    Dedup.gramRows(df, idCol, textCol, n)
+      .groupBy("id", "s").agg(count(lit(1)).as("c"))
+      .groupBy(col("id").as(idCol))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_repeat"))
+      .withColumn("dup_fraction",
+        (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+
   /** Corpus-wide top-n terms by frequency (explode → count → top-k). */
   def topTerms(df: DataFrame, textCol: String, n: Int): DataFrame =
     df.select(explode(tokens(col(textCol))).as("term"))

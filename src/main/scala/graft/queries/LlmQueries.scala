@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.queries.QueryDef.{r, rSql}
 import graft.sources.Tables
 
@@ -643,6 +643,181 @@ object LlmQueries {
        |FROM embeddings""".stripMargin
   }
 
+  // ------------------------------------------------- decontamination
+
+  /** Eval set: every 31st document. Corpus: the rest, plus PLANTED
+    * contaminated documents — the first 30 words of each eval doc under a
+    * shifted id — so the overlap check has known positives. Both halves
+    * are reconstructed identically in the SQL oracle. */
+  private val DecontamN = 8
+
+  private def benchDocs(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(31)) === 0).select("doc_id", "text")
+
+  private def contamCorpus(docs: DataFrame): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val planted = benchDocs(docs)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat_ws(" ", slice(toks, 1, 30)).as("text"))
+    docs.filter(pmod(col("doc_id"), lit(31)) =!= 0)
+      .select("doc_id", "text").unionByName(planted)
+  }
+
+  private val contamCorpusSql: String =
+    """bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0),
+      |corpus AS (
+      | SELECT doc_id, text FROM documents WHERE doc_id % 31 <> 0
+      | UNION ALL
+      | SELECT doc_id + 200000 AS doc_id,
+      |  array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 30), ' ') AS text
+      | FROM bench)""".stripMargin
+
+  /** Word-n-gram SQL: full k-grams per doc in row form, optionally
+    * deduplicated (docs shorter than k words emit none, matching
+    * Dedup.shingleRows / Dedup.gramRows). */
+  private def wordGramSql(src: String, k: Int, distinct: Boolean = true): String = {
+    val grams = s"""list_transform(
+       |   range(1, len(t) - ${k - 2}),
+       |   i -> array_to_string(list_slice(t, i, i + ${k - 1}), ' '))""".stripMargin
+    val maybeDistinct = if (distinct) s"list_distinct($grams)" else grams
+    s"""SELECT doc_id, unnest($maybeDistinct) AS s
+       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |       FROM $src)
+       | WHERE len(t) >= $k""".stripMargin
+  }
+
+  /** Per-document contamination report: corpus docs sharing ≥1 word
+    * 8-gram with the eval set, with the contaminated gram fraction. */
+  def decontaminateDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Contamination.report(contamCorpus(docs), benchDocs(docs),
+      "doc_id", "text", DecontamN)
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        r(col("contamination"), 6).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateOracle: String =
+    s"""WITH $contamCorpusSql,
+       |cg AS (${wordGramSql("corpus", DecontamN)}),
+       |bg AS (SELECT DISTINCT s FROM (${wordGramSql("bench", DecontamN)})),
+       |hits AS (SELECT cg.doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN bg.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+       | FROM cg LEFT JOIN bg USING (s) GROUP BY cg.doc_id)
+       |SELECT doc_id, n_grams, n_contaminated,
+       | ${rSql("n_contaminated / CAST(n_grams AS DOUBLE)", 6)} AS contamination
+       |FROM hits WHERE n_contaminated > 0 ORDER BY doc_id""".stripMargin
+
+  /** Pairwise (corpus doc, eval doc) shared-gram counts — the audit-trail
+    * twin of the report. */
+  def contaminationPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Contamination.overlapPairs(contamCorpus(docs), benchDocs(docs),
+      "doc_id", "text", DecontamN)
+      .orderBy("corpus_id", "bench_id")
+  }
+
+  private val contaminationPairsOracle: String =
+    s"""WITH $contamCorpusSql,
+       |cg AS (${wordGramSql("corpus", DecontamN)}),
+       |bg AS (${wordGramSql("bench", DecontamN)})
+       |SELECT cg.doc_id AS corpus_id, bg.doc_id AS bench_id, count(*) AS n_shared
+       |FROM cg JOIN bg USING (s)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- repetition quality
+
+  /** Per-document trigram repetition signal (Gopher/C4-style boilerplate
+    * detector). */
+  def repetitionDocs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(Tables.documents(spark, dir), "doc_id", "text", 3)
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        col("max_repeat"), r(col("dup_fraction"), 6).as("dup_fraction"))
+      .orderBy("doc_id")
+
+  private val repetitionOracle: String =
+    s"""WITH g AS (${wordGramSql("documents", 3, distinct = false)}),
+       |gc AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY doc_id, s)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, count(*) AS n_distinct,
+       | CAST(max(c) AS BIGINT) AS max_repeat,
+       | ${rSql("(sum(c) - count(*)) / CAST(sum(c) AS DOUBLE)", 6)} AS dup_fraction
+       |FROM gc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- sequence packing
+
+  private val PackBudget = 512
+
+  /** Contiguous concat-and-chunk packing of the corpus into 512-token
+    * training windows (two-phase distributed prefix sum — see
+    * graft.operators.Packing). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    Packing.packContiguous(docs, "doc_id", "n_tokens", PackBudget)
+      .select("doc_id", "n_tokens", "start_offset", "seq_id", "crosses_boundary")
+      .orderBy("doc_id")
+  }
+
+  private val packSequencesOracle: String =
+    s"""WITH d AS (SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       | FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       | FROM d)
+       |SELECT doc_id, n_tokens, start_offset,
+       | CAST(floor(start_offset / $PackBudget.0) AS BIGINT) AS seq_id,
+       | (n_tokens > 0 AND CAST(floor((start_offset + n_tokens - 1) / $PackBudget.0) AS BIGINT)
+       |    > CAST(floor(start_offset / $PackBudget.0) AS BIGINT)) AS crosses_boundary
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- oracle-checked simhash
+
+  /** 60-bit SimHash whose token hash is md5-derived (conv of the first 15
+    * hex chars) — arithmetic DuckDB reproduces digit-for-digit, so the
+    * whole pipeline (vote aggregation, signature assembly, pigeonhole
+    * blocking, Hamming verify) is oracle-checked end to end. The xxhash64
+    * variant (simhash_neardup_docs) stays the production default; this
+    * query exists so the algorithm family has an independent-engine
+    * verification. */
+  def simhashMd5Pairs(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(Tables.documents(spark, dir))
+    val sigs = Dedup.simhashSignaturesWith(corpus, "doc_id", "text",
+      t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast(LongType),
+      bits = 60)
+    Dedup.nearDupPairsFromSigs(sigs, maxHamming = 3, chunks = 4, bits = 60)
+      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("a", "b")
+  }
+
+  private val simhashMd5Oracle: String = {
+    // hex digit value of md5(token) at position p (lowercase hex)
+    def dig(p: Int): String =
+      s"(ascii(substring(h, $p, 1)) - CASE WHEN ascii(substring(h, $p, 1)) >= 97 THEN 87 ELSE 48 END)"
+    // bit j of the 60-bit conv value: hex digit j/4 from the right is
+    // substring position 15 - j/4; bit j%4 within the digit
+    val votes = (0 until 60).map { j =>
+      s"sum(CASE WHEN (${dig(15 - j / 4)} >> ${j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n  ")
+    val sig = (0 until 60).map { j =>
+      s"CASE WHEN v$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""WITH $nearDupCorpusSql,
+       |tok AS (SELECT doc_id, md5(t) AS h FROM (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+       |  FROM corpus)),
+       |votes AS (SELECT doc_id,
+       |  $votes
+       | FROM tok GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $sig AS sig FROM votes)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       | CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY a, b""".stripMargin
+  }
+
   // ----------------------------------------------------------- multimodal
 
   /** Binary payload + typed metadata struct from the text corpus. */
@@ -718,5 +893,10 @@ object LlmQueries {
     QueryDef("label_centroids", labelCentroids, Some(labelCentroidsOracle)),
     QueryDef("vector_profile", vectorProfile, Some(vectorProfileOracle)),
     QueryDef("multimodal_meta", multimodalMeta, Some(multimodalMetaOracle)),
-    QueryDef("multimodal_features", multimodalFeatures, Some(multimodalFeaturesOracle)))
+    QueryDef("multimodal_features", multimodalFeatures, Some(multimodalFeaturesOracle)),
+    QueryDef("decontaminate_docs", decontaminateDocs, Some(decontaminateOracle)),
+    QueryDef("contamination_pairs", contaminationPairs, Some(contaminationPairsOracle)),
+    QueryDef("repetition_docs", repetitionDocs, Some(repetitionOracle)),
+    QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
+    QueryDef("simhash_md5_pairs", simhashMd5Pairs, Some(simhashMd5Oracle)))
 }

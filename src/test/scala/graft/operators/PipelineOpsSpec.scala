@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contamination, repetition, and sequence-packing operator semantics. */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("contamination report flags only corpus docs sharing an n-gram with the bench set") {
+    val bench = docs((100L, "the quick brown fox jumps over the lazy dog"))
+    val corpus = docs(
+      (1L, "prefix words then the quick brown fox appears here"), // shares "the quick brown fox"
+      (2L, "entirely unrelated content about spark physical plans"))
+    val out = Contamination.report(corpus, bench, "doc_id", "text", 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    val row = out.head
+    // doc 1 has 6 distinct 4-grams; exactly one ("the quick brown fox") is contaminated
+    assert(row.getLong(1) === 6L)
+    assert(row.getLong(2) === 1L)
+    assert(math.abs(row.getDouble(3) - 1.0 / 6.0) < 1e-12)
+  }
+
+  test("overlap pairs count shared distinct grams per (corpus, bench) pair") {
+    val bench = docs(
+      (100L, "a b c d e"),
+      (101L, "v w x y z"))
+    val corpus = docs((1L, "a b c d e"), (2L, "m n o p q"))
+    val out = Contamination.overlapPairs(corpus, bench, "doc_id", "text", 3)
+      .orderBy("corpus_id", "bench_id").collect()
+    assert(out.length === 1)
+    assert((out.head.getLong(0), out.head.getLong(1), out.head.getLong(2)) === ((1L, 100L, 3L)))
+  }
+
+  test("contamination matching is map-side: the bench gram set is broadcast") {
+    val bench = docs((100L, "a b c d e"))
+    val corpus = docs((1L, "a b c d e f"))
+    val plan = Contamination.report(corpus, bench, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("repetition computes duplicate n-gram fraction and max repeat") {
+    // "a b a b a b" → 3-grams: "a b a", "b a b", "a b a", "b a b" → 4 total, 2 distinct
+    val out = TextAnalysis.repetition(docs((1L, "a b a b a b")), "doc_id", "text", 3)
+      .collect().head
+    assert(out.getLong(1) === 4L) // n_grams
+    assert(out.getLong(2) === 2L) // n_distinct
+    assert(out.getLong(3) === 2L) // max_repeat
+    assert(math.abs(out.getDouble(4) - 0.5) < 1e-12)
+  }
+
+  test("repetition emits nothing for docs shorter than n tokens") {
+    val out = TextAnalysis.repetition(docs((1L, "a b")), "doc_id", "text", 3).collect()
+    assert(out.isEmpty)
+  }
+
+  test("contiguous packing assigns offsets equal to the exclusive prefix sum") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 5L), (4L, 30L), (5L, 12L))
+      .toDF("id", "tok")
+    val out = Packing.packContiguous(df, "id", "tok", budget = 32)
+      .orderBy("id")
+      .select("id", "start_offset", "seq_id", "crosses_boundary")
+      .collect()
+    // prefix sums: 0, 10, 30, 35, 65
+    assert(out.map(_.getLong(1)).toSeq === Seq(0L, 10L, 30L, 35L, 65L))
+    assert(out.map(_.getLong(2)).toSeq === Seq(0L, 0L, 0L, 1L, 2L))
+    // doc 2 spans tokens [10, 30) — crosses the 32 boundary? ends at 29, no.
+    // doc 3 spans [30, 35) — crosses 32. doc 4 spans [35, 65) — crosses 64.
+    assert(out.map(_.getBoolean(3)).toSeq === Seq(false, false, true, true, false))
+  }
+
+  test("packing is deterministic across partition counts") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map(i => (i, (i % 37) + 1)).toDF("id", "tok")
+    val one = Packing.packContiguous(df.repartition(1), "id", "tok", 64)
+      .select("id", "start_offset", "seq_id").orderBy("id").collect().toSeq
+    val many = Packing.packContiguous(df.repartition(13), "id", "tok", 64)
+      .select("id", "start_offset", "seq_id").orderBy("id").collect().toSeq
+    assert(one === many)
+  }
+
+  test("packing never moves the full table to one partition") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).map(i => (i, 5L)).toDF("id", "tok")
+    val plan = Packing.packContiguous(df, "id", "tok", 64)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    // the per-row running sum must be a window PARTITIONED by _pid —
+    // an unpartitioned Window over the data moves the whole table to a
+    // single task (the scale failure this operator exists to avoid)
+    val dataWin = plan.linesIterator
+      .find(l => l.contains("Window [") && l.contains("AS _local_cum"))
+    assert(dataWin.exists(_.contains("[_pid")),
+      s"per-row window is not partitioned by _pid:\n${dataWin.getOrElse(plan)}")
+  }
+
+  test("md5-derived simhash signatures agree between 60-bit fold and direct bit votes") {
+    val df = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "omega psi chi phi"))
+    val sigs = Dedup.simhashSignaturesWith(df, "doc_id", "text",
+      t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"),
+      bits = 60)
+      .orderBy("id").collect()
+    // identical docs → identical signatures; different docs → different
+    assert(sigs(0).getLong(1) === sigs(1).getLong(1))
+    assert(sigs(0).getLong(1) !== sigs(2).getLong(1))
+    // 60-bit signature: top 4 bits must be zero
+    assert((sigs(0).getLong(1) >>> 60) === 0L)
+  }
+
+  test("pigeonhole blocking over 60-bit sigs finds all pairs within the Hamming bound") {
+    val s = spark
+    import s.implicits._
+    // hand-built signatures: ids 1/2 differ in 2 bits, 1/3 in 30 bits
+    val sigs = Seq(
+      (1L, 0x0F0F0F0F0F0F0FL),
+      (2L, 0x0F0F0F0F0F0F0CL), // flips 2 low bits
+      (3L, 0x00F0F0F0F0F0F0L)
+    ).toDF("id", "sig")
+    val pairs = Dedup.nearDupPairsFromSigs(sigs, maxHamming = 3, chunks = 4, bits = 60)
+      .orderBy("a", "b").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(pairs.head.getInt(2) === 2)
+  }
+}
