@@ -16,6 +16,27 @@ object Vectors {
       size(col(vecCol)).cast("long").as("dim"),
       VectorFunctions.norm(col(vecCol)).as("norm"))
 
+  /** Symmetric per-vector int8 quantization — the 100 TB memory lever for
+    * embedding search: scale = 127 / max|v| per vector, q_i = ⌊v_i·scale
+    * + 0.5⌋ (the same portable round-half-up formula the SQL oracle uses,
+    * never engine `round()`). Cosine is invariant to per-vector positive
+    * scaling, so ranking over quantized vectors approximates the float
+    * ranking at one quarter of the footprint — and because the quantized
+    * components are small integers, cosine sums over them are EXACT in
+    * IEEE double, which is what lets an independent engine reproduce
+    * similarity scores bit-for-bit. Zero vectors quantize to zeros.
+    *
+    * The per-element map is an interpreted HOF — fine for an O(dim)
+    * transform per row (dim is 64 here, not corpus-sized); the bulk
+    * statistics over quantized components should use posexplode + hash
+    * aggregation (see the quantize_vectors query), not array HOFs. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val scale = when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+    df.select(col(idCol), scale.as("scale"),
+      transform(col(vecCol), x => floor(x.cast("double") * scale + 0.5)).as("qvec"))
+  }
+
   /** One-row profile: count, nulls, dimension range, norm stats. */
   def profile(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol)

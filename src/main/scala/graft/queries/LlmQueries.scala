@@ -643,6 +643,74 @@ object LlmQueries {
        |FROM embeddings""".stripMargin
   }
 
+  // ------------------------------------------------- int8 quantization
+
+  /** Per-vector quantization statistics over the int8-quantized
+    * embeddings (scale + component aggregates via posexplode + one
+    * codegen'd hash aggregation — no array HOFs in the bulk path). */
+  def quantizeVectors(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.operators.Vectors.quantizeInt8(
+      Tables.embeddings(spark, dir), "vec_id", "embedding")
+    q.select(col("vec_id"), col("scale"), posexplode(col("qvec")).as(Seq("pos", "q")))
+      .groupBy("vec_id")
+      .agg(first(col("scale")).as("s"), count(lit(1)).as("dim"),
+        sum(col("q")).as("q_sum"), min(col("q")).as("q_min"), max(col("q")).as("q_max"),
+        sqrt(sum(col("q") * col("q")).cast("double")).as("l2"))
+      .select(col("vec_id"), col("dim"), r(col("s"), 6).as("scale"),
+        col("q_sum"), col("q_min"), col("q_max"), r(col("l2"), 6).as("q_l2"))
+      .orderBy("vec_id")
+  }
+
+  private val quantizeSql: String =
+    """q AS (
+      | SELECT vec_id,
+      |  CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS s,
+      |  list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> floor(x * (CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END) + 0.5)) AS qv
+      | FROM (SELECT vec_id, embedding,
+      |        list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m
+      |       FROM embeddings))""".stripMargin
+
+  private val quantizeVectorsOracle: String =
+    s"""WITH $quantizeSql
+       |SELECT vec_id, CAST(len(qv) AS BIGINT) AS dim, ${rSql("s", 6)} AS scale,
+       | CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       | CAST(list_min(qv) AS BIGINT) AS q_min,
+       | CAST(list_max(qv) AS BIGINT) AS q_max,
+       | ${rSql("sqrt(list_sum(list_transform(qv, x -> x * x)))", 6)} AS q_l2
+       |FROM q ORDER BY vec_id""".stripMargin
+
+  /** Exact cosine top-k over the QUANTIZED vectors — the memory-reduced
+    * search path. Quantized components are small integers, so the dot
+    * product and norm sums are exact in IEEE double and the oracle
+    * (explicit dot/(‖a‖·‖b‖) over the same quantization) reproduces every
+    * similarity bit-for-bit, a stronger check than the float-input
+    * cosine_topk oracle. */
+  def quantizedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.operators.Vectors.quantizeInt8(
+        Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .select(col("vec_id"), transform(col("qvec"), _.cast("float")).as("qvec"))
+    Similarity.cosineTopK(q, "vec_id", "qvec",
+      q.filter(col("vec_id") < 5), "vec_id", "qvec", k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), r(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val quantizedTopkOracle: String =
+    s"""WITH $quantizeSql
+       |SELECT query_id,
+       | CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS "rank",
+       | neighbor_id, ${rSql("sim", 6)} AS sim
+       |FROM (
+       | SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * c.qv[i]))
+       |   / (sqrt(list_sum(list_transform(a.qv, x -> x * x)))
+       |      * sqrt(list_sum(list_transform(c.qv, x -> x * x)))) AS sim
+       | FROM q a, q c
+       | WHERE a.vec_id < 5 AND c.vec_id <> a.vec_id)
+       |QUALIFY "rank" <= 5
+       |ORDER BY query_id, "rank"""".stripMargin
+
   // ------------------------------------------------- decontamination
 
   /** Eval set: every 31st document. Corpus: the rest, plus PLANTED
@@ -898,5 +966,7 @@ object LlmQueries {
     QueryDef("contamination_pairs", contaminationPairs, Some(contaminationPairsOracle)),
     QueryDef("repetition_docs", repetitionDocs, Some(repetitionOracle)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
-    QueryDef("simhash_md5_pairs", simhashMd5Pairs, Some(simhashMd5Oracle)))
+    QueryDef("simhash_md5_pairs", simhashMd5Pairs, Some(simhashMd5Oracle)),
+    QueryDef("quantize_vectors", quantizeVectors, Some(quantizeVectorsOracle)),
+    QueryDef("quantized_topk", quantizedTopk, Some(quantizedTopkOracle)))
 }

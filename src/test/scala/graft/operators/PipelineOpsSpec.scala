@@ -106,6 +106,41 @@ class PipelineOpsSpec extends SparkSpec {
       s"per-row window is not partitioned by _pid:\n${dataWin.getOrElse(plan)}")
   }
 
+  test("int8 quantization bounds components to [-127, 127] and hits ±127 at the extremes") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Array(0.5f, -2.0f, 1.0f)), (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Vectors.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    val q1 = out(0).getSeq[Long](2)
+    // scale = 127/2; 0.5 → 31.75+0.5 floor 32; -2 → -127; 1 → 63.5+0.5 floor 64
+    assert(q1 === Seq(32L, -127L, 64L))
+    assert(math.abs(out(0).getDouble(1) - 63.5) < 1e-12)
+    // zero vector → zero scale, zero components (no division blowup)
+    assert(out(1).getDouble(1) === 0.0)
+    assert(out(1).getSeq[Long](2) === Seq(0L, 0L, 0L))
+  }
+
+  test("cosine ranking over quantized vectors matches the float ranking on separated clusters") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f, 0.2f)),
+      (1L, Array(0.9f, 0.12f, 0.01f, 0.19f)), // near doc 0
+      (2L, Array(0.0f, 1.0f, 0.9f, 0.0f)),
+      (3L, Array(0.01f, 0.95f, 1.0f, 0.02f))) // near doc 2
+      .toDF("vec_id", "embedding")
+    def top1(df: org.apache.spark.sql.DataFrame, vc: String) =
+      Similarity.cosineTopK(df, "vec_id", vc, df, "vec_id", vc, k = 1)
+        .select("query_id", "neighbor_id").orderBy("query_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = top1(base, "embedding")
+    val q = Vectors.quantizeInt8(base, "vec_id", "embedding")
+      .select(col("vec_id"), transform(col("qvec"), _.cast("float")).as("qvec"))
+    assert(top1(q, "qvec") === exact)
+  }
+
   test("md5-derived simhash signatures agree between 60-bit fold and direct bit votes") {
     val df = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "omega psi chi phi"))
