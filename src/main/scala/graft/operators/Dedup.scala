@@ -239,8 +239,13 @@ object Dedup {
   def simhashSignaturesWith(df: DataFrame, idCol: String, textCol: String,
       tokenHash: Column => Column, bits: Int): DataFrame = {
     require(bits >= 2 && bits <= 64, s"bits must be in [2, 64], got $bits")
+    // project the hash ONCE before the aggregation: each of the `bits`
+    // vote sums references it, and an expensive hash (md5 + conv) must
+    // not rely on codegen subexpression elimination to avoid being
+    // evaluated `bits` times per token
     val ex = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-    val h = tokenHash(col("t"))
+      .select(col("id"), tokenHash(col("t")).as("h"))
+    val h = col("h")
     val votes = (0 until bits).map(b =>
       sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
     val aggd = ex.groupBy("id").agg(votes.head, votes.tail: _*)

@@ -47,6 +47,26 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < cut)
   }
 
+  /** Deterministic global shuffle for reproducible training order:
+    * every row gets `shuffle_pos` — its 0-based rank in the order of
+    * md5(seed # key). The permutation depends only on (seed, key), so it
+    * is identical across engines, runs and partitionings; changing the
+    * seed draws a fresh permutation. The rank is a SCALABLE global
+    * row_number: ranking rows by hash is exactly packing unit-weight
+    * tokens by hash order, so this reuses [[Packing.packContiguous]]'s
+    * two-phase prefix sum (range partition on the hash, per-partition
+    * window, broadcast base offsets) — never a single-task global
+    * window. `keyCol` must be unique per row (duplicate keys collide to
+    * the same hash and their relative order is undefined). */
+  def shuffleOrder(df: DataFrame, keyCol: String, seed: Long): DataFrame = {
+    val hashed = df
+      .withColumn("__h", md5(concat_ws("#", lit(seed), col(keyCol).cast("string"))))
+      .withColumn("__one", lit(1L))
+    Packing.packContiguous(hashed, "__h", "__one", budget = Int.MaxValue)
+      .withColumnRenamed("start_offset", "shuffle_pos")
+      .drop("__h", "__one", "seq_id", "crosses_boundary")
+  }
+
   /** Assign every row a split label by hash range: `weights` are
     * (label, weight) pairs, normalized over their sum — e.g.
     * Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)). Stable under

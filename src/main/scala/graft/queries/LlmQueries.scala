@@ -419,6 +419,20 @@ object LlmQueries {
        |SELECT sp.split, sp.n, s.n_sampled FROM sp, s ORDER BY split""".stripMargin
   }
 
+  /** Deterministic global corpus shuffle (reproducible training order):
+    * shuffle_pos is the rank under md5(seed # doc_id), computed with the
+    * two-phase prefix sum — never a single-task global window. */
+  def shuffleOrderDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shuffleOrder(Tables.documents(spark, dir), "doc_id", seed = 42L)
+      .select("doc_id", "shuffle_pos")
+      .orderBy("doc_id")
+
+  private val shuffleOrderOracle: String =
+    """SELECT doc_id,
+      | CAST(row_number() OVER (ORDER BY md5('42#' || CAST(doc_id AS VARCHAR))) - 1 AS BIGINT)
+      |  AS shuffle_pos
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Per-document TF-IDF top-3 terms over a bounded doc range (keeps the
     * oracle row set reviewable; the operator itself is corpus-wide hash
     * aggs). idf uses the classic ln(N/df) over the FULL corpus. */
@@ -968,5 +982,6 @@ object LlmQueries {
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("simhash_md5_pairs", simhashMd5Pairs, Some(simhashMd5Oracle)),
     QueryDef("quantize_vectors", quantizeVectors, Some(quantizeVectorsOracle)),
-    QueryDef("quantized_topk", quantizedTopk, Some(quantizedTopkOracle)))
+    QueryDef("quantized_topk", quantizedTopk, Some(quantizedTopkOracle)),
+    QueryDef("shuffle_order", shuffleOrderDocs, Some(shuffleOrderOracle)))
 }

@@ -141,6 +141,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top1(q, "qvec") === exact)
   }
 
+  test("shuffle order is a permutation, seed-dependent, and partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 300L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val pos = Sampling.shuffleOrder(df, "id", seed = 42L)
+      .select("id", "shuffle_pos").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // a permutation of 0..n-1
+    assert(pos.map(_._2).sorted.toSeq === (0L until 300L))
+    // not the identity order (md5 scrambles)
+    assert(pos.count { case (id, p) => p == id - 1 } < 30)
+    // identical across partitionings; different under another seed
+    val repart = Sampling.shuffleOrder(df.repartition(7), "id", 42L)
+      .select("id", "shuffle_pos").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(repart.toSeq === pos.toSeq)
+    val other = Sampling.shuffleOrder(df, "id", 43L)
+      .select("id", "shuffle_pos").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(other.toSeq !== pos.toSeq)
+  }
+
   test("md5-derived simhash signatures agree between 60-bit fold and direct bit votes") {
     val df = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "omega psi chi phi"))
