@@ -30,6 +30,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(tieBreak).as("keep_id"))
       .filter(col("n_dups") > 1)
 
+  /** Line-level corpus dedup (the RefinedWeb/CCNet-family boilerplate
+    * filter): a LINE that appears in at least `minDocFreq` documents
+    * corpus-wide — navigation chrome, cookie banners, footers — is
+    * removed from every document; document-unique prose is kept in
+    * original order. Returns one row per input document:
+    * (id, text_clean, n_lines, n_removed); a document whose every line
+    * is boilerplate survives with `text_clean = ""`.
+    *
+    * Scale shape: posexplode (codegen) → line frequencies as ONE hash
+    * aggregation keyed on `xxhash64(line)` — the shuffle for the count
+    * and the join back carry an 8-byte key, never the line text twice —
+    * then a shuffle join and one reassembly aggregation. Reassembly
+    * collects (pos, line) structs per document (ObjectHashAggregate —
+    * array buffers don't ride the codegen HashAggregate path, but the
+    * state is one document's worth of text, which is bounded). Hash
+    * collisions across distinct lines merge their counts (P ≈ 2⁻⁶⁴ per
+    * pair — acceptable for a frequency threshold). */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Int, sep: String = "\n"): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .withColumn("h", xxhash64(col("line")))
+    val freq = lines.groupBy("h").agg(count(lit(1)).as("line_docs"))
+    lines.join(freq, "h")
+      .groupBy(col("id").as(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("line_docs") < minDocFreq, struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          sep).as("text_clean"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("line_docs") >= minDocFreq, 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")

@@ -43,6 +43,50 @@ object LlmQueries {
       |FROM documents GROUP BY lang, source HAVING count(*) > 1
       |ORDER BY lang, source""".stripMargin
 
+  /** Line-dedup test corpus: every 5th document gets a planted
+    * newsletter-banner line prepended and every 10th a footer line
+    * appended — corpus-frequent boilerplate around otherwise-unique
+    * prose, constructed identically in the SQL oracle. */
+  private def boilerplateCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("subscribe to our newsletter now\n")).otherwise(lit("")),
+        col("text"),
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          lit("\nall rights reserved")).otherwise(lit(""))).as("text"))
+
+  private val boilerplateCorpusSql: String =
+    """corpus AS (
+      | SELECT doc_id, concat(
+      |  CASE WHEN doc_id % 5 = 0 THEN 'subscribe to our newsletter now' || chr(10) ELSE '' END,
+      |  text,
+      |  CASE WHEN doc_id % 10 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END) AS text
+      | FROM documents)""".stripMargin
+
+  /** Corpus-frequent line removal (RefinedWeb/CCNet-style boilerplate
+    * filter) over the planted corpus: the banner (every 5th doc) and
+    * footer (every 10th) lines cross the 30-document frequency threshold
+    * and are removed from every document; unique prose lines survive in
+    * original order. */
+  def lineDedupDocs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(boilerplateCorpus(Tables.documents(spark, dir)),
+        "doc_id", "text", minDocFreq = 30)
+      .orderBy("doc_id")
+
+  private val lineDedupOracle: String =
+    s"""WITH $boilerplateCorpusSql,
+       |lines AS (
+       | SELECT doc_id, unnest(range(0, len(l))) AS pos, unnest(l) AS line
+       | FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus)),
+       |freq AS (SELECT line, count(*) AS c FROM lines GROUP BY line)
+       |SELECT doc_id,
+       | coalesce(string_agg(CASE WHEN c < 30 THEN line END, chr(10) ORDER BY pos), '') AS text_clean,
+       | count(*) AS n_lines,
+       | CAST(sum(CASE WHEN c >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+       |FROM lines JOIN freq USING (line)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Near-dup test corpus: the documents plus, for every 7th doc, a
     * variant with the last two words dropped (planted near-duplicates at
     * Jaccard ~0.85). Constructed identically in the SQL oracle. */
@@ -948,6 +992,7 @@ object LlmQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact_docs", dedupExactDocs, Some(dedupExactOracle)),
     QueryDef("dup_report_docs", dupReportDocs, Some(dupReportOracle)),
+    QueryDef("line_dedup_docs", lineDedupDocs, Some(lineDedupOracle)),
     QueryDef("minhash_neardup_docs", minhashNeardupDocs, Some(minhashNeardupOracle)),
     QueryDef("minhash_dedup_keep", minhashDedupKeep, Some(minhashDedupKeepOracle)),
     QueryDef("simhash_neardup_docs", simhashNeardupDocs, None),
