@@ -34,6 +34,37 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Fixed-size token-window chunking with overlap — the other standard
+    * training-example shape (RAG indexing, long-doc splitting): each
+    * document is cut into windows of `size` tokens starting every
+    * `stride` tokens (stride < size ⇒ overlapping context). Chunk k
+    * covers tokens [k·stride, k·stride + size); starts run while they
+    * still index a token, so the final chunk may be short. Token-less
+    * documents emit no chunks.
+    *
+    * Scale shape: tokenize → generate chunk ids (sequence + explode) →
+    * slice — one narrow, fully codegen'd stage; no shuffle, no UDF, and
+    * chunk rows never leave the partition that read the document. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, s"size/stride must be positive, got $size/$stride")
+    require(stride <= size, s"stride $stride > size $size would skip tokens")
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol), toks.as("_t"))
+      .withColumn("_n", org.apache.spark.sql.functions.size(col("_t")))
+      .filter(col("_n") > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0), floor((col("_n") - 1) / stride).cast("int")))
+          .as("chunk_id"),
+        col("_t"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("_t"), col("chunk_id") * stride + 1, lit(size)), " ")
+          .as("chunk_text"),
+        org.apache.spark.sql.functions
+          .size(slice(col("_t"), col("chunk_id") * stride + 1, lit(size)))
+          .cast("long").as("n_chunk_tokens"))
+  }
+
   /** Pack by a precomputed token-count column. Returns the input columns
     * plus start_offset (global tokens before this doc), seq_id
     * (floor(start_offset / budget)) and crosses_boundary (true when the

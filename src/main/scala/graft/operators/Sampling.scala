@@ -67,6 +67,29 @@ object Sampling {
       .drop("__h", "__one", "seq_id", "crosses_boundary")
   }
 
+  /** Per-group quota cap — the domain-balancing step of a pretraining
+    * mix: each group (source, domain, language) keeps at most `cap`
+    * rows, selected by a deterministic hash priority so the kept set is
+    * a uniform within-group sample that is stable across engines, runs
+    * and partitionings (and under appends, until new rows out-rank old
+    * ones). Adds `cap_rank`, the row's 1-based priority rank within its
+    * group.
+    *
+    * Priority = md5(seed # key) with the key as tie-break — a total
+    * order any engine reproduces. Group keys like "source" are
+    * LOW-cardinality, exactly the single-task-window shape
+    * [[GroupTopK]] exists to avoid, so the ranking runs its salted
+    * two-phase plan rather than a plain window. */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String, cap: Int,
+      seed: Long = 0L): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val withPri = df.withColumn("__pri",
+      md5(concat_ws("#", lit(seed), col(keyCol).cast("string"))))
+    GroupTopK.topK(withPri, Seq(groupCol),
+      Seq(col("__pri").asc, col(keyCol).asc), cap, rankCol = "cap_rank")
+      .drop("__pri")
+  }
+
   /** Assign every row a split label by hash range: `weights` are
     * (label, weight) pairs, normalized over their sum — e.g.
     * Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)). Stable under

@@ -62,6 +62,30 @@ object TextAnalysis {
       .withColumn("dup_fraction",
         (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
 
+  /** Corpus-fit unigram language-model score per document (the
+    * CCNet/KenLM-family quality signal, reduced to its unigram core):
+    * fit = token frequencies over the whole corpus; score = per-document
+    * cross-entropy avg(-ln p(token)) under the MLE unigram model. Low =
+    * typical of the corpus, high = unusual/noisy — rank and threshold to
+    * select in-domain text before training.
+    *
+    * Scale shape: exploded token rows → corpus frequency table (ONE
+    * map-side-combinable hash aggregation, never collected) → shuffle
+    * join back on token → per-document hash aggregation. The 1-row
+    * corpus total rides a broadcast cross join. Token-less documents
+    * emit no rows (nothing survives the explode). */
+  def unigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+    val total = freq.agg(sum(col("tf")).as("n_total"))
+    toks.join(freq, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        avg(-log(col("tf").cast("double") / col("n_total"))).as("cross_entropy"))
+  }
+
   /** Corpus-wide top-n terms by frequency (explode → count → top-k). */
   def topTerms(df: DataFrame, textCol: String, n: Int): DataFrame =
     df.select(explode(tokens(col(textCol))).as("term"))

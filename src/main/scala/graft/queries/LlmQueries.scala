@@ -869,6 +869,28 @@ object LlmQueries {
        | ${rSql("(sum(c) - count(*)) / CAST(sum(c) AS DOUBLE)", 6)} AS dup_fraction
        |FROM gc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- unigram LM scoring
+
+  /** Corpus-fit unigram cross-entropy per document (CCNet-style quality
+    * ranking): fit token frequencies over all documents, score each doc
+    * by avg(-ln p(token)). */
+  def lmScoreDocs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLmScore(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        r(col("cross_entropy"), 6).as("cross_entropy"))
+      .orderBy("doc_id")
+
+  private val lmScoreOracle: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       | FROM documents),
+       |freq AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM freq)
+       |SELECT doc_id, count(*) AS n_tokens,
+       | ${rSql("avg(-ln(CAST(tf AS DOUBLE) / n_total))", 6)} AS cross_entropy
+       |FROM toks JOIN freq USING (term) CROSS JOIN tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- sequence packing
 
   private val PackBudget = 512
@@ -897,6 +919,33 @@ object LlmQueries {
        | (n_tokens > 0 AND CAST(floor((start_offset + n_tokens - 1) / $PackBudget.0) AS BIGINT)
        |    > CAST(floor(start_offset / $PackBudget.0) AS BIGINT)) AS crosses_boundary
        |FROM c ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- overlap chunking
+
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  /** Overlapping token-window chunks (size 32, stride 24 — 8-token
+    * overlap), the RAG/long-doc training-example splitter. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    Packing.chunkTokens(Tables.documents(spark, dir), "doc_id", "text",
+      ChunkSize, ChunkStride)
+      .orderBy("doc_id", "chunk_id")
+
+  private val chunkDocsOracle: String =
+    s"""WITH d AS (
+       | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       | FROM documents),
+       |c AS (
+       | SELECT doc_id, t,
+       |  CAST(unnest(range(0, CAST(floor((len(t) - 1) / $ChunkStride.0) AS BIGINT) + 1)) AS INT) AS chunk_id
+       | FROM d WHERE len(t) > 0)
+       |SELECT doc_id, chunk_id,
+       | array_to_string(list_slice(t, chunk_id * $ChunkStride + 1,
+       |                            chunk_id * $ChunkStride + $ChunkSize), ' ') AS chunk_text,
+       | CAST(len(list_slice(t, chunk_id * $ChunkStride + 1,
+       |                     chunk_id * $ChunkStride + $ChunkSize)) AS BIGINT) AS n_chunk_tokens
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
   // ------------------------------------------------- oracle-checked simhash
 
@@ -1024,7 +1073,9 @@ object LlmQueries {
     QueryDef("decontaminate_docs", decontaminateDocs, Some(decontaminateOracle)),
     QueryDef("contamination_pairs", contaminationPairs, Some(contaminationPairsOracle)),
     QueryDef("repetition_docs", repetitionDocs, Some(repetitionOracle)),
+    QueryDef("lm_score_docs", lmScoreDocs, Some(lmScoreOracle)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
+    QueryDef("chunk_docs", chunkDocs, Some(chunkDocsOracle)),
     QueryDef("simhash_md5_pairs", simhashMd5Pairs, Some(simhashMd5Oracle)),
     QueryDef("quantize_vectors", quantizeVectors, Some(quantizeVectorsOracle)),
     QueryDef("quantized_topk", quantizedTopk, Some(quantizedTopkOracle)),

@@ -106,6 +106,23 @@ class PipelineOpsSpec extends SparkSpec {
       s"per-row window is not partitioned by _pid:\n${dataWin.getOrElse(plan)}")
   }
 
+  test("overlap chunking covers every token, overlaps by size - stride, last chunk short") {
+    // 7 tokens, size 4, stride 2 -> starts 0,2,4,6: chunks of 4,4,3,1 tokens
+    val out = Packing.chunkTokens(docs((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "")),
+        "doc_id", "text", size = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+    assert(out.map(_.getLong(0)).forall(_ === 1L)) // empty doc emits nothing
+    assert(out.map(_.getString(2)).toSeq === Seq(
+      "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6", "t6"))
+    assert(out.map(_.getLong(3)).toSeq === Seq(4L, 4L, 3L, 1L))
+  }
+
+  test("chunking a doc shorter than one window emits exactly one full-doc chunk") {
+    val out = Packing.chunkTokens(docs((1L, "a b")), "doc_id", "text", 8, 8).collect()
+    assert(out.length === 1)
+    assert(out(0).getString(2) === "a b" && out(0).getLong(3) === 2L)
+  }
+
   test("int8 quantization bounds components to [-127, 127] and hits ±127 at the extremes") {
     val s = spark
     import s.implicits._

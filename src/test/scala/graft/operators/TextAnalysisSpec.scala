@@ -165,6 +165,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(deKept === dePlain)
   }
 
+  test("unigram LM score is hand-computable on a tiny corpus") {
+    // corpus tokens: a a a b -> p(a)=3/4, p(b)=1/4
+    val out = TextAnalysis.unigramLmScore(
+      docs((1L, "a a"), (2L, "a b"), (3L, "")), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length === 2) // token-less doc 3 absent
+    assert(out(0).getLong(1) === 2L)
+    assert(math.abs(out(0).getDouble(2) - (-math.log(0.75))) < 1e-12)
+    val expected2 = (-math.log(0.75) - math.log(0.25)) / 2
+    assert(math.abs(out(1).getDouble(2) - expected2) < 1e-12)
+  }
+
+  test("line dedup removes corpus-frequent lines, keeps unique prose in order") {
+    val banner = "subscribe now"
+    val d = docs(
+      (1L, s"$banner\nunique one\nalso unique"),
+      (2L, s"$banner\nother prose"),
+      (3L, s"$banner"),
+      (4L, "standalone doc"))
+    val out = Dedup.lineDedup(d, "doc_id", "text", minDocFreq = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) === "unique one\nalso unique")
+    assert(out(0).getLong(2) === 3L && out(0).getLong(3) === 1L)
+    assert(out(1).getString(1) === "other prose")
+    // all-boilerplate doc survives with empty text
+    assert(out(2).getString(1) === "" && out(2).getLong(3) === 1L)
+    assert(out(3).getString(1) === "standalone doc" && out(3).getLong(3) === 0L)
+  }
+
   test("language-ID ties resolve to the lexicographically first language") {
     // identical profiles for every language -> every doc scores equal
     val profiles = Map("de" -> Seq("abc"), "en" -> Seq("abc"), "fr" -> Seq("abc"))
