@@ -29,12 +29,28 @@ object Vectors {
     * The per-element map is an interpreted HOF — fine for an O(dim)
     * transform per row (dim is 64 here, not corpus-sized); the bulk
     * statistics over quantized components should use posexplode + hash
-    * aggregation (see the quantize_vectors query), not array HOFs. */
+    * aggregation (see the quantize_vectors query), not array HOFs.
+    *
+    * `scale` is materialized as a bound column in a FIRST projection and
+    * only then referenced inside the lambda: embedding the scale
+    * expression tree (which itself contains an O(dim) array_max) in the
+    * per-element lambda re-evaluates it for every element — O(dim²)
+    * interpreted work per row. CollapseProject keeps the two projections
+    * apart because the alias is non-cheap and referenced twice.
+    *
+    * Caveat for callers: do NOT posexplode the returned qvec —
+    * InferFiltersFromGenerate infers `size(qvec)>0 AND isnotnull(qvec)`
+    * and pushes it below this projection with the scale tree re-inlined,
+    * bringing the O(dim²) work back (measured 8.45 s vs 0.55 s at sf0.1
+    * for the quantize_vectors stats query). For bulk component stats,
+    * explode the RAW vector and apply ⌊x·scale+0.5⌋ post-explode as a
+    * scalar codegen'd expression (see LlmQueries.quantizeVectors). */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
     val scale = when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
-    df.select(col(idCol), scale.as("scale"),
-      transform(col(vecCol), x => floor(x.cast("double") * scale + 0.5)).as("qvec"))
+    df.select(col(idCol), col(vecCol), scale.as("scale"))
+      .select(col(idCol), col("scale"),
+        transform(col(vecCol), x => floor(x.cast("double") * col("scale") + 0.5)).as("qvec"))
   }
 
   /** One-row profile: count, nulls, dimension range, norm stats. */

@@ -704,12 +704,24 @@ object LlmQueries {
   // ------------------------------------------------- int8 quantization
 
   /** Per-vector quantization statistics over the int8-quantized
-    * embeddings (scale + component aggregates via posexplode + one
-    * codegen'd hash aggregation — no array HOFs in the bulk path). */
+    * embeddings. The quantized component q = ⌊x·scale + 0.5⌋ is computed
+    * AFTER posexplode of the RAW embedding, as a scalar codegen'd
+    * expression — not by exploding `quantizeInt8`'s qvec array. Exploding
+    * a HOF-built array trips InferFiltersFromGenerate: the inferred
+    * `size(qvec)>0 AND isnotnull(qvec)` filter is pushed below the scale
+    * projection with the whole O(dim) scale tree re-inlined per lambda
+    * element — O(dim²) interpreted work per row, twice (measured 8.45 s
+    * vs 0.75 s for this shape at sf0.1). Here the inferred filter lands
+    * on the raw parquet column, and the only HOF left is the one O(dim)
+    * scale pass. Same answer, same oracle. */
   def quantizeVectors(spark: SparkSession, dir: String): DataFrame = {
-    val q = graft.operators.Vectors.quantizeInt8(
-      Tables.embeddings(spark, dir), "vec_id", "embedding")
-    q.select(col("vec_id"), col("scale"), posexplode(col("qvec")).as(Seq("pos", "q")))
+    val emb = Tables.embeddings(spark, dir)
+    val maxAbs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val scale = when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+    emb.select(col("vec_id"), col("embedding"), scale.as("scale"))
+      .select(col("vec_id"), col("scale"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("scale"),
+        floor(col("x").cast("double") * col("scale") + 0.5).cast("long").as("q"))
       .groupBy("vec_id")
       .agg(first(col("scale")).as("s"), count(lit(1)).as("dim"),
         sum(col("q")).as("q_sum"), min(col("q")).as("q_min"), max(col("q")).as("q_max"),
