@@ -305,14 +305,59 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed approximate top-k (the 100 TB path; recall vs the exact
-    * path is unit-tested — no SQL oracle for the hyperplane hashes). */
+  /** LSH-bucketed approximate top-k (the 100 TB path). Fully
+    * oracle-checked: the seed-pinned plane matrix is plain data, so the
+    * oracle SQL embeds it as literals and replays sign-bit bucketing +
+    * in-bucket cosine top-k in DuckDB — the same trick as
+    * simhash_md5_pairs. The recall-vs-exact tradeoff is additionally
+    * unit-tested in DedupSimilaritySpec. */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.annTopK(emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, planes = 6)
       .select(col("query_id"), col("rank"), col("neighbor_id"), r(col("sim"), 6).as("sim"))
       .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB replay of [[Similarity.annTopK]]: the plane matrix (6×64,
+    * seed 42 — identical to what the query builds) as VALUES literals;
+    * per-vector sign bits via the same left-fold dot product
+    * (list_reduce mirrors Spark's `aggregate` summation order, so the
+    * sign is computed on the identical IEEE double); bucket id via the
+    * same acc*2+bit encoding; then exact cosine top-k inside buckets
+    * only. */
+  private val annLshOracle: String = {
+    val planes = 6
+    val m = Similarity.planeMatrix(planes, 64, 42L)
+    val planeRows = m.zipWithIndex
+      .map { case (row, p) => s"($p, [${row.mkString(", ")}])" }
+      .mkString(", ")
+    s"""WITH planes(p, h) AS (VALUES $planeRows),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |bits AS (
+       | SELECT vec_id, p,
+       |  CASE WHEN list_reduce(list_prepend(0.0,
+       |         list_transform(range(1, len(x) + 1), i -> x[i] * h[i])),
+       |         (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS bit
+       | FROM v CROSS JOIN planes),
+       |buckets AS (
+       | SELECT vec_id, CAST(sum(bit * (1 << (${planes - 1} - p))) AS BIGINT) AS bucket
+       | FROM bits GROUP BY vec_id),
+       |cand AS (
+       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                         CAST(ce.embedding AS DOUBLE[])) AS sim
+       | FROM buckets q
+       | JOIN buckets c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       | JOIN embeddings qe ON qe.vec_id = q.vec_id
+       | JOIN embeddings ce ON ce.vec_id = c.vec_id
+       | WHERE q.vec_id < 5)
+       |SELECT query_id,
+       | CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS "rank",
+       | neighbor_id, ${rSql("sim", 6)} AS sim
+       |FROM cand
+       |QUALIFY "rank" <= 5
+       |ORDER BY query_id, "rank"""".stripMargin
   }
 
   // -------------------------------------------------------- text analysis
@@ -476,6 +521,28 @@ object LlmQueries {
       | CAST(row_number() OVER (ORDER BY md5('42#' || CAST(doc_id AS VARCHAR))) - 1 AS BIGINT)
       |  AS shuffle_pos
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-source quota cap (domain balancing): keep at most 10 docs per
+    * source by deterministic md5 priority. Runs GroupTopK's salted
+    * two-phase plan (low-cardinality groups are exactly the
+    * single-task-window shape it exists to avoid); the oracle replays
+    * the same total order as one plain window — small data is where the
+    * plain window IS fine, which is what makes the salted plan
+    * oracle-checkable. */
+  def capPerGroupDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.capPerGroup(
+      Tables.documents(spark, dir), "doc_id", "source", cap = 10, seed = 7L)
+      .select(col("source"), col("cap_rank"), col("doc_id"))
+      .orderBy("source", "cap_rank")
+
+  private val capPerGroupOracle: String =
+    """SELECT source, CAST(rn AS INT) AS cap_rank, doc_id
+      |FROM (SELECT source, doc_id,
+      |        row_number() OVER (PARTITION BY source
+      |          ORDER BY md5('7#' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |      FROM documents)
+      |WHERE rn <= 10
+      |ORDER BY source, cap_rank""".stripMargin
 
   /** Per-document TF-IDF top-3 terms over a bounded doc range (keeps the
     * oracle row set reviewable; the operator itself is corpus-wide hash
@@ -1061,7 +1128,7 @@ object LlmQueries {
     QueryDef("cosine_neardup_pairs", cosineNeardupPairs, Some(cosineNeardupOracle)),
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("cosine_topk", cosineTopk, Some(cosineTopkOracle)),
-    QueryDef("ann_lsh_topk", annLshTopk, None),
+    QueryDef("ann_lsh_topk", annLshTopk, Some(annLshOracle)),
     QueryDef("ivf_topk", ivfTopk, Some(cosineTopkOracle)),
     QueryDef("text_token_stats", textTokenStats, Some(textTokenStatsOracle)),
     QueryDef("token_budget", tokenBudget, Some(tokenBudgetOracle)),
@@ -1091,5 +1158,6 @@ object LlmQueries {
     QueryDef("simhash_md5_pairs", simhashMd5Pairs, Some(simhashMd5Oracle)),
     QueryDef("quantize_vectors", quantizeVectors, Some(quantizeVectorsOracle)),
     QueryDef("quantized_topk", quantizedTopk, Some(quantizedTopkOracle)),
-    QueryDef("shuffle_order", shuffleOrderDocs, Some(shuffleOrderOracle)))
+    QueryDef("shuffle_order", shuffleOrderDocs, Some(shuffleOrderOracle)),
+    QueryDef("cap_per_group", capPerGroupDocs, Some(capPerGroupOracle)))
 }
