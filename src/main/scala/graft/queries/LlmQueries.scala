@@ -635,12 +635,48 @@ object LlmQueries {
        | count(CASE WHEN n_chars = 0 THEN 1 END) AS n_zeros
        |FROM documents""".stripMargin
 
-  /** Trigram-profile language ID (heuristic; profiles fitted on the same
-    * corpus — no SQL oracle, rows-only + unit tests). */
+  /** Trigram-profile language ID, fit + classify end-to-end: profiles
+    * fitted on the labeled corpus (per-language top-50 distinct trigrams
+    * by document frequency, through GroupTopK's salted plan), then every
+    * document classified by profile overlap. The whole path is
+    * oracle-checked: the fit is a window top-k over trigram counts and
+    * the classify is an overlap count + argmax, both plain SQL. */
   def langidDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val profiles = TextAnalysis.fitLanguageProfiles(docs, "text", "lang")
     TextAnalysis.classifyLanguage(docs, "doc_id", "text", profiles).orderBy("doc_id")
+  }
+
+  /** DuckDB replay of fit+classify: same distinct-trigram extraction as
+    * [[Dedup.charNgrams]] (verified char-identical in the simhash and
+    * langid_fixed oracles), same (cnt DESC, g ASC) total order for the
+    * top-50 fit, same argmax-with-lexicographically-first-lang tie rule
+    * as [[TextAnalysis.classifyLanguage]]. */
+  private val langidDocsOracle: String = {
+    val grams =
+      "list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1), i -> substring(text, i, 3)))"
+    s"""WITH lg AS (
+       | SELECT lang, unnest($grams) AS g FROM documents),
+       |cnt AS (SELECT lang, g, count(*) AS cnt FROM lg GROUP BY lang, g),
+       |prof AS (
+       | SELECT lang, g FROM (
+       |  SELECT lang, g,
+       |   row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, g ASC) AS rn
+       |  FROM cnt) WHERE rn <= 50),
+       |dt AS (SELECT doc_id, unnest($grams) AS g FROM documents),
+       |overlap AS (
+       | SELECT dt.doc_id, p.lang, count(*) AS score
+       | FROM dt JOIN prof p ON dt.g = p.g
+       | GROUP BY dt.doc_id, p.lang),
+       |ranked AS (
+       | SELECT d.doc_id, l.lang,
+       |  row_number() OVER (PARTITION BY d.doc_id
+       |   ORDER BY coalesce(o.score, 0) DESC, l.lang ASC) AS rn
+       | FROM (SELECT doc_id FROM documents) d
+       | CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+       | LEFT JOIN overlap o ON o.doc_id = d.doc_id AND o.lang = l.lang)
+       |SELECT doc_id, lang AS predicted_lang FROM ranked
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
   /** Text cleaning + redaction end-to-end: the documents get DETERMINISTIC
@@ -1139,7 +1175,7 @@ object LlmQueries {
     QueryDef("text_quality", textQuality, Some(textQualityOracle)),
     QueryDef("fingerprint_docs", fingerprintDocs, Some(fingerprintOracle)),
     QueryDef("doclen_describe", doclenDescribe, Some(doclenDescribeOracle)),
-    QueryDef("langid_docs", langidDocs, None),
+    QueryDef("langid_docs", langidDocs, Some(langidDocsOracle)),
     QueryDef("langid_fixed", langidFixed, Some(langidFixedOracle)),
     QueryDef("text_clean", textClean, Some(textCleanOracle)),
     QueryDef("corpus_filter", corpusFilter, Some(corpusFilterOracle)),

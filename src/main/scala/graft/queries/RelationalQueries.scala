@@ -515,6 +515,53 @@ object RelationalQueries {
        |GROUP BY p_brand
        |ORDER BY p_brand""".stripMargin
 
+  /** TPC-H Q5-shape deep multi-join — the join-ORDERING workout the
+    * 2–3-table queries don't exercise: region → nation → supplier /
+    * customer → orders → lineitem, six tables with a selective region
+    * filter and a same-nation customer-supplier constraint. region and
+    * nation are explicit broadcasts (a handful of rows at any SF); the
+    * fact-side joins (lineitem ⋈ orders ⋈ customer) shuffle on their
+    * keys and AQE re-plans supplier at runtime — at 100 TB supplier is
+    * the borderline side you want AQE, not a hint, to decide.
+    * Ref semantics: classic TPC-H Q5 (public spec), restated over the
+    * synthetic corpus; dates picked inside the generator's 1995–2001
+    * o_orderdate range. */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp_ntz(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp_ntz(lit("1997-01-01")))
+    Tables.lineitem(spark, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5RegionRevenueOracle: String =
+    s"""SELECT n_name,
+       | ${rSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue,
+       | count(*) AS n_items
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       | AND o_orderdate >= TIMESTAMP '1996-01-01'
+       | AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
   /** The bucketing lever under the t2 gate: both join sides are written
     * as bucketed+sorted external tables on the join key (same bucket
     * count), re-read through the catalog, and joined — Spark elides the
@@ -783,5 +830,6 @@ object RelationalQueries {
     QueryDef("bucketed_join_revenue", bucketedJoinRevenue, Some(bucketedJoinOracle)),
     QueryDef("asof_join_events", asofJoinEvents, Some(asofJoinOracle)),
     QueryDef("asof_tolerance_events", asofToleranceEvents, Some(asofToleranceOracle)),
-    QueryDef("events_hourly", eventsHourly, Some(eventsHourlyOracle)))
+    QueryDef("events_hourly", eventsHourly, Some(eventsHourlyOracle)),
+    QueryDef("q5_region_revenue", q5RegionRevenue, Some(q5RegionRevenueOracle)))
 }

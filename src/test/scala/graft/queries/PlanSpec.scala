@@ -81,4 +81,16 @@ class PlanSpec extends SparkSpec {
       s"banded plan fell back to a nested loop:\n$plan")
     assert(plan.contains("Join") && plan.contains("__band"))
   }
+
+  test("Q5-shape deep join broadcasts the tiny dims and pushes the region filter") {
+    val plan = planOf(RelationalQueries.q5RegionRevenue(spark, dir))
+    // nation and region ride broadcast joins; the selective r_name filter
+    // reaches the region parquet scan, not a post-join Filter
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"nation and region must broadcast:\n$plan")
+    assert(plan.contains("EqualTo(r_name,ASIA)"), "r_name filter must push to the scan")
+    // the date filter prunes orders at the scan
+    assert(plan.contains("o_orderdate"), "order-date predicate must reach the orders side")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
