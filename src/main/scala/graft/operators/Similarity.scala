@@ -88,8 +88,16 @@ object Similarity {
     * to scale — is identical either way.
     *
     * `nprobe = cells` probes every list and is exactly exhaustive search
-    * (the oracle case); recall at `nprobe < cells` is unit-tested on
-    * clustered data. */
+    * (the oracle case). Operating guide for the nprobe knob: recall@k
+    * rises monotonically with nprobe and hits 1.0 at `cells`;
+    * DedupSimilaritySpec's sweep on 8-cluster data with queries blended
+    * across two clusters (the hard case — the true neighbor set
+    * straddles cells) measures recall@10 = 0.60 / 1.00 / 1.00 / 1.00 /
+    * 1.00 at nprobe = 1 / 2 / 4 / 8 / 16 over cells = 16: one extra
+    * probe recovers the straddled cluster, so size nprobe to the number
+    * of clusters a query can plausibly border (2–4 in practice), not to
+    * a fraction of cells. Cost scales linearly with nprobe (candidates
+    * come only from probed lists). */
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,

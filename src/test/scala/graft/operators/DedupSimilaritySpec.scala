@@ -237,6 +237,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(candidates < 40)
   }
 
+  test("IVF recall curve is monotone in nprobe and exact at nprobe = cells") {
+    val s = spark
+    import s.implicits._
+    // 8 clusters on distinct axes, 20 points each, jittered; queries are
+    // BLENDS of two cluster directions, so their true neighbor sets
+    // straddle cells and low nprobe genuinely under-recalls — the shape
+    // of the operating curve a user tunes against (see ivfTopK scaladoc).
+    val rnd = new scala.util.Random(42)
+    def clusterVec(axis: Int): Array[Float] = {
+      val a = Array.fill(16)(rnd.nextFloat() * 0.1f); a(axis) = 1.0f; a
+    }
+    val corpus = (0 until 160).map(i => (i.toLong, clusterVec(i % 8))).toDF("id", "v")
+    val queries = (0 until 4).map { qi =>
+      val a = Array.fill(16)(0.05f)
+      a(qi * 2) = 0.8f; a(qi * 2 + 1) = 0.75f // between two clusters
+      (1000L + qi, a)
+    }.toDF("id", "v")
+    val k = 10
+    val exact = Similarity.cosineTopK(corpus, "id", "v", queries, "id", "v", k = k)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = Seq(1, 2, 4, 8, 16).map { nprobe =>
+      val ann = Similarity.ivfTopK(corpus, "id", "v", queries, "id", "v",
+          k = k, cells = 16, nprobe = nprobe)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val perQ = exact.map { case (q, ex) =>
+        ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+      nprobe -> perQ.sum / perQ.size
+    }
+    info(recalls.map { case (p, r) => f"nprobe=$p%2d recall@$k=$r%.3f" }.mkString(", "))
+    // monotone non-decreasing, genuinely partial at nprobe=1, exact at cells
+    recalls.map(_._2).sliding(2).foreach { case Seq(a, b) => assert(a <= b + 1e-9) }
+    assert(recalls.head._2 < 1.0, "blended queries must under-recall at nprobe=1")
+    assert(recalls.last._2 === 1.0, "nprobe = cells is exhaustive")
+  }
+
   test("native cosine expression matches the HOF formulation bit-exactly") {
     val s = spark
     import s.implicits._
