@@ -156,6 +156,33 @@ object Similarity {
     * length raises instead of silently hashing to bucket 0 (zip_with pads
     * with null, nulling the dot product), which would collapse the LSH
     * partitioning into the cross product it exists to avoid. */
+  /** Embedding near-duplicate pairs at scale — the semantic-dedup
+    * candidate generator: every vector is hashed into a sign-bit
+    * hyperplane bucket and pairs meet ONLY inside a shared bucket (an
+    * equi-join on the bucket id, never all-pairs); exact cosine then
+    * verifies each candidate against `threshold`. Approximation is
+    * one-sided and explicit: a near-dup pair split across buckets is
+    * missed (probability (angle/π)·planes per plane, driven down by
+    * fewer planes = bigger buckets), while every returned pair is
+    * exactly verified. Returns (a, b, sim) with a < b. */
+  def nearDupPairsCosineLsh(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 6, seed: Long = 42L, dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else df.select(size(col(vecCol))).head.getInt(0)
+    val planesLit = typedLit(planeMatrix(planes, d, seed))
+    def guarded(v: Column): Column = when(size(v) === d, v).otherwise(
+      raise_error(concat(lit("nearDupPairsCosineLsh: vector length "), size(v).cast("string"),
+        lit(s" != plane dim $d"))))
+    val sig = df.select(col(idCol), col(vecCol),
+      signature(guarded(col(vecCol)), planesLit, planes).as("__bucket"))
+    sig.select(col("__bucket"), col(idCol).as("a"), col(vecCol).as("__va"))
+      .join(sig.select(col("__bucket"), col(idCol).as("b"), col(vecCol).as("__vb")),
+        Seq("__bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosineFor(df, vecCol)(col("__va"), col("__vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   def annTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,

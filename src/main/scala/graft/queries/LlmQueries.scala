@@ -326,13 +326,16 @@ object LlmQueries {
     * sign is computed on the identical IEEE double); bucket id via the
     * same acc*2+bit encoding; then exact cosine top-k inside buckets
     * only. */
-  private val annLshOracle: String = {
-    val planes = 6
+  /** Shared bucket CTEs for the hyperplane-LSH oracles: the seed-pinned
+    * plane matrix as VALUES literals, per-vector sign bits via the same
+    * left-fold dot product Spark's `aggregate` uses, bucket id via the
+    * same acc*2+bit encoding. */
+  private def lshBucketCtes(planes: Int): String = {
     val m = Similarity.planeMatrix(planes, 64, 42L)
     val planeRows = m.zipWithIndex
       .map { case (row, p) => s"($p, [${row.mkString(", ")}])" }
       .mkString(", ")
-    s"""WITH planes(p, h) AS (VALUES $planeRows),
+    s"""planes(p, h) AS (VALUES $planeRows),
        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
        |bits AS (
        | SELECT vec_id, p,
@@ -342,7 +345,11 @@ object LlmQueries {
        | FROM v CROSS JOIN planes),
        |buckets AS (
        | SELECT vec_id, CAST(sum(bit * (1 << (${planes - 1} - p))) AS BIGINT) AS bucket
-       | FROM bits GROUP BY vec_id),
+       | FROM bits GROUP BY vec_id)""".stripMargin
+  }
+
+  private val annLshOracle: String = {
+    s"""WITH ${lshBucketCtes(6)},
        |cand AS (
        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |  list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
@@ -359,6 +366,44 @@ object LlmQueries {
        |QUALIFY "rank" <= 5
        |ORDER BY query_id, "rank"""".stripMargin
   }
+
+  /** Semantic (embedding-space) dedup END-TO-END: hyperplane-LSH buckets
+    * bound the candidate pairs, exact cosine >= 0.35 verifies, connected
+    * components cluster, and each cluster keeps its lowest vec_id — the
+    * embedding analog of minhash_dedup_keep, with every stage (bucketing,
+    * verification, clustering, canonical selection) checked in
+    * composition by the oracle. */
+  def semanticDedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = Similarity.nearDupPairsCosineLsh(
+      emb, "vec_id", "embedding", threshold = 0.35, planes = 6)
+    val comp = Dedup.connectedComponents(pairs, "a", "b")
+    emb.join(comp, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+      .filter(col("vec_id") === col("component"))
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
+
+  private val semanticDedupKeepOracle: String =
+    s"""WITH RECURSIVE ${lshBucketCtes(6)},
+       |p AS (
+       | SELECT qa.vec_id AS a, qb.vec_id AS b
+       | FROM buckets qa
+       | JOIN buckets qb ON qa.bucket = qb.bucket AND qa.vec_id < qb.vec_id
+       | JOIN embeddings ea ON ea.vec_id = qa.vec_id
+       | JOIN embeddings eb ON eb.vec_id = qb.vec_id
+       | WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                              CAST(eb.embedding AS DOUBLE[])) >= 0.35),
+       |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+       |reach(id, lbl) AS (
+       | SELECT vec_id, vec_id FROM embeddings
+       | UNION
+       | SELECT e.b AS id, r.lbl FROM reach r JOIN e ON e.a = r.id)
+       |SELECT id AS vec_id FROM reach
+       |GROUP BY id HAVING id = min(lbl)
+       |ORDER BY vec_id""".stripMargin
 
   // -------------------------------------------------------- text analysis
 
@@ -1165,6 +1210,7 @@ object LlmQueries {
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("cosine_topk", cosineTopk, Some(cosineTopkOracle)),
     QueryDef("ann_lsh_topk", annLshTopk, Some(annLshOracle)),
+    QueryDef("semantic_dedup_keep", semanticDedupKeep, Some(semanticDedupKeepOracle)),
     QueryDef("ivf_topk", ivfTopk, Some(cosineTopkOracle)),
     QueryDef("text_token_stats", textTokenStats, Some(textTokenStatsOracle)),
     QueryDef("token_budget", tokenBudget, Some(tokenBudgetOracle)),

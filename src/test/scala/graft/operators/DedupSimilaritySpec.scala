@@ -237,6 +237,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(candidates < 40)
   }
 
+  test("cosine-LSH near-dup pairs: same-bucket near-dups found, candidates bounded by buckets") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.map(_ + (rnd.nextFloat() - 0.5f) * eps)
+    val anchor = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    // 3 planted near-dups of the anchor + 30 unrelated vectors
+    val rows = Seq((0L, anchor), (1L, jitter(anchor, 0.02f)), (2L, jitter(anchor, 0.02f))) ++
+      (10 until 40).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("id", "v")
+    val pairs = Similarity.nearDupPairsCosineLsh(df, "id", "v", threshold = 0.95, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // tight jitters of the same anchor share every sign bit -> same bucket
+    assert(pairs === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    // and the bucket join never degenerates into all-pairs: candidate
+    // count at threshold -1 (accept everything in-bucket) < n*(n-1)/2
+    val candidates = Similarity.nearDupPairsCosineLsh(df, "id", "v",
+      threshold = -1.0, planes = 4).count()
+    assert(candidates < 33L * 32 / 2)
+  }
+
   test("IVF recall curve is monotone in nprobe and exact at nprobe = cells") {
     val s = spark
     import s.implicits._
