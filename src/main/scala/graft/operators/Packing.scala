@@ -65,6 +65,43 @@ object Packing {
           .cast("long").as("n_chunk_tokens"))
   }
 
+  /** PER-GROUP exclusive prefix sum of `valueCol` in `orderCol` order —
+    * [[packContiguous]]'s two-phase shape generalized to grouped running
+    * sums (the building block for per-source token budgeting, grouped
+    * packing, per-domain cumulative caps). A plain
+    * `Window.partitionBy(group).orderBy(order)` puts each WHOLE group in
+    * one task — groups like "source" or "language" are low-cardinality
+    * and huge, the same hot-key shape GroupTopK exists to avoid. Here:
+    *
+    *   1. range-repartition by (group, order) so each partition holds a
+    *      contiguous slice of one-or-more groups; the local running sum
+    *      windows over (group, partition) — parallel;
+    *   2. per-(group, partition) totals (groups × partitions rows,
+    *      tiny) are cumulated per group and broadcast back as bases.
+    *
+    * `orderCol` must be unique within its group (it is the total order
+    * that makes the sum deterministic). Adds `cumBeforeCol`. */
+  def groupedPrefixSum(df: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String, cumBeforeCol: String = "cum_before"): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, col(groupCol), col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    val local = Window.partitionBy(groupCol, "_pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = ranged.withColumn("_local_cum", sum(col(valueCol)).over(local))
+    // ordered by each slice's min ORDER value, never by partition id
+    val offsets = withLocal.groupBy(groupCol, "_pid")
+      .agg(min(col(orderCol)).as("_min_o"), sum(col(valueCol)).as("_ptotal"))
+    val offW = Window.partitionBy(groupCol).orderBy("_min_o")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = offsets
+      .withColumn("_base", sum(col("_ptotal")).over(offW) - col("_ptotal"))
+      .select(col(groupCol), col("_pid"), col("_base"))
+    withLocal.join(broadcast(bases), Seq(groupCol, "_pid"))
+      .withColumn(cumBeforeCol, col("_base") + col("_local_cum") - col(valueCol))
+      .drop("_pid", "_local_cum", "_base")
+  }
+
   /** Pack by a precomputed token-count column. Returns the input columns
     * plus start_offset (global tokens before this doc), seq_id
     * (floor(start_offset / budget)) and crosses_boundary (true when the

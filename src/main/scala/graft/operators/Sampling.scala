@@ -90,6 +90,31 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** Corpus MIXING by per-group token budget — the data-mixing step of a
+    * pretraining pipeline: each group (source, domain, language) keeps
+    * documents in deterministic md5-priority order until its cumulative
+    * token count would exceed `budgetPerGroup`; a row is kept iff
+    * tokens_before + its tokens <= budget (no partial documents). The
+    * kept set is a stable uniform within-group prefix: reproducible
+    * across engines, runs and partitionings, and growing the corpus only
+    * exchanges kept docs when new rows out-rank old ones.
+    *
+    * The grouped running sum goes through
+    * [[Packing.groupedPrefixSum]]'s two-phase plan — low-cardinality
+    * groups never become single-task windows. Adds `tokens_before`. */
+  def mixByTokenBudget(df: DataFrame, keyCol: String, groupCol: String,
+      tokenCol: String, budgetPerGroup: Long, seed: Long = 0L): DataFrame = {
+    require(budgetPerGroup > 0, s"budget must be positive, got $budgetPerGroup")
+    // priority + key suffix = a total order within the group even under
+    // (astronomically unlikely) digest collisions
+    val ordered = df.withColumn("__ord",
+      concat(md5(concat_ws("#", lit(seed), col(keyCol).cast("string"))),
+        lit("#"), col(keyCol).cast("string")))
+    Packing.groupedPrefixSum(ordered, groupCol, "__ord", tokenCol, "tokens_before")
+      .filter(col("tokens_before") + col(tokenCol) <= budgetPerGroup)
+      .drop("__ord")
+  }
+
   /** Assign every row a split label by hash range: `weights` are
     * (label, weight) pairs, normalized over their sum — e.g.
     * Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)). Stable under

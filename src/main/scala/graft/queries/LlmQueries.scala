@@ -567,6 +567,38 @@ object LlmQueries {
       |  AS shuffle_pos
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus mixing: each source keeps docs in md5-priority order up to a
+    * 600-token budget (whitespace tokens; no partial docs) — the
+    * per-domain data-mixing step, running the grouped two-phase prefix
+    * sum rather than a single-task per-group window. The oracle replays
+    * the identical priority order and running sum as one plain window —
+    * fine on oracle-scale data, which is what makes the scaled plan
+    * checkable. */
+  def mixCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val withTok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.Sampling.mixByTokenBudget(
+      withTok, "doc_id", "source", "n_tokens", budgetPerGroup = 600L, seed = 5L)
+      .select(col("source"), col("doc_id"), col("tokens_before"), col("n_tokens"))
+      .orderBy("source", "doc_id")
+  }
+
+  private val mixCorpusOracle: String =
+    """WITH t AS (
+      | SELECT doc_id, source,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |  md5('5#' || CAST(doc_id AS VARCHAR)) || '#' || CAST(doc_id AS VARCHAR) AS ord
+      | FROM documents),
+      |c AS (
+      | SELECT source, doc_id, n_tokens,
+      |  sum(n_tokens) OVER (PARTITION BY source ORDER BY ord
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tokens_before
+      | FROM t)
+      |SELECT source, doc_id, tokens_before, n_tokens
+      |FROM c WHERE tokens_before + n_tokens <= 600
+      |ORDER BY source, doc_id""".stripMargin
+
   /** Per-source quota cap (domain balancing): keep at most 10 docs per
     * source by deterministic md5 priority. Runs GroupTopK's salted
     * two-phase plan (low-cardinality groups are exactly the
@@ -1241,5 +1273,6 @@ object LlmQueries {
     QueryDef("quantize_vectors", quantizeVectors, Some(quantizeVectorsOracle)),
     QueryDef("quantized_topk", quantizedTopk, Some(quantizedTopkOracle)),
     QueryDef("shuffle_order", shuffleOrderDocs, Some(shuffleOrderOracle)),
-    QueryDef("cap_per_group", capPerGroupDocs, Some(capPerGroupOracle)))
+    QueryDef("cap_per_group", capPerGroupDocs, Some(capPerGroupOracle)),
+    QueryDef("mix_corpus", mixCorpus, Some(mixCorpusOracle)))
 }

@@ -106,6 +106,60 @@ class PipelineOpsSpec extends SparkSpec {
       s"per-row window is not partitioned by _pid:\n${dataWin.getOrElse(plan)}")
   }
 
+  test("grouped prefix sum matches a plain per-group window and is partition-count invariant") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}", (i % 17) + 1)).toDF("id", "grp", "tok")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.groupedPrefixSum(d, "grp", "id", "tok")
+        .select("id", "cum_before").orderBy("id").collect().toSeq
+    val one = run(df.repartition(1))
+    val many = run(df.repartition(13))
+    assert(one === many)
+    // reference: plain window (fine at test scale)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ref = df.select(col("id"), coalesce(sum("tok").over(w), lit(0L)).as("cum_before"))
+      .orderBy("id").collect().toSeq
+    assert(one === ref)
+  }
+
+  test("grouped prefix sum's per-row window is partitioned by (group, _pid)") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).map(i => (i, s"g${i % 2}", 5L)).toDF("id", "grp", "tok")
+    val plan = Packing.groupedPrefixSum(df, "grp", "id", "tok")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    val dataWin = plan.linesIterator
+      .find(l => l.contains("Window [") && l.contains("AS _local_cum"))
+    assert(dataWin.exists(l => l.contains("_pid") && l.contains("grp")),
+      s"per-row window is not partitioned by (grp, _pid):\n${dataWin.getOrElse(plan)}")
+  }
+
+  test("token-budget mix keeps a per-group priority prefix, no partial docs, stable under appends") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 60L).map(i => (i, s"g${i % 2}", 10L)).toDF("id", "grp", "tok")
+    val kept = graft.operators.Sampling.mixByTokenBudget(df, "id", "grp", "tok",
+      budgetPerGroup = 100L, seed = 1L)
+    // budget 100 / 10 tokens each = exactly 10 docs per group
+    val byGrp = kept.groupBy("grp").agg(count(lit(1)).as("n"), sum("tok").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byGrp === Set(("g0", 10L, 100L), ("g1", 10L, 100L)))
+    // appending rows never evicts a kept doc unless the new row out-ranks:
+    // re-running on a superset keeps a subset relationship per priority
+    val keptIds = kept.select("id").collect().map(_.getLong(0)).toSet
+    val more = (1L to 90L).map(i => (i, s"g${i % 2}", 10L)).toDF("id", "grp", "tok")
+    val kept2 = graft.operators.Sampling.mixByTokenBudget(more, "id", "grp", "tok",
+        budgetPerGroup = 100L, seed = 1L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // the 60-row run's keeps that still rank in the top of the 90-row run
+    // stay kept; overall size stays at the budget
+    assert(kept2.size === 20)
+    assert((kept2 -- (1L to 60L).toSet).size === (keptIds -- kept2).size)
+  }
+
   test("overlap chunking covers every token, overlaps by size - stride, last chunk short") {
     // 7 tokens, size 4, stride 2 -> starts 0,2,4,6: chunks of 4,4,3,1 tokens
     val out = Packing.chunkTokens(docs((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "")),
