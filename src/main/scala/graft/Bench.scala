@@ -10,12 +10,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Between queries, drop everything a query persisted: operator-internal
+    // persist() blocks (CacheManager) and localCheckpoint RDD blocks.
+    // Without this, cached plans leak across queries and a query's number
+    // depends on whether a SIBLING query already cached a shared subplan —
+    // and Map iteration order reshuffles whenever a query is added, which
+    // is exactly the r4->r5 minhash_neardup_docs 1.5s->5.2s "regression"
+    // (run-order cache luck, plus the run-tail "already cached" warnings).
+    // Each query now pays its own full cost every time: reproducible,
+    // order-independent, honest.
+    def dropCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     // warmup pass: Catalyst planning + Janino codegen compilation are
     // one-time JVM costs that would otherwise be charged to whichever
     // query runs first (run-order noise of +/-30% total); measure the
     // steady state the way any cluster reuses compiled plans.
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      dropCaches()
     }
     // best-of-2 measured passes: a transient contention/GC spike during a
     // single pass can double a query's reading (BENCH_r02 recorded 5x on
@@ -24,7 +38,9 @@ object Bench {
     def measure(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropCaches()
+      name -> dt
     }
     val p1 = measure()
     val p2 = measure()

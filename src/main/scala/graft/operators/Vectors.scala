@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions.toDoubleArray
 
 /** VECTOR-modality profiling (SURVEY.md §2.C row 12 extension ladder):
   * dimension and norm statistics for an ArrayType(Numeric) column — the
@@ -51,6 +52,108 @@ object Vectors {
     df.select(col(idCol), col(vecCol), scale.as("scale"))
       .select(col(idCol), col("scale"),
         transform(col(vecCol), x => floor(x.cast("double") * col("scale") + 0.5)).as("qvec"))
+  }
+
+  /** Johnson–Lindenstrauss random projection: dim → outDim via a
+    * seed-pinned Gaussian matrix R (outDim × dim, the same generator as
+    * the LSH plane matrix), proj_j = (Σ_i v_i·R[j,i]) / √outDim. JL
+    * guarantees pairwise distances are preserved within (1±ε) for
+    * outDim = O(log n / ε²) — the standard compression step before ANN
+    * indexing or clustering when the raw dimension is large.
+    *
+    * Scale shape: the matrix is a driver-side literal (outDim·dim
+    * doubles, KBs), the projection is one narrow codegen'd projection
+    * per row — no shuffle, no UDF. The left-fold dot product keeps the
+    * summation order deterministic, so an independent engine replaying
+    * the same literals reproduces every component bit-for-bit (the
+    * ann_lsh_topk oracle trick). Ragged vectors raise rather than
+    * silently projecting through null-padded zip_with. */
+  def randomProjection(
+      df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, seed: Long = 42L, dim: Int = 0): DataFrame = {
+    require(outDim > 0, s"outDim must be positive, got $outDim")
+    val d = if (dim > 0) dim else df.select(size(col(vecCol))).head.getInt(0)
+    val rLit = typedLit(Similarity.planeMatrix(outDim, d, seed))
+    val denom = lit(math.sqrt(outDim.toDouble))
+    def guarded(v: Column): Column = when(size(v) === d, v).otherwise(
+      raise_error(concat(lit("randomProjection: vector length "),
+        size(v).cast("string"), lit(s" != matrix dim $d"))))
+    df.select(col(idCol),
+      transform(sequence(lit(0), lit(outDim - 1)), j =>
+        aggregate(
+          zip_with(toDoubleArray(guarded(col(vecCol))), element_at(rLit, j + 1),
+            (x, h) => x * h),
+          lit(0.0), (acc, x) => acc + x) / denom).as("proj"))
+  }
+
+  /** Squared L2 distance to a centroid literal — left-fold over squared
+    * diffs, deterministic order (mirrors the SQL-oracle fold). */
+  private def sqDistTo(v: Column, cent: Seq[Double]): Column =
+    aggregate(
+      zip_with(toDoubleArray(v), typedLit(cent), (x, h) => (x - h) * (x - h)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-centroid cell id. Argmin without structs (struct field
+    * aliases are stripped when the expression shares a select with a
+    * generator, breaking getField): a distance array plus
+    * array_position of its min — array_position returns the FIRST
+    * match, so with `cents` in ascending cell order an exact distance
+    * tie resolves to the lowest cell, the rule the SQL oracle replays
+    * as ORDER BY dist ASC, cell ASC. */
+  private def nearestCell(v: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    require(cents == cents.sortBy(_._1), "centroids must be in ascending cell order")
+    val darr = array(cents.map { case (_, cv) => sqDistTo(v, cv) }: _*)
+    val cellIds = array(cents.map(c => lit(c._1)): _*)
+    element_at(cellIds, array_position(darr, array_min(darr)).cast("int"))
+  }
+
+  /** Deterministic Lloyd k-means fit — the "production fit" the IVF
+    * scaladoc promises (Similarity.ivfTopK samples centroids; this
+    * refines them):
+    *
+    *  - init: the k lowest-id vectors (each is distance-0 from itself,
+    *    so every initial cell is non-empty);
+    *  - iterate: assign each vector to its nearest centroid by squared
+    *    L2 (ties → lowest cell), recompute each populated cell's
+    *    centroid as the per-dimension mean; a cell that loses all
+    *    members DROPS OUT (no stale-centroid carry — the rule an
+    *    independent replay can reproduce without our history).
+    *
+    * Per iteration: one assignment projection + one posexplode hash
+    * aggregation over (cell, pos) — k·dim rows (KBs) collected
+    * driver-side, exactly the IVF centroid budget. Means are rounded to
+    * 1e-6 with the portable floor formula before the next assignment so
+    * both engines iterate from identical centroid bits (Spark's partial
+    * aggregation sums in partition order; unrounded last-ULP drift
+    * would otherwise compound across iterations). */
+  def kmeansFit(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    var cents: Seq[(Int, Seq[Double])] = df.orderBy(col(idCol)).limit(k)
+      .select(toDoubleArray(col(vecCol))).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
+    for (_ <- 1 to iters) {
+      val means = df
+        .select(nearestCell(col(vecCol), cents).as("cell"),
+          posexplode(toDoubleArray(col(vecCol))).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = means.toSeq.sortBy(_._1).map { case (cell, rows) =>
+        (cell, rows.sortBy(_.getInt(1)).map(r => round6(r.getDouble(2))).toSeq)
+      }
+    }
+    cents
+  }
+
+  /** Cluster assignment after [[kmeansFit]]: (id, cell). */
+  def kmeansAssign(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val cents = kmeansFit(df, idCol, vecCol, k, iters)
+    df.select(col(idCol), nearestCell(col(vecCol), cents).as("cell"))
   }
 
   /** One-row profile: count, nulls, dimension range, norm stats. */

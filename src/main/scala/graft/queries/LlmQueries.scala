@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Contamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis, Vectors}
 import graft.queries.QueryDef.{r, rSql}
 import graft.sources.Tables
 
@@ -1230,6 +1230,84 @@ object LlmQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------- projection / clustering
+
+  /** Johnson–Lindenstrauss random projection 64 → 8 dims, exploded to
+    * (vec_id, p, comp) scalar rows for the hash compare. The seed-7
+    * Gaussian matrix is plain data, so the oracle embeds it as literals
+    * and replays the identical left-fold dot product — every component
+    * checked bit-for-bit after the shared portable rounding. */
+  def projectEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Vectors.randomProjection(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", outDim = 8, seed = 7L)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("p", "comp")))
+      .select(col("vec_id"), col("p"), r(col("comp"), 6).as("comp"))
+      .orderBy("vec_id", "p")
+
+  private val projectEmbeddingsOracle: String = {
+    val m = Similarity.planeMatrix(8, 64, 7L)
+    val rows = m.zipWithIndex
+      .map { case (row, p) => s"($p, [${row.mkString(", ")}])" }
+      .mkString(", ")
+    val comp = s"list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, len(x) + 1), i -> x[i] * h[i])), " +
+      s"(a, b) -> a + b) / ${math.sqrt(8.0)}"
+    s"""WITH rp(p, h) AS (VALUES $rows),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)
+       |SELECT vec_id, p, ${rSql(comp, 6)} AS comp
+       |FROM v CROSS JOIN rp
+       |ORDER BY vec_id, p""".stripMargin
+  }
+
+  /** Deterministic 2-iteration Lloyd k-means over the embeddings (k=8,
+    * lowest-id init) — the fitted coarse quantizer the IVF scaladoc
+    * defers to. Every stage (init order, squared-L2 left fold, tie rule,
+    * mean recompute with portable rounding, second assignment) is
+    * replayed in DuckDB with the iterations unrolled as CTEs. */
+  def kmeansAssignEmb(spark: SparkSession, dir: String): DataFrame =
+    Vectors.kmeansAssign(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy("vec_id")
+
+  private val kmeansAssignOracle: String = {
+    val sq = "list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, len(x) + 1), i -> (x[i] - h[i]) * (x[i] - h[i]))), " +
+      "(a, b) -> a + b)"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |c0 AS (
+       | SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, x AS h
+       | FROM (SELECT vec_id, x FROM v ORDER BY vec_id LIMIT 8)),
+       |a1 AS (
+       | SELECT vec_id, cell FROM (
+       |  SELECT v.vec_id, c.cell,
+       |   row_number() OVER (PARTITION BY v.vec_id ORDER BY $sq ASC, c.cell ASC) AS rn
+       |  FROM v CROSS JOIN c0 c)
+       | WHERE rn = 1),
+       |m1 AS (
+       | SELECT a1.cell, i.i, ${rSql("avg(x[i.i])", 6)} AS comp
+       | FROM a1 JOIN v USING (vec_id) CROSS JOIN range(1, 65) i(i)
+       | GROUP BY a1.cell, i.i),
+       |c1 AS (SELECT cell, list(comp ORDER BY i) AS h FROM m1 GROUP BY cell),
+       |a2 AS (
+       | SELECT vec_id, cell FROM (
+       |  SELECT v.vec_id, c.cell,
+       |   row_number() OVER (PARTITION BY v.vec_id ORDER BY $sq ASC, c.cell ASC) AS rn
+       |  FROM v CROSS JOIN c1 c)
+       | WHERE rn = 1),
+       |m2 AS (
+       | SELECT a2.cell, i.i, ${rSql("avg(x[i.i])", 6)} AS comp
+       | FROM a2 JOIN v USING (vec_id) CROSS JOIN range(1, 65) i(i)
+       | GROUP BY a2.cell, i.i),
+       |c2 AS (SELECT cell, list(comp ORDER BY i) AS h FROM m2 GROUP BY cell),
+       |a3 AS (
+       | SELECT vec_id, cell FROM (
+       |  SELECT v.vec_id, c.cell,
+       |   row_number() OVER (PARTITION BY v.vec_id ORDER BY $sq ASC, c.cell ASC) AS rn
+       |  FROM v CROSS JOIN c2 c)
+       | WHERE rn = 1)
+       |SELECT vec_id, cell FROM a3 ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact_docs", dedupExactDocs, Some(dedupExactOracle)),
     QueryDef("dup_report_docs", dupReportDocs, Some(dupReportOracle)),
@@ -1274,5 +1352,7 @@ object LlmQueries {
     QueryDef("quantized_topk", quantizedTopk, Some(quantizedTopkOracle)),
     QueryDef("shuffle_order", shuffleOrderDocs, Some(shuffleOrderOracle)),
     QueryDef("cap_per_group", capPerGroupDocs, Some(capPerGroupOracle)),
-    QueryDef("mix_corpus", mixCorpus, Some(mixCorpusOracle)))
+    QueryDef("mix_corpus", mixCorpus, Some(mixCorpusOracle)),
+    QueryDef("project_embeddings", projectEmbeddings, Some(projectEmbeddingsOracle)),
+    QueryDef("kmeans_assign", kmeansAssignEmb, Some(kmeansAssignOracle)))
 }

@@ -795,6 +795,44 @@ object RelationalQueries {
        |GROUP BY 1, 2
        |ORDER BY hour, event_type""".stripMargin
 
+  /** CDC upsert compaction ([[graft.operators.Merge.upsert]]): a
+    * deterministic change batch — repriced orders (every 97th key) plus
+    * brand-new keys (every 101st, shifted past the key space) — folded
+    * into orders. The oracle replays the same batch with NOT IN + UNION
+    * ALL; updates-win, inserts-appear, untouched-rows-survive are all in
+    * the hash. */
+  def mergeUpsertOrders(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val repriced = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("R").as("o_orderstatus"), (col("o_totalprice") * 1.1).as("o_totalprice"))
+    val inserts = base.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_custkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"))
+    graft.operators.Merge.upsert(base, repriced.unionByName(inserts), Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        r(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  private val mergeUpsertOracle: String =
+    s"""WITH upd AS (
+       | SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+       |        o_totalprice * 1.1 AS o_totalprice
+       | FROM orders WHERE o_orderkey % 97 = 0
+       | UNION ALL
+       | SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+       | FROM orders WHERE o_orderkey % 101 = 0),
+       |merged AS (
+       | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+       | FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+       | UNION ALL
+       | SELECT * FROM upd)
+       |SELECT o_orderkey, o_custkey, o_orderstatus,
+       | ${rSql("o_totalprice", 2)} AS o_totalprice
+       |FROM merged ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1Oracle)),
     QueryDef("filter_project", filterProject, Some(filterProjectOracle)),
@@ -831,5 +869,6 @@ object RelationalQueries {
     QueryDef("asof_join_events", asofJoinEvents, Some(asofJoinOracle)),
     QueryDef("asof_tolerance_events", asofToleranceEvents, Some(asofToleranceOracle)),
     QueryDef("events_hourly", eventsHourly, Some(eventsHourlyOracle)),
-    QueryDef("q5_region_revenue", q5RegionRevenue, Some(q5RegionRevenueOracle)))
+    QueryDef("q5_region_revenue", q5RegionRevenue, Some(q5RegionRevenueOracle)),
+    QueryDef("merge_upsert_orders", mergeUpsertOrders, Some(mergeUpsertOracle)))
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorOpsSpec extends SparkSpec {
+
+  private def vecs(rows: (Long, Seq[Float])*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("id", "v")
+  }
+
+  test("randomProjection emits outDim components and is partition-invariant") {
+    val base = (1L to 40L).map(i => (i, Seq.tabulate(16)(j => (i * 31 + j).toFloat % 7)))
+    val p1 = Vectors.randomProjection(vecs(base: _*), "id", "v", outDim = 4, seed = 7L)
+    val p2 = Vectors.randomProjection(vecs(base: _*).repartition(7), "id", "v", outDim = 4, seed = 7L)
+    val rows1 = p1.orderBy("id").collect()
+    val rows2 = p2.orderBy("id").collect()
+    assert(rows1.forall(_.getSeq[Double](1).length === 4))
+    // bit-identical across partitionings: the left-fold order is per-row
+    assert(rows1.map(_.getSeq[Double](1)).toSeq === rows2.map(_.getSeq[Double](1)).toSeq)
+  }
+
+  test("randomProjection approximately preserves pairwise distance ratios (JL)") {
+    val rnd = new scala.util.Random(3)
+    val base = (1L to 30L).map(i => (i, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    val proj = Vectors.randomProjection(vecs(base: _*), "id", "v", outDim = 32, seed = 11L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val orig = base.toMap
+    def d(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ratios = for {
+      i <- 1L to 10L; j <- (i + 1) to 10L
+    } yield d(proj(i), proj(j)) / d(orig(i).map(_.toDouble), orig(j).map(_.toDouble))
+    // JL with outDim=32: distortion concentrated around 1; generous bounds
+    assert(ratios.forall(r => r > 0.5 && r < 1.6), s"ratios out of band: $ratios")
+  }
+
+  test("randomProjection raises on ragged vectors instead of null-padding") {
+    val df = vecs((1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f)))
+    val ex = intercept[Exception] {
+      Vectors.randomProjection(df, "id", "v", outDim = 2, seed = 1L).collect()
+    }
+    assert(ex.getMessage.contains("vector length") || ex.getCause != null)
+  }
+
+  test("kmeans recovers planted well-separated blobs and is partition-invariant") {
+    val rnd = new scala.util.Random(5)
+    def blob(center: Double, ids: Range) =
+      ids.map(i => (i.toLong, Seq.fill(8)((center + rnd.nextGaussian() * 0.05).toFloat)))
+    // ids 1..3 seed the init: lowest-id init must place one centroid per blob
+    val data = blob(0.0, 1 to 1) ++ blob(10.0, 2 to 2) ++ blob(-10.0, 3 to 3) ++
+      blob(0.0, 10 to 29) ++ blob(10.0, 30 to 49) ++ blob(-10.0, 50 to 69)
+    val df = vecs(data: _*)
+    val out = Vectors.kmeansAssign(df, "id", "v", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // all members of a blob share their seed row's cell
+    assert((10 to 29).forall(i => out(i.toLong) === out(1L)))
+    assert((30 to 49).forall(i => out(i.toLong) === out(2L)))
+    assert((50 to 69).forall(i => out(i.toLong) === out(3L)))
+    assert(Set(out(1L), out(2L), out(3L)).size === 3)
+    val out2 = Vectors.kmeansAssign(df.repartition(5), "id", "v", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out2 === out)
+  }
+
+  test("kmeansFit drops a cell that loses all members (no stale-centroid carry)") {
+    // two tight blobs; k=3 with the three lowest ids as inits: ids 1,2 sit in
+    // blob A, id 3 in blob B. After one iteration the all-of-blob-A mass goes
+    // to whichever of cells 0/1 is nearer; with identical seeds 1 and 2 the
+    // tie rule sends every blob-A vector to cell 0, leaving cell 1 empty.
+    val a = Seq.fill(8)(0.0f); val b = Seq.fill(8)(10.0f)
+    val df = vecs((1L, a), (2L, a), (3L, b), (4L, a), (5L, b))
+    val cents = Vectors.kmeansFit(df, "id", "v", k = 3, iters = 1)
+    assert(cents.map(_._1) === Seq(0, 2))
+  }
+
+  test("upsert: updates win, inserts appear, untouched rows survive") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "x")
+    val upd = Seq((2L, "B", 99.0), (9L, "new", 1.0)).toDF("k", "s", "x")
+    val out = Merge.upsert(base, upd, Seq("k")).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0), (9L, "new", 1.0)))
+  }
+
+  test("upsertWithDeletes removes tombstoned keys entirely") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "x")
+    val upd = Seq((2L, 9.0)).toDF("k", "x")
+    val del = Seq(Tuple1(1L)).toDF("k")
+    val out = Merge.upsertWithDeletes(base, upd, del, Seq("k")).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq === Seq((2L, 9.0), (3L, 3.0)))
+  }
+
+  test("upsert rejects a missing key column with a clear error") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, 1.0)).toDF("k", "x")
+    val ex = intercept[IllegalArgumentException] {
+      Merge.upsert(base, base, Seq("nope"))
+    }
+    assert(ex.getMessage.contains("nope"))
+  }
+}
