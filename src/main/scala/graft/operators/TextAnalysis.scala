@@ -115,6 +115,46 @@ object TextAnalysis {
       .select("doc_id", "rank", "term", "tf", "df", "tfidf")
   }
 
+  /** Lexical near-duplicate pairs by TF-IDF cosine over an INVERTED
+    * INDEX — the sparse-vector sibling of the dense-embedding
+    * [[Similarity.nearDupPairsCosineLsh]]: two documents meet only where
+    * they share a term (an equi-join on the term, never all-pairs), the
+    * per-pair dot product is one hash aggregation over the joined
+    * posting rows, and cosine = dot / (‖a‖·‖b‖) in the pruned space.
+    *
+    * `maxDf` drops terms appearing in more than that many documents
+    * BEFORE the self-join — the classic posting-list guard: a stopword
+    * shared by half the corpus would otherwise contribute O(n²/4)
+    * candidate rows on its own while carrying near-zero IDF weight.
+    * Norms are computed over the same pruned term set, so the score is
+    * a true cosine in that space. Size maxDf so the worst posting list
+    * squared stays inside one task's budget (df ≤ maxDf ⇒ ≤ maxDf²/2
+    * pair rows per term).
+    *
+    * Weights: tf · ln(N/df) — identical to [[tfidfTopTerms]], and plain
+    * arithmetic an independent engine reproduces. */
+  def tfidfCosinePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Long): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfreq, "term").crossJoin(broadcast(total))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log(col("n_docs") / col("df"))).as("w"))
+    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    w.select(col("term"), col("doc_id").as("a"), col("w").as("wa"))
+      .join(w.select(col("term"), col("doc_id").as("b"), col("w").as("wb")), Seq("term"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("a"), col("nrm").as("na")), Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("nrm").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), (col("dot") / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Language census over a label column. */
   def langCensus(df: DataFrame, langCol: String): DataFrame =
     df.groupBy(col(langCol).as("lang")).agg(count(lit(1)).as("n"))

@@ -86,25 +86,55 @@ object Vectors {
           lit(0.0), (acc, x) => acc + x) / denom).as("proj"))
   }
 
-  /** Squared L2 distance to a centroid literal — left-fold over squared
-    * diffs, deterministic order (mirrors the SQL-oracle fold). */
+  /** Squared L2 distance to a centroid literal, UNROLLED over the
+    * centroid's components so the whole sum is plain codegen'd
+    * arithmetic — the zip_with/aggregate HOF formulation is interpreted
+    * (no whole-stage codegen) and cost 17 s for kmeans_assign at sf0.1
+    * vs ~1 s unrolled. Left-associated reduce keeps the exact IEEE
+    * summation order of the fold the SQL oracle replays (the leading
+    * 0.0 + t1 of a fold is bit-identical to t1 for non-negative
+    * squares), so results stay bit-for-bit comparable. */
   private def sqDistTo(v: Column, cent: Seq[Double]): Column =
-    aggregate(
-      zip_with(toDoubleArray(v), typedLit(cent), (x, h) => (x - h) * (x - h)),
-      lit(0.0), (acc, x) => acc + x)
+    cent.zipWithIndex.map { case (h, i) =>
+      val x = element_at(v, i + 1).cast("double") - lit(h)
+      x * x
+    }.reduce(_ + _)
 
-  /** Nearest-centroid cell id. Argmin without structs (struct field
-    * aliases are stripped when the expression shares a select with a
-    * generator, breaking getField): a distance array plus
-    * array_position of its min — array_position returns the FIRST
-    * match, so with `cents` in ascending cell order an exact distance
-    * tie resolves to the lowest cell, the rule the SQL oracle replays
+  /** Assignment as a DataFrame with a materialized `cell` attribute.
+    *
+    * Plan shape matters more than the formula here; two traps measured
+    * at sf0.1 (17 s → ~1 s):
+    *  - packing all k distances into one array-argmin expression builds
+    *    a single ~4k-node tree that exceeds Janino's method budget and
+    *    silently falls back to interpreted evaluation — so each
+    *    distance is its own projected column (codegen splits across
+    *    top-level aliases fine);
+    *  - computing the cell in the SAME select as a posexplode lets the
+    *    optimizer hoist the argmin ABOVE the Generate, re-evaluating it
+    *    once per exploded element (64×) — so `cell` is materialized
+    *    here and is a plain attribute by the time a caller explodes.
+    *    CollapseProject cannot re-inline the chain: every __d column is
+    *    referenced more than once (in __dmin and in the when chain),
+    *    the same guard the quantizeInt8 scale column relies on.
+    *
+    * Argmin = least() + first-match when chain, so an exact distance
+    * tie resolves to the lowest cell — the rule the SQL oracle replays
     * as ORDER BY dist ASC, cell ASC. */
-  private def nearestCell(v: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+  private def assignCells(
+      df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], keepVec: Boolean): DataFrame = {
     require(cents == cents.sortBy(_._1), "centroids must be in ascending cell order")
-    val darr = array(cents.map { case (_, cv) => sqDistTo(v, cv) }: _*)
-    val cellIds = array(cents.map(c => lit(c._1)): _*)
-    element_at(cellIds, array_position(darr, array_min(darr)).cast("int"))
+    val keep = col(idCol) +: (if (keepVec) Seq(col(vecCol)) else Nil)
+    val dCols = cents.map { case (cid, cv) => sqDistTo(col(vecCol), cv).as(s"__d$cid") }
+    val dmin = least(cents.map(c => col(s"__d${c._1}")): _*)
+    val cell = cents.tail
+      .foldLeft(when(col(s"__d${cents.head._1}") === col("__dmin"), lit(cents.head._1))) {
+        case (acc, (cid, _)) => acc.when(col(s"__d$cid") === col("__dmin"), lit(cid))
+      }
+    df.select(keep ++ dCols: _*)
+      .withColumn("__dmin", dmin)
+      .withColumn("cell", cell)
+      .select(keep :+ col("cell"): _*)
   }
 
   /** Deterministic Lloyd k-means fit — the "production fit" the IVF
@@ -135,9 +165,8 @@ object Vectors {
       .select(toDoubleArray(col(vecCol))).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
     for (_ <- 1 to iters) {
-      val means = df
-        .select(nearestCell(col(vecCol), cents).as("cell"),
-          posexplode(toDoubleArray(col(vecCol))).as(Seq("pos", "x")))
+      val means = assignCells(df, idCol, vecCol, cents, keepVec = true)
+        .select(col("cell"), posexplode(toDoubleArray(col(vecCol))).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
         .collect()
         .groupBy(_.getInt(0))
@@ -153,7 +182,7 @@ object Vectors {
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     val cents = kmeansFit(df, idCol, vecCol, k, iters)
-    df.select(col(idCol), nearestCell(col(vecCol), cents).as("cell"))
+    assignCells(df, idCol, vecCol, cents, keepVec = false)
   }
 
   /** One-row profile: count, nulls, dimension range, norm stats. */

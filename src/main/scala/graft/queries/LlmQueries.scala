@@ -1230,6 +1230,41 @@ object LlmQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Lexical near-dup pairs by TF-IDF cosine over an inverted index —
+    * candidates meet only on shared terms with df <= 50 (the posting-
+    * list guard), dot products as one hash agg over joined postings.
+    * The oracle replays weighting, pruning, norms and the join. */
+  def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfCosinePairs(Tables.documents(spark, dir),
+        "doc_id", "text", threshold = 0.5, maxDf = 50)
+      .select(col("a"), col("b"), r(col("sim"), 6).as("sim"))
+      .orderBy("a", "b")
+
+  private val tfidfCosinePairsOracle: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       | FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |dfreq AS (
+       | SELECT term, count(*) AS df FROM tf GROUP BY term
+       | HAVING count(*) <= 50),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |w AS (
+       | SELECT tf.doc_id, tf.term,
+       |  tf.tf * ln(n.n_docs / CAST(dfreq.df AS DOUBLE)) AS w
+       | FROM tf JOIN dfreq USING (term), n),
+       |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+       |dots AS (
+       | SELECT wa.doc_id AS a, wb.doc_id AS b, sum(wa.w * wb.w) AS dot
+       | FROM w wa JOIN w wb ON wa.term = wb.term AND wa.doc_id < wb.doc_id
+       | GROUP BY wa.doc_id, wb.doc_id)
+       |SELECT a, b, ${rSql("dot / (na.nrm * nb.nrm)", 6)} AS sim
+       |FROM dots
+       |JOIN norms na ON na.doc_id = a
+       |JOIN norms nb ON nb.doc_id = b
+       |WHERE dot / (na.nrm * nb.nrm) >= 0.5
+       |ORDER BY a, b""".stripMargin
+
   // ---------------------------------------- projection / clustering
 
   /** Johnson–Lindenstrauss random projection 64 → 8 dims, exploded to
@@ -1354,5 +1389,6 @@ object LlmQueries {
     QueryDef("cap_per_group", capPerGroupDocs, Some(capPerGroupOracle)),
     QueryDef("mix_corpus", mixCorpus, Some(mixCorpusOracle)),
     QueryDef("project_embeddings", projectEmbeddings, Some(projectEmbeddingsOracle)),
-    QueryDef("kmeans_assign", kmeansAssignEmb, Some(kmeansAssignOracle)))
+    QueryDef("kmeans_assign", kmeansAssignEmb, Some(kmeansAssignOracle)),
+    QueryDef("tfidf_cosine_pairs", tfidfCosinePairs, Some(tfidfCosinePairsOracle)))
 }

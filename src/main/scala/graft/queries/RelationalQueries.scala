@@ -833,6 +833,30 @@ object RelationalQueries {
        | ${rSql("o_totalprice", 2)} AS o_totalprice
        |FROM merged ORDER BY o_orderkey""".stripMargin
 
+  /** Morton (Z-order) key over (user bucket, hour bucket) for the
+    * events table — the layout key [[graft.sources.Sinks.writeZOrdered]]
+    * sorts by so parquet footers prune on either dimension. The key is
+    * unrolled shift/mask arithmetic, replayed term-for-term in the
+    * oracle. Hour index from epoch seconds: flooring nanos to micros to
+    * seconds never crosses an hour boundary (3600e9 % 1000 == 0), so
+    * both engines bucket identically despite reading different
+    * timestamp precisions. */
+  def zorderEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val x = pmod(col("user_id"), lit(1024L))
+    val y = pmod(floor(unix_timestamp(col("ts")) / 3600).cast(LongType), lit(1024L))
+    ev.select(col("event_id"),
+        graft.functions.ZOrder.morton2(x, y, 10).as("zkey"))
+      .orderBy("event_id")
+  }
+
+  private val zorderEventsOracle: String = {
+    val z = graft.functions.ZOrder.morton2Sql(
+      "user_id % 1024", "(epoch_ns(ts) // 3600000000000) % 1024", 10)
+    s"""SELECT event_id, $z AS zkey
+       |FROM events ORDER BY event_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1Oracle)),
     QueryDef("filter_project", filterProject, Some(filterProjectOracle)),
@@ -870,5 +894,6 @@ object RelationalQueries {
     QueryDef("asof_tolerance_events", asofToleranceEvents, Some(asofToleranceOracle)),
     QueryDef("events_hourly", eventsHourly, Some(eventsHourlyOracle)),
     QueryDef("q5_region_revenue", q5RegionRevenue, Some(q5RegionRevenueOracle)),
-    QueryDef("merge_upsert_orders", mergeUpsertOrders, Some(mergeUpsertOracle)))
+    QueryDef("merge_upsert_orders", mergeUpsertOrders, Some(mergeUpsertOracle)),
+    QueryDef("zorder_events", zorderEvents, Some(zorderEventsOracle)))
 }

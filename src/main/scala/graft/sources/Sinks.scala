@@ -57,4 +57,23 @@ object Sinks {
       .saveAsTable(name)
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Z-ordered parquet layout: range-partition by the Morton key of two
+    * dimension columns, sort within partitions, write. Files then hold
+    * disjoint z-ranges (range partitioning guarantees it), so parquet
+    * min/max footer stats prune files for predicates on EITHER
+    * dimension — the two-column file-skipping layout a 100 TB events
+    * table wants for (user, time)-style scans. The key column itself is
+    * written so readers can push a z-range predicate directly. */
+  def writeZOrdered(df: DataFrame, path: String,
+      xCol: String, yCol: String, bits: Int, files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val keyed = df.withColumn("zkey",
+      graft.functions.ZOrder.morton2(
+        graft.functions.ZOrder.clampCode(col(xCol), bits),
+        graft.functions.ZOrder.clampCode(col(yCol), bits), bits))
+    keyed.repartitionByRange(files, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -7,17 +7,18 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    graft.SparkEntry.queries.get(sys.env.getOrElse("Q", "q1_agg")).foreach { fn =>
-      val df = fn(spark, dir)
-      df.explain("formatted")
-      df.show(5, truncate = false)
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val names = sys.env.getOrElse("Q", "kmeans_assign").split(',')
+    for (name <- names; fn <- graft.SparkEntry.queries.get(name)) {
+      fn(spark, dir).count() // warmup
+      val t0 = System.nanoTime()
+      val n = fn(spark, dir).count()
+      println(f"TIMED $name ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
     }
     spark.stop()
   }

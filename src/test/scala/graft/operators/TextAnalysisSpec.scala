@@ -203,4 +203,31 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 1 matches all three equally; doc 2 matches none (score 0 everywhere)
     assert(preds.toSeq === Seq("de", "de"))
   }
+
+  test("tfidfCosinePairs: identical docs score 1, disjoint docs are absent") {
+    val df = docs(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota"))
+    val out = TextAnalysis.tfidfCosinePairs(df, "doc_id", "text",
+        threshold = 0.1, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 1)
+    assert(out.head._1 === 1L && out.head._2 === 2L)
+    assert(math.abs(out.head._3 - 1.0) < 1e-12)
+  }
+
+  test("tfidfCosinePairs: maxDf prunes corpus-wide terms from candidates") {
+    // 'the' appears in all 4 docs; with maxDf = 3 it is dropped, so docs
+    // sharing ONLY 'the' never become a candidate pair
+    val df = docs(
+      (1L, "the unique1 unique2"),
+      (2L, "the unique3 unique4"),
+      (3L, "the shared shared2"),
+      (4L, "the shared shared2"))
+    val out = TextAnalysis.tfidfCosinePairs(df, "doc_id", "text",
+        threshold = 0.01, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((3L, 4L)))
+  }
 }

@@ -73,4 +73,29 @@ class SinksSpec extends SparkSpec {
       assert(joined.count() === 1000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
+
+  test("zordered layout yields disjoint per-file zkey ranges on both dims") {
+    val s = spark
+    import s.implicits._
+    val rows = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val df = rows.toDF("x", "y")
+    val path = tmp("zord")
+    Sinks.writeZOrdered(df, path, "x", "y", bits = 6, files = 8)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 64L * 64L)
+    // each physical file holds one contiguous, non-overlapping zkey range
+    val ranges = back
+      .select(input_file_name().as("f"), col("zkey"))
+      .groupBy("f").agg(min("zkey").as("lo"), max("zkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 < lo2, s"overlapping file ranges: $ranges")
+    }
+    // z-locality: a tight 2-D box maps to a bounded zkey span, so a
+    // range predicate on zkey prunes most files for a 2-D point query
+    val zmin = back.filter(col("x") < 8 && col("y") < 8).agg(min("zkey")).head.getLong(0)
+    val zmax = back.filter(col("x") < 8 && col("y") < 8).agg(max("zkey")).head.getLong(0)
+    assert(zmax - zmin < 64 * 64 / 4, s"z-span too wide: [$zmin, $zmax]")
+  }
 }
