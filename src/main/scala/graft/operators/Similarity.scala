@@ -101,13 +101,34 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, cells: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int, cells: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKWith(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k,
+      sampleCentroids(corpus, idCol, vecCol, cells), nprobe)
+
+  /** Deterministic coarse-quantizer sample: the `cells` lowest-id
+    * vectors. Adequate when low ids are spread across the data's
+    * clusters; for adversarial id orderings (all low ids in one
+    * cluster) refine with [[Vectors.kmeansFit]] and pass the result to
+    * [[ivfTopKWith]] — DedupSimilaritySpec measures the recall gap. */
+  def sampleCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cells: Int): Seq[(Int, Seq[Float])] =
+    corpus.orderBy(col(idCol)).limit(cells)
+      .select(col(vecCol)).collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0)) }.toSeq
+
+  /** [[ivfTopK]] with caller-supplied centroids (e.g. a Lloyd fit from
+    * [[Vectors.kmeansFit]], floats via `.map(_.toFloat)`) — the
+    * assignment/probe/join plumbing is identical, only the coarse
+    * quantizer quality changes. */
+  def ivfTopKWith(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, cents: Seq[(Int, Seq[Float])], nprobe: Int): DataFrame = {
+    val cells = cents.size
     require(cells > 0 && nprobe > 0 && nprobe <= cells,
       s"need 0 < nprobe <= cells, got nprobe=$nprobe cells=$cells")
     val cos = cosineFor(corpus, vecCol) _
-    val cents = corpus.orderBy(col(idCol)).limit(cells)
-      .select(col(vecCol)).collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](0)) }
     // per-centroid (similarity, cell) structs: argmax via array_max is
     // lexicographic on (s, cell) — deterministic ties
     def centScores(v: Column): Column = array(cents.map { case (cid, cv) =>

@@ -156,14 +156,46 @@ object Vectors {
     * both engines iterate from identical centroid bits (Spark's partial
     * aggregation sums in partition order; unrounded last-ULP drift
     * would otherwise compound across iterations). */
+  /** Deterministic farthest-first (Gonzalez 1985) seeding: start from
+    * the lowest-id vector, then repeatedly add the point farthest from
+    * its nearest already-chosen seed (ties → lowest id). k driver-side
+    * TakeOrdered(1) actions — each a full scan but no shuffle, and k is
+    * the IVF cell count, not data-sized. Use when the id order is
+    * adversarial for [[kmeansFit]]'s default lowest-id init (e.g. ids
+    * assigned per source, so all low ids sit in one cluster — the
+    * DedupSimilaritySpec recall test): spread seeds put one centroid
+    * per cluster regardless of id layout. */
+  def farthestFirstCentroids(
+      df: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Seq[Double]] = {
+    require(k > 0, s"k must be positive, got $k")
+    val first = df.orderBy(col(idCol)).limit(1)
+      .select(toDoubleArray(col(vecCol))).collect().head.getSeq[Double](0)
+    var chosen = Vector[Seq[Double]](first)
+    while (chosen.size < k) {
+      val dNearest = chosen.map(c => sqDistTo(col(vecCol), c)).reduce(least(_, _))
+      val next = df.select(col(idCol), toDoubleArray(col(vecCol)).as("__v"),
+          dNearest.as("__d"))
+        .orderBy(col("__d").desc, col(idCol).asc).limit(1)
+        .collect().head.getSeq[Double](1)
+      chosen = chosen :+ next
+    }
+    chosen
+  }
+
   def kmeansFit(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+      k: Int, iters: Int,
+      init: Option[Seq[Seq[Double]]] = None): Seq[(Int, Seq[Double])] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
-    var cents: Seq[(Int, Seq[Double])] = df.orderBy(col(idCol)).limit(k)
-      .select(toDoubleArray(col(vecCol))).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
+    var cents: Seq[(Int, Seq[Double])] = init match {
+      case Some(seeds) =>
+        require(seeds.size == k, s"init must supply $k seeds, got ${seeds.size}")
+        seeds.zipWithIndex.map { case (v, i) => (i, v) }
+      case None => df.orderBy(col(idCol)).limit(k)
+        .select(toDoubleArray(col(vecCol))).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
+    }
     for (_ <- 1 to iters) {
       val means = assignCells(df, idCol, vecCol, cents, keepVec = true)
         .select(col("cell"), posexplode(toDoubleArray(col(vecCol))).as(Seq("pos", "x")))
