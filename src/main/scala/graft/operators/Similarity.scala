@@ -204,6 +204,34 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Cross-dataset embedding near-duplicates — SEMANTIC decontamination
+    * (the embedding-space sibling of Contamination's n-gram overlap):
+    * flag right-side (training) vectors whose cosine to any left-side
+    * (benchmark/eval) vector reaches `threshold`, meeting only inside a
+    * shared hyperplane bucket (equi-join on the bucket id computed with
+    * ONE shared seed-pinned plane matrix, never all-pairs). Returns
+    * (left_id, right_id, sim) for every verified hit; approximation is
+    * one-sided exactly as in [[nearDupPairsCosineLsh]] — a cross-bucket
+    * pair is missed, every returned pair is exactly verified. */
+  def crossNearDupCosineLsh(
+      left: DataFrame, lIdCol: String, lVecCol: String,
+      right: DataFrame, rIdCol: String, rVecCol: String,
+      threshold: Double, planes: Int = 6, seed: Long = 42L, dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else left.select(size(col(lVecCol))).head.getInt(0)
+    val planesLit = typedLit(planeMatrix(planes, d, seed))
+    def guarded(v: Column): Column = when(size(v) === d, v).otherwise(
+      raise_error(concat(lit("crossNearDupCosineLsh: vector length "),
+        size(v).cast("string"), lit(s" != plane dim $d"))))
+    val l = left.select(col(lIdCol).as("left_id"), col(lVecCol).as("__lv"),
+      signature(guarded(col(lVecCol)), planesLit, planes).as("__bucket"))
+    val r = right.select(col(rIdCol).as("right_id"), col(rVecCol).as("__rv"),
+      signature(guarded(col(rVecCol)), planesLit, planes).as("__bucket"))
+    l.join(r, Seq("__bucket"))
+      .select(col("left_id"), col("right_id"),
+        cosineFor(left, lVecCol)(col("__lv"), col("__rv")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   def annTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,

@@ -217,6 +217,36 @@ object Vectors {
     assignCells(df, idCol, vecCol, cents, keepVec = false)
   }
 
+  /** Per-label embedding OUTLIERS — the mislabel/noise detector for a
+    * labeled embedding table: squared L2 distance of every vector to its
+    * own label's centroid, top-N farthest ranked (distance desc, id asc).
+    *
+    * Fully distributed, no literals and no collect: explode to
+    * (id, label, pos, x) rows, per-(label, pos) means as one hash
+    * aggregation, a broadcast-sized join back on (label, pos), one more
+    * hash aggregation for the per-vector sum. Centroid means are rounded
+    * with the portable floor formula so an independent engine computes
+    * the identical distances. */
+  def labelOutliers(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      topN: Int): DataFrame = {
+    val ex = df.select(col(idCol), col(labelCol),
+      posexplode(toDoubleArray(col(vecCol))).as(Seq("pos", "x")))
+    val cent = ex.groupBy(labelCol, "pos")
+      .agg((floor(avg(col("x")) * 1e6 + 0.5) / 1e6).as("m"))
+    val dist = ex.join(broadcast(cent), Seq(labelCol, "pos"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(sum((col("x") - col("m")) * (col("x") - col("m"))).as("sq_dist"))
+    // distributed top-N (TakeOrderedAndProject), never a global
+    // single-task window over the corpus; the rank window then runs on
+    // topN rows only
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("sq_dist").desc, col(idCol).asc)
+    dist.orderBy(col("sq_dist").desc, col(idCol).asc).limit(topN)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col(idCol), col(labelCol), col("sq_dist"))
+  }
+
   /** One-row profile: count, nulls, dimension range, norm stats. */
   def profile(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol)

@@ -1265,6 +1265,65 @@ object LlmQueries {
        |WHERE dot / (na.nrm * nb.nrm) >= 0.5
        |ORDER BY a, b""".stripMargin
 
+  /** SEMANTIC decontamination: embeddings with vec_id < 20 play the
+    * benchmark/eval set, the rest the training corpus; training vectors
+    * cosine-close (>= 0.35) to any eval vector are contamination hits.
+    * Candidates meet only in shared hyperplane buckets; the oracle
+    * replays bucketing (shared plane literals), the cross join on
+    * buckets, and exact-cosine verification. */
+  def semanticDecon(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.crossNearDupCosineLsh(
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        emb.filter(col("vec_id") >= 20), "vec_id", "embedding",
+        threshold = 0.3, planes = 4)
+      .select(col("left_id").as("eval_id"), col("right_id").as("train_id"),
+        r(col("sim"), 6).as("sim"))
+      .orderBy("eval_id", "train_id")
+  }
+
+  private val semanticDeconOracle: String =
+    s"""WITH ${lshBucketCtes(4)}
+       |SELECT l.vec_id AS eval_id, r.vec_id AS train_id,
+       | ${rSql("list_cosine_similarity(CAST(le.embedding AS DOUBLE[]), CAST(re.embedding AS DOUBLE[]))", 6)} AS sim
+       |FROM buckets l
+       |JOIN buckets r ON l.bucket = r.bucket
+       |JOIN embeddings le ON le.vec_id = l.vec_id
+       |JOIN embeddings re ON re.vec_id = r.vec_id
+       |WHERE l.vec_id < 20 AND r.vec_id >= 20
+       | AND list_cosine_similarity(CAST(le.embedding AS DOUBLE[]),
+       |                            CAST(re.embedding AS DOUBLE[])) >= 0.3
+       |ORDER BY eval_id, train_id""".stripMargin
+
+  /** Per-label embedding outliers: top-20 vectors farthest (squared L2)
+    * from their own label's centroid — the mislabel/noise sweep over a
+    * labeled embedding table. Centroids, distances, ranking and the
+    * tie rule are all replayed by the oracle. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame =
+    Vectors.labelOutliers(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", "label", topN = 20)
+      .select(col("rank"), col("vec_id"), col("label"),
+        r(col("sq_dist"), 6).as("sq_dist"))
+      .orderBy("rank")
+
+  private val embeddingOutliersOracle: String =
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |ex AS (
+       | SELECT vec_id, label, i.i, x[i.i] AS x
+       | FROM v CROSS JOIN range(1, 65) i(i)),
+       |cent AS (
+       | SELECT label, i, ${rSql("avg(x)", 6)} AS m
+       | FROM ex GROUP BY label, i),
+       |d AS (
+       | SELECT ex.vec_id, ex.label, sum((ex.x - cent.m) * (ex.x - cent.m)) AS sq_dist
+       | FROM ex JOIN cent ON cent.label = ex.label AND cent.i = ex.i
+       | GROUP BY ex.vec_id, ex.label)
+       |SELECT CAST(row_number() OVER (ORDER BY sq_dist DESC, vec_id ASC) AS INT) AS "rank",
+       | vec_id, label, ${rSql("sq_dist", 6)} AS sq_dist
+       |FROM d
+       |QUALIFY "rank" <= 20
+       |ORDER BY "rank"""".stripMargin
+
   // ---------------------------------------- projection / clustering
 
   /** Johnson–Lindenstrauss random projection 64 → 8 dims, exploded to
@@ -1390,5 +1449,7 @@ object LlmQueries {
     QueryDef("mix_corpus", mixCorpus, Some(mixCorpusOracle)),
     QueryDef("project_embeddings", projectEmbeddings, Some(projectEmbeddingsOracle)),
     QueryDef("kmeans_assign", kmeansAssignEmb, Some(kmeansAssignOracle)),
-    QueryDef("tfidf_cosine_pairs", tfidfCosinePairs, Some(tfidfCosinePairsOracle)))
+    QueryDef("tfidf_cosine_pairs", tfidfCosinePairs, Some(tfidfCosinePairsOracle)),
+    QueryDef("semantic_decon", semanticDecon, Some(semanticDeconOracle)),
+    QueryDef("embedding_outliers", embeddingOutliers, Some(embeddingOutliersOracle)))
 }

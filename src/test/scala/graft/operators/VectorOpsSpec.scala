@@ -77,6 +77,43 @@ class VectorOpsSpec extends SparkSpec {
     assert(cents.map(_._1) === Seq(0, 2))
   }
 
+  test("labelOutliers ranks a planted far vector first, own-label centroids only") {
+    val s = spark
+    import s.implicits._
+    // label 0: tight blob at 0 plus ONE planted outlier at 5; label 1:
+    // tight blob at 10 — the outlier must rank 1 and label-1 members
+    // must not be flagged against label-0's centroid
+    val rows =
+      (1L to 20L).map(i => (i, Seq.fill(4)(0.0f), 0)) ++
+        Seq((99L, Seq.fill(4)(5.0f), 0)) ++
+        (101L to 120L).map(i => (i, Seq.fill(4)(10.0f), 1))
+    val df = rows.toDF("id", "v", "lab")
+    val out = Vectors.labelOutliers(df, "id", "v", "lab", topN = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.head === ((1, 99L)))
+    // everything else is essentially at its centroid; ranks 2..3 are the
+    // tight-blob members whose centroid the outlier dragged over
+    assert(out.length === 3)
+  }
+
+  test("crossNearDupCosineLsh finds planted cross-set hits, never same-side pairs") {
+    val s = spark
+    import s.implicits._
+    def axis(a: Int, jitter: Float): Seq[Float] = {
+      val v = Array.fill(8)(0.0f); v(a) = 1.0f; v((a + 3) % 8) = jitter; v.toSeq
+    }
+    val eval = Seq((1L, axis(0, 0.01f)), (2L, axis(4, 0.01f))).toDF("id", "v")
+    val train = Seq(
+      (10L, axis(0, 0.02f)),  // near eval 1
+      (11L, axis(4, 0.03f)),  // near eval 2
+      (12L, axis(2, 0.0f))    // near neither
+    ).toDF("id", "v")
+    val out = Similarity.crossNearDupCosineLsh(
+        eval, "id", "v", train, "id", "v", threshold = 0.9, planes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((1L, 10L), (2L, 11L)))
+  }
+
   test("upsert: updates win, inserts appear, untouched rows survive") {
     val s = spark
     import s.implicits._
