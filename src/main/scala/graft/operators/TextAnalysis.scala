@@ -141,9 +141,14 @@ object TextAnalysis {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val total = df.agg(count(lit(1)).as("n_docs"))
+    // persist once: the posting table feeds four branches (both sides of
+    // the pair join and both norm lookups) — without it each branch
+    // re-scans the corpus and re-aggregates tf (the minhash shingle-table
+    // precedent; Bench/Verify drop the blocks between queries)
     val w = tf.join(dfreq, "term").crossJoin(broadcast(total))
       .select(col("doc_id"), col("term"),
         (col("tf") * log(col("n_docs") / col("df"))).as("w"))
+      .persist()
     val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     w.select(col("term"), col("doc_id").as("a"), col("w").as("wa"))
       .join(w.select(col("term"), col("doc_id").as("b"), col("w").as("wb")), Seq("term"))

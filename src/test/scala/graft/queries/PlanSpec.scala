@@ -93,4 +93,44 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("o_orderdate"), "order-date predicate must reach the orders side")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("semantic decon joins on the bucket key, never a cartesian") {
+    val plan = planOf(LlmQueries.semanticDecon(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH bucketing must stay an equi-join:\n$plan")
+    assert(plan.contains("__bucket"), "bucket key must be the join key")
+    // semanticDedupKeep's bucket join is invisible to explain (connected
+    // components localCheckpoints eagerly, truncating lineage), so only
+    // the candidate generator is asserted here — it shares this code path
+  }
+
+  test("tfidf cosine pairs: postings persisted once, only the 1-row corpus-count NLJ") {
+    val plan = planOf(LlmQueries.tfidfCosinePairs(spark, dir))
+    assert(!plan.contains("CartesianProduct"))
+    // the posting table is cached: all four consuming branches read the
+    // same InMemoryRelation (explain re-prints the cached plan per scan
+    // site, so the n_docs cross-broadcast TEXT appears 4x — execution
+    // computes it once). Every NLJ in the text must be that designed
+    // 1-row Cross, and the cache must actually be scanned per branch.
+    val scans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(scans >= 4, s"posting table must be persisted and reused (got $scans scans):\n$plan")
+    // distinct NLJ NODES (detail headers), not tree reprints: exactly the
+    // one 1-row Cross inside the cached posting plan
+    val nljNodes = "(?m)^\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nljNodes === 1, s"only the 1-row Cross NLJ is allowed ($nljNodes):\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin Cross BuildRight"))
+    assert(plan.contains("term"), "postings must join on the term")
+  }
+
+  test("merge upsert plans one anti join on the key and no extra shuffle of the base") {
+    val plan = planOf(RelationalQueries.mergeUpsertOrders(spark, dir))
+    assert(plan.contains("LeftAnti"), s"upsert must anti-join base on the merge key:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("embedding outliers plan TakeOrderedAndProject, never a global window sort") {
+    val plan = planOf(LlmQueries.embeddingOutliers(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-N must be distributed top-k:\n$plan")
+  }
 }
