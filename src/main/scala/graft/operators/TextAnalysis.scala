@@ -160,6 +160,36 @@ object TextAnalysis {
       .filter(col("sim") >= threshold)
   }
 
+  /** Vocabulary-growth (Heaps' law) curve: the corpus in `buckets`
+    * id-ordered slices, and per slice the token count, the number of
+    * NEVER-SEEN-BEFORE terms, and the cumulative token/vocabulary
+    * totals — the statistic that sizes a tokenizer vocabulary and
+    * detects when a crawl stops contributing new language.
+    *
+    * Scale shape: "first seen in bucket b" is min(bucket) per term (one
+    * hash aggregation — no ordered scan over the corpus), per-bucket
+    * totals are a second aggregation, and the only window is the
+    * cumulative sum over `buckets` rows — constant-size, single task by
+    * construction. The max-id anchor rides a 1-row broadcast. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val anchor = df.agg(max(col(idCol)).as("__maxid"))
+    val withB = toks.crossJoin(broadcast(anchor))
+      .withColumn("bucket",
+        least(lit(buckets - 1),
+          floor(col("id") * buckets / (col("__maxid") + 1)).cast("int")))
+    val newTerms = withB.groupBy("term").agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+    val tokCounts = withB.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tokCounts.join(newTerms, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_terms"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("vocab", sum(col("new_terms")).over(w))
+  }
+
   /** Language census over a label column. */
   def langCensus(df: DataFrame, langCol: String): DataFrame =
     df.groupBy(col(langCol).as("lang")).agg(count(lit(1)).as("n"))

@@ -1324,6 +1324,32 @@ object LlmQueries {
        |QUALIFY "rank" <= 20
        |ORDER BY "rank"""".stripMargin
 
+  /** Heaps-law vocabulary growth over 10 id-ordered corpus slices —
+    * tokens, first-seen terms, cumulative totals per slice. */
+  def vocabGrowthDocs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabGrowth(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("bucket")
+
+  private val vocabGrowthOracle: String =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      | FROM documents),
+      |anchor AS (SELECT max(doc_id) AS maxid FROM documents),
+      |b AS (
+      | SELECT least(9, CAST(floor(doc_id * 10 / (anchor.maxid + 1)) AS INT)) AS bucket, term
+      | FROM toks, anchor),
+      |newt AS (
+      | SELECT bucket, count(*) AS new_terms FROM (
+      |  SELECT term, min(bucket) AS bucket FROM b GROUP BY term)
+      | GROUP BY bucket),
+      |tc AS (SELECT bucket, count(*) AS n_tokens FROM b GROUP BY bucket)
+      |SELECT tc.bucket, tc.n_tokens,
+      | CAST(coalesce(newt.new_terms, 0) AS BIGINT) AS new_terms,
+      | CAST(sum(tc.n_tokens) OVER (ORDER BY tc.bucket) AS BIGINT) AS cum_tokens,
+      | CAST(sum(coalesce(newt.new_terms, 0)) OVER (ORDER BY tc.bucket) AS BIGINT) AS vocab
+      |FROM tc LEFT JOIN newt USING (bucket)
+      |ORDER BY bucket""".stripMargin
+
   // ---------------------------------------- projection / clustering
 
   /** Johnson–Lindenstrauss random projection 64 → 8 dims, exploded to
@@ -1451,5 +1477,6 @@ object LlmQueries {
     QueryDef("kmeans_assign", kmeansAssignEmb, Some(kmeansAssignOracle)),
     QueryDef("tfidf_cosine_pairs", tfidfCosinePairs, Some(tfidfCosinePairsOracle)),
     QueryDef("semantic_decon", semanticDecon, Some(semanticDeconOracle)),
-    QueryDef("embedding_outliers", embeddingOutliers, Some(embeddingOutliersOracle)))
+    QueryDef("embedding_outliers", embeddingOutliers, Some(embeddingOutliersOracle)),
+    QueryDef("vocab_growth", vocabGrowthDocs, Some(vocabGrowthOracle)))
 }

@@ -159,6 +159,39 @@ object Streams {
       streamKey: String, staticKey: String): DataFrame =
     stream.join(broadcast(static), col(streamKey) === col(staticKey), "left")
 
+  /** Streaming CDC maintenance: fold every micro-batch into a versioned
+    * parquet table via [[graft.operators.Merge.upsert]] — the
+    * maintained-table sink (a minimal lakehouse MERGE loop). Each batch
+    * writes a NEW directory `v=<batchId>` derived from the previous
+    * latest — never read-and-overwrite the same path, which races the
+    * lazy read against the overwrite truncation. Old versions remain
+    * for time travel until compaction removes them; readers resolve
+    * [[latestVersion]]. In-batch duplicate keys collapse via
+    * dropDuplicates BEFORE the merge (last-writer-wins needs an
+    * explicit priority column; callers with one should pre-dedup). */
+  def upsertSink(stream: DataFrame, keys: Seq[String], targetDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val dedup = batch.dropDuplicates(keys)
+        val merged = latestVersion(targetDir) match {
+          case Some(prev) =>
+            graft.operators.Merge.upsert(spark.read.parquet(prev), dedup, keys)
+          case None => dedup
+        }
+        merged.write.mode("overwrite").parquet(s"$targetDir/v=$id")
+    }
+
+  /** Highest-numbered `v=<n>` subdirectory of an [[upsertSink]] target. */
+  def latestVersion(targetDir: String): Option[String] = {
+    val d = new java.io.File(targetDir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .sortBy(f => f.getName.stripPrefix("v=").toLong)
+      .lastOption.map(_.getAbsolutePath)
+  }
+
   private val emptyState =
     ProfileState(0L, 0L, 0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity)
 

@@ -264,6 +264,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertSink folds micro-batches into a versioned merged table") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = java.nio.file.Files.createTempDirectory("stream_upsert").toString
+    val q = Streams.upsertSink(mem.toDF(), Seq("event_id"), out).start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 10:00:00"), 1L, 1.0, 1),
+        Ev(ts("2024-01-01 10:01:00"), 2L, 2.0, 2))
+      q.processAllAvailable()
+      // batch 2: update event 2, insert event 3
+      mem.addData(Ev(ts("2024-01-01 10:02:00"), 2L, 99.0, 2),
+        Ev(ts("2024-01-01 10:03:00"), 3L, 3.0, 3))
+      q.processAllAvailable()
+      val latest = Streams.latestVersion(out).get
+      val back = spark.read.parquet(latest)
+        .select("event_id", "value").orderBy("event_id")
+        .collect().map(r => (r.getLong(r.fieldIndex("event_id")),
+          r.getDouble(r.fieldIndex("value"))))
+      assert(back.toSeq === Seq((1L, 1.0), (2L, 99.0), (3L, 3.0)))
+      // both versions survive for time travel
+      val v0 = spark.read.parquet(s"$out/v=0")
+      assert(v0.count() === 2)
+    } finally q.stop()
+  }
+
   test("batch and streaming session windows agree on the same data") {
     val s = spark
     import s.implicits._
