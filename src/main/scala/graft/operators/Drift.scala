@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two slices of a table (time
+  * windows, sources, pipeline versions) — the check that runs before a
+  * new crawl batch is allowed into the training mix, extending the
+  * reference's single-snapshot profiling (petk exploration.py describes
+  * ONE frame; drift compares two).
+  *
+  * Everything is hash aggregations over binned rows: both slices bin in
+  * one pass each, the per-bin histograms are `bins`-sized (collected
+  * nowhere, joined on the bin id), and the PSI reduction is a sum over
+  * `bins` rows. No windows, no collect, no all-pairs anything.
+  */
+object Drift {
+
+  /** Population Stability Index of `valueCol` between the `isBase` slice
+    * and its complement, over `bins` equal-width bins spanning the
+    * combined [min, max] (fixed-width keeps the binning replayable by an
+    * independent engine; quantile bins would tie the oracle to a
+    * percentile implementation). Null values are ignored; proportions
+    * are clamped at `eps` so empty bins contribute a finite, bounded
+    * term (the standard PSI guard). Returns one row:
+    * (psi, n_base, n_other).
+    *
+    * Reading: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 break. */
+  def psi(df: DataFrame, valueCol: String, isBase: Column,
+      bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val v = col(valueCol).cast("double")
+    val bounds = df.filter(v.isNotNull)
+      .agg(min(v).as("__lo"), max(v).as("__hi"))
+    val binned = df.filter(v.isNotNull).crossJoin(broadcast(bounds))
+      .select(
+        when(col("__hi") === col("__lo"), lit(0)).otherwise(
+          least(lit(bins - 1),
+            floor((v - col("__lo")) * bins / (col("__hi") - col("__lo"))).cast("int")))
+          .as("bin"),
+        isBase.as("base"))
+    val hist = binned.groupBy("bin").agg(
+      sum(when(col("base"), 1L).otherwise(0L)).as("nb"),
+      sum(when(!col("base"), 1L).otherwise(0L)).as("no"))
+    val totals = hist.agg(sum("nb").as("tb"), sum("no").as("to"))
+    // an empty slice makes PSI ill-defined: the when guards keep the
+    // ANSI divide from raising on 0/0 and the final mask returns a null
+    // psi (counts still reported) rather than a garbage number
+    val p = greatest(col("nb").cast("double") /
+      when(col("tb") =!= 0, col("tb")), lit(eps))
+    val q = greatest(col("no").cast("double") /
+      when(col("to") =!= 0, col("to")), lit(eps))
+    hist.crossJoin(broadcast(totals))
+      .select(((p - q) * log(p / q)).as("term"),
+        col("nb"), col("no"), col("tb"), col("to"))
+      .agg(
+        when(max(col("tb")) === 0 || max(col("to")) === 0, lit(null))
+          .otherwise(sum(col("term"))).as("psi"),
+        sum("nb").cast("long").as("n_base"),
+        sum("no").cast("long").as("n_other"))
+  }
+
+  /** Per-column summary drift between two frames sharing a schema:
+    * long-form (column, metric, base, other, delta) rows for count,
+    * null fraction, mean, and sample stddev over the given numeric
+    * columns. One aggregation pass per frame regardless of column
+    * count (the describe() family-unpivot shape). */
+  def statDrift(base: DataFrame, other: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "statDrift needs at least one column")
+    def summarize(df: DataFrame, side: String): DataFrame = {
+      val aggs = cols.flatMap { c =>
+        val v = col(c).cast("double")
+        Seq(count(lit(1)).as(s"__n_$c"), avg(v).as(s"__mean_$c"),
+          stddev_samp(v).as(s"__std_$c"),
+          avg(when(v.isNull, 1.0).otherwise(0.0)).as(s"__nullf_$c"))
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map { c =>
+        struct(lit(c).as("column"),
+          col(s"__n_$c").cast("double").as("n"),
+          col(s"__nullf_$c").as("null_fraction"),
+          col(s"__mean_$c").as("mean"),
+          col(s"__std_$c").as("std"))
+      }
+      row.select(explode(array(stacked: _*)).as("s"))
+        .select(col("s.column").as("column"),
+          expr("stack(4, 'count', s.n, 'null_fraction', s.null_fraction, " +
+            "'mean', s.mean, 'std', s.std)").as(Seq("metric", side)))
+    }
+    summarize(base, "base").join(summarize(other, "other"), Seq("column", "metric"))
+      .withColumn("delta", col("other") - col("base"))
+  }
+}

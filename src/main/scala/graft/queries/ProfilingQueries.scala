@@ -572,7 +572,80 @@ object ProfilingQueries {
       |  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 2))
       |WHERE rank <= 3 ORDER BY "column", rank""".stripMargin
 
+  /** PSI drift of l_extendedprice between early and late ship dates —
+    * 10 equal-width bins over the combined range, proportions clamped at
+    * 1e-6, one output row. The oracle replays binning, clamping and the
+    * PSI sum with identical arithmetic. */
+  def psiLineitem(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.psi(
+        Tables.lineitem(spark, dir), "l_extendedprice",
+        col("l_shipdate") < lit("1998-01-01").cast("date"))
+      .select(r(col("psi"), 6).as("psi"), col("n_base"), col("n_other"))
+
+  private val psiOracle: String =
+    s"""WITH v AS (
+       | SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+       |  l_shipdate < DATE '1998-01-01' AS base
+       | FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       |bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM v),
+       |binned AS (
+       | SELECT CASE WHEN hi = lo THEN 0
+       |  ELSE least(9, CAST(floor((x - lo) * 10 / (hi - lo)) AS INT)) END AS bin, base
+       | FROM v, bounds),
+       |hist AS (
+       | SELECT bin,
+       |  sum(CASE WHEN base THEN 1 ELSE 0 END) AS nb,
+       |  sum(CASE WHEN NOT base THEN 1 ELSE 0 END) AS no
+       | FROM binned GROUP BY bin),
+       |totals AS (SELECT sum(nb) AS tb, sum(no) AS "to" FROM hist)
+       |SELECT
+       | ${rSql("sum((greatest(nb / tb, 1e-6) - greatest(no / \"to\", 1e-6)) * ln(greatest(nb / tb, 1e-6) / greatest(no / \"to\", 1e-6)))", 6)} AS psi,
+       | CAST(sum(nb) AS BIGINT) AS n_base,
+       | CAST(sum(no) AS BIGINT) AS n_other
+       |FROM hist, totals""".stripMargin
+
+  /** Per-column stat drift (count, null fraction, mean, std) between the
+    * same two ship-date slices, long-form rows. */
+  def statDriftLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pivot = lit("1998-01-01").cast("date")
+    graft.operators.Drift.statDrift(
+        li.filter(col("l_shipdate") < pivot),
+        li.filter(col("l_shipdate") >= pivot),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .select(col("column"), col("metric"),
+        r(col("base"), 4).as("base"), r(col("other"), 4).as("other"),
+        r(col("delta"), 4).as("delta"))
+      .orderBy("column", "metric")
+  }
+
+  private val statDriftOracle: String = {
+    def side(name: String, cmp: String): String =
+      s"""SELECT "column", metric, val FROM (
+         | SELECT c."column",
+         |  CAST(count(*) AS DOUBLE) AS "count",
+         |  avg(CASE WHEN c.v IS NULL THEN 1.0 ELSE 0.0 END) AS null_fraction,
+         |  avg(c.v) AS mean, stddev_samp(c.v) AS std
+         | FROM (
+         |  SELECT 'l_quantity' AS "column", CAST(l_quantity AS DOUBLE) AS v FROM lineitem WHERE l_shipdate $cmp DATE '1998-01-01'
+         |  UNION ALL
+         |  SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem WHERE l_shipdate $cmp DATE '1998-01-01'
+         |  UNION ALL
+         |  SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_shipdate $cmp DATE '1998-01-01') c
+         | GROUP BY c."column")
+         |UNPIVOT (val FOR metric IN ("count", null_fraction, mean, std))"""
+        .stripMargin
+    s"""WITH b AS (${side("base", "<")}),
+       |o AS (${side("other", ">=")})
+       |SELECT b."column", b.metric, ${rSql("b.val", 4)} AS base,
+       | ${rSql("o.val", 4)} AS other, ${rSql("o.val - b.val", 4)} AS delta
+       |FROM b JOIN o ON b."column" = o."column" AND b.metric = o.metric
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("psi_lineitem", psiLineitem, Some(psiOracle)),
+    QueryDef("stat_drift_lineitem", statDriftLineitem, Some(statDriftOracle)),
     QueryDef("corr_matrix_lineitem", corrMatrixLineitem, Some(corrMatrixOracle)),
     QueryDef("spearman_lineitem", spearmanLineitem, Some(spearmanOracle)),
     QueryDef("histogram_lineitem", histogramLineitem, Some(histogramOracle)),

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+
+  test("psi is ~0 for identically distributed slices, large for shifted ones") {
+    val s = spark
+    import s.implicits._
+    // interleave ids so both slices see the same uniform values
+    val same = (0 until 2000).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
+    val psiSame = Drift.psi(same, "v", pmod(col("id"), lit(2)) === 0)
+      .head.getDouble(0)
+    assert(psiSame < 0.01, s"identical slices must be stable, got $psiSame")
+    // base uniform on [0,100), other shifted to [50,150) — a clear break
+    val shifted = ((0 until 1000).map(i => (i.toLong, (i % 100).toDouble)) ++
+      (1000 until 2000).map(i => (i.toLong, 50.0 + (i % 100)))).toDF("id", "v")
+    val psiShift = Drift.psi(shifted, "v", col("id") < 1000)
+      .head.getDouble(0)
+    assert(psiShift > 0.25, s"a half-range shift must flag as a break, got $psiShift")
+  }
+
+  test("psi returns null counts-intact when one slice is empty, and ignores nulls") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val row = Drift.psi(df, "v", lit(false)).head
+    assert(row.isNullAt(0), "psi must be null for an empty base slice")
+    assert(row.getLong(1) === 0L && row.getLong(2) === 100L)
+    val withNulls = ((0 until 100).map(i => (i.toLong, Some(i.toDouble))) :+
+      (100L, Option.empty[Double])).toDF("id", "v")
+    val n = Drift.psi(withNulls, "v", col("id") < 50).head
+    assert(n.getLong(1) + n.getLong(2) === 100L, "null values must be excluded")
+  }
+
+  test("statDrift reports per-column long-form deltas") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0)).toDF("a", "b")
+    val other = Seq((2.0, 10.0), (3.0, 20.0), (4.0, 30.0), (5.0, 40.0)).toDF("a", "b")
+    val out = Drift.statDrift(base, other, Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.size === 8) // 2 columns x 4 metrics
+    val (cb, co, cd) = out(("a", "count"))
+    assert(cb === 3.0 && co === 4.0 && cd === 1.0)
+    val (mb, mo, md) = out(("a", "mean"))
+    assert(mb === 2.0 && mo === 3.5 && math.abs(md - 1.5) < 1e-12)
+    assert(out(("b", "null_fraction"))._3 === 0.0)
+  }
+}
