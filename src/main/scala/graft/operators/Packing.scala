@@ -88,7 +88,18 @@ object Packing {
       .withColumn("_pid", spark_partition_id())
     val local = Window.partitionBy(groupCol, "_pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // persist() is CORRECTNESS here, not caching: this plan feeds both
+    // the offsets aggregation and the final join, and repartitionByRange
+    // SAMPLES its boundaries with a seed derived from the physical RDD —
+    // two separate instantiations of the exchange can draw DIFFERENT
+    // boundaries, making _pid disagree between the branches and
+    // attaching base offsets to the wrong slices (caught at sf0.1:
+    // shuffle_order drifted by whole-slice deltas; invisible at small
+    // SFs where the sample always captures every row). Materializing one
+    // copy pins a single partitioning for every consumer — and halves
+    // the compute. Bench/Verify drop the blocks between queries.
     val withLocal = ranged.withColumn("_local_cum", sum(col(valueCol)).over(local))
+      .persist()
     // ordered by each slice's min ORDER value, never by partition id
     val offsets = withLocal.groupBy(groupCol, "_pid")
       .agg(min(col(orderCol)).as("_min_o"), sum(col(valueCol)).as("_ptotal"))
@@ -115,8 +126,12 @@ object Packing {
     // phase 1: per-partition running sum — parallel across partitions
     val local = Window.partitionBy("_pid").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // persist() pins ONE sampled range partitioning for both consumers —
+    // see groupedPrefixSum for the cross-instantiation _pid hazard this
+    // prevents (whole-slice base drift, caught at sf0.1)
     val withLocal = ranged.withColumn("_local_cum",
       sum(col(tokenCol)).over(local))
+      .persist()
     // phase 2: one row per partition; cumulate on the tiny side and
     // broadcast the base offsets back. Ordered by each partition's min
     // id, not _pid, so correctness never leans on partition-id order.
