@@ -194,6 +194,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric CONTAINMENT near-duplicates — the crawl case symmetric
+    * Jaccard misses: a short document (an excerpt, a quoted article, a
+    * syndicated fragment) embedded in a much longer one has low Jaccard
+    * (the union is dominated by the long side) but containment
+    * |A∩B| / min(|A|,|B|) ≈ 1.
+    *
+    * Candidate generation is an inverted index over RARE shingles:
+    * pairs meet only through a shingle whose document frequency is at
+    * most `maxDf` (the posting-list guard — a boilerplate shingle in
+    * half the corpus would alone contribute O(n²) candidate rows), then
+    * the FULL shingle intersection verifies each candidate exactly, the
+    * minhash verify shape. One-sided approximation, explicit: a pair
+    * sharing only corpus-common shingles is missed; every returned pair
+    * is exact. Returns (a, b, containment) with a < b. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, threshold: Double = 0.9, maxDf: Long = 20): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, shingleWords).persist()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("s")
+    val rareRows = sh.join(rare, "s")
+    // candidates share >= 1 rare shingle, so the verify join is inner
+    // (i >= 1 by construction, unlike minhash band candidates)
+    val cand = rareRows.select(col("s"), col("id").as("a"))
+      .join(rareRows.select(col("s"), col("id").as("b")), Seq("s"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("a"), col("s")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("i").cast("double") / least(col("sza"), col("szb"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Connected components of an undirected pair graph by alternating
     * large-star / small-star contraction (the MapReduce CC algorithm of
     * Kiveris et al., SoCC 2014 — public literature): each round is a

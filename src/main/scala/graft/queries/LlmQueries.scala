@@ -134,6 +134,52 @@ object LlmQueries {
        | AND len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7
        |ORDER BY a, b""".stripMargin
 
+  /** Containment near-dups on a corpus with PLANTED excerpts: every 5th
+    * document under id 200 gets a 40-token-prefix twin (id + 10000) —
+    * the excerpt's shingles are a subset of its source's, so containment
+    * is 1.0 while Jaccard is low. The oracle replays the whole path:
+    * excerpt construction, shingling, the rare-shingle candidate guard
+    * (df <= 20) and exact containment — no recall assumption. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select("doc_id", "text")
+    val excerpts = base.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 40)).as("text"))
+    Dedup.containmentPairs(base.unionByName(excerpts), "doc_id", "text",
+        shingleWords = 3, threshold = 0.9, maxDf = 20)
+      .select(col("a"), col("b"), r(col("containment"), 6).as("containment"))
+      .orderBy("a", "b")
+  }
+
+  private val containmentOracle: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+       |exc AS (
+       | SELECT doc_id + 10000 AS doc_id,
+       |  array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 40), ' ') AS text
+       | FROM base WHERE doc_id % 5 = 0),
+       |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
+       |sh AS (
+       | SELECT doc_id,
+       |  list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+       |    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |       FROM corpus)),
+       |rows_ AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |rare AS (SELECT g FROM rows_ GROUP BY g HAVING count(*) <= 20),
+       |cand AS (
+       | SELECT DISTINCT ra.doc_id AS a, rb.doc_id AS b
+       | FROM (SELECT doc_id, g FROM rows_ JOIN rare USING (g)) ra
+       | JOIN (SELECT doc_id, g FROM rows_ JOIN rare USING (g)) rb USING (g)
+       | WHERE ra.doc_id < rb.doc_id)
+       |SELECT cand.a, cand.b,
+       | ${rSql("len(list_intersect(sa.s, sb.s)) / CAST(least(len(sa.s), len(sb.s)) AS DOUBLE)", 6)} AS containment
+       |FROM cand
+       |JOIN sh sa ON sa.doc_id = cand.a
+       |JOIN sh sb ON sb.doc_id = cand.b
+       |WHERE len(list_intersect(sa.s, sb.s)) / CAST(least(len(sa.s), len(sb.s)) AS DOUBLE) >= 0.9
+       |ORDER BY a, b""".stripMargin
+
   /** The COMPLETE near-dup dedup pipeline as one query: shingle →
     * MinHash → LSH bucket-join → exact-Jaccard verify (pairs) →
     * connected components (clusters) → keep each cluster's minimum id.
@@ -1436,6 +1482,7 @@ object LlmQueries {
     QueryDef("minhash_dedup_keep", minhashDedupKeep, Some(minhashDedupKeepOracle)),
     QueryDef("simhash_neardup_docs", simhashNeardupDocs, None),
     QueryDef("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardOracle)),
+    QueryDef("containment_dup_pairs", containmentPairs, Some(containmentOracle)),
     QueryDef("cosine_neardup_pairs", cosineNeardupPairs, Some(cosineNeardupOracle)),
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("cosine_topk", cosineTopk, Some(cosineTopkOracle)),

@@ -404,6 +404,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(f1.forall(v => v >= -1.0f && v < 1.0f))
   }
 
+  test("containmentPairs flags an embedded excerpt that Jaccard misses") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 12).map(i => s"w$i").mkString(" ")     // prefix of long
+    val other = (100 to 160).map(i => s"x$i").mkString(" ")
+    val df = docs((1L, long), (2L, excerpt), (3L, other))
+    val out = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 1)
+    assert(out.head._1 === 1L && out.head._2 === 2L)
+    assert(out.head._3 === 1.0) // every excerpt shingle is in the long doc
+    // and symmetric Jaccard on the same pair is far below any dedup bar
+    val j = df.filter(col("doc_id") < 3)
+      .select(Dedup.jaccard(Dedup.wordShingles(lit(long), 3),
+        Dedup.wordShingles(lit(excerpt), 3))).head.getDouble(0)
+    assert(j < 0.25, s"jaccard should be low for an excerpt, got $j")
+  }
+
+  test("containmentPairs maxDf guard drops pairs sharing only common shingles") {
+    // the same boilerplate sentence in every doc; unique prose otherwise.
+    // with maxDf = 2 the boilerplate shingles (df = 4) generate no
+    // candidates, so docs sharing ONLY boilerplate never pair
+    val boiler = "all rights reserved contact us today"
+    val rows = (1L to 4L).map(i =>
+      (i, s"$boiler unique${i}a unique${i}b unique${i}c unique${i}d"))
+    val out = Dedup.containmentPairs(docs(rows: _*), "doc_id", "text",
+        threshold = 0.3, maxDf = 2)
+      .collect()
+    assert(out.isEmpty, s"common-shingle-only pairs must be guarded out: ${out.toSeq}")
+  }
+
   test("Lloyd-fitted IVF centroids beat lowest-id sampling on adversarial id order") {
     val s = spark
     import s.implicits._
