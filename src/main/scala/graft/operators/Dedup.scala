@@ -298,6 +298,33 @@ object Dedup {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** Canonical-document selection per dedup cluster by an explicit
+    * POLICY expression — production pipelines keep the BEST copy of a
+    * near-dup cluster (longest, highest quality score, newest), not the
+    * lowest id. Clusters come from [[connectedComponents]] over the
+    * verified pair graph; within each cluster the row maximizing
+    * `policy` survives (ties → lowest id). Unpaired documents keep
+    * themselves.
+    *
+    * Scale shape: the per-cluster argmax windows on the component id —
+    * components are high-cardinality (most clusters are tiny), so a
+    * plain window is the right plan here, unlike per-source keys (see
+    * [[GroupTopK]] for the low-cardinality case). */
+  def keepByPolicy(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, policy: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val labeled = df.join(comp, df(idCol) === comp("id"), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .drop("id")
+    val w = Window.partitionBy("component")
+      .orderBy(policy.desc, col(idCol).asc)
+    labeled.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
   /** 64-bit SimHash signatures: bit b is set when the sum of (+1 / -1)
     * votes from token-hash bit b is positive. Tokens are exploded and the
     * 64 vote sums computed as ONE codegen'd hash aggregation (HOF lambdas

@@ -223,6 +223,49 @@ object LlmQueries {
        |GROUP BY id HAVING id = min(lbl)
        |ORDER BY doc_id""".stripMargin
 
+  /** Keep-LONGEST dedup policy over the same minhash cluster graph:
+    * each cluster's longest document survives (ties → lowest id) — the
+    * production policy (keep the best copy) next to minhash_dedup_keep's
+    * keep-lowest-id. The oracle recomputes clusters from brute-force
+    * Jaccard + recursive reach, then applies the identical
+    * (length DESC, id ASC) argmax. */
+  def minhashKeepLongest(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(Tables.documents(spark, dir))
+    val pairs = Dedup.nearDupPairsMinhash(corpus, "doc_id", "text",
+      shingleWords = 3, numHashes = 128, bands = 32, rowsPerBand = 4,
+      threshold = 0.7)
+    Dedup.keepByPolicy(corpus, "doc_id", pairs, "a", "b", length(col("text")))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val minhashKeepLongestOracle: String =
+    s"""WITH RECURSIVE $nearDupCorpusSql,
+       |sh AS (
+       | SELECT doc_id,
+       |  list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+       |    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |       FROM corpus)),
+       |p AS (
+       | SELECT a.doc_id AS a, b.doc_id AS b
+       | FROM sh a, sh b
+       | WHERE a.doc_id < b.doc_id
+       |  AND len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7),
+       |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+       |reach(id, lbl) AS (
+       | SELECT doc_id, doc_id FROM corpus
+       | UNION
+       | SELECT e.b AS id, r.lbl FROM reach r JOIN e ON e.a = r.id),
+       |comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id)
+       |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM (
+       | SELECT c.doc_id, c.text,
+       |  row_number() OVER (PARTITION BY comp.component
+       |    ORDER BY length(c.text) DESC, c.doc_id ASC) AS rk
+       | FROM corpus c JOIN comp ON comp.doc_id = c.doc_id)
+       |WHERE rk = 1
+       |ORDER BY doc_id""".stripMargin
+
   /** SimHash signatures + near-dup pairs (hash family not expressible in
     * the oracle — rows-only check; semantics unit-tested).
     *
@@ -1480,6 +1523,7 @@ object LlmQueries {
     QueryDef("line_dedup_docs", lineDedupDocs, Some(lineDedupOracle)),
     QueryDef("minhash_neardup_docs", minhashNeardupDocs, Some(minhashNeardupOracle)),
     QueryDef("minhash_dedup_keep", minhashDedupKeep, Some(minhashDedupKeepOracle)),
+    QueryDef("minhash_keep_longest", minhashKeepLongest, Some(minhashKeepLongestOracle)),
     QueryDef("simhash_neardup_docs", simhashNeardupDocs, None),
     QueryDef("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardOracle)),
     QueryDef("containment_dup_pairs", containmentPairs, Some(containmentOracle)),

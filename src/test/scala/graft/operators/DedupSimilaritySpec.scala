@@ -434,6 +434,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.isEmpty, s"common-shingle-only pairs must be guarded out: ${out.toSeq}")
   }
 
+  test("keepByPolicy keeps each cluster's policy-max (tie lowest id), unpaired survive") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "short"), (2L, "the longest text here"), (3L, "medium txt"),
+      (4L, "lonely doc"), (5L, "same len"), (6L, "same len")).toDF("doc_id", "text")
+    // cluster {1,2,3} and cluster {5,6}; 4 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val kept = Dedup.keepByPolicy(df, "doc_id", pairs, "a", "b",
+        length(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L, 5L)) // longest of {1,2,3}; lonely 4; tie -> 5
+  }
+
   test("Lloyd-fitted IVF centroids beat lowest-id sampling on adversarial id order") {
     val s = spark
     import s.implicits._
