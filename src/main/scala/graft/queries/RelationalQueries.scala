@@ -857,6 +857,40 @@ object RelationalQueries {
        |FROM events ORDER BY event_id""".stripMargin
   }
 
+  /** Correlated LATERAL join — per-customer top-2 orders by price as a
+    * lateral subquery (the modern SQL shape for per-row subselects,
+    * supported by Spark 4 and DuckDB alike). Catalyst decorrelates the
+    * lateral into a ranked window join rather than executing per-row —
+    * the plan a 100 TB engine needs (no nested-loop re-execution per
+    * outer row). */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_price
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS o_price
+        |  FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY orders.o_totalprice DESC, o_orderkey ASC
+        |  LIMIT 2) o
+        |WHERE c.c_custkey % 10 = 0
+        |ORDER BY c.c_custkey, o.o_price DESC, o.o_orderkey""".stripMargin)
+  }
+
+  private val lateralTopOrdersOracle: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_price
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS o_price
+      |  FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY orders.o_totalprice DESC, o_orderkey ASC
+      |  LIMIT 2) o
+      |WHERE c.c_custkey % 10 = 0
+      |ORDER BY c.c_custkey, o.o_price DESC, o.o_orderkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1Oracle)),
     QueryDef("filter_project", filterProject, Some(filterProjectOracle)),
@@ -895,5 +929,6 @@ object RelationalQueries {
     QueryDef("events_hourly", eventsHourly, Some(eventsHourlyOracle)),
     QueryDef("q5_region_revenue", q5RegionRevenue, Some(q5RegionRevenueOracle)),
     QueryDef("merge_upsert_orders", mergeUpsertOrders, Some(mergeUpsertOracle)),
-    QueryDef("zorder_events", zorderEvents, Some(zorderEventsOracle)))
+    QueryDef("zorder_events", zorderEvents, Some(zorderEventsOracle)),
+    QueryDef("lateral_top_orders", lateralTopOrders, Some(lateralTopOrdersOracle)))
 }
