@@ -183,6 +183,26 @@ object Streams {
         merged.write.mode("overwrite").parquet(s"$targetDir/v=$id")
     }
 
+  /** Streaming DRIFT MONITOR: every micro-batch is scored with
+    * [[graft.operators.Drift.psi]] against a STATIC reference frame
+    * (yesterday's corpus, the training distribution) and the one-row
+    * result is appended to a parquet log — the alert feed that catches a
+    * upstream distribution break while the batch is still in flight.
+    * The reference is unioned in per batch with `isBase` marking it, so
+    * the PSI bins span both sides consistently; the reference plan is
+    * re-read per batch (cache it outside when it is hot). */
+  def psiMonitor(stream: DataFrame, reference: DataFrame, valueCol: String,
+      logDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val tagged = reference.select(col(valueCol), lit(true).as("__base"))
+          .unionByName(batch.select(col(valueCol), lit(false).as("__base")))
+        graft.operators.Drift.psi(tagged, valueCol, col("__base"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(logDir)
+    }
+
   /** Highest-numbered `v=<n>` subdirectory of an [[upsertSink]] target. */
   def latestVersion(targetDir: String): Option[String] = {
     val d = new java.io.File(targetDir)

@@ -291,6 +291,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("psiMonitor logs per-batch drift vs a static reference") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val log = java.nio.file.Files.createTempDirectory("psi_log").toString
+    // reference: values uniform over 0..9
+    val ref = (0 until 100).map(i => (i % 10).toDouble).toDF("value")
+    val q = Streams.psiMonitor(mem.toDF(), ref, "value", log).start()
+    try {
+      // batch 0 matches the reference; batch 1 is shifted far outside
+      mem.addData((0 until 100).map(i =>
+        Ev(ts("2024-01-01 10:00:00"), i.toLong, (i % 10).toDouble, i.toLong)): _*)
+      q.processAllAvailable()
+      mem.addData((0 until 100).map(i =>
+        Ev(ts("2024-01-01 10:01:00"), i.toLong, 100.0 + (i % 10), i.toLong)): _*)
+      q.processAllAvailable()
+      val logged = spark.read.parquet(log)
+        .select("batch_id", "psi").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(logged.size === 2)
+      assert(logged(0L) < 0.01, s"matching batch must be stable, got ${logged(0L)}")
+      assert(logged(1L) > 0.25, s"shifted batch must flag a break, got ${logged(1L)}")
+    } finally q.stop()
+  }
+
   test("batch and streaming session windows agree on the same data") {
     val s = spark
     import s.implicits._
