@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Contiguous sequence packing for LLM training batches: documents are
   * laid end-to-end in a deterministic total order and the token stream is
@@ -15,15 +16,23 @@ import org.apache.spark.sql.functions._
   * even warns "No Partition Defined for Window operation"). This
   * implementation is the two-phase shape that survives 100 TB:
   *
-  *   1. range-repartition by id, so each partition holds a contiguous id
-  *      span; the local running sum is a window PER PARTITION — parallel;
-  *   2. the per-partition token totals (one row per partition) are
-  *      cumulated on a single tiny partition and broadcast back as each
-  *      partition's base offset.
+  *   1. assign every row a SLICE id — a deterministic, monotone function
+  *      of the order key (see [[deterministicSlice]]), so each slice is a
+  *      contiguous span of the total order; the local running sum is a
+  *      window PER SLICE — parallel;
+  *   2. the per-slice totals (at most slices+2 rows, tiny) are cumulated
+  *      in slice order on a single small partition and broadcast back as
+  *      each slice's base offset.
   *
-  * The result depends only on the total order of `idCol`, not on where
-  * the range partitioner happened to place boundaries, so the output is
-  * deterministic even though the partitioning is sampled.
+  * Slice ids are a PURE FUNCTION OF THE ROW (order value + literal
+  * bounds computed once, eagerly, from exact min/max — never sampled):
+  * every consumer of the plan assigns identical slices on every
+  * recompute, so no `persist()` is needed for correctness and no
+  * recompute path (cache eviction, AQE replan, speculative retry) can
+  * disagree with another. This replaces the round-6 construction
+  * (`spark_partition_id()` over a sampled `repartitionByRange`, pinned
+  * by `persist()`), whose slice ids depended on WHICH materialization a
+  * consumer observed — the intermittent `mix_corpus` hash drift.
   *
   * Greedy never-split packing (close the window when the next document
   * would overflow) requires a running sum with data-dependent resets —
@@ -65,6 +74,114 @@ object Packing {
           .cast("long").as("n_chunk_tokens"))
   }
 
+  // ---------------------------------------------------------------------
+  // Deterministic slicing: the foundation both prefix sums stand on.
+  // ---------------------------------------------------------------------
+
+  private val CpBase = 2097152.0          // 2^21 > max code point 0x10FFFF
+  private val CpBase2 = CpBase * CpBase   // 2^42 — three digits fit a double
+
+  /** Code point at index `i` of `cps`, or 0 past the end (the empty
+    * suffix sorts first, matching lexicographic order). */
+  private def cpAt(cps: Array[Int], i: Int): Double =
+    if (i >= 0 && i < cps.length) cps(i).toDouble else 0.0
+
+  /** Driver-side monotone proxy of a string's 3 code points starting at
+    * `skip` — used ONLY to interpolate boundary literals; executors never
+    * evaluate it, so it cannot disagree with executor semantics. */
+  private def proxyVal(s: String, skip: Int): Double = {
+    val cps = s.codePoints().toArray
+    cpAt(cps, skip) * CpBase2 + cpAt(cps, skip + 1) * CpBase + cpAt(cps, skip + 2)
+  }
+
+  /** Interpolated slice-boundary strings between the corpus min and max:
+    * shared prefix + 3 code points unpacked from an evenly spaced proxy
+    * value. Boundary QUALITY only affects balance; slice assignment
+    * compares rows against these literals with Spark's own string
+    * comparator, so monotonicity (hence correctness) holds for any
+    * encoding. Clamped to below the surrogate range so every boundary is
+    * a well-formed BMP string. */
+  private def stringBoundaries(mnS: String, mxS: String, n: Int): Seq[String] = {
+    val mnCps = mnS.codePoints().toArray
+    val mxCps = mxS.codePoints().toArray
+    var lcp = 0
+    while (lcp < mnCps.length && lcp < mxCps.length && mnCps(lcp) == mxCps(lcp)) lcp += 1
+    val prefix = new String(mnCps, 0, lcp)
+    val lo = proxyVal(mnS, lcp)
+    val hi = proxyVal(mxS, lcp)
+    if (!(hi > lo)) return Seq.empty // degenerate: one slice, still correct
+    def unpack(v: Double): String = {
+      def clampCp(d: Double): Int = {
+        val c = math.max(0, math.min(0xD7FF, d.toInt)) // BMP, below surrogates
+        c
+      }
+      val d1 = clampCp(v / CpBase2)
+      val d2 = clampCp((v % CpBase2) / CpBase)
+      val d3 = clampCp(v % CpBase)
+      prefix + new String(Array(d1, d2, d3), 0, 3)
+    }
+    (1 until n).map(i => unpack(lo + (hi - lo) * i / n)).distinct
+  }
+
+  /** Slice id for the two-phase prefix sum: a deterministic, monotone
+    * (w.r.t. the order column's sort order) bucketing of `orderCol` into
+    * ~`nSlices` contiguous spans. Pure function of the row given literal
+    * bounds computed HERE, eagerly, from one exact min/max aggregation —
+    * deterministic across recomputes, runs, partitionings and engines
+    * (unlike `spark_partition_id()` over a sampled range exchange).
+    *
+    * Monotone non-strict is all correctness needs (within-slice order is
+    * resolved exactly by the window's `orderBy`); balance is a
+    * performance property and holds for roughly uniform keys (md5-hex
+    * order keys, dense ids). Edge slices: nulls (sort first) → -1,
+    * numeric NaN/+Inf (sort last) → nSlices; -Inf shares the null slice,
+    * adjacent in the total order so contiguity is preserved.
+    *
+    *   - numeric: linear bucketing between exact min/max literals;
+    *   - string: count of driver-interpolated boundary literals ≤ the
+    *     value, evaluated with Spark's own comparator — monotone by
+    *     construction for any encoding;
+    *   - other types: unsupported (fail loudly — add a monotone proxy
+    *     before widening this).
+    */
+  private[operators] def deterministicSlice(df: DataFrame, orderCol: String,
+      nSlices: Int): Column = {
+    val c = col(orderCol)
+    df.schema(orderCol).dataType match {
+      case StringType =>
+        val b = df.agg(min(c), max(c)).head()
+        if (b.isNullAt(0) || b.getString(0) == b.getString(1)) {
+          when(c.isNull, lit(-1)).otherwise(lit(0))
+        } else {
+          val bounds = stringBoundaries(b.getString(0), b.getString(1), nSlices)
+          val rank = bounds.foldLeft(lit(0)) { (acc, bd) =>
+            acc + when(c >= lit(bd), 1).otherwise(0)
+          }
+          when(c.isNull, lit(-1)).otherwise(rank)
+        }
+      case _: NumericType =>
+        val p = c.cast("double")
+        val negInf = lit(Double.NegativeInfinity)
+        val posInf = lit(Double.PositiveInfinity)
+        val finite = when(p.isNull || isnan(p) || p === negInf || p === posInf, lit(null))
+          .otherwise(p)
+        val b = df.agg(min(finite), max(finite)).head()
+        val bucket =
+          if (b.isNullAt(0) || !(b.getDouble(0) < b.getDouble(1))) lit(0)
+          else {
+            val mn = b.getDouble(0)
+            val span = b.getDouble(1) - mn
+            least(floor((p - lit(mn)) / lit(span) * nSlices).cast("int"), lit(nSlices - 1))
+          }
+        when(p.isNull || p === negInf, lit(-1))
+          .when(isnan(p) || p === posInf, lit(nSlices))
+          .otherwise(bucket)
+      case other =>
+        throw new IllegalArgumentException(
+          s"prefix-sum order column '$orderCol' must be string or numeric, got $other")
+    }
+  }
+
   /** PER-GROUP exclusive prefix sum of `valueCol` in `orderCol` order —
     * [[packContiguous]]'s two-phase shape generalized to grouped running
     * sums (the building block for per-source token budgeting, grouped
@@ -73,44 +190,38 @@ object Packing {
     * one task — groups like "source" or "language" are low-cardinality
     * and huge, the same hot-key shape GroupTopK exists to avoid. Here:
     *
-    *   1. range-repartition by (group, order) so each partition holds a
-    *      contiguous slice of one-or-more groups; the local running sum
-    *      windows over (group, partition) — parallel;
-    *   2. per-(group, partition) totals (groups × partitions rows,
-    *      tiny) are cumulated per group and broadcast back as bases.
+    *   1. every row gets a deterministic slice id (monotone in
+    *      `orderCol` — see [[deterministicSlice]]); the local running
+    *      sum windows over (group, slice) — parallel;
+    *   2. per-(group, slice) totals (groups × slices rows, tiny) are
+    *      cumulated per group in slice order and broadcast back as
+    *      bases.
+    *
+    * Both phases read the same pure plan — slice assignment cannot
+    * differ between them, whatever gets recomputed where, so there is no
+    * `persist()` and no correctness dependence on one materialization.
     *
     * `orderCol` must be unique within its group (it is the total order
     * that makes the sum deterministic). Adds `cumBeforeCol`. */
   def groupedPrefixSum(df: DataFrame, groupCol: String, orderCol: String,
       valueCol: String, cumBeforeCol: String = "cum_before"): DataFrame = {
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(parts, col(groupCol), col(orderCol))
-      .withColumn("_pid", spark_partition_id())
-    val local = Window.partitionBy(groupCol, "_pid").orderBy(orderCol)
+    val nSlices = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sliced = df.withColumn("_slice", deterministicSlice(df, orderCol, nSlices))
+    val local = Window.partitionBy(groupCol, "_slice").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // persist() is CORRECTNESS here, not caching: this plan feeds both
-    // the offsets aggregation and the final join, and repartitionByRange
-    // SAMPLES its boundaries with a seed derived from the physical RDD —
-    // two separate instantiations of the exchange can draw DIFFERENT
-    // boundaries, making _pid disagree between the branches and
-    // attaching base offsets to the wrong slices (caught at sf0.1:
-    // shuffle_order drifted by whole-slice deltas; invisible at small
-    // SFs where the sample always captures every row). Materializing one
-    // copy pins a single partitioning for every consumer — and halves
-    // the compute. Bench/Verify drop the blocks between queries.
-    val withLocal = ranged.withColumn("_local_cum", sum(col(valueCol)).over(local))
-      .persist()
-    // ordered by each slice's min ORDER value, never by partition id
-    val offsets = withLocal.groupBy(groupCol, "_pid")
-      .agg(min(col(orderCol)).as("_min_o"), sum(col(valueCol)).as("_ptotal"))
-    val offW = Window.partitionBy(groupCol).orderBy("_min_o")
+    val withLocal = sliced.withColumn("_local_cum", sum(col(valueCol)).over(local))
+    // slice ids are numeric and monotone in the order key, so cumulating
+    // per-slice totals IN SLICE ORDER yields each slice's base offset
+    val offsets = sliced.groupBy(groupCol, "_slice")
+      .agg(sum(col(valueCol)).as("_ptotal"))
+    val offW = Window.partitionBy(groupCol).orderBy("_slice")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bases = offsets
       .withColumn("_base", sum(col("_ptotal")).over(offW) - col("_ptotal"))
-      .select(col(groupCol), col("_pid"), col("_base"))
-    withLocal.join(broadcast(bases), Seq(groupCol, "_pid"))
+      .select(col(groupCol), col("_slice"), col("_base"))
+    withLocal.join(broadcast(bases), Seq(groupCol, "_slice"))
       .withColumn(cumBeforeCol, col("_base") + col("_local_cum") - col(valueCol))
-      .drop("_pid", "_local_cum", "_base")
+      .drop("_slice", "_local_cum", "_base")
   }
 
   /** Pack by a precomputed token-count column. Returns the input columns
@@ -120,34 +231,30 @@ object Packing {
   def packContiguous(df: DataFrame, idCol: String, tokenCol: String,
       budget: Int): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(parts, col(idCol))
-      .withColumn("_pid", spark_partition_id())
-    // phase 1: per-partition running sum — parallel across partitions
-    val local = Window.partitionBy("_pid").orderBy(idCol)
+    val nSlices = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sliced = df.withColumn("_slice", deterministicSlice(df, idCol, nSlices))
+    // phase 1: per-slice running sum — parallel across slices
+    val local = Window.partitionBy("_slice").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // persist() pins ONE sampled range partitioning for both consumers —
-    // see groupedPrefixSum for the cross-instantiation _pid hazard this
-    // prevents (whole-slice base drift, caught at sf0.1)
-    val withLocal = ranged.withColumn("_local_cum",
+    val withLocal = sliced.withColumn("_local_cum",
       sum(col(tokenCol)).over(local))
-      .persist()
-    // phase 2: one row per partition; cumulate on the tiny side and
-    // broadcast the base offsets back. Ordered by each partition's min
-    // id, not _pid, so correctness never leans on partition-id order.
-    val offsets = withLocal.groupBy("_pid")
-      .agg(min(col(idCol)).as("_min_id"), sum(col(tokenCol)).as("_ptotal"))
-    val offW = Window.orderBy("_min_id")
+    // phase 2: one row per slice; cumulate on the tiny side in slice
+    // order and broadcast the base offsets back. Slice assignment is a
+    // pure row function, so this branch agrees with phase 1 by
+    // construction — no persist(), no cross-instantiation hazard.
+    val offsets = sliced.groupBy("_slice")
+      .agg(sum(col(tokenCol)).as("_ptotal"))
+    val offW = Window.orderBy("_slice")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bases = offsets
       .withColumn("_base", sum(col("_ptotal")).over(offW) - col("_ptotal"))
-      .select("_pid", "_base")
-    val packed = withLocal.join(broadcast(bases), Seq("_pid"))
+      .select("_slice", "_base")
+    val packed = withLocal.join(broadcast(bases), Seq("_slice"))
       .withColumn("start_offset", col("_base") + col("_local_cum") - col(tokenCol))
       .withColumn("seq_id", floor(col("start_offset") / budget.toLong))
       .withColumn("crosses_boundary",
         col(tokenCol) > 0 &&
           floor((col("start_offset") + col(tokenCol) - 1) / budget.toLong) > col("seq_id"))
-    packed.drop("_pid", "_local_cum", "_base")
+    packed.drop("_slice", "_local_cum", "_base")
   }
 }

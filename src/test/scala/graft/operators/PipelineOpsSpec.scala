@@ -97,13 +97,13 @@ class PipelineOpsSpec extends SparkSpec {
     val plan = Packing.packContiguous(df, "id", "tok", 64)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
-    // the per-row running sum must be a window PARTITIONED by _pid —
+    // the per-row running sum must be a window PARTITIONED by _slice —
     // an unpartitioned Window over the data moves the whole table to a
     // single task (the scale failure this operator exists to avoid)
     val dataWin = plan.linesIterator
       .find(l => l.contains("Window [") && l.contains("AS _local_cum"))
-    assert(dataWin.exists(_.contains("[_pid")),
-      s"per-row window is not partitioned by _pid:\n${dataWin.getOrElse(plan)}")
+    assert(dataWin.exists(_.contains("[_slice")),
+      s"per-row window is not partitioned by _slice:\n${dataWin.getOrElse(plan)}")
   }
 
   test("grouped prefix sum matches a plain per-group window and is partition-count invariant") {
@@ -124,7 +124,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(one === ref)
   }
 
-  test("grouped prefix sum's per-row window is partitioned by (group, _pid)") {
+  test("grouped prefix sum's per-row window is partitioned by (group, _slice)") {
     val s = spark
     import s.implicits._
     val df = (1L to 100L).map(i => (i, s"g${i % 2}", 5L)).toDF("id", "grp", "tok")
@@ -133,8 +133,54 @@ class PipelineOpsSpec extends SparkSpec {
         org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
     val dataWin = plan.linesIterator
       .find(l => l.contains("Window [") && l.contains("AS _local_cum"))
-    assert(dataWin.exists(l => l.contains("_pid") && l.contains("grp")),
-      s"per-row window is not partitioned by (grp, _pid):\n${dataWin.getOrElse(plan)}")
+    assert(dataWin.exists(l => l.contains("_slice") && l.contains("grp")),
+      s"per-row window is not partitioned by (grp, _slice):\n${dataWin.getOrElse(plan)}")
+  }
+
+  test("prefix sums use no persist and no sampled range exchange (determinism by construction)") {
+    val s = spark
+    import s.implicits._
+    val long = (1L to 100L).map(i => (i, 5L)).toDF("id", "tok")
+    val str = (1L to 100L).map(i => (f"k$i%03d", 5L)).toDF("id", "tok")
+    for (df <- Seq(Packing.packContiguous(long, "id", "tok", 64),
+                   Packing.packContiguous(str, "id", "tok", 64),
+                   Packing.groupedPrefixSum(long.withColumn("g", lit("g")), "g", "id", "tok"))) {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      assert(!plan.contains("InMemoryTableScan"), s"persist() leaked back into the plan:\n$plan")
+      assert(!plan.contains("rangepartitioning"),
+        s"sampled range exchange leaked back into the plan:\n$plan")
+    }
+  }
+
+  test("string-keyed packing matches a global window and is slice-boundary independent") {
+    val s = spark
+    import s.implicits._
+    // md5 keys (the shuffleOrder/mixByTokenBudget shape) + a shared
+    // ASCII prefix (the 'doc_000…' shape the LCP skip exists for)
+    val base = (1L to 300L).map(i => (i, (i % 13) + 1)).toDF("i", "tok")
+    for (mk <- Seq(md5(col("i").cast("string")), format_string("doc_%06d", col("i")))) {
+      val df = base.select(mk.as("id"), col("tok"))
+      val out = Packing.packContiguous(df, "id", "tok", budget = Int.MaxValue)
+        .select("id", "start_offset").orderBy("id").collect().toSeq
+      val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ref = df.select(col("id"), coalesce(sum("tok").over(w), lit(0L)).as("o"))
+        .orderBy("id").collect().toSeq
+      assert(out.map(r => (r.getString(0), r.getLong(1))) ===
+        ref.map(r => (r.getString(0), r.getLong(1))))
+    }
+  }
+
+  test("prefix sums handle null order keys (nulls-first slice) without dropping rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((None: Option[Long], 7L), (Some(1L), 3L), (Some(2L), 4L)).toDF("id", "tok")
+    val out = Packing.packContiguous(df, "id", "tok", budget = Int.MaxValue)
+      .select("id", "start_offset").orderBy(col("id").asc_nulls_first).collect()
+    assert(out.length === 3)
+    // null sorts first: offsets 0, then 7, then 10
+    assert(out.map(_.getLong(1)).toSeq === Seq(0L, 7L, 10L))
   }
 
   test("token-budget mix keeps a per-group priority prefix, no partial docs, stable under appends") {
