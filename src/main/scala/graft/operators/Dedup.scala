@@ -288,8 +288,15 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)
-      // both sets are distinct, so equal counts + empty difference = equal
-      converged = small.count() == edges.count() && small.except(edges).isEmpty
+      // both sets are distinct, so they are equal iff every (u, v) of the
+      // union appears exactly twice — ONE aggregation action per
+      // iteration, not count()+count()+except().isEmpty (three jobs over
+      // both edge sets; the convergence check dominated iteration
+      // overhead for the CC-bearing bench queries)
+      converged = small.union(edges)
+        .groupBy("u", "v").count()
+        .filter(col("count") =!= 2)
+        .isEmpty
       edges = small
       i += 1
     }
@@ -309,20 +316,25 @@ object Dedup {
     * Scale shape: the per-cluster argmax windows on the component id —
     * components are high-cardinality (most clusters are tiny), so a
     * plain window is the right plan here, unlike per-source keys (see
-    * [[GroupTopK]] for the low-cardinality case). */
+    * [[GroupTopK]] for the low-cardinality case).
+    *
+    * Returns exactly `df`'s columns (surviving rows). The cluster label
+    * rides on reserved `__cc_*` names internally, so callers may have
+    * their own `id` / `component` data columns without collision. */
   def keepByPolicy(
       df: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String, bCol: String, policy: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val comp = connectedComponents(pairs, aCol, bCol)
-    val labeled = df.join(comp, df(idCol) === comp("id"), "left")
-      .withColumn("component", coalesce(col("component"), col(idCol)))
-      .drop("id")
-    val w = Window.partitionBy("component")
+      .select(col("id").as("__cc_id"), col("component").as("__cc_component"))
+    val labeled = df.join(comp, df(idCol) === comp("__cc_id"), "left")
+      .withColumn("__cc_component", coalesce(col("__cc_component"), col(idCol)))
+      .drop("__cc_id")
+    val w = Window.partitionBy("__cc_component")
       .orderBy(policy.desc, col(idCol).asc)
     labeled.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
-      .drop("__rk")
+      .drop("__rk", "__cc_component")
   }
 
   /** 64-bit SimHash signatures: bit b is set when the sum of (+1 / -1)

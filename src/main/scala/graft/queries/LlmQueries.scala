@@ -1356,7 +1356,7 @@ object LlmQueries {
 
   /** SEMANTIC decontamination: embeddings with vec_id < 20 play the
     * benchmark/eval set, the rest the training corpus; training vectors
-    * cosine-close (>= 0.35) to any eval vector are contamination hits.
+    * cosine-close (>= 0.3) to any eval vector are contamination hits.
     * Candidates meet only in shared hyperplane buckets; the oracle
     * replays bucketing (shared plane literals), the cross join on
     * buckets, and exact-cosine verification. */

@@ -175,7 +175,14 @@ object Streams {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         val dedup = batch.dropDuplicates(keys)
-        val merged = latestVersion(targetDir) match {
+        // derive from versions STRICTLY BELOW the current batch id: on
+        // failure recovery Structured Streaming re-runs the last batch
+        // with the same id, and deriving from v=<id> itself would lazily
+        // read the possibly-partial directory the overwrite is about to
+        // truncate — the read-and-overwrite race the versioning exists
+        // to avoid. Replay then recomputes the merge from the previous
+        // good version and overwrites v=<id>: idempotent.
+        val merged = latestVersion(targetDir, below = id) match {
           case Some(prev) =>
             graft.operators.Merge.upsert(spark.read.parquet(prev), dedup, keys)
           case None => dedup
@@ -203,13 +210,22 @@ object Streams {
           .write.mode("append").parquet(logDir)
     }
 
-  /** Highest-numbered `v=<n>` subdirectory of an [[upsertSink]] target. */
-  def latestVersion(targetDir: String): Option[String] = {
-    val d = new java.io.File(targetDir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .sortBy(f => f.getName.stripPrefix("v=").toLong)
-      .lastOption.map(_.getAbsolutePath)
+  /** Highest-numbered `v=<n>` subdirectory of an [[upsertSink]] target,
+    * optionally restricted to versions strictly below `below` (recovery
+    * replays pass the current batch id). Resolved through the path's
+    * Hadoop FileSystem so remote targets (s3://, hdfs://) work —
+    * java.io.File returns null for non-local URIs, which would silently
+    * discard the maintained base table on remote storage. */
+  def latestVersion(targetDir: String, below: Long = Long.MaxValue): Option[String] = {
+    val path = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = path.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .flatMap(st => scala.util.Try(st.getPath.getName.stripPrefix("v=").toLong)
+        .toOption.filter(_ < below).map(v => (v, st.getPath.toString)))
+      .sortBy(_._1).lastOption.map(_._2)
   }
 
   private val emptyState =

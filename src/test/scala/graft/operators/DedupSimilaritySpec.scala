@@ -448,6 +448,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept === Set(2L, 4L, 5L)) // longest of {1,2,3}; lonely 4; tie -> 5
   }
 
+  test("keepByPolicy preserves caller-owned 'id'/'component' data columns") {
+    val s = spark
+    import s.implicits._
+    // 'id' and 'component' are the names the cluster join uses internally;
+    // a caller's unrelated data columns with those names must survive intact
+    val df = Seq((1L, "short", "idA", "compA"), (2L, "the longest", "idB", "compB"),
+        (3L, "lonely", "idC", "compC"))
+      .toDF("doc_id", "text", "id", "component")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val out = Dedup.keepByPolicy(df, "doc_id", pairs, "a", "b", length(col("text")))
+    assert(out.columns.toSeq === Seq("doc_id", "text", "id", "component"))
+    val rows = out.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSeq
+    assert(rows === Seq((2L, "idB", "compB"), (3L, "idC", "compC")))
+  }
+
   test("Lloyd-fitted IVF centroids beat lowest-id sampling on adversarial id order") {
     val s = spark
     import s.implicits._

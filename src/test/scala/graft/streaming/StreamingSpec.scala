@@ -288,6 +288,12 @@ class StreamingSpec extends SparkSpec {
       // both versions survive for time travel
       val v0 = spark.read.parquet(s"$out/v=0")
       assert(v0.count() === 2)
+      // recovery semantics: a replayed batch derives from versions
+      // STRICTLY BELOW its own id, never its possibly-partial own dir
+      assert(Streams.latestVersion(out, below = 1L).get.endsWith("v=0"))
+      assert(Streams.latestVersion(out, below = 0L).isEmpty)
+      // resolved through Hadoop FS: an explicit file: URI works too
+      assert(Streams.latestVersion(s"file:$out").isDefined)
     } finally q.stop()
   }
 
