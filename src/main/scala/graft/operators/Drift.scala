@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   *
   * Everything is hash aggregations over binned rows: both slices bin in
   * one pass each, the per-bin histograms are `bins`-sized (collected
-  * nowhere, joined on the bin id), and the PSI reduction is a sum over
-  * `bins` rows. No windows, no collect, no all-pairs anything.
+  * nowhere), and the PSI reduction is a sum over `bins` rows. The only
+  * window runs over the `bins`-sized histogram. No collect, no
+  * all-pairs anything, one pass over the data per slice.
   */
 object Drift {
 
@@ -42,7 +43,15 @@ object Drift {
     val hist = binned.groupBy("bin").agg(
       sum(when(col("base"), 1L).otherwise(0L)).as("nb"),
       sum(when(!col("base"), 1L).otherwise(0L)).as("no"))
-    val totals = hist.agg(sum("nb").as("tb"), sum("no").as("to"))
+    // slice totals as a window over the `bins`-sized histogram, NOT a
+    // separate aggregate frame: hist feeding two consumers would
+    // recompute the whole binning lineage (two scans + two bin
+    // exchanges); this keeps psi at ONE pass over the data per side.
+    // The constant partition key bounds the window at `bins` rows.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val withTotals = hist
+      .withColumn("tb", sum("nb").over(wAll))
+      .withColumn("to", sum("no").over(wAll))
     // an empty slice makes PSI ill-defined: the when guards keep the
     // ANSI divide from raising on 0/0 and the final mask returns a null
     // psi (counts still reported) rather than a garbage number
@@ -50,7 +59,7 @@ object Drift {
       when(col("tb") =!= 0, col("tb")), lit(eps))
     val q = greatest(col("no").cast("double") /
       when(col("to") =!= 0, col("to")), lit(eps))
-    hist.crossJoin(broadcast(totals))
+    withTotals
       .select(((p - q) * log(p / q)).as("term"),
         col("nb"), col("no"), col("tb"), col("to"))
       .agg(

@@ -156,28 +156,51 @@ object Vectors {
     * both engines iterate from identical centroid bits (Spark's partial
     * aggregation sums in partition order; unrounded last-ULP drift
     * would otherwise compound across iterations). */
-  /** Deterministic farthest-first (Gonzalez 1985) seeding: start from
-    * the lowest-id vector, then repeatedly add the point farthest from
-    * its nearest already-chosen seed (ties → lowest id). k driver-side
-    * TakeOrdered(1) actions — each a full scan but no shuffle, and k is
-    * the IVF cell count, not data-sized. Use when the id order is
-    * adversarial for [[kmeansFit]]'s default lowest-id init (e.g. ids
-    * assigned per source, so all low ids sit in one cluster — the
-    * DedupSimilaritySpec recall test): spread seeds put one centroid
-    * per cluster regardless of id layout. */
+  /** Deterministic farthest-first (Gonzalez 1985) seeding in ONE scan.
+    * The classic loop issues k sequential full-scan TakeOrdered actions —
+    * k passes over 100 TB. Instead: one deterministic hash-uniform
+    * oversample (the max(64·k, 1024) rows with the smallest
+    * md5(seed # id) — a pure function of the ids, so partition- and
+    * run-invariant), then Gonzalez runs driver-side over the sample
+    * (O(m·k·dim), microseconds at the IVF centroid budget). The sample
+    * IS the whole dataset whenever it has ≤ m rows, and at scale a
+    * hash-uniform m-sample covers every cluster that holds ≥ a ~1/m
+    * fraction of the data — the clusters a k-cell IVF index can resolve.
+    * Start seed = the sample's hash-minimal vector; farthest ties break
+    * toward the smaller hash. Use when the id order is adversarial for
+    * [[kmeansFit]]'s default lowest-id init (e.g. ids assigned per
+    * source, so all low ids sit in one cluster — the DedupSimilaritySpec
+    * recall test): spread seeds put one centroid per cluster regardless
+    * of id layout. */
   def farthestFirstCentroids(
       df: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Seq[Double]] = {
     require(k > 0, s"k must be positive, got $k")
-    val first = df.orderBy(col(idCol)).limit(1)
-      .select(toDoubleArray(col(vecCol))).collect().head.getSeq[Double](0)
-    var chosen = Vector[Seq[Double]](first)
+    val m = math.max(64 * k, 1024)
+    // one TakeOrderedAndProject job: no shuffle, partition-invariant order
+    val cand = df
+      .select(md5(concat_ws("#", lit("ffc"), col(idCol).cast("string"))).as("__h"),
+        toDoubleArray(col(vecCol)).as("__v"))
+      .orderBy(col("__h").asc)
+      .limit(m)
+      .collect()
+      .map(_.getSeq[Double](1))
+    def sqDist(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length && i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var chosen = Vector[Seq[Double]](cand.head)
+    val dist = Array.fill(cand.length)(Double.MaxValue)
     while (chosen.size < k) {
-      val dNearest = chosen.map(c => sqDistTo(col(vecCol), c)).reduce(least(_, _))
-      val next = df.select(col(idCol), toDoubleArray(col(vecCol)).as("__v"),
-          dNearest.as("__d"))
-        .orderBy(col("__d").desc, col(idCol).asc).limit(1)
-        .collect().head.getSeq[Double](1)
-      chosen = chosen :+ next
+      var best = 0
+      var i = 0
+      while (i < cand.length) {
+        val d = sqDist(cand(i), chosen.last)
+        if (d < dist(i)) dist(i) = d
+        if (dist(i) > dist(best)) best = i // strict '>' breaks ties to the smaller hash
+        i += 1
+      }
+      chosen = chosen :+ cand(best)
     }
     chosen
   }

@@ -862,7 +862,17 @@ object RelationalQueries {
     * supported by Spark 4 and DuckDB alike). Catalyst decorrelates the
     * lateral into a ranked window join rather than executing per-row —
     * the plan a 100 TB engine needs (no nested-loop re-execution per
-    * outer row). */
+    * outer row).
+    *
+    * The ranking is an EXPLICIT row_number window inside the lateral
+    * rather than ORDER BY + LIMIT 2: Catalyst decorrelates the latter
+    * into a row_number with an EMPTY window order over a pre-sorted
+    * child — top-2 selection then rides on sort order surviving a hash
+    * exchange, which holds in local mode but races remote shuffle
+    * fetches on a real cluster. The explicit window decorrelates with
+    * its full ORDER BY in the window spec (one local sort, no global
+    * pre-sort stage): deterministic on any topology — asserted in
+    * PlanSpec. */
   def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
     Tables.customer(spark, dir).createOrReplaceTempView("customer")
     Tables.orders(spark, dir).createOrReplaceTempView("orders")
@@ -870,11 +880,13 @@ object RelationalQueries {
       """SELECT c.c_custkey, o.o_orderkey, o.o_price
         |FROM customer c,
         |LATERAL (
-        |  SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS o_price
-        |  FROM orders
-        |  WHERE o_custkey = c.c_custkey
-        |  ORDER BY orders.o_totalprice DESC, o_orderkey ASC
-        |  LIMIT 2) o
+        |  SELECT o_orderkey, o_price FROM (
+        |    SELECT o_orderkey,
+        |      floor(o_totalprice * 100 + 0.5) / 100 AS o_price,
+        |      row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |    FROM orders
+        |    WHERE o_custkey = c.c_custkey)
+        |  WHERE rn <= 2) o
         |WHERE c.c_custkey % 10 = 0
         |ORDER BY c.c_custkey, o.o_price DESC, o.o_orderkey""".stripMargin)
   }
@@ -883,11 +895,13 @@ object RelationalQueries {
     """SELECT c.c_custkey, o.o_orderkey, o.o_price
       |FROM customer c,
       |LATERAL (
-      |  SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS o_price
-      |  FROM orders
-      |  WHERE o_custkey = c.c_custkey
-      |  ORDER BY orders.o_totalprice DESC, o_orderkey ASC
-      |  LIMIT 2) o
+      |  SELECT o_orderkey, o_price FROM (
+      |    SELECT o_orderkey,
+      |      floor(o_totalprice * 100 + 0.5) / 100 AS o_price,
+      |      row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |    FROM orders
+      |    WHERE o_custkey = c.c_custkey)
+      |  WHERE rn <= 2) o
       |WHERE c.c_custkey % 10 = 0
       |ORDER BY c.c_custkey, o.o_price DESC, o.o_orderkey""".stripMargin
 

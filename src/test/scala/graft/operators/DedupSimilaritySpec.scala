@@ -508,4 +508,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fitted >= 0.99, s"Lloyd fit should separate the 4 clusters, got $fitted")
     assert(sampled < 0.99, "adversarial sampling should under-recall (else the test is vacuous)")
   }
+
+  test("farthest-first seeding is a single scan and partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (1L to 500L).map(i => (i, Array.fill(8)(rnd.nextFloat()))).toDF("id", "v")
+    val a = Vectors.farthestFirstCentroids(df.repartition(1), "id", "v", 5)
+    val b = Vectors.farthestFirstCentroids(df.repartition(13), "id", "v", 5)
+    assert(a === b, "seeds must not depend on physical partitioning")
+    // ONE scan regardless of k — the classic Gonzalez loop issues k full
+    // scans. AQE/limit mechanics cost a constant few jobs per call, so
+    // assert the job count is k-independent rather than literally 1.
+    val sc = spark.sparkContext
+    def jobsFor(k: Int): Int = {
+      val group = s"ffc-scan-count-$k"
+      sc.setJobGroup(group, group)
+      try Vectors.farthestFirstCentroids(df, "id", "v", k)
+      finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    val (j2, j8) = (jobsFor(2), jobsFor(8))
+    assert(j2 === j8, s"job count must not grow with k: k=2 -> $j2 jobs, k=8 -> $j8")
+  }
 }

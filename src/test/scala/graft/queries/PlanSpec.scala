@@ -122,6 +122,52 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("term"), "postings must join on the term")
   }
 
+  test("lateral top-orders decorrelates to an ORDERED ranked-window join, no per-row re-execution") {
+    val plan = RelationalQueries.lateralTopOrders(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // decorrelated: a window + filter + hash join, never a nested loop
+    // re-executing the subquery per outer row
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral must decorrelate, not nested-loop:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"))
+    val winLine = plan.linesIterator.find(_.contains("row_number()")).get
+    // the window spec must CARRY its ordering (o_totalprice DESC): the
+    // ORDER BY + LIMIT decorrelation plants an order-less row_number over
+    // a pre-sorted child, whose top-2 pick rides on sort order surviving
+    // a hash exchange — nondeterministic on a real cluster
+    assert(winLine.contains("o_totalprice") && winLine.contains("DESC"),
+      s"row_number window must order by price itself:\n$winLine")
+  }
+
+  test("vocab growth's cumulative window runs over bucket rows only, after aggregation") {
+    val plan = LlmQueries.vocabGrowthDocs(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    val lines = plan.linesIterator.toSeq
+    val winIdx = lines.indexWhere(l => l.contains("Window [") && l.contains("cum_tokens"))
+    assert(winIdx >= 0, s"cumulative window missing:\n$plan")
+    // simple mode prints root-first: everything BELOW the window (higher
+    // index) is its input, which must already be the per-bucket aggregate
+    // — the single-partition exchange may carry at most `buckets` rows
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate(keys=[bucket"), winIdx)
+    val scanIdx = lines.indexWhere(_.contains("FileScan"), winIdx)
+    assert(aggIdx >= 0 && scanIdx >= 0 && aggIdx < scanIdx,
+      s"window input must be the bucket aggregate, not raw token rows:\n$plan")
+  }
+
+  test("psi is one pass over the data per side: a single bin exchange pair, totals via hist window") {
+    val plan = ProfilingQueries.psiLineitem(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // one histogram lineage: bin-key exchanges appear once per slice
+    // pairing (partial+final agg share one exchange); a totals frame
+    // recomputing the binning would double them
+    val binExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(bin"))
+    assert(binExchanges === 1,
+      s"psi must bin once, got $binExchanges bin exchanges:\n$plan")
+    // the only window is over the bins-sized histogram (constant key)
+    assert(plan.contains("Window"), "totals must ride a hist window")
+  }
+
   test("merge upsert plans one anti join on the key and no extra shuffle of the base") {
     val plan = planOf(RelationalQueries.mergeUpsertOrders(spark, dir))
     assert(plan.contains("LeftAnti"), s"upsert must anti-join base on the merge key:\n$plan")
