@@ -119,8 +119,61 @@ object Stats {
     df.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Equi-DEPTH binning: bucket edges are exact type-7 quantiles (one
-    * percentile agg), rows fall into [edge_i, edge_i+1) with the last
+  /** Exact type-7 interpolated quantiles (pandas / quantile_cont
+    * semantics) computed DISTRIBUTED — the whole-table replacement for
+    * Spark's `percentile` aggregate, whose value→count map buffers every
+    * distinct value through one final merge (the construction that dies
+    * on a 100 TB column). Here the heavy lifting is ordinary hash
+    * aggregation:
+    *
+    *   1. distinct (value, count) — one hash agg, persisted (the only
+    *      full scan; the distinct table is orders of magnitude smaller);
+    *   2. exclusive prefix sum of counts in value order via
+    *      [[Packing.packContiguous]] — each value row now covers the
+    *      position interval [start, start+cnt);
+    *   3. the ≤ 2·|probs| rows bracketing the needed order statistics
+    *      (positions are literals once n is known) are filtered out and
+    *      collected; type-7 interpolation runs driver-side:
+    *      q(p) = x_⌊h⌋ + (h-⌊h⌋)·(x_⌈h⌉-x_⌊h⌋), h = p·(n-1).
+    *
+    * The interpolation arithmetic matches Spark's Percentile and
+    * DuckDB's quantile_cont double-for-double (the equidepth oracle
+    * hash-checks this end to end). Nulls are excluded; n = 0 fails
+    * loudly. */
+  def exactQuantiles(df: DataFrame, c: String, probs: Seq[Double]): Seq[Double] = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0, 1], got $probs")
+    val vals = df.filter(col(c).isNotNull)
+      .groupBy(col(c).cast("double").as("_v"))
+      .agg(count(lit(1)).as("_cnt"))
+      .persist() // perf only: three small downstream actions share the scan
+    try {
+      val n = vals.agg(sum("_cnt")).head().getLong(0)
+      require(n > 0, s"exactQuantiles('$c'): no non-null values")
+      val hs = probs.map(p => p * (n - 1))
+      val needed = hs.flatMap(h =>
+        Seq(math.floor(h).toLong, math.min(math.ceil(h).toLong, n - 1))).distinct
+      val packed = Packing.packContiguous(vals, "_v", "_cnt", budget = Int.MaxValue)
+      val cond = needed.map(pos =>
+          col("start_offset") <= pos && col("start_offset") + col("_cnt") > pos)
+        .reduce(_ || _)
+      val rows = packed.filter(cond)
+        .select(col("_v"), col("start_offset"), col("_cnt")).collect()
+      def valueAt(pos: Long): Double = rows
+        .find(r => r.getLong(1) <= pos && r.getLong(1) + r.getLong(2) > pos)
+        .getOrElse(throw new IllegalStateException(s"no value covers position $pos"))
+        .getDouble(0)
+      hs.map { h =>
+        val lo = valueAt(math.floor(h).toLong)
+        val hi = valueAt(math.min(math.ceil(h).toLong, n - 1))
+        lo + (h - math.floor(h)) * (hi - lo)
+      }
+    } finally vals.unpersist(false)
+  }
+
+  /** Equi-DEPTH binning: bucket edges are exact type-7 quantiles
+    * ([[exactQuantiles]] — distributed, no whole-column percentile
+    * buffer), rows fall into [edge_i, edge_i+1) with the last
     * bin closed — each bin holds ~1/bins of the data regardless of
     * distribution, the binning a feature pipeline actually wants for
     * skewed measures. Returns (bin, lo, hi, cnt). Duplicate edges from
@@ -128,8 +181,7 @@ object Stats {
   def equiDepthHistogram(df: DataFrame, c: String, bins: Int): DataFrame = {
     require(bins > 0)
     val probs = (0 to bins).map(_.toDouble / bins)
-    val edges = df.agg(percentile(col(c), typedLit(probs)).as("e"))
-      .head().getSeq[Double](0)
+    val edges = exactQuantiles(df, c, probs)
     // CASE ladder over the literal edges: value < edge_1 -> bin 0, etc.;
     // the max value lands in the last bin (<= top edge)
     val bin = (1 until bins).foldRight(lit(bins - 1)) { case (i, acc) =>

@@ -100,4 +100,36 @@ class StatsSpec extends SparkSpec {
       ("c1", "a", 2L, 1), ("c1", "b", 2L, 2), // tie a/b -> value asc
       ("c2", "y", 3L, 1), ("c2", "x", 1L, 2)))
   }
+
+  test("distributed exact quantiles match Spark's percentile aggregate bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // heavy ties + skew + nulls: the shapes that stress interpolation
+    val data = (1 to 5000).map(_ => math.floor(rnd.nextDouble() * 80) / 4.0) ++
+      Seq.fill(500)(7.25) ++ (1 to 50).map(_ => rnd.nextDouble() * 1e6)
+    val df = (data.map(Option(_)) ++ Seq.fill(37)(Option.empty[Double])).toDF("x")
+    val probs = Seq(0.0, 0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0)
+    val viaAgg = df.agg(percentile(col("x"), typedLit(probs)).as("q"))
+      .head().getSeq[Double](0)
+    val viaDistributed = Stats.exactQuantiles(df, "x", probs)
+    assert(viaDistributed === viaAgg.toSeq)
+    // partition invariance
+    assert(Stats.exactQuantiles(df.repartition(13), "x", probs) === viaDistributed)
+  }
+
+  test("equi-depth histogram bins hold ~1/bins of rows with exact decile edges") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 1000).map(_.toDouble).toDF("x")
+    val out = Stats.equiDepthHistogram(df, "x", 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(out.length === 10)
+    assert(out.map(_._4).sum === 1000L)
+    // uniform 1..1000: each decile holds ~100 rows; edges are type-7 deciles
+    assert(out.forall(b => b._4 >= 99 && b._4 <= 101), out.mkString(", "))
+    assert(out.head._2 === 1.0)
+    assert(math.abs(out(4)._3 - 500.5) < 1e-9) // median edge = 500.5
+  }
 }
