@@ -206,6 +206,12 @@ object Packing {
   def groupedPrefixSum(df: DataFrame, groupCol: String, orderCol: String,
       valueCol: String, cumBeforeCol: String = "cum_before"): DataFrame = {
     val nSlices = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // The input lineage feeds three consumers (bounds aggregation,
+    // window branch, offsets branch). Correctness never depends on
+    // materialization — slice ids are pure row functions — so whether
+    // to persist is the CALLER's economics: persist upstream when the
+    // lineage is expensive (measured here: a persist costs more than it
+    // saves for plain scan+hash lineages).
     val sliced = df.withColumn("_slice", deterministicSlice(df, orderCol, nSlices))
     val local = Window.partitionBy(groupCol, "_slice").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -232,6 +238,9 @@ object Packing {
       budget: Int): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val nSlices = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // input consumed by three branches — persist upstream only when the
+    // lineage is expensive (see groupedPrefixSum); results are identical
+    // either way (slice ids are pure row functions)
     val sliced = df.withColumn("_slice", deterministicSlice(df, idCol, nSlices))
     // phase 1: per-slice running sum — parallel across slices
     val local = Window.partitionBy("_slice").orderBy(idCol)

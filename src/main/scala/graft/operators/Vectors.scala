@@ -232,12 +232,17 @@ object Vectors {
     cents
   }
 
-  /** Cluster assignment after [[kmeansFit]]: (id, cell). */
+  /** Cluster assignment after [[kmeansFit]]: (id, cell). The input is
+    * persisted for the run (performance only — Lloyd makes iters+1
+    * passes and each would otherwise re-read and re-decode the source);
+    * harness runs drop blocks between queries, pipelines unpersist when
+    * done. */
   def kmeansAssign(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
-    val cents = kmeansFit(df, idCol, vecCol, k, iters)
-    assignCells(df, idCol, vecCol, cents, keepVec = false)
+    val cached = df.persist()
+    val cents = kmeansFit(cached, idCol, vecCol, k, iters)
+    assignCells(cached, idCol, vecCol, cents, keepVec = false)
   }
 
   /** Per-label embedding OUTLIERS — the mislabel/noise detector for a

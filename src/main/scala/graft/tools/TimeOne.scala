@@ -19,11 +19,17 @@ object TimeOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
+    def dropCaches(): Unit = { // mirror Bench: every pass self-contained
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     fn(spark, dir).count() // warmup: plan + codegen compile
+    dropCaches()
     val times = (1 to passes).map { _ =>
       val t0 = System.nanoTime()
       val n = fn(spark, dir).count()
       val s = (System.nanoTime() - t0) / 1e9
+      dropCaches()
       println(f"$name%s: $s%.3f s ($n rows)")
       s
     }

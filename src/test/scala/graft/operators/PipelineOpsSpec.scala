@@ -137,7 +137,7 @@ class PipelineOpsSpec extends SparkSpec {
       s"per-row window is not partitioned by (grp, _slice):\n${dataWin.getOrElse(plan)}")
   }
 
-  test("prefix sums use no persist and no sampled range exchange (determinism by construction)") {
+  test("prefix sums use no sampled range exchange (slice ids are pure row functions)") {
     val s = spark
     import s.implicits._
     val long = (1L to 100L).map(i => (i, 5L)).toDF("id", "tok")
@@ -147,9 +147,13 @@ class PipelineOpsSpec extends SparkSpec {
                    Packing.groupedPrefixSum(long.withColumn("g", lit("g")), "g", "id", "tok"))) {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
-      assert(!plan.contains("InMemoryTableScan"), s"persist() leaked back into the plan:\n$plan")
+      // the round-6 hazard: slice ids from spark_partition_id over a
+      // SAMPLED range exchange. The persist that remains is perf-only —
+      // the stress spec proves results are identical across recomputes.
       assert(!plan.contains("rangepartitioning"),
         s"sampled range exchange leaked back into the plan:\n$plan")
+      assert(!plan.contains("spark_partition_id"),
+        s"slice ids must never come from physical partition ids:\n$plan")
     }
   }
 
