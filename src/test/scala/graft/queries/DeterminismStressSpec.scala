@@ -41,5 +41,22 @@ class DeterminismStressSpec extends SparkSpec {
         assert(again === first, s"$q drifted on run $i of $Runs")
       }
     }
+
+    test(s"$q is invariant under shuffle-partition count (cluster-topology proxy)") {
+      // changing spark.sql.shuffle.partitions changes slice granularity,
+      // exchange fan-out and task boundaries — results must not move
+      val key = "spark.sql.shuffle.partitions"
+      val orig = spark.conf.get(key)
+      try {
+        val results = Seq("2", "7", "23").map { parts =>
+          spark.conf.set(key, parts)
+          val r = canonical(q)
+          dropCaches()
+          r
+        }
+        assert(results.distinct.size === 1,
+          s"$q differs across shuffle-partition counts 2/7/23")
+      } finally spark.conf.set(key, orig)
+    }
   }
 }
