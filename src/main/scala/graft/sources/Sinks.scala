@@ -76,4 +76,39 @@ object Sinks {
       .sortWithinPartitions("zkey")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Deterministic TRAINING-SHARD export — the materialization of
+    * [[graft.operators.Sampling.shuffleOrder]]'s reproducible global
+    * permutation: rows land in `shards` near-equal parquet shard
+    * directories (`shard=0..`), each holding a contiguous span of the
+    * md5(seed # key) order, rows sorted by that hash within the shard.
+    * Reading shard dirs in shard order (rows in file order, or sorted by
+    * the written `shuffle_hash` for a global tie-proof order) replays
+    * the identical training order on any cluster, any number of times.
+    *
+    * Shard boundaries are DETERMINISTIC, not sampled: the shard id is a
+    * fixed-width bucket of the hash's three leading hex digits (uniform
+    * for a cryptographic digest, monotone in the hash order — the same
+    * no-sampling principle as Packing.deterministicSlice), so shard
+    * membership is a pure function of (seed, key). repartitionByRange
+    * here would draw sampled boundaries — a re-run could shift rows
+    * between shards, breaking resume-from-shard-k training runs.
+    * One shuffle total (hash partition by shard id), one file per shard
+    * (each shard is exactly one write task). `shards` ≤ 4096 (the hex
+    * prefix granularity). */
+  def writeTrainingShards(df: DataFrame, path: String, keyCol: String,
+      seed: Long, shards: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    require(shards > 0 && shards <= 4096, s"shards must be in 1..4096, got $shards")
+    val h = md5(concat_ws("#", lit(seed), col(keyCol).cast("string")))
+    val bucket = (conv(substring(col("shuffle_hash"), 1, 3), 16, 10).cast("int")
+      * shards / 4096).cast("int")
+    df.withColumn("shuffle_hash", h)
+      .withColumn("shard", bucket)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "shuffle_hash")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
+  }
 }

@@ -98,4 +98,37 @@ class SinksSpec extends SparkSpec {
     val zmax = back.filter(col("x") < 8 && col("y") < 8).agg(max("zkey")).head.getLong(0)
     assert(zmax - zmin < 64 * 64 / 4, s"z-span too wide: [$zmin, $zmax]")
   }
+
+  test("training shards: balanced, one file per shard, byte-identical across topologies") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 400L).map(i => (i, s"doc body $i")).toDF("id", "text")
+    val (outA, outB) = (tmp("shards_a"), tmp("shards_b"))
+    graft.sources.Sinks.writeTrainingShards(df.repartition(3), outA, "id", seed = 7L, shards = 8)
+    // different input layout + different shuffle setting must not move a row
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "11")
+      graft.sources.Sinks.writeTrainingShards(df.repartition(9), outB, "id", seed = 7L, shards = 8)
+    } finally spark.conf.set(key, orig)
+    def readBack(p: String) = spark.read.parquet(p)
+      .select("shard", "shuffle_hash", "id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    val (a, b) = (readBack(outA), readBack(outB))
+    assert(a.toSeq === b.toSeq, "shard membership/order must be topology-invariant")
+    // all 8 shards present and near-equal (uniform md5: 400/8 = 50 ± slack)
+    val sizes = a.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(sizes.keySet === (0 until 8).toSet)
+    assert(sizes.values.forall(n => n > 25 && n < 80), s"unbalanced shards: $sizes")
+    // one parquet file per shard directory
+    for (d <- new java.io.File(outA).listFiles() if d.getName.startsWith("shard=")) {
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getName} has ${files.length} files")
+    }
+    // within a shard, file row order IS the hash order (training replay order)
+    val shard0 = spark.read.parquet(s"$outA/shard=0").select("shuffle_hash")
+      .collect().map(_.getString(0))
+    assert(shard0.toSeq === shard0.sorted.toSeq, "rows must be hash-ordered within the shard")
+  }
 }
