@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.operators.{Contamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis, Vectors}
 import graft.queries.QueryDef.{r, rSql}
@@ -676,6 +676,43 @@ object LlmQueries {
       | CAST(row_number() OVER (ORDER BY md5('42#' || CAST(doc_id AS VARCHAR))) - 1 AS BIGINT)
       |  AS shuffle_pos
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The deterministic training-shard layout under the oracle: documents
+    * are written through [[graft.sources.Sinks.writeTrainingShards]]
+    * (memoized per session/dir like the bucketed tables — the sink IS
+    * the thing under test) and read back; the oracle recomputes shard
+    * membership from scratch — md5 priority, three-hex-digit bucket
+    * arithmetic — so the sink's on-disk layout must equal the pure
+    * definition row for row. */
+  private val shardLayoutReady =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  def shardLayoutDocs(spark: SparkSession, dir: String): DataFrame = {
+    val path = shardLayoutReady.computeIfAbsent((spark, dir), { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/docs"
+      graft.sources.Sinks.writeTrainingShards(
+        Tables.documents(spark, dir).select("doc_id", "n_chars"),
+        tmp, "doc_id", seed = 42L, shards = 8)
+      tmp
+    })
+    spark.read.parquet(path)
+      .select(col("shard").cast(IntegerType).as("shard"),
+        col("shuffle_hash"), col("doc_id"))
+      .orderBy("shard", "shuffle_hash", "doc_id")
+  }
+
+  private val shardLayoutOracle: String =
+    """WITH h AS (
+      | SELECT doc_id, md5('42#' || CAST(doc_id AS VARCHAR)) AS shuffle_hash
+      | FROM documents),
+      |b AS (
+      | SELECT doc_id, shuffle_hash,
+      |  (strpos('0123456789abcdef', substring(shuffle_hash, 1, 1)) - 1) * 256
+      |  + (strpos('0123456789abcdef', substring(shuffle_hash, 2, 1)) - 1) * 16
+      |  + (strpos('0123456789abcdef', substring(shuffle_hash, 3, 1)) - 1) AS v
+      | FROM h)
+      |SELECT CAST(floor(v * 8 / 4096.0) AS INT) AS shard, shuffle_hash, doc_id
+      |FROM b ORDER BY shard, shuffle_hash, doc_id""".stripMargin
 
   /** Corpus mixing: each source keeps docs in md5-priority order up to a
     * 600-token budget (whitespace tokens; no partial docs) — the
@@ -1583,6 +1620,7 @@ object LlmQueries {
     QueryDef("quantize_vectors", quantizeVectors, Some(quantizeVectorsOracle)),
     QueryDef("quantized_topk", quantizedTopk, Some(quantizedTopkOracle)),
     QueryDef("shuffle_order", shuffleOrderDocs, Some(shuffleOrderOracle)),
+    QueryDef("shard_layout", shardLayoutDocs, Some(shardLayoutOracle)),
     QueryDef("cap_per_group", capPerGroupDocs, Some(capPerGroupOracle)),
     QueryDef("mix_corpus", mixCorpus, Some(mixCorpusOracle)),
     QueryDef("project_embeddings", projectEmbeddings, Some(projectEmbeddingsOracle)),
