@@ -100,6 +100,37 @@ class PropertySpec extends SparkSpec {
     }, 50)
   }
 
+  test("prefix sum equals the global window for arbitrary numeric and string keys") {
+    val s = spark
+    import s.implicits._
+    // unique order keys (the operator's contract), arbitrary magnitudes
+    // incl. negatives and sub-unit spans; value weights 0..9
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      scale <- Gen.oneOf(1e-6, 1.0, 1e9)
+      offset <- Gen.oneOf(-1e9, -1.0, 0.0, 3.14)
+      seed <- Gen.choose(0L, 10000L)
+      asString <- Gen.oneOf(true, false)
+    } yield (n, scale, offset, seed, asString)
+    check(Prop.forAllNoShrink(gen) { case (n, scale, offset, seed, asString) =>
+      val rnd = new scala.util.Random(seed)
+      val keys = rnd.shuffle((1 to n).toList).map(i => i * scale + offset)
+      val rows = keys.map(k => (k, rnd.nextInt(10).toLong))
+      val df =
+        if (asString) rows.map { case (k, v) => (f"k${k}%.9e", v) }.toDF("id", "tok")
+        else rows.toDF("id", "tok")
+      val out = Packing.packContiguous(df.repartition(1 + rnd.nextInt(7)), "id", "tok",
+          budget = Int.MaxValue)
+        .select("id", "start_offset").orderBy("id").collect()
+        .map(r => (r.get(0), r.getLong(1))).toSeq
+      val w = Window.orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ref = df.select(col("id"), coalesce(sum("tok").over(w), lit(0L)).as("o"))
+        .orderBy("id").collect().map(r => (r.get(0), r.getLong(1))).toSeq
+      out == ref
+    }, smallN)
+  }
+
   test("null normalization is idempotent") {
     val s = spark
     import s.implicits._
