@@ -194,6 +194,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** INCREMENTAL cross-dedup — the ingestion-time shape: a new BATCH is
+    * checked against the already-kept CORPUS without re-clustering the
+    * corpus or computing any within-side pairs. Both sides sign
+    * independently (the corpus side's signatures are the reusable
+    * artifact of a standing dedup index); candidates meet ONLY through
+    * shared LSH band keys across sides (equi-join — never all-pairs,
+    * never batch×corpus), then exact Jaccard verifies each candidate
+    * from the full shingle sets, the [[nearDupPairsMinhash]] verify
+    * shape. Returns (batch id `a`, corpus id `b`, jaccard) for verified
+    * matches ≥ `threshold` — the batch rows a pipeline drops (or routes
+    * to keep-best arbitration) before appending the remainder.
+    *
+    * Same recall contract as the one-sided operator: a true pair missed
+    * by every band is missed (banding probability), every returned pair
+    * is exact. */
+  def crossNearDupPairsMinhash(
+      batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, numHashes: Int = 128,
+      bands: Int = 32, rowsPerBand: Int = 4,
+      threshold: Double = 0.7, seed: Int = 42): DataFrame = {
+    require(bands * rowsPerBand == numHashes, "bands * rowsPerBand must equal numHashes")
+    val shB = shingleRows(batch, idCol, textCol, shingleWords).persist()
+    val shC = shingleRows(corpus, idCol, textCol, shingleWords).persist()
+    val sizesB = shB.groupBy("id").agg(count(lit(1)).as("sza"))
+    val sizesC = shC.groupBy("id").agg(count(lit(1)).as("szb"))
+    def banded(sh: DataFrame, side: String) =
+      minhashSignaturesFromRows(sh, numHashes, seed)
+        .select(col("id").as(side), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+    val cand = banded(shB, "a")
+      .join(banded(shC, "b"), Seq("bk"))
+      .select("a", "b")
+      .distinct()
+      .persist()
+    val inter = cand
+      .join(shB.select(col("id").as("a"), col("s")), Seq("a"))
+      .join(shC.select(col("id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    cand.join(inter, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("i"))
+      .join(sizesB.select(col("id").as("a"), col("sza")), Seq("a"))
+      .join(sizesC.select(col("id").as("b"), col("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("i").cast("double") / (col("sza") + col("szb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Asymmetric CONTAINMENT near-duplicates — the crawl case symmetric
     * Jaccard misses: a short document (an excerpt, a quoted article, a
     * syndicated fragment) embedded in a much longer one has low Jaccard

@@ -159,6 +159,53 @@ object LlmQueries {
        | AND len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7
        |ORDER BY a, b""".stripMargin
 
+  /** INCREMENTAL ingestion dedup: a batch of trimmed twins (planted
+    * near-dups of every 7th document under id 300) is checked against
+    * the standing corpus through [[Dedup.crossNearDupPairsMinhash]] —
+    * candidates meet only in shared LSH bands ACROSS sides, no
+    * within-side pairs, no batch×corpus product. The oracle brute-forces
+    * the full cross Jaccard, so banding recall, the verify join and the
+    * threshold are all checked with no recall assumption. */
+  def crossDedupBatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+      .select("doc_id", "text")
+    val toks = Dedup.tokens(col("text"))
+    val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), size(toks) - 2)).as("text"))
+    Dedup.crossNearDupPairsMinhash(batch, docs, "doc_id", "text",
+      shingleWords = 3, numHashes = 128, bands = 32, rowsPerBand = 4,
+      threshold = 0.7)
+      .select(col("a"), col("b"), r(col("jaccard"), 6).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  private val crossDedupOracle: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+       |bat AS (
+       | SELECT doc_id + 100000 AS doc_id,
+       |  array_to_string(list_slice(t, 1, len(t) - 2), ' ') AS text
+       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |       FROM base)
+       | WHERE doc_id % 7 = 0),
+       |shc AS (
+       | SELECT doc_id,
+       |  list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+       |    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |       FROM base)),
+       |shb AS (
+       | SELECT doc_id,
+       |  list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+       |    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |       FROM bat))
+       |SELECT b.doc_id AS a, c.doc_id AS b,
+       | ${rSql("len(list_intersect(b.s, c.s)) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE)", 6)} AS jaccard
+       |FROM shb b, shc c
+       |WHERE len(list_intersect(b.s, c.s)) / CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) >= 0.7
+       |ORDER BY a, b""".stripMargin
+
   /** Containment near-dups on a corpus with PLANTED excerpts: every 5th
     * document under id 200 gets a 40-token-prefix twin (id + 10000) —
     * the excerpt's shingles are a subset of its source's, so containment
@@ -1621,6 +1668,7 @@ object LlmQueries {
     QueryDef("quantized_topk", quantizedTopk, Some(quantizedTopkOracle)),
     QueryDef("shuffle_order", shuffleOrderDocs, Some(shuffleOrderOracle)),
     QueryDef("shard_layout", shardLayoutDocs, Some(shardLayoutOracle)),
+    QueryDef("cross_dedup_batch", crossDedupBatch, Some(crossDedupOracle)),
     QueryDef("cap_per_group", capPerGroupDocs, Some(capPerGroupOracle)),
     QueryDef("mix_corpus", mixCorpus, Some(mixCorpusOracle)),
     QueryDef("project_embeddings", projectEmbeddings, Some(projectEmbeddingsOracle)),

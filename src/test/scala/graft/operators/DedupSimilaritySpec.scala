@@ -448,6 +448,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept === Set(2L, 4L, 5L)) // longest of {1,2,3}; lonely 4; tie -> 5
   }
 
+  test("cross-dedup finds batch-vs-corpus near-dups and never within-side pairs") {
+    val s = spark
+    import s.implicits._
+    val body = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, body),                                   // near-dup source
+      (2L, (100 to 140).map(i => s"x$i").mkString(" ")), // unrelated
+      (3L, (200 to 240).map(i => s"y$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, body + " tail"),                        // ~dup of corpus doc 1
+      (102L, (300 to 340).map(i => s"z$i").mkString(" ")), // novel
+      (103L, (300 to 340).map(i => s"z$i").mkString(" "))) // dup WITHIN batch only
+      .toDF("doc_id", "text")
+    val out = Dedup.crossNearDupPairsMinhash(batch, corpus, "doc_id", "text",
+        shingleWords = 3, numHashes = 128, bands = 32, rowsPerBand = 4, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the cross-side planted pair: batch-internal dup (102, 103) and
+    // corpus rows never pair with their own side
+    assert(out === Set((101L, 1L)))
+  }
+
   test("keepByPolicy preserves caller-owned 'id'/'component' data columns") {
     val s = spark
     import s.implicits._
