@@ -190,6 +190,46 @@ object Streams {
         merged.write.mode("overwrite").parquet(s"$targetDir/v=$id")
     }
 
+  /** Streaming INGESTION DEDUP — the arrival-time gate of a training
+    * corpus: each micro-batch is (1) self-deduped (any doc
+    * near-duplicating a lower-id doc of the same batch is dropped),
+    * (2) cross-deduped against the
+    * maintained corpus through
+    * [[graft.operators.Dedup.crossNearDupPairsMinhash]] (candidates meet
+    * only in shared LSH bands across sides — never batch×corpus), and
+    * (3) the survivors are appended as a new corpus version
+    * (`v=<batchId>`, derived from versions strictly below the current
+    * batch id — the same replay-safe versioning as [[upsertSink]]).
+    * The corpus only ever grows by verified-novel documents, and a
+    * recovery replay of a batch recomputes the same decision from the
+    * same base. */
+  def dedupIngestSink(stream: DataFrame, idCol: String, textCol: String,
+      targetDir: String, threshold: Double = 0.7)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Dedup
+        // (1) in-batch: drop docs near-duplicating a lower-id batch doc
+        // (nearDupPairsMinhash emits a < b, so b is always the drop side)
+        val selfDup = Dedup.nearDupPairsMinhash(
+            batch.toDF(), idCol, textCol, threshold = threshold)
+          .select(col("b").as(idCol)).distinct()
+        val selfKept = batch.join(selfDup, Seq(idCol), "left_anti")
+        // (2) cross: drop batch docs near-duplicating the standing corpus
+        val merged = latestVersion(targetDir, below = id) match {
+          case Some(prev) =>
+            val base = spark.read.parquet(prev)
+            val dupIds = Dedup.crossNearDupPairsMinhash(
+                selfKept, base, idCol, textCol, threshold = threshold)
+              .select(col("a").as(idCol)).distinct()
+            base.unionByName(selfKept.join(dupIds, Seq(idCol), "left_anti"))
+          case None => selfKept
+        }
+        // (3) append as the new version
+        merged.write.mode("overwrite").parquet(s"$targetDir/v=$id")
+    }
+
   /** Streaming DRIFT MONITOR: every micro-batch is scored with
     * [[graft.operators.Drift.psi]] against a STATIC reference frame
     * (yesterday's corpus, the training distribution) and the one-row

@@ -12,6 +12,7 @@ import graft.SparkSpec
   * batch oracle checks, driven through MemoryStream micro-batches with
   * watermarks, late data, and streaming dedup. */
 case class Ev(ts: Timestamp, user_id: Long, value: Double, event_id: Long)
+case class Doc(doc_id: Long, text: String)
 
 class StreamingSpec extends SparkSpec {
 
@@ -294,6 +295,31 @@ class StreamingSpec extends SparkSpec {
       assert(Streams.latestVersion(out, below = 0L).isEmpty)
       // resolved through Hadoop FS: an explicit file: URI works too
       assert(Streams.latestVersion(s"file:$out").isDefined)
+    } finally q.stop()
+  }
+
+  test("dedupIngestSink grows the corpus by verified-novel docs only") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def body(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    val mem = MemoryStream[Doc]
+    val out = java.nio.file.Files.createTempDirectory("stream_ingest").toString
+    val q = Streams.dedupIngestSink(mem.toDF(), "doc_id", "text", out).start()
+    try {
+      // batch 0: two novel docs + an in-batch near-dup of doc 1
+      mem.addData(Doc(1L, body("a")), Doc(2L, body("b")),
+        Doc(3L, body("a") + " tail"))
+      q.processAllAvailable()
+      val v0 = spark.read.parquet(Streams.latestVersion(out).get)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(v0 === Set(1L, 2L), s"in-batch near-dup must be dropped: $v0")
+      // batch 1: a near-dup of corpus doc 2 + one genuinely new doc
+      mem.addData(Doc(10L, body("b") + " extra"), Doc(11L, body("c")))
+      q.processAllAvailable()
+      val v1 = spark.read.parquet(Streams.latestVersion(out).get)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(v1 === Set(1L, 2L, 11L), s"corpus near-dup must be dropped: $v1")
     } finally q.stop()
   }
 
