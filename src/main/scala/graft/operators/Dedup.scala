@@ -152,46 +152,67 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"), xxhash64(slice(sig, b * rows + 1, lit(rows))).as("bhash")))
 
+  /** LSH band-key ROWS — (id, bk) — for shingle rows: the join key of
+    * candidate generation, and (with the shingle rows) one half of a
+    * STANDING DEDUP INDEX a pipeline stores alongside its corpus. */
+  def bandRows(sh: DataFrame, numHashes: Int, bands: Int, rowsPerBand: Int,
+      seed: Int = 42): DataFrame = {
+    require(bands * rowsPerBand == numHashes, "bands * rowsPerBand must equal numHashes")
+    minhashSignaturesFromRows(sh, numHashes, seed)
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: |A ∩ B| by joining
+    * the two sides' shingle rows (equi-join on the shingle),
+    * |A ∪ B| = |A| + |B| - |∩| from the per-side size tables — set
+    * algebra as plain joins/aggs, no array ops anywhere. Candidates
+    * with zero shingle overlap (possible only via band-hash collisions)
+    * have Jaccard 0 and can never pass a positive threshold, so the
+    * intersection join is inner — `threshold` must be > 0. */
+  private def verifyJaccard(cand: DataFrame, shA: DataFrame, shB: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val sizesA = shA.groupBy("id").agg(count(lit(1)).as("sza"))
+    val sizesB = shB.groupBy("id").agg(count(lit(1)).as("szb"))
+    cand
+      .join(shA.select(col("id").as("a"), col("s")), Seq("a"))
+      .join(shB.select(col("id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      .join(sizesA.select(col("id").as("a"), col("sza")), Seq("a"))
+      .join(sizesB.select(col("id").as("b"), col("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("i").cast("double") / (col("sza") + col("szb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** [[nearDupPairsMinhash]] over prebuilt shingle + band-key rows —
+    * candidates deduped BEFORE verification so Jaccard runs once per
+    * pair, not per shared band. */
+  def nearDupPairsFromRows(sh: DataFrame, bk: DataFrame,
+      threshold: Double): DataFrame = {
+    val cand = bk.select(col("bk"), col("id").as("a"))
+      .join(bk.select(col("bk"), col("id").as("b")), Seq("bk"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    verifyJaccard(cand, sh, sh, threshold)
+  }
+
   /** Near-duplicate pairs by MinHash/LSH with exact-Jaccard verification:
     * shingle → sign → band → bucket-join → verify. Returns (a, b, jaccard)
-    * for pairs with verified Jaccard >= threshold; candidate generation
-    * never compares rows outside a shared band bucket. */
+    * for pairs with verified Jaccard >= threshold (> 0); candidate
+    * generation never compares rows outside a shared band bucket. */
   def nearDupPairsMinhash(
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, numHashes: Int = 128,
       bands: Int = 32, rowsPerBand: Int = 4,
       threshold: Double = 0.7, seed: Int = 42): DataFrame = {
-    require(bands * rowsPerBand == numHashes, "bands * rowsPerBand must equal numHashes")
-    // Shingle rows feed three branches (signing, two verify lookups);
-    // persist once — the cluster-scale checkpoint of a signing stage.
+    // Shingle rows feed four branches (signing, two verify lookups,
+    // sizes); persist once — the cluster-scale checkpoint of a signing
+    // stage. Callers that manage their own lifecycle (streaming sinks)
+    // use the FromRows/FromIndex entry points instead.
     val sh = shingleRows(df, idCol, textCol, shingleWords).persist()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    // 1. candidates: ids only through the band join, deduped BEFORE
-    //    verification so Jaccard runs once per pair, not per shared band.
-    val banded = minhashSignaturesFromRows(sh, numHashes, seed)
-      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-    // persist: cand feeds both the intersection join and the final
-    // assembly — without it the entire signing pipeline re-runs per branch
-    val cand = banded.select(col("bk"), col("id").as("a"))
-      .join(banded.select(col("bk"), col("id").as("b")), Seq("bk"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
-      .distinct()
-      .persist()
-    // 2. verify: |A ∩ B| by joining the two sides' shingle rows (equi-join
-    //    on the shingle), |A ∪ B| = |A| + |B| - |∩| from the size table —
-    //    set algebra as plain joins/aggs, no array ops anywhere.
-    val inter = cand
-      .join(sh.select(col("id").as("a"), col("s")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("s")), Seq("b", "s"))
-      .groupBy("a", "b").agg(count(lit(1)).as("i"))
-    cand.join(inter, Seq("a", "b"), "left")
-      .na.fill(0L, Seq("i"))
-      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), Seq("b"))
-      .select(col("a"), col("b"),
-        (col("i").cast("double") / (col("sza") + col("szb") - col("i"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    nearDupPairsFromRows(sh, bandRows(sh, numHashes, bands, rowsPerBand, seed), threshold)
   }
 
   /** INCREMENTAL cross-dedup — the ingestion-time shape: a new BATCH is
@@ -214,30 +235,29 @@ object Dedup {
       shingleWords: Int = 3, numHashes: Int = 128,
       bands: Int = 32, rowsPerBand: Int = 4,
       threshold: Double = 0.7, seed: Int = 42): DataFrame = {
-    require(bands * rowsPerBand == numHashes, "bands * rowsPerBand must equal numHashes")
     val shB = shingleRows(batch, idCol, textCol, shingleWords).persist()
     val shC = shingleRows(corpus, idCol, textCol, shingleWords).persist()
-    val sizesB = shB.groupBy("id").agg(count(lit(1)).as("sza"))
-    val sizesC = shC.groupBy("id").agg(count(lit(1)).as("szb"))
-    def banded(sh: DataFrame, side: String) =
-      minhashSignaturesFromRows(sh, numHashes, seed)
-        .select(col("id").as(side), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-    val cand = banded(shB, "a")
-      .join(banded(shC, "b"), Seq("bk"))
+    crossNearDupPairsFromIndex(
+      shB, bandRows(shB, numHashes, bands, rowsPerBand, seed),
+      shC, bandRows(shC, numHashes, bands, rowsPerBand, seed), threshold)
+  }
+
+  /** [[crossNearDupPairsMinhash]] against a STANDING INDEX: the corpus
+    * side arrives as prebuilt shingle rows (id, s) and band-key rows
+    * (id, bk) — exactly the two tables an ingestion pipeline stores
+    * alongside its corpus — so checking a batch costs batch signing plus
+    * equi-joins against the stored tables, with ZERO corpus recompute.
+    * Both sides must be built with the same shingle/hash/band
+    * parameters. */
+  def crossNearDupPairsFromIndex(
+      batchSh: DataFrame, batchBk: DataFrame,
+      indexSh: DataFrame, indexBk: DataFrame,
+      threshold: Double): DataFrame = {
+    val cand = batchBk.select(col("bk"), col("id").as("a"))
+      .join(indexBk.select(col("bk"), col("id").as("b")), Seq("bk"))
       .select("a", "b")
       .distinct()
-      .persist()
-    val inter = cand
-      .join(shB.select(col("id").as("a"), col("s")), Seq("a"))
-      .join(shC.select(col("id").as("b"), col("s")), Seq("b", "s"))
-      .groupBy("a", "b").agg(count(lit(1)).as("i"))
-    cand.join(inter, Seq("a", "b"), "left")
-      .na.fill(0L, Seq("i"))
-      .join(sizesB.select(col("id").as("a"), col("sza")), Seq("a"))
-      .join(sizesC.select(col("id").as("b"), col("szb")), Seq("b"))
-      .select(col("a"), col("b"),
-        (col("i").cast("double") / (col("sza") + col("szb") - col("i"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(cand, batchSh, indexSh, threshold)
   }
 
   /** Asymmetric CONTAINMENT near-duplicates — the crawl case symmetric

@@ -137,7 +137,9 @@ object Packing {
     * numeric NaN/+Inf (sort last) → nSlices; -Inf shares the null slice,
     * adjacent in the total order so contiguity is preserved.
     *
-    *   - numeric: linear bucketing between exact min/max literals;
+    *   - numeric / date / timestamp: linear bucketing between exact
+    *     min/max literals of a monotone double proxy (clamped to half
+    *     the double range so the span never overflows);
     *   - string: count of driver-interpolated boundary literals ≤ the
     *     value, evaluated with Spark's own comparator — monotone by
     *     construction for any encoding;
@@ -159,27 +161,43 @@ object Packing {
           }
           when(c.isNull, lit(-1)).otherwise(rank)
         }
-      case _: NumericType =>
-        val p = c.cast("double")
+      case dt =>
+        val p = numericProxy(c, dt).getOrElse(throw new IllegalArgumentException(
+          s"prefix-sum order column '$orderCol' must be string, numeric, date or timestamp, got $dt"))
         val negInf = lit(Double.NegativeInfinity)
         val posInf = lit(Double.PositiveInfinity)
+        // clamp the BUCKETING proxy to half the double range: clamping is
+        // monotone (slice balance only), and it keeps max-min from
+        // overflowing to Infinity (span Inf ⇒ NaN ratios ⇒ an ANSI cast
+        // failure, or silent mis-slicing with ANSI off)
+        val half = Double.MaxValue / 2
+        val pb = greatest(least(p, lit(half)), lit(-half))
         val finite = when(p.isNull || isnan(p) || p === negInf || p === posInf, lit(null))
-          .otherwise(p)
+          .otherwise(pb)
         val b = df.agg(min(finite), max(finite)).head()
         val bucket =
           if (b.isNullAt(0) || !(b.getDouble(0) < b.getDouble(1))) lit(0)
           else {
             val mn = b.getDouble(0)
             val span = b.getDouble(1) - mn
-            least(floor((p - lit(mn)) / lit(span) * nSlices).cast("int"), lit(nSlices - 1))
+            least(floor((pb - lit(mn)) / lit(span) * nSlices).cast("int"), lit(nSlices - 1))
           }
         when(p.isNull || p === negInf, lit(-1))
           .when(isnan(p) || p === posInf, lit(nSlices))
           .otherwise(bucket)
-      case other =>
-        throw new IllegalArgumentException(
-          s"prefix-sum order column '$orderCol' must be string or numeric, got $other")
     }
+  }
+
+  /** Monotone double proxy of an orderable non-string key, or None for
+    * unsupported types. Long→double rounding is monotone (round-to-
+    * nearest preserves non-strict order), and NTZ→timestamp conversion
+    * uses one fixed session zone, so order is preserved there too. */
+  private def numericProxy(c: Column, dt: DataType): Option[Column] = dt match {
+    case _: NumericType => Some(c.cast("double"))
+    case DateType => Some(unix_date(c).cast("double"))
+    case TimestampType => Some(unix_micros(c).cast("double"))
+    case TimestampNTZType => Some(unix_micros(c.cast(TimestampType)).cast("double"))
+    case _ => None
   }
 
   /** PER-GROUP exclusive prefix sum of `valueCol` in `orderCol` order —

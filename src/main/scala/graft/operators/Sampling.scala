@@ -54,7 +54,7 @@ object Sampling {
     * seed draws a fresh permutation. The rank is a SCALABLE global
     * row_number: ranking rows by hash is exactly packing unit-weight
     * tokens by hash order, so this reuses [[Packing.packContiguous]]'s
-    * two-phase prefix sum (range partition on the hash, per-partition
+    * two-phase prefix sum (deterministic hash slices, per-slice
     * window, broadcast base offsets) — never a single-task global
     * window. `keyCol` must be unique per row (duplicate keys collide to
     * the same hash and their relative order is undefined). */

@@ -37,9 +37,9 @@ object Stats {
     * global single-task window: avg_rank(v) = (# values < v) +
     * (ties(v) + 1) / 2, so group by value (one hash agg), take the
     * EXCLUSIVE prefix sum of group counts in value order via
-    * [[Packing.packContiguous]]'s two-phase plan (range partition on the
-    * value, per-partition window, broadcast base offsets — the only
-    * global window runs over one row per partition), and map each value
+    * [[Packing.packContiguous]]'s two-phase plan (deterministic value
+    * slices, per-slice window, broadcast base offsets — the only
+    * global window runs over one row per slice), and map each value
     * to its rank. Exact, not approximate: identical numbers to a
     * rank-over-global-sort formulation for counts < 2^53. Returns
     * (value, rank) keyed by `_v`. */

@@ -240,7 +240,10 @@ object Vectors {
   def kmeansAssign(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
-    val cached = df.persist()
+    // respect a caller's existing persistence level (persist() on an
+    // already-persisted Dataset at a different level throws)
+    val cached =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist() else df
     val cents = kmeansFit(cached, idCol, vecCol, k, iters)
     assignCells(cached, idCol, vecCol, cents, keepVec = false)
   }

@@ -119,11 +119,17 @@ object LlmQueries {
     * RelationalQueries (Bench's warmup pass pays the write; measured
     * passes time what a pipeline actually re-runs). On a cluster the
     * scratch dir would be shared storage; temp-dir is the local[] stand-in. */
+  // weak session keys: a stopped SparkSession must be collectable, not
+  // pinned by the memo registry (the temp dirs live until the OS tmp
+  // reaper; production callers pass a managed scratch path)
   private val minhashPairsReady =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, String]]())
 
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val path = minhashPairsReady.computeIfAbsent((spark, dir), { _ =>
+    val perSession = minhashPairsReady.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+    val path = perSession.computeIfAbsent(dir, { _ =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-minhash-pairs")
         .toString + "/pairs"
       Dedup.nearDupPairsMinhash(
@@ -732,10 +738,13 @@ object LlmQueries {
     * arithmetic — so the sink's on-disk layout must equal the pure
     * definition row for row. */
   private val shardLayoutReady =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, String]]())
 
   def shardLayoutDocs(spark: SparkSession, dir: String): DataFrame = {
-    val path = shardLayoutReady.computeIfAbsent((spark, dir), { _ =>
+    val perSession = shardLayoutReady.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+    val path = perSession.computeIfAbsent(dir, { _ =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/docs"
       graft.sources.Sinks.writeTrainingShards(
         Tables.documents(spark, dir).select("doc_id", "n_chars"),

@@ -576,14 +576,17 @@ object RelationalQueries {
     * of which ~2.5 s was sink setup). Under Bench the warmup pass pays
     * the writes; the measured passes time the shuffle-free read+join. */
   private val bucketedReady =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Unit]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, Unit]]())
 
   def bucketedJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
     // table names carry the dir so one session can serve several SFs
     val tag = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
     val (liTable, ordTable) = (s"graft_li_bucketed_$tag", s"graft_ord_bucketed_$tag")
-    bucketedReady.computeIfAbsent((spark, dir), { _ =>
+    bucketedReady.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Unit]())
+      .computeIfAbsent(dir, { _ =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
       graft.sources.Sinks.writeBucketedExternal(
         Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount"),

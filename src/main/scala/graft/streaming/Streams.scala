@@ -191,43 +191,75 @@ object Streams {
     }
 
   /** Streaming INGESTION DEDUP — the arrival-time gate of a training
-    * corpus: each micro-batch is (1) self-deduped (any doc
-    * near-duplicating a lower-id doc of the same batch is dropped),
-    * (2) cross-deduped against the
-    * maintained corpus through
-    * [[graft.operators.Dedup.crossNearDupPairsMinhash]] (candidates meet
-    * only in shared LSH bands across sides — never batch×corpus), and
-    * (3) the survivors are appended as a new corpus version
-    * (`v=<batchId>`, derived from versions strictly below the current
-    * batch id — the same replay-safe versioning as [[upsertSink]]).
-    * The corpus only ever grows by verified-novel documents, and a
-    * recovery replay of a batch recomputes the same decision from the
-    * same base. */
+    * corpus, maintained as an APPEND-ONLY corpus plus a standing dedup
+    * index (shingle rows + LSH band-key rows), so per-batch work is
+    * batch signing + equi-joins against the stored index — the corpus
+    * is NEVER re-shingled, re-signed, or rewritten. Each micro-batch:
+    *
+    *   1. self-dedup: any doc near-duplicating a lower-id doc of the
+    *      same batch is dropped ([[graft.operators.Dedup.nearDupPairsFromRows]]);
+    *   2. cross-dedup: batch docs near-duplicating the standing corpus
+    *      are dropped — candidates meet only through band keys shared
+    *      with the stored index
+    *      ([[graft.operators.Dedup.crossNearDupPairsFromIndex]]);
+    *   3. survivors (and THEIR index rows) are appended as
+    *      `batch=<batchId>` subdirectories of `docs/`, `sh/` and `bk/`.
+    *
+    * Replay safety mirrors [[upsertSink]]: a recovering batch reads the
+    * index restricted to batches STRICTLY BELOW its own id and
+    * overwrites its own subdirectories — idempotent. `idCol` must be
+    * unique within a batch; `batch` is a reserved column name in the
+    * stored layout. The batch's persisted frames are unpersisted at the
+    * end of every micro-batch (a streaming job must not accumulate
+    * cache), and the one scan of the stored index per batch replaces
+    * the previous design's full corpus recompute + rewrite. */
   def dedupIngestSink(stream: DataFrame, idCol: String, textCol: String,
-      targetDir: String, threshold: Double = 0.7)
+      targetDir: String, threshold: Double = 0.7,
+      shingleWords: Int = 3, numHashes: Int = 128,
+      bands: Int = 32, rowsPerBand: Int = 4, seed: Int = 42)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         import graft.operators.Dedup
-        // (1) in-batch: drop docs near-duplicating a lower-id batch doc
-        // (nearDupPairsMinhash emits a < b, so b is always the drop side)
-        val selfDup = Dedup.nearDupPairsMinhash(
-            batch.toDF(), idCol, textCol, threshold = threshold)
-          .select(col("b").as(idCol)).distinct()
-        val selfKept = batch.join(selfDup, Seq(idCol), "left_anti")
-        // (2) cross: drop batch docs near-duplicating the standing corpus
-        val merged = latestVersion(targetDir, below = id) match {
-          case Some(prev) =>
-            val base = spark.read.parquet(prev)
-            val dupIds = Dedup.crossNearDupPairsMinhash(
-                selfKept, base, idCol, textCol, threshold = threshold)
-              .select(col("a").as(idCol)).distinct()
-            base.unionByName(selfKept.join(dupIds, Seq(idCol), "left_anti"))
-          case None => selfKept
+        val (docsDir, shDir, bkDir) =
+          (s"$targetDir/docs", s"$targetDir/sh", s"$targetDir/bk")
+        val shB = Dedup.shingleRows(batch.toDF(), idCol, textCol, shingleWords)
+          .persist()
+        var kept: DataFrame = null
+        try {
+          val bkB = Dedup.bandRows(shB, numHashes, bands, rowsPerBand, seed)
+          // (1) pairs emit a < b, so b is always the drop side
+          val selfDup = Dedup.nearDupPairsFromRows(shB, bkB, threshold)
+            .select(col("b").as(idCol)).distinct()
+          val selfKept = batch.join(selfDup, Seq(idCol), "left_anti")
+          // (2) against the stored index, batches strictly below this id
+          val fs = new org.apache.hadoop.fs.Path(shDir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val crossKept =
+            if (!fs.exists(new org.apache.hadoop.fs.Path(shDir))) selfKept
+            else {
+              val indexSh = spark.read.parquet(shDir)
+                .filter(col("batch") < id).select("id", "s")
+              val indexBk = spark.read.parquet(bkDir)
+                .filter(col("batch") < id).select("id", "bk")
+              val dupIds = Dedup.crossNearDupPairsFromIndex(
+                  shB, bkB, indexSh, indexBk, threshold)
+                .select(col("a").as(idCol)).distinct()
+              selfKept.join(dupIds, Seq(idCol), "left_anti")
+            }
+          // (3) survivors + their index rows, replay-safe per-batch dirs
+          kept = crossKept.persist()
+          kept.write.mode("overwrite").parquet(s"$docsDir/batch=$id")
+          val keptIds = kept.select(col(idCol).as("id"))
+          shB.join(keptIds, "id").write.mode("overwrite")
+            .parquet(s"$shDir/batch=$id")
+          bkB.join(keptIds, "id").write.mode("overwrite")
+            .parquet(s"$bkDir/batch=$id")
+        } finally {
+          shB.unpersist(false)
+          if (kept != null) kept.unpersist(false)
         }
-        // (3) append as the new version
-        merged.write.mode("overwrite").parquet(s"$targetDir/v=$id")
     }
 
   /** Streaming DRIFT MONITOR: every micro-batch is scored with

@@ -176,6 +176,42 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("packing survives a full-double-range order key (span would overflow to Inf)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((-1.7e308, 1L), (-5.0, 2L), (0.0, 3L), (7.5, 4L), (1.7e308, 5L))
+      .toDF("id", "tok")
+    val out = Packing.packContiguous(df, "id", "tok", budget = Int.MaxValue)
+      .select("id", "start_offset").orderBy("id").collect()
+    // max - min overflows Double; the clamped bucketing proxy must keep
+    // every row correctly sliced (offsets = exclusive prefix in id order)
+    assert(out.map(_.getLong(1)).toSeq === Seq(0L, 1L, 3L, 6L, 10L))
+  }
+
+  test("packing accepts timestamp and date order keys") {
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val ts = (0 until 50).map(i =>
+      (new java.sql.Timestamp(base.getTime + i * 61000L), (i % 7) + 1L))
+      .toDF("id", "tok")
+    val outTs = Packing.packContiguous(ts.repartition(7), "id", "tok", budget = Int.MaxValue)
+      .select("id", "start_offset").orderBy("id").collect()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val refTs = ts.select(col("id"), coalesce(sum("tok").over(w), lit(0L)).as("o"))
+      .orderBy("id").collect()
+    assert(outTs.map(_.getLong(1)).toSeq === refTs.map(_.getLong(1)).toSeq)
+    val dates = (0 until 40).map(i => (java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i * 3)), (i % 5) + 1L))
+      .toDF("id", "tok")
+    val outD = Packing.packContiguous(dates.repartition(5), "id", "tok", budget = Int.MaxValue)
+      .select("id", "start_offset").orderBy("id").collect()
+    val refD = dates.select(col("id"), coalesce(sum("tok").over(w), lit(0L)).as("o"))
+      .orderBy("id").collect()
+    assert(outD.map(_.getLong(1)).toSeq === refD.map(_.getLong(1)).toSeq)
+  }
+
   test("prefix sums handle null order keys (nulls-first slice) without dropping rows") {
     val s = spark
     import s.implicits._

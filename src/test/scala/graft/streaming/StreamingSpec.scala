@@ -311,15 +311,20 @@ class StreamingSpec extends SparkSpec {
       mem.addData(Doc(1L, body("a")), Doc(2L, body("b")),
         Doc(3L, body("a") + " tail"))
       q.processAllAvailable()
-      val v0 = spark.read.parquet(Streams.latestVersion(out).get)
+      def corpus() = spark.read.parquet(s"$out/docs")
         .select("doc_id").collect().map(_.getLong(0)).toSet
-      assert(v0 === Set(1L, 2L), s"in-batch near-dup must be dropped: $v0")
+      assert(corpus() === Set(1L, 2L), s"in-batch near-dup must be dropped: ${corpus()}")
       // batch 1: a near-dup of corpus doc 2 + one genuinely new doc
       mem.addData(Doc(10L, body("b") + " extra"), Doc(11L, body("c")))
       q.processAllAvailable()
-      val v1 = spark.read.parquet(Streams.latestVersion(out).get)
-        .select("doc_id").collect().map(_.getLong(0)).toSet
-      assert(v1 === Set(1L, 2L, 11L), s"corpus near-dup must be dropped: $v1")
+      assert(corpus() === Set(1L, 2L, 11L), s"corpus near-dup must be dropped: ${corpus()}")
+      // the standing index grew by exactly the kept docs, append-only
+      val indexed = spark.read.parquet(s"$out/sh")
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+      assert(indexed === Set(1L, 2L, 11L), s"index must track kept docs: $indexed")
+      // cache hygiene (shB/kept unpersisted in the sink's finally) is not
+      // asserted here: suites share one SparkContext and run in parallel,
+      // so a global getPersistentRDDs snapshot races other suites' persists
     } finally q.stop()
   }
 
