@@ -1,7 +1,12 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Train/eval decontamination: find training documents that share word
   * n-grams with a benchmark/eval set (the standard 13-gram overlap check
@@ -51,5 +56,63 @@ object Contamination {
       .withColumn("contamination",
         col("n_contaminated").cast("double") / col("n_grams"))
       .filter(col("n_contaminated") > 0)
+  }
+
+  /** Decontaminated KEEP list via a Bloom-filter prefilter — the scale
+    * path for when the benchmark gram set is too large to broadcast
+    * exactly (billions of eval grams at full scale): only the bloom BITS
+    * ship to the scan (optimalNumOfBits(expected, fpp) / 8 bytes — ~1 MB
+    * per 10^6 grams at 1%), and the corpus side is pruned MAP-SIDE by a
+    * codegen'd might-contain probe before anything shuffles.
+    *
+    * Exactness: the bloom has no false negatives, and its false positives
+    * are eliminated by the exact gram equi-join that follows — so the
+    * output is bit-identical to [[report]]-style exact decontamination
+    * regardless of `fpp`, and the DuckDB oracle is the plain exact SQL.
+    * Determinism: the bloom is built by Spark's own BloomFilterAggregate
+    * (fixed-seed hashing; merge is a bitwise OR — commutative and
+    * associative, so partial-aggregation order cannot change the bits),
+    * probed by its codegen pair BloomFilterMightContain over the same
+    * xxhash64 values.
+    *
+    * Shuffle budget at 100 TB: one scan of the corpus grams (pruned in
+    * the scan stage), a shuffle of only the candidate grams (true hits +
+    * fpp-bounded noise) against the bench grams, and a broadcast-sized
+    * anti-join of contaminated ids. The full corpus gram table never
+    * shuffles. Returns (idCol, n_grams) for every surviving corpus
+    * document, n_grams = 0 for documents shorter than n words.
+    *
+    * Not in the reference (petk profiles a single table); mandated
+    * training-pipeline surface (SURVEY.md §2.C, decontamination). */
+  def bloomKeep(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int, expectedGrams: Long = 1L << 17,
+      fpp: Double = 0.03): DataFrame = {
+    require(expectedGrams > 0 && fpp > 0 && fpp < 1)
+    val cg = Dedup.shingleRows(corpus, idCol, textCol, n)
+    val bg = Dedup.shingleRows(bench, idCol, textCol, n).select("s").distinct()
+    // distributed build: partial blooms per partition, OR-merged — the
+    // driver only ever sees the finished bit array
+    val numBits = BloomFilter.optimalNumOfBits(expectedGrams, fpp)
+    val bloomAgg = new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col("s"))),
+      Literal(expectedGrams), Literal(numBits)).toAggregateExpression()
+    val bytes = bg.select(Bridge.column(bloomAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val perDoc = cg.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val base = corpus.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"))
+    val kept =
+      if (bytes == null) base // empty bench: nothing can be contaminated
+      else {
+        val might = Bridge.column(BloomFilterMightContain(
+          Literal.create(bytes, BinaryType),
+          Bridge.expression(xxhash64(col("s")))))
+        val contaminated = cg.filter(might) // map-side prune, no shuffle
+          .join(bg, Seq("s")) // exact verify: bloom false positives die here
+          .select("id").distinct()
+        base.join(contaminated, Seq("id"), "left_anti")
+      }
+    kept.select(col("id").as(idCol), col("n_grams"))
   }
 }

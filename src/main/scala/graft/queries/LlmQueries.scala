@@ -1246,6 +1246,31 @@ object LlmQueries {
        |FROM cg JOIN bg USING (s)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Bloom-prefiltered decontamination keep-list: corpus docs with no
+    * shared 8-gram with the eval set, pruned map-side by a broadcast
+    * bloom over the eval grams (Contamination.bloomKeep — the path for
+    * eval sets too large to broadcast exactly). Bit-identical to exact
+    * decontamination (no false negatives; false positives die in the
+    * verify join), so the oracle is the plain exact SQL. */
+  def bloomDeconKeep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Contamination.bloomKeep(contamCorpus(docs), benchDocs(docs),
+      "doc_id", "text", DecontamN)
+      .orderBy("doc_id")
+  }
+
+  private val bloomDeconKeepOracle: String =
+    s"""WITH $contamCorpusSql,
+       |cg AS (${wordGramSql("corpus", DecontamN)}),
+       |bg AS (SELECT DISTINCT s FROM (${wordGramSql("bench", DecontamN)})),
+       |per AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
+       |hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (s)),
+       |ids AS (SELECT DISTINCT doc_id FROM corpus)
+       |SELECT ids.doc_id, CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams
+       |FROM ids LEFT JOIN per USING (doc_id)
+       |WHERE ids.doc_id NOT IN (SELECT doc_id FROM hit)
+       |ORDER BY ids.doc_id""".stripMargin
+
   // ------------------------------------------------- repetition quality
 
   /** Per-document trigram repetition signal (Gopher/C4-style boilerplate
@@ -1668,6 +1693,7 @@ object LlmQueries {
     QueryDef("multimodal_features", multimodalFeatures, Some(multimodalFeaturesOracle)),
     QueryDef("decontaminate_docs", decontaminateDocs, Some(decontaminateOracle)),
     QueryDef("contamination_pairs", contaminationPairs, Some(contaminationPairsOracle)),
+    QueryDef("bloom_decon_keep", bloomDeconKeep, Some(bloomDeconKeepOracle)),
     QueryDef("repetition_docs", repetitionDocs, Some(repetitionOracle)),
     QueryDef("lm_score_docs", lmScoreDocs, Some(lmScoreOracle)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),

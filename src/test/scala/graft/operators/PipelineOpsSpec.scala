@@ -47,6 +47,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
 
+  test("bloom keep-list equals exact decontamination (FPs die in the verify join)") {
+    val bench = docs(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs"))
+    val corpus = docs(
+      (1L, "prefix words then the quick brown fox appears here"), // contaminated
+      (2L, "entirely unrelated content about spark physical plans"), // clean
+      (3L, "pack my box with five dozen liquor jugs and more"), // contaminated
+      (4L, "short doc"), // < n words: zero grams, always kept
+      (5L, "another clean document speaking of catalyst optimizer rules"))
+    // tiny bloom (high fpp) to force false positives through the prefilter
+    val out = Contamination.bloomKeep(corpus, bench, "doc_id", "text", 4,
+        expectedGrams = 4, fpp = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L, 4L, 5L))
+    // n_grams: doc 4 has < 4 words → 0; doc 2 has 7 words → 4 distinct
+    // 4-grams; doc 5 has 8 words → 5
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(2L -> 4L, 4L -> 0L, 5L -> 5L))
+  }
+
+  test("bloom keep-list keeps everything when the bench set is empty") {
+    val bench = docs((100L, "ab")) // 1 word < n: emits no grams
+    val corpus = docs((1L, "a b c d e"), (2L, "x"))
+    val out = Contamination.bloomKeep(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 3L), (2L, 0L)))
+  }
+
+  test("bloom keep-list is exact at tight fpp too, and stable across fpp settings") {
+    val bench = docs((100L, "a b c d e"))
+    val corpus = docs((1L, "a b c d e f"), (2L, "completely different words here now"))
+    // the output is a pure function of the data — fpp only changes how much
+    // the prefilter prunes, never the result
+    val tight = Contamination.bloomKeep(corpus, bench, "doc_id", "text", 3,
+      expectedGrams = 1000, fpp = 0.001).orderBy("doc_id").collect()
+    val loose = Contamination.bloomKeep(corpus, bench, "doc_id", "text", 3,
+      expectedGrams = 2, fpp = 0.5).orderBy("doc_id").collect()
+    assert(tight.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(tight.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      loose.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("repetition computes duplicate n-gram fraction and max repeat") {
     // "a b a b a b" → 3-grams: "a b a", "b a b", "a b a", "b a b" → 4 total, 2 distinct
     val out = TextAnalysis.repetition(docs((1L, "a b a b a b")), "doc_id", "text", 3)
