@@ -92,6 +92,14 @@ object Describe {
     * under a normal executor's headroom. */
   val DefaultExactQuantileMaxDistinct: Long = 4L * 1000 * 1000
 
+  /** Family-path quantile ROUTING bound (performance, not correctness —
+    * both routes are exact): columns whose exact distinct count is at or
+    * under this use one weighted Percentile job over the cached
+    * frequency table (buffer bounded by this constant, ~10 MB); columns
+    * above it use the distributed bracket chain, which holds no
+    * whole-column buffer at any cardinality. */
+  val PercentileBufferMaxDistinct: Long = 1L << 18
+
   /** Profile `columns` of `df`. `df` must already be null-normalized
     * (graft.core.Report). */
   def profile(
@@ -158,28 +166,12 @@ object Describe {
     // 19s -> ~6s at sf0.1 against the per-column shape. Columns outside
     // the three families (arrays, decimals) fall back to concurrent
     // per-column frequency jobs.
+    // exact-mode mads harvested from the frequency tables (see below);
+    // approximate mode keeps the dedicated raw-row scan
+    val madFromFreq = scala.collection.concurrent.TrieMap.empty[String, Double]
     val freqStats: Map[String, (Long, Option[Seq[Any]])] =
       if (approximate) Map.empty
       else {
-        // Exact-percentile gate: a column with more than
-        // exactQuantileMaxDistinct distinct values would pull its whole
-        // distinct set into ONE Percentile buffer — those columns use the
-        // mergeable t-digest sketch instead. The estimates come from a
-        // separate small job (HLL inside pass 1 is an ImperativeAggregate
-        // and would knock the whole wide agg off whole-stage codegen) and
-        // ONLY when the table's row count even makes an overflow possible
-        // — below the threshold the gate is free. Routing only: both
-        // paths are correct, so the ~2% HLL error is harmless.
-        val gateEstimates: Map[String, Long] = {
-          val qCols = columns.filter(c => wantsQuantiles(static(c)))
-          if (n <= exactQuantileMaxDistinct || qCols.isEmpty) Map.empty
-          else {
-            val est = df.agg(
-              approx_count_distinct(col(qCols.head)).as(qCols.head),
-              qCols.tail.map(c => approx_count_distinct(col(c)).as(c)): _*).head()
-            qCols.map(c => c -> est.getAs[Long](c)).toMap
-          }
-        }
         // family = unified unpivot type; conversions preserve distinctness
         // (date -> epoch micros, integral -> long) and feed percentile
         // with the same double arithmetic as the direct cast
@@ -195,8 +187,39 @@ object Describe {
             case _ => None
           }
         }
+        // Cardinality ROUTING estimates (HLL, one small job, and only
+        // when the table's row count even makes the relevant bound
+        // reachable — n itself caps every distinct count):
+        //  - family columns: over PercentileBufferMaxDistinct ⇒ the
+        //    distributed bracket chain instead of the (bounded)
+        //    Percentile buffer — both exact, so the ~2% HLL error is
+        //    harmless;
+        //  - fallback columns (non-family types, e.g. decimals): over
+        //    exactQuantileMaxDistinct ⇒ the t-digest sketch (their only
+        //    scalable route).
+        val gateEstimates: Map[String, Long] = {
+          val qCols = columns.filter(c => wantsQuantiles(static(c)) &&
+            n > (if (familyOf(c).isEmpty) exactQuantileMaxDistinct
+                 else PercentileBufferMaxDistinct))
+          if (qCols.isEmpty) Map.empty
+          else {
+            val est = df.agg(
+              approx_count_distinct(col(qCols.head)).as(qCols.head),
+              qCols.tail.map(c => approx_count_distinct(col(c)).as(c)): _*).head()
+            qCols.map(c => c -> est.getAs[Long](c)).toMap
+          }
+        }
         val want = columns.filter(c => wantsDistinct(static(c)))
         val results = scala.collection.mutable.Map.empty[String, (Long, Option[Seq[Any]])]
+
+        // mad rides the frequency tables too (exact mode): avg(|x - mean|)
+        // over rows == sum(f·|v - mean|)/sum(f) over the distinct table,
+        // so the dedicated pass-3 full scan disappears — the distinct
+        // table is never larger than the data and usually far smaller.
+        def madMeanOf(n: String): Option[Double] =
+          if (static(n) == SemanticType.Numeric)
+            get(n, "mean").map(_.asInstanceOf[Number].doubleValue())
+          else None
 
         val byFamily = want.flatMap(n => familyOf(n).map { case (f, conv) => (f, n, conv) })
           .groupBy(_._1)
@@ -206,35 +229,133 @@ object Describe {
           }: _*)).as("p"))
             .select(col("p.c").as("c"), col("p.v").as("v"))
             .filter(col("v").isNotNull)
-          val freq = pairs.groupBy("c", "v").agg(count(lit(1)).as("f"))
           val wantQ = members.map(_._2)
             .filter(n => family != "string" && wantsQuantiles(static(n)))
-          val (exactQ, sketchQ) = wantQ.partition(
-            gateEstimates.getOrElse(_, 0L) <= exactQuantileMaxDistinct)
-          // ONE job for distinct counts + exact percentiles: over-threshold
-          // columns feed the percentile NULLs, so their buffer stays empty
-          val aggExprs = count(lit(1)).as("d") +:
-            (if (exactQ.nonEmpty)
-              Seq(percentile(
-                when(col("c").isin(exactQ: _*), col("v")),
+          // Exact type-7 quantiles, routed by the HLL estimates (both
+          // routes are exact, so routing error is harmless):
+          //  - small-cardinality columns ride job A's weighted Percentile
+          //    directly — the buffer is bounded by
+          //    PercentileBufferMaxDistinct, and no extra job runs;
+          //  - large-cardinality columns go DISTRIBUTED below: a
+          //    per-column two-phase prefix sum over the (c, v, f) table
+          //    brackets the ≤ 2·|probs| rows covering the needed order
+          //    statistics; interpolation is driver-side (the same
+          //    arithmetic as Stats.exactQuantiles — Spark Percentile /
+          //    DuckDB quantile_cont parity). No buffer ever holds a
+          //    whole column's distinct set, at ANY cardinality — this
+          //    path needs no sketch fallback.
+          val (smallQ, largeQ) = wantQ.partition(
+            gateEstimates.getOrElse(_, 0L) <= PercentileBufferMaxDistinct)
+          // the frequency table feeds one job when every quantile column
+          // is small (job A), two more when the bracket chain runs —
+          // persist only when those extra consumers exist
+          val freq0 = pairs.groupBy("c", "v").agg(count(lit(1)).as("f"))
+          val freq = if (largeQ.nonEmpty) freq0.persist() else freq0
+          try {
+            val madMembers = members.map(_._2).flatMap(n => madMeanOf(n).map(n -> _))
+            // job A — ONE aggregation over the freq table: distinct
+            // counts, small-column percentiles, large-column row counts
+            // and value bounds (feeding the bracket chain), and mad;
+            // each group's mad uses its own pass-1 mean
+            val madAgg =
+              if (family == "string" || madMembers.isEmpty) Nil
+              else {
+                val meanExpr = coalesce(madMembers.map { case (n, m) =>
+                  when(col("c") === lit(n), lit(m)) }: _*)
+                Seq((sum(col("f") * abs(col("v").cast(DoubleType) - meanExpr)) /
+                  sum(when(meanExpr.isNotNull, col("f")))).as("mad"))
+              }
+            // finite-only bounds: NaN/±Inf go to edge slices by rule, so
+            // the bucketing literals must span only the finite values
+            val vd = col("v").cast(DoubleType)
+            val finiteV =
+              if (family == "double")
+                when(isnan(vd) || vd === Double.PositiveInfinity ||
+                  vd === Double.NegativeInfinity, lit(null)).otherwise(vd)
+              else vd
+            val smallAgg =
+              if (smallQ.isEmpty) Nil
+              else Seq(percentile(when(col("c").isin(smallQ: _*), col("v")),
                 typedLit(QuantilePs), col("f")).as("q"))
-            else Nil)
-          val qByCol = scala.collection.mutable.Map.empty[String, scala.collection.Seq[Any]]
-          val dByCol = scala.collection.mutable.Map.empty[String, Long]
-          freq.groupBy("c").agg(aggExprs.head, aggExprs.tail: _*).collect().foreach { r =>
-            dByCol(r.getString(0)) = r.getLong(1)
-            if (exactQ.nonEmpty && exactQ.contains(r.getString(0)) && !r.isNullAt(2))
-              qByCol(r.getString(0)) = r.getSeq[Any](2)
-          }
-          if (sketchQ.nonEmpty)
-            // the guard fired: one extra scan of the affected columns only
-            pairs.filter(col("c").isin(sketchQ: _*)).groupBy("c")
-              .agg(percentile_approx(col("v"), typedLit(QuantilePs), lit(10000)).as("q"))
-              .collect()
-              .foreach(r => if (!r.isNullAt(1)) qByCol(r.getString(0)) = r.getSeq[Any](1))
-          members.foreach { case (_, n, _) => // absent = all-null column
-            results(n) = (dByCol.getOrElse(n, 0L), qByCol.get(n).map(_.toSeq))
-          }
+            val boundsAgg =
+              if (largeQ.isEmpty) Nil
+              else Seq(sum("f").as("nrows"),
+                min(finiteV).as("mnv"), max(finiteV).as("mxv"))
+            val aggExprs = count(lit(1)).as("d") +: (smallAgg ++ boundsAgg ++ madAgg)
+            val qByCol = scala.collection.mutable.Map.empty[String, scala.collection.Seq[Any]]
+            val dByCol = scala.collection.mutable.Map.empty[String, Long]
+            val nByCol = scala.collection.mutable.Map.empty[String, Long]
+            val vBounds = scala.collection.mutable.Map.empty[String, (Double, Double)]
+            val madSet = madMembers.map(_._1).toSet
+            freq.groupBy("c").agg(aggExprs.head, aggExprs.tail: _*).collect().foreach { r =>
+              val c = r.getString(0)
+              dByCol(c) = r.getAs[Long]("d")
+              if (smallQ.contains(c) && r.getAs[Any]("q") != null)
+                qByCol(c) = r.getAs[scala.collection.Seq[Any]]("q")
+              if (largeQ.contains(c)) {
+                nByCol(c) = r.getAs[Long]("nrows")
+                if (r.getAs[Any]("mnv") != null)
+                  vBounds(c) = (r.getAs[Double]("mnv"), r.getAs[Double]("mxv"))
+              }
+              if (madSet.contains(c) && r.getAs[Any]("mad") != null)
+                madFromFreq(c) = r.getAs[Double]("mad")
+            }
+            val qCols = largeQ.filter(n => nByCol.getOrElse(n, 0L) > 0)
+            if (qCols.nonEmpty) {
+              val nSlices = df.sparkSession.conf
+                .get("spark.sql.shuffle.partitions").toInt
+              val half = Double.MaxValue / 2
+              val pb = greatest(least(vd, lit(half)), lit(-half))
+              val slice = coalesce(qCols.map { n =>
+                val bucket = vBounds.get(n) match {
+                  case Some((mn, mx)) if mn < mx =>
+                    least(floor((pb - lit(mn)) / lit(mx - mn) * nSlices)
+                      .cast("int"), lit(nSlices - 1))
+                  case _ => lit(0) // constant / single-distinct column
+                }
+                val guarded =
+                  if (family == "double")
+                    when(isnan(vd) || vd === Double.PositiveInfinity, lit(nSlices))
+                      .when(vd === Double.NegativeInfinity, lit(-1))
+                      .otherwise(bucket)
+                  else bucket
+                when(col("c") === lit(n), guarded)
+              }: _*)
+              val neededByCol = qCols.map { n =>
+                val cnt = nByCol(n)
+                val hs = QuantilePs.map(p => p * (cnt - 1))
+                n -> hs.flatMap(h =>
+                  Seq(math.floor(h).toLong, math.min(math.ceil(h).toLong, cnt - 1))).distinct
+              }.toMap
+              val cum = graft.operators.Packing.groupedPrefixSumSliced(
+                freq.filter(col("c").isin(qCols: _*)), "c", "v", "f", slice, "_cum")
+              val cond = qCols.map { n =>
+                col("c") === lit(n) && neededByCol(n).map(pos =>
+                  col("_cum") <= pos && col("_cum") + col("f") > pos).reduce(_ || _)
+              }.reduce(_ || _)
+              val brackets = cum.filter(cond)
+                .select(col("c"), vd.as("v"), col("_cum"), col("f")).collect()
+                .groupBy(_.getString(0))
+              qCols.foreach { n =>
+                val rows = brackets.getOrElse(n, Array.empty)
+                def valueAt(pos: Long): Double = rows
+                  .find(r => r.getLong(2) <= pos && r.getLong(2) + r.getLong(3) > pos)
+                  .getOrElse(throw new IllegalStateException(
+                    s"describe('$n'): no value covers position $pos"))
+                  .getDouble(1)
+                val cnt = nByCol(n)
+                qByCol(n) = QuantilePs.map { p =>
+                  val h = p * (cnt - 1)
+                  val lo = valueAt(math.floor(h).toLong)
+                  val hi = valueAt(math.min(math.ceil(h).toLong, cnt - 1))
+                  (lo + (h - math.floor(h)) * (hi - lo)): Any
+                }
+              }
+            }
+            members.foreach { case (_, n, _) => // absent = all-null column
+              results(n) = (dByCol.getOrElse(n, 0L), qByCol.get(n).map(_.toSeq))
+            }
+          } finally freq.unpersist(false)
         }
 
         // fallback: per-column jobs for non-family types, run concurrently
@@ -247,20 +368,27 @@ object Describe {
                 .groupBy(col(name)).agg(count(lit(1)).as(s"${SEP}f"))
               val withQ = wantsQuantiles(static(name))
               val exact = gateEstimates.getOrElse(name, 0L) <= exactQuantileMaxDistinct
+              val madMean = madMeanOf(name)
               val exprs = count(lit(1)).as("d") +:
-                (if (withQ && exact)
+                ((if (withQ && exact)
                   Seq(percentile(quantileInput(name), typedLit(QuantilePs), col(s"${SEP}f")).as("q"))
-                else Nil)
+                else Nil) ++
+                madMean.map(m => (sum(col(s"${SEP}f") *
+                  abs(col(name).cast(DoubleType) - lit(m))) /
+                  sum(col(s"${SEP}f"))).as("mad")).toSeq)
               val r = freq.agg(exprs.head, exprs.tail: _*).head()
+              if (madMean.isDefined && r.getAs[Any]("mad") != null)
+                madFromFreq(name) = r.getAs[Double]("mad")
               val qs =
-                if (withQ && exact && !r.isNullAt(1)) Some(r.getSeq[Any](1).toSeq)
+                if (withQ && exact && r.getAs[Any]("q") != null)
+                  Some(r.getAs[scala.collection.Seq[Any]]("q").toSeq)
                 else if (withQ && !exact) { // gate fired: t-digest over raw rows
                   val rr = df.filter(col(name).isNotNull)
                     .agg(percentile_approx(quantileInput(name),
                       typedLit(QuantilePs), lit(10000)).as("q")).head()
                   if (rr.isNullAt(0)) None else Some(rr.getSeq[Any](0).toSeq)
                 } else None
-              (r.getLong(0), qs)
+              (r.getAs[Long]("d"), qs)
             }
           }
           futures.foreach { case (name, fut) =>
@@ -277,22 +405,25 @@ object Describe {
       if (approximate) get(name, "quantiles").map(_.asInstanceOf[scala.collection.Seq[Any]])
       else freqStats.get(name).flatMap(_._2)
 
-    // ---- pass 3: mad (needs pass-1 means) ------------------------------
+    // ---- pass 3: mad for columns the freq tables didn't cover ----------
+    // Exact mode harvests every mad from pass 2 (madFromFreq), so this
+    // scan only fires in approximate mode (no freq tables exist there).
     val numericWithMean = columns.filter { name =>
       static(name) == SemanticType.Numeric && get(name, "mean").isDefined
     }
+    val madLeftover = numericWithMean.filterNot(madFromFreq.contains)
     val madByCol: Map[String, Any] =
-      if (numericWithMean.isEmpty) Map.empty
+      (if (madLeftover.isEmpty) Map.empty[String, Any]
       else {
-        val madAggs = numericWithMean.map { name =>
+        val madAggs = madLeftover.map { name =>
           val mean = get(name, "mean").get.asInstanceOf[Number].doubleValue()
           avg(abs(col(name).cast(DoubleType) - lit(mean))).as(s"$name$SEP")
         }
         val madRow = df.agg(madAggs.head, madAggs.tail: _*).head()
-        numericWithMean.zipWithIndex.flatMap { case (name, i) =>
+        madLeftover.zipWithIndex.flatMap { case (name, i) =>
           Option(madRow.get(i)).map(name -> _)
         }.toMap
-      }
+      }) ++ madFromFreq.map { case (k, v) => k -> (v: Any) }
 
     // ---- driver-side assembly, reference stat order --------------------
     columns.map { name =>

@@ -224,13 +224,29 @@ object Packing {
   def groupedPrefixSum(df: DataFrame, groupCol: String, orderCol: String,
       valueCol: String, cumBeforeCol: String = "cum_before"): DataFrame = {
     val nSlices = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    groupedPrefixSumSliced(df, groupCol, orderCol, valueCol,
+      deterministicSlice(df, orderCol, nSlices), cumBeforeCol)
+  }
+
+  /** [[groupedPrefixSum]] with a CALLER-SUPPLIED slice column, for
+    * callers that can build a better-balanced (or cheaper) deterministic
+    * monotone bucketing than [[deterministicSlice]] — e.g. Describe's
+    * per-column quantile chain, which already holds exact per-group
+    * bounds and bucket-normalizes each group to its own range. The
+    * contract the slice column must honor is exactly
+    * [[deterministicSlice]]'s: a PURE function of the row (literals
+    * only, no sampling, no partition ids), monotone non-strict in
+    * `orderCol` within every group. */
+  private[operators] def groupedPrefixSumSliced(df: DataFrame,
+      groupCol: String, orderCol: String, valueCol: String, slice: Column,
+      cumBeforeCol: String = "cum_before"): DataFrame = {
     // The input lineage feeds three consumers (bounds aggregation,
     // window branch, offsets branch). Correctness never depends on
     // materialization — slice ids are pure row functions — so whether
     // to persist is the CALLER's economics: persist upstream when the
     // lineage is expensive (measured here: a persist costs more than it
     // saves for plain scan+hash lineages).
-    val sliced = df.withColumn("_slice", deterministicSlice(df, orderCol, nSlices))
+    val sliced = df.withColumn("_slice", slice)
     val local = Window.partitionBy(groupCol, "_slice").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = sliced.withColumn("_local_cum", sum(col(valueCol)).over(local))

@@ -111,10 +111,24 @@ class DescribeSpec extends SparkSpec {
     assert(byCol("l_returnflag").exists(_.getString(1) == "distinct_count"))
   }
 
-  test("near-unique column above the distinct threshold falls back to sketch quantiles") {
+  test("family columns stay exact at any cardinality threshold (distributed quantile chain)") {
     val data = make((1 to 1000).map(i => Row(i.toLong, i.toDouble)),
       "id" -> LongType, "x" -> DoubleType)
-    // exact path (threshold default): type-7 median of 1..1000 interpolates
+    // type-7 median of 1..1000 interpolates to 500.5 — and the family
+    // path never routes through a whole-column Percentile buffer, so a
+    // tiny threshold changes nothing
+    val exact = Describe.profile(data, Seq("x")).head.stats
+    assert(exact("50%").asInstanceOf[Number].doubleValue() === 500.5)
+    assert(exact("distinct_count") === 1000L)
+    val tiny = Describe.profile(data, Seq("x"), exactQuantileMaxDistinct = 10).head.stats
+    assert(tiny("50%").asInstanceOf[Number].doubleValue() === 500.5)
+  }
+
+  test("non-family column above the distinct threshold falls back to sketch quantiles") {
+    // DecimalType has no unpivot family → per-column fallback path, where
+    // the Percentile-buffer gate still applies
+    val data = make((1 to 1000).map(i => Row(i.toLong, BigDecimal(i))),
+      "id" -> LongType, "x" -> DecimalType(10, 2))
     val exact = Describe.profile(data, Seq("x")).head.stats
     assert(exact("50%").asInstanceOf[Number].doubleValue() === 500.5)
     assert(exact("distinct_count") === 1000L)
@@ -124,7 +138,7 @@ class DescribeSpec extends SparkSpec {
     val q50 = guarded("50%").asInstanceOf[Number].doubleValue()
     assert(q50 === 500.0 || q50 === 501.0)
     assert(guarded("distinct_count") === 1000L) // distinct stays exact
-    assert(guarded("min") === 1.0 && guarded("max") === 1000.0)
+    assert(guarded("mad").asInstanceOf[Number].doubleValue() === 250.0)
   }
 
   test("small-n guards: kurtosis undefined below 4, skewness below 3 (pandas parity)") {

@@ -117,7 +117,10 @@ class PropertySpec extends SparkSpec {
       val keys = rnd.shuffle((1 to n).toList).map(i => i * scale + offset)
       val rows = keys.map(k => (k, rnd.nextInt(10).toLong))
       val df =
-        if (asString) rows.map { case (k, v) => (f"k${k}%.9e", v) }.toDF("id", "tok")
+        // %.17e round-trips doubles: %.9e collapsed 1e-6 steps at 1e9
+        // magnitude into DUPLICATE ids, breaking the unique-key contract
+        // (and making the reference window's tie order nondeterministic)
+        if (asString) rows.map { case (k, v) => (f"k${k}%.17e", v) }.toDF("id", "tok")
         else rows.toDF("id", "tok")
       val out = Packing.packContiguous(df.repartition(1 + rnd.nextInt(7)), "id", "tok",
           budget = Int.MaxValue)
