@@ -94,46 +94,41 @@ object Vectors {
     * summation order of the fold the SQL oracle replays (the leading
     * 0.0 + t1 of a fold is bit-identical to t1 for non-negative
     * squares), so results stay bit-for-bit comparable. */
-  private def sqDistTo(v: Column, cent: Seq[Double]): Column =
-    cent.zipWithIndex.map { case (h, i) =>
-      val x = element_at(v, i + 1).cast("double") - lit(h)
-      x * x
-    }.reduce(_ + _)
-
   /** Assignment as a DataFrame with a materialized `cell` attribute.
     *
-    * Plan shape matters more than the formula here; two traps measured
-    * at sf0.1 (17 s → ~1 s):
-    *  - packing all k distances into one array-argmin expression builds
-    *    a single ~4k-node tree that exceeds Janino's method budget and
-    *    silently falls back to interpreted evaluation — so each
-    *    distance is its own projected column (codegen splits across
-    *    top-level aliases fine);
-    *  - computing the cell in the SAME select as a posexplode lets the
-    *    optimizer hoist the argmin ABOVE the Generate, re-evaluating it
-    *    once per exploded element (64×) — so `cell` is materialized
-    *    here and is a plain attribute by the time a caller explodes.
-    *    CollapseProject cannot re-inline the chain: every __d column is
-    *    referenced more than once (in __dmin and in the when chain),
-    *    the same guard the quantizeInt8 scale column relies on.
+    * Plan shape matters more than the formula here. The distances are k
+    * codegen'd [[graft.plans.SqL2Expr]] nodes (one fused loop each, same
+    * left-to-right double arithmetic as the per-element expansion this
+    * replaces — that expansion built ~k·dim-node trees that paid
+    * Catalyst analysis + Janino compilation per Lloyd iteration, the
+    * dominant cost of kmeans_assign at bench scale). Argmin =
+    * array_min over (d, cell) structs — lexicographic, so an exact
+    * distance tie resolves to the lowest cell, the rule the SQL oracle
+    * replays as ORDER BY dist ASC, cell ASC; a null distance (vector
+    * shorter than the centroid) is skipped by array_min, and all-null
+    * yields a null cell, matching the old when-chain.
     *
-    * Argmin = least() + first-match when chain, so an exact distance
-    * tie resolves to the lowest cell — the rule the SQL oracle replays
-    * as ORDER BY dist ASC, cell ASC. */
+    * The measured Generate trap still applies: computing the cell in
+    * the SAME select as a posexplode lets the optimizer hoist the
+    * argmin ABOVE the Generate, re-evaluating it once per exploded
+    * element (64×) — so `cell` is materialized here and is a plain
+    * attribute by the time a caller explodes. The scored array is
+    * referenced TWICE in the consuming select (min distance + cell),
+    * which blocks CollapseProject from re-inlining it, the same guard
+    * the quantizeInt8 scale column relies on. */
   private def assignCells(
       df: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Int, Seq[Double])], keepVec: Boolean): DataFrame = {
     require(cents == cents.sortBy(_._1), "centroids must be in ascending cell order")
     val keep = col(idCol) +: (if (keepVec) Seq(col(vecCol)) else Nil)
-    val dCols = cents.map { case (cid, cv) => sqDistTo(col(vecCol), cv).as(s"__d$cid") }
-    val dmin = least(cents.map(c => col(s"__d${c._1}")): _*)
-    val cell = cents.tail
-      .foldLeft(when(col(s"__d${cents.head._1}") === col("__dmin"), lit(cents.head._1))) {
-        case (acc, (cid, _)) => acc.when(col(s"__d$cid") === col("__dmin"), lit(cid))
-      }
-    df.select(keep ++ dCols: _*)
-      .withColumn("__dmin", dmin)
-      .withColumn("cell", cell)
+    val scored = array(cents.map { case (cid, cv) =>
+      val d = graft.plans.SqL2Expr.sqL2(col(vecCol), typedLit(cv))
+      when(d.isNotNull, struct(d.as("d"), lit(cid).as("cell")))
+    }: _*)
+    val m = array_min(col("__s"))
+    df.select(keep :+ scored.as("__s"): _*)
+      .select((keep :+ m.getField("d").as("__dmin")) :+
+        m.getField("cell").as("cell"): _*)
       .select(keep :+ col("cell"): _*)
   }
 
