@@ -128,9 +128,10 @@ object Stats {
     *
     *   1. distinct (value, count) — one hash agg, persisted (the only
     *      full scan; the distinct table is orders of magnitude smaller);
-    *   2. exclusive prefix sum of counts in value order via
-    *      [[Packing.packContiguous]] — each value row now covers the
-    *      position interval [start, start+cnt);
+    *   2. ONE job reads n plus the finite value bounds, which become the
+    *      slice-bucketing literals for an exclusive prefix sum of counts
+    *      in value order ([[Packing.groupedPrefixSumSliced]]) — each
+    *      value row then covers the position interval [cum, cum+cnt);
     *   3. the ≤ 2·|probs| rows bracketing the needed order statistics
     *      (positions are literals once n is known) are filtered out and
     *      collected; type-7 interpolation runs driver-side:
@@ -146,19 +147,45 @@ object Stats {
     val vals = df.filter(col(c).isNotNull)
       .groupBy(col(c).cast("double").as("_v"))
       .agg(count(lit(1)).as("_cnt"))
-      .persist() // perf only: three small downstream actions share the scan
+      .persist() // perf only: two small downstream actions share the scan
     try {
-      val n = vals.agg(sum("_cnt")).head().getLong(0)
+      // ONE job over the distinct table: total row count + finite value
+      // bounds (the slice-bucketing literals — NaN/±Inf go to edge
+      // slices by rule, matching Packing.deterministicSlice)
+      // bucketing proxy clamped to half the double range, exactly as
+      // Packing.deterministicSlice: clamping is monotone (slice balance
+      // only) and keeps mx-mn from overflowing to Infinity
+      val vd = col("_v")
+      val half = Double.MaxValue / 2
+      val pb = greatest(least(vd, lit(half)), lit(-half))
+      val finiteV = when(isnan(vd) || vd === Double.PositiveInfinity ||
+        vd === Double.NegativeInfinity, lit(null)).otherwise(pb)
+      val b = vals.agg(sum("_cnt").as("n"),
+        min(finiteV).as("mn"), max(finiteV).as("mx")).head()
+      val n = if (b.isNullAt(0)) 0L else b.getLong(0)
       require(n > 0, s"exactQuantiles('$c'): no non-null values")
+      val nSlices = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val slice = if (b.isNullAt(1) || !(b.getDouble(1) < b.getDouble(2))) {
+        when(isnan(vd) || vd === Double.PositiveInfinity, lit(nSlices))
+          .when(vd === Double.NegativeInfinity, lit(-1)).otherwise(lit(0))
+      } else {
+        val mn = b.getDouble(1)
+        val span = b.getDouble(2) - mn
+        when(isnan(vd) || vd === Double.PositiveInfinity, lit(nSlices))
+          .when(vd === Double.NegativeInfinity, lit(-1))
+          .otherwise(least(floor((pb - lit(mn)) / lit(span) * nSlices)
+            .cast("int"), lit(nSlices - 1)))
+      }
       val hs = probs.map(p => p * (n - 1))
       val needed = hs.flatMap(h =>
         Seq(math.floor(h).toLong, math.min(math.ceil(h).toLong, n - 1))).distinct
-      val packed = Packing.packContiguous(vals, "_v", "_cnt", budget = Int.MaxValue)
+      val packed = Packing.groupedPrefixSumSliced(
+        vals.withColumn("_g", lit(0)), "_g", "_v", "_cnt", slice, "_cum")
       val cond = needed.map(pos =>
-          col("start_offset") <= pos && col("start_offset") + col("_cnt") > pos)
+          col("_cum") <= pos && col("_cum") + col("_cnt") > pos)
         .reduce(_ || _)
       val rows = packed.filter(cond)
-        .select(col("_v"), col("start_offset"), col("_cnt")).collect()
+        .select(col("_v"), col("_cum"), col("_cnt")).collect()
       def valueAt(pos: Long): Double = rows
         .find(r => r.getLong(1) <= pos && r.getLong(1) + r.getLong(2) > pos)
         .getOrElse(throw new IllegalStateException(s"no value covers position $pos"))
