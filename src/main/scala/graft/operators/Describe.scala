@@ -106,7 +106,8 @@ object Describe {
       df: DataFrame,
       columns: Seq[String],
       approximate: Boolean = false,
-      exactQuantileMaxDistinct: Long = DefaultExactQuantileMaxDistinct): Seq[ColumnProfile] = {
+      exactQuantileMaxDistinct: Long = DefaultExactQuantileMaxDistinct,
+      percentileBufferMaxDistinct: Long = PercentileBufferMaxDistinct): Seq[ColumnProfile] = {
     val fields = df.schema.fields.map(f => f.name -> f).toMap
     val static = columns.map(c => c -> SemanticType.ofField(fields(c))).toMap
 
@@ -200,7 +201,7 @@ object Describe {
         val gateEstimates: Map[String, Long] = {
           val qCols = columns.filter(c => wantsQuantiles(static(c)) &&
             n > (if (familyOf(c).isEmpty) exactQuantileMaxDistinct
-                 else PercentileBufferMaxDistinct))
+                 else percentileBufferMaxDistinct))
           if (qCols.isEmpty) Map.empty
           else {
             val est = df.agg(
@@ -245,7 +246,7 @@ object Describe {
           //    whole column's distinct set, at ANY cardinality — this
           //    path needs no sketch fallback.
           val (smallQ, largeQ) = wantQ.partition(
-            gateEstimates.getOrElse(_, 0L) <= PercentileBufferMaxDistinct)
+            gateEstimates.getOrElse(_, 0L) <= percentileBufferMaxDistinct)
           // the frequency table feeds one job when every quantile column
           // is small (job A), two more when the bracket chain runs —
           // persist only when those extra consumers exist
@@ -346,9 +347,14 @@ object Describe {
                 val cnt = nByCol(n)
                 qByCol(n) = QuantilePs.map { p =>
                   val h = p * (cnt - 1)
-                  val lo = valueAt(math.floor(h).toLong)
-                  val hi = valueAt(math.min(math.ceil(h).toLong, cnt - 1))
-                  (lo + (h - math.floor(h)) * (hi - lo)): Any
+                  val lower = math.floor(h).toLong
+                  val higher = math.min(math.ceil(h).toLong, cnt - 1)
+                  // Spark Percentile's exact two-sided form — bit-identical
+                  // to the buffered route for finite values, and the right
+                  // answer (not NaN) when an endpoint is ±Infinity
+                  if (higher == lower) (valueAt(lower): Any)
+                  else ((higher - h) * valueAt(lower) +
+                    (h - lower) * valueAt(higher): Any)
                 }
               }
             }

@@ -124,6 +124,55 @@ class DescribeSpec extends SparkSpec {
     assert(tiny("50%").asInstanceOf[Number].doubleValue() === 500.5)
   }
 
+  test("forced bracket chain matches the buffered percentile bit for bit") {
+    // percentileBufferMaxDistinct = 0 forces every family column through
+    // the distributed prefix-sum bracket chain; the result must equal the
+    // default (buffered Percentile) route exactly — including dates and a
+    // multi-column family in one pass
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map { i =>
+      Row(i.toLong, rnd.nextDouble() * 1000 - 500, (rnd.nextInt(300) + 1).toLong,
+        java.sql.Date.valueOf(f"2024-01-${rnd.nextInt(28) + 1}%02d"))
+    }
+    val data = make(rows, "id" -> LongType, "x" -> DoubleType,
+      "y" -> LongType, "d" -> DateType)
+    val cols = Seq("x", "y", "d")
+    val viaBuffer = Describe.profile(data, cols)
+    val viaChain = Describe.profile(data, cols, percentileBufferMaxDistinct = 0)
+    viaBuffer.zip(viaChain).foreach { case (b, c) =>
+      assert(b.stats.keySet === c.stats.keySet, s"column ${b.column}")
+      b.stats.foreach { case (k, bv) =>
+        val cv = c.stats(k)
+        (bv, cv) match {
+          // mad rides different aggregation operators in the two routes
+          // (ObjectHashAggregate with the Percentile vs codegen
+          // HashAggregate), whose partial-merge order differs at last
+          // ULP — everything else, quantiles included, is bit-identical
+          case (x: Double, y: Double) if k == "mad" =>
+            assert(math.abs(x - y) <= math.ulp(x) * 8, s"${b.column}.$k: $x vs $y")
+          case _ => assert(bv === cv, s"${b.column}.$k")
+        }
+      }
+    }
+  }
+
+  test("forced bracket chain handles NaN and infinities like the buffered route") {
+    val vals: Seq[Double] = Seq(1.0, 2.0, 3.0, Double.NaN,
+      Double.PositiveInfinity, Double.NegativeInfinity, -7.5, 4.25)
+    val data = make(vals.zipWithIndex.map { case (v, i) => Row(i.toLong, v) },
+      "id" -> LongType, "x" -> DoubleType)
+    // NaN is canonicalized to null by Report normalization in the real
+    // pipeline; here we call the kernel raw, so Percentile's NaN-last
+    // ordering vs the chain's NaN edge slice must agree
+    val b = Describe.profile(data, Seq("x")).head.stats
+    val c = Describe.profile(data, Seq("x"), percentileBufferMaxDistinct = 0).head.stats
+    Describe.QuantileNames.foreach { q =>
+      val bv = b(q).asInstanceOf[Double]; val cv = c(q).asInstanceOf[Double]
+      assert(bv == cv || (bv.isNaN && cv.isNaN), s"$q: $bv vs $cv")
+    }
+    assert(b("distinct_count") === c("distinct_count"))
+  }
+
   test("non-family column above the distinct threshold falls back to sketch quantiles") {
     // DecimalType has no unpivot family → per-column fallback path, where
     // the Percentile-buffer gate still applies
