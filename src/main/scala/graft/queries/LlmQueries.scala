@@ -655,6 +655,62 @@ object LlmQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Linear quality surrogate — the "distill the expensive signal into
+    * cheap features" pipeline step: OLS-fit the composite quality score
+    * against two cheap surface features (token count / 100, alpha
+    * ratio) via Regression.fitOls (one Gram-sums scan + driver solve),
+    * then score every document with the fitted line. The weights are
+    * rounded to 1e-6 BEFORE predicting — the same bridge the kmeans
+    * oracle uses — so the oracle's Cramer solve and the engine's
+    * pivoted elimination land on identical weight literals and the
+    * per-document predictions are computed bit-for-bit the same way. */
+  def qualityRegression(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val q = TextAnalysis.qualityMetrics(docs, "doc_id", "text", Stopwords)
+      .select(col("doc_id"), col("alpha_ratio").as("x2"),
+        col("quality_score").as("y"))
+    val feat = q.join(docs.select(col("doc_id"),
+      (TextAnalysis.tokenCount(col("text")).cast("double") / lit(100.0)).as("x1")),
+      Seq("doc_id"))
+    val w = graft.operators.Regression.fitOls(feat, Seq(col("x1"), col("x2")), col("y"))
+    val wr = w.map(x => math.floor(x * 1e6 + 0.5) / 1e6)
+    graft.operators.Regression.predict(feat, Seq(col("x1"), col("x2")), wr, "yhat")
+      .select(col("doc_id"), r(col("y"), 6).as("y"), r(col("yhat"), 6).as("yhat"),
+        r(col("y") - col("yhat"), 6).as("residual"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityRegressionOracle: String = {
+    import QualitySql.{alpha, score}
+    val rw = (e: String) => s"floor(($e) * 1e6 + 0.5) / 1e6"
+    // Cramer's rule on the symmetric 3x3 Gram system; weights rounded to
+    // the same 1e-6 grid the engine rounds to, then predictions use the
+    // identical (w0 + x1*w1) + x2*w2 association
+    val yhat = "((w0 + (x1 * w1)) + (x2 * w2))"
+    s"""WITH f AS (
+       | SELECT doc_id, len(t) / 100.0 AS x1, ($alpha) AS x2, ($score) AS y
+       | FROM (SELECT doc_id, text,
+       |        list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |       FROM documents)),
+       |g AS (
+       | SELECT CAST(count(*) AS DOUBLE) AS g00, sum(x1) AS g01, sum(x2) AS g02,
+       |        sum(x1 * x1) AS g11, sum(x1 * x2) AS g12, sum(x2 * x2) AS g22,
+       |        sum(y) AS b0, sum(x1 * y) AS b1, sum(x2 * y) AS b2
+       | FROM f),
+       |w AS (
+       | SELECT
+       |  ${rw("(b0*(g11*g22 - g12*g12) - g01*(b1*g22 - g12*b2) + g02*(b1*g12 - g11*b2)) / det")} AS w0,
+       |  ${rw("(g00*(b1*g22 - g12*b2) - b0*(g01*g22 - g12*g02) + g02*(g01*b2 - b1*g02)) / det")} AS w1,
+       |  ${rw("(g00*(g11*b2 - g12*b1) - g01*(g01*b2 - b1*g02) + b0*(g01*g12 - g11*g02)) / det")} AS w2
+       | FROM (SELECT *,
+       |   g00*(g11*g22 - g12*g12) - g01*(g01*g22 - g12*g02) + g02*(g01*g12 - g11*g02) AS det
+       |  FROM g)),
+       |p AS (SELECT doc_id, y, $yhat AS yh FROM f, w)
+       |SELECT doc_id, ${rSql("y", 6)} AS y, ${rSql("yh", 6)} AS yhat,
+       | ${rSql("y - yh", 6)} AS residual
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   /** End-to-end training-corpus filter — the composition a real pipeline
     * runs: exact-dedup (keep lowest doc_id per identical text), language
     * allowlist, token-budget band, quality threshold on the ROUNDED score
@@ -1694,6 +1750,7 @@ object LlmQueries {
     QueryDef("decontaminate_docs", decontaminateDocs, Some(decontaminateOracle)),
     QueryDef("contamination_pairs", contaminationPairs, Some(contaminationPairsOracle)),
     QueryDef("bloom_decon_keep", bloomDeconKeep, Some(bloomDeconKeepOracle)),
+    QueryDef("quality_regression", qualityRegression, Some(qualityRegressionOracle)),
     QueryDef("repetition_docs", repetitionDocs, Some(repetitionOracle)),
     QueryDef("lm_score_docs", lmScoreDocs, Some(lmScoreOracle)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
