@@ -772,6 +772,32 @@ object LlmQueries {
        |SELECT sp.split, sp.n, s.n_sampled FROM sp, s ORDER BY split""".stripMargin
   }
 
+  /** GROUP-aware (leakage-free) split: near-duplicates cluster inside a
+    * source/domain, so hashing the DOCUMENT id can put one copy in
+    * train and its twin in test; hashing the GROUP key sends every
+    * document of a source to the same split. Same assignSplits
+    * operator, keyed on `source`. Output proves the property: one row
+    * per (source, split) — each source appears exactly once — plus the
+    * doc count that split inherits. */
+  def groupSplitDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Sampling.assignSplits(docs, "source",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  }
+
+  private val groupSplitOracle: String = {
+    val bucket = "('0x' || substring(md5(CAST(source AS VARCHAR)), 1, 4))::BIGINT"
+    s"""WITH b AS (SELECT source, $bucket AS bkt FROM documents)
+       |SELECT source,
+       | CASE WHEN bkt < ${(0.8 * 65536).toInt} THEN 'train'
+       |      WHEN bkt < ${(0.9 * 65536).toInt} THEN 'val'
+       |      ELSE 'test' END AS split,
+       | count(*) AS n_docs
+       |FROM b GROUP BY 1, 2 ORDER BY source""".stripMargin
+  }
+
   /** Deterministic global corpus shuffle (reproducible training order):
     * shuffle_pos is the rank under md5(seed # doc_id), computed with the
     * two-phase prefix sum — never a single-task global window. */
@@ -1742,6 +1768,7 @@ object LlmQueries {
     QueryDef("text_clean", textClean, Some(textCleanOracle)),
     QueryDef("corpus_filter", corpusFilter, Some(corpusFilterOracle)),
     QueryDef("sample_split_docs", sampleSplitDocs, Some(sampleSplitOracle)),
+    QueryDef("group_split_docs", groupSplitDocs, Some(groupSplitOracle)),
     QueryDef("vector_norms", vectorNorms, Some(vectorNormsOracle)),
     QueryDef("label_centroids", labelCentroids, Some(labelCentroidsOracle)),
     QueryDef("vector_profile", vectorProfile, Some(vectorProfileOracle)),
