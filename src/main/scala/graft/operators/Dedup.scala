@@ -323,17 +323,53 @@ object Dedup {
     * absent — union them back with component = id at the call site.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
     var edges = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // Adaptive small-graph fast path (the AQE-broadcast pattern): the
+    // VERIFIED near-dup edge set is usually orders of magnitude smaller
+    // than the corpus — when it fits comfortably on the driver
+    // (~16 MB at the default bound), a union-find replaces the whole
+    // O(log n) star-contraction loop and its per-round job tax. Output
+    // is identical by construction (component id = min node id of the
+    // component, a pure function of the edge set, no order dependence);
+    // the distributed loop below is unchanged and remains the path for
+    // graphs over the bound (tests force it with smallGraphMaxEdges = 0).
+    val edgeCount = edges.count()
+    if (edgeCount <= smallGraphMaxEdges) {
+      val es = edges.collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { r =>
+        val (u, v) = (r.getLong(0), r.getLong(1))
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(ru) = rv
+      }
+      val minOfRoot = scala.collection.mutable.Map.empty[Long, Long]
+      parent.keys.foreach { n =>
+        val r = find(n)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+      }
+      val out = parent.keys.toSeq.sorted.map(n => (n, minOfRoot(find(n))))
+      val s = pairs.sparkSession
+      import s.implicits._
+      return out.toDF("id", "component")
+    }
     val nodes = edges.select(col("u").as("id"))
       .union(edges.select(col("v").as("id")))
       .distinct()
       .localCheckpoint(true)
-    var converged = edges.isEmpty
+    var converged = edgeCount == 0L
     var i = 0
     while (!converged && i < maxIter) {
       // large-star: every neighbor v > u re-links to min(N(u) ∪ {u})

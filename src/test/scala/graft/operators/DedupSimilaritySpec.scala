@@ -136,6 +136,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("connected components: driver fast path equals the distributed star loop") {
+    val s = spark
+    import s.implicits._
+    // random-ish union of paths, cliques and singleton-adjacent edges
+    val rnd = new scala.util.Random(11)
+    val edges = ((0 until 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)) ++
+      (100L until 110L).map(i => (i, i + 1))).filter { case (a, b) => a != b }
+    val pairs = edges.toDF("a", "b")
+    val fast = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dist = Dedup.connectedComponents(pairs, "a", "b", smallGraphMaxEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fast === dist)
+    assert(fast.nonEmpty)
+  }
+
   test("cosine matches manual dot/norm arithmetic") {
     val s = spark
     import s.implicits._
