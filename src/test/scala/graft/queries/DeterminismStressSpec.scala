@@ -30,8 +30,39 @@ class DeterminismStressSpec extends SparkSpec {
     df.collect().map(_.toString).sorted.mkString("\n")
   }
 
+  test("describe bracket-chain quantiles are exact across shuffle-partition counts") {
+    // the chain's slice count IS spark.sql.shuffle.partitions, so varying
+    // it moves every slice boundary; cum positions are LONG sums (exact),
+    // so the bracketed quantiles must be bit-identical — only mad (a
+    // double sum) may move in the last ULP
+    import graft.operators.Describe
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    try {
+      val runs = Seq("2", "7", "23").map { parts =>
+        spark.conf.set(key, parts)
+        val p = Describe.profile(li, Seq("l_extendedprice", "l_shipdate"),
+          percentileBufferMaxDistinct = 0)
+        dropCaches()
+        p.map(c => c.column -> c.stats).toMap
+      }
+      runs.tail.foreach { r =>
+        runs.head.foreach { case (colName, stats) =>
+          stats.foreach { case (k, v) =>
+            (v, r(colName)(k)) match {
+              case (a: Double, b: Double) if k == "mad" =>
+                assert(math.abs(a - b) <= math.ulp(a) * 8, s"$colName.$k")
+              case (a, b) => assert(a === b, s"$colName.$k")
+            }
+          }
+        }
+      }
+    } finally spark.conf.set(key, orig)
+  }
+
   for (q <- Seq("mix_corpus", "shuffle_order", "pack_sequences",
-                "spearman_lineitem", "chunk_docs")) {
+                "spearman_lineitem", "chunk_docs", "quality_regression")) {
     test(s"$q is bit-identical across $Runs same-session runs with caches dropped") {
       val first = canonical(q)
       dropCaches()
