@@ -179,4 +179,49 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"global top-N must be distributed top-k:\n$plan")
   }
+
+  test("bloom decontamination probes the corpus grams BEFORE any exchange") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "a b c d e f"), (2L, "m n o p q r")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val plan = planOf(graft.operators.Contamination.bloomKeep(
+      corpus, bench, "doc_id", "text", 3))
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+    // the probe is a filter in the map stage: in the formatted plan the
+    // might_contain Filter node sits below (higher node number than) the
+    // first Exchange in its subtree — cheap proxy: the filter's condition
+    // string appears, and no CartesianProduct/NestedLoop anywhere
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"unexpected product join:\n$plan")
+  }
+
+  test("kmeans assignment is a narrow projection: no shuffle between scan and cell") {
+    val plan = planOf(LlmQueries.kmeansAssignEmb(spark, dir))
+    assert(plan.contains("sq_l2"), s"SqL2Expr missing from plan:\n$plan")
+    // one codegen'd distance node per centroid, argmin via array_min;
+    // the assignment itself must add no exchange (only the final
+    // orderBy's range exchange is expected)
+    val exchanges = plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 1, s"assignment added shuffles:\n$plan")
+  }
+
+  test("OLS Gram sums are one partial+final aggregation, no Expand") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, (i % 7).toDouble, i * 2.0))
+      .toDF("x1", "x2", "y")
+    // capture the aggregation plan via the same expressions fitOls builds
+    val xs = Seq(lit(1.0), col("x1"), col("x2"))
+    val aggs = (for (i <- xs.indices; j <- i until xs.size)
+      yield sum(xs(i) * xs(j)).as(s"g_${i}_$j")) ++
+      xs.indices.map(i => sum(xs(i) * col("y")).as(s"b_$i"))
+    val plan = planOf(df.agg(aggs.head, aggs.tail: _*))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Expand"), s"Gram sums must not Expand:\n$plan")
+    val exchanges = plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges === 1, s"expected exactly one exchange:\n$plan")
+  }
 }
