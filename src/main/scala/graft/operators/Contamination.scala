@@ -88,8 +88,11 @@ object Contamination {
       textCol: String, n: Int, expectedGrams: Long = 1L << 17,
       fpp: Double = 0.03): DataFrame = {
     require(expectedGrams > 0 && fpp > 0 && fpp < 1)
-    val cg = Dedup.shingleRows(corpus, idCol, textCol, n)
-    val bg = Dedup.shingleRows(bench, idCol, textCol, n).select("s").distinct()
+    // both gram tables feed two consumers (counts + probe, build +
+    // verify); the shingle window shuffle is the expensive lineage, so
+    // persist for the query's duration (the containmentPairs pattern)
+    val cg = Dedup.shingleRows(corpus, idCol, textCol, n).persist()
+    val bg = Dedup.shingleRows(bench, idCol, textCol, n).select("s").distinct().persist()
     // distributed build: partial blooms per partition, OR-merged — the
     // driver only ever sees the finished bit array
     val numBits = BloomFilter.optimalNumOfBits(expectedGrams, fpp)
