@@ -88,33 +88,53 @@ object Contamination {
       textCol: String, n: Int, expectedGrams: Long = 1L << 17,
       fpp: Double = 0.03): DataFrame = {
     require(expectedGrams > 0 && fpp > 0 && fpp < 1)
-    // both gram tables feed two consumers (counts + probe, build +
-    // verify); the shingle window shuffle is the expensive lineage, so
-    // persist for the query's duration (the containmentPairs pattern)
-    val cg = Dedup.shingleRows(corpus, idCol, textCol, n).persist()
-    val bg = Dedup.shingleRows(bench, idCol, textCol, n).select("s").distinct().persist()
+    // The corpus gram table is consumed EXACTLY ONCE (the single
+    // aggregate below) — no persist, no diamond. The previous shape
+    // (separate count pass + probe pass over a persisted cg) computed
+    // the expensive shingle-window lineage twice anyway: the two
+    // branches' shuffle-map stages are submitted concurrently within
+    // the one action, so both missed the still-empty cache.
+    val cg = Dedup.shingleRows(corpus, idCol, textCol, n)
+    val bg = Dedup.shingleRows(bench, idCol, textCol, n).select("s").distinct()
     // distributed build: partial blooms per partition, OR-merged — the
-    // driver only ever sees the finished bit array
+    // driver only ever sees the finished bit array (bg is bench-sized,
+    // recomputing it for the verify join below is one small scan)
     val numBits = BloomFilter.optimalNumOfBits(expectedGrams, fpp)
     val bloomAgg = new BloomFilterAggregate(
       Bridge.expression(xxhash64(col("s"))),
       Literal(expectedGrams), Literal(numBits)).toAggregateExpression()
     val bytes = bg.select(Bridge.column(bloomAgg).as("bf"))
       .head().getAs[Array[Byte]](0)
-    val perDoc = cg.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
     val base = corpus.select(col(idCol).as("id")).distinct()
-      .join(perDoc, Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"))
     val kept =
-      if (bytes == null) base // empty bench: nothing can be contaminated
-      else {
+      if (bytes == null) { // empty bench: nothing can be contaminated
+        val perDoc = cg.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+        base.join(perDoc, Seq("id"), "left")
+          .select(col("id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"))
+      } else {
         val might = Bridge.column(BloomFilterMightContain(
           Literal.create(bytes, BinaryType),
           Bridge.expression(xxhash64(col("s")))))
-        val contaminated = cg.filter(might) // map-side prune, no shuffle
-          .join(bg, Seq("s")) // exact verify: bloom false positives die here
-          .select("id").distinct()
-        base.join(contaminated, Seq("id"), "left_anti")
+        // ONE pass over the corpus grams: per-doc gram count plus the
+        // bloom-candidate grams (true hits + fpp-bounded noise, so the
+        // collected set is ~fpp·n_grams + hits per document — bytes per
+        // doc at fpp=3%, never the full gram list)
+        val perDoc = cg.groupBy(col("id")).agg(
+          count(lit(1)).as("n_grams"),
+          collect_set(when(might, col("s"))).as("cand"))
+        // exact verify of ONLY the candidate grams: bloom false
+        // positives die on the equi-join, so the verdict is bit-
+        // identical to exact decontamination regardless of fpp.
+        // explode_outer keeps candidate-free docs (null gram never
+        // matches) — perDoc is consumed once, no diamond.
+        val verdict = perDoc
+          .select(col("id"), col("n_grams"), explode_outer(col("cand")).as("s"))
+          .join(bg.withColumn("hit", lit(1L)), Seq("s"), "left")
+          .groupBy("id").agg(max(col("n_grams")).as("n_grams"),
+            max(coalesce(col("hit"), lit(0L))).as("contam"))
+        base.join(verdict, Seq("id"), "left")
+          .filter(coalesce(col("contam"), lit(0L)) === 0L)
+          .select(col("id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"))
       }
     kept.select(col("id").as(idCol), col("n_grams"))
   }

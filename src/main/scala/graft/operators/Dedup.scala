@@ -440,11 +440,11 @@ object Dedup {
   }
 
   /** 64-bit SimHash signatures: bit b is set when the sum of (+1 / -1)
-    * votes from token-hash bit b is positive. Tokens are exploded and the
-    * 64 vote sums computed as ONE codegen'd hash aggregation (HOF lambdas
-    * are interpreted and bench far slower); the signature is assembled as
-    * two 32-bit halves combined with shift/or — a plain *2 fold of 64 bits
-    * would overflow the sign bit and trip ANSI arithmetic checks.
+    * votes from token-hash bit b is positive. Tokens are exploded and all
+    * 64 vote sums plus the signature assembly run as ONE fused aggregate
+    * buffer ([[graft.plans.SimhashVotesAgg]]) with map-side combine —
+    * the per-bit expression form tripped the codegen budget and fell
+    * back to interpreting ~64 CASE trees per token.
     * Returns (id, sig). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
       seed: Int = 42): DataFrame =
@@ -459,24 +459,19 @@ object Dedup {
   def simhashSignaturesWith(df: DataFrame, idCol: String, textCol: String,
       tokenHash: Column => Column, bits: Int): DataFrame = {
     require(bits >= 2 && bits <= 64, s"bits must be in [2, 64], got $bits")
-    // project the hash ONCE before the aggregation: each of the `bits`
-    // vote sums references it, and an expensive hash (md5 + conv) must
-    // not rely on codegen subexpression elimination to avoid being
-    // evaluated `bits` times per token
-    val ex = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+    // project the hash ONCE before the aggregation (an expensive hash —
+    // md5 + conv — must not be re-evaluated per bit), then fuse the
+    // `bits` vote sums AND the signature assembly into one
+    // TypedImperativeAggregate: the expression form (`bits` parallel
+    // sum(when...) columns) generated wide enough code that the whole
+    // stage fell out of whole-stage codegen and every token paid ~60
+    // interpreted CASE trees — see [[graft.plans.SimhashVotesAgg]] for
+    // the parity argument (null votes −1 on every bit, bit set iff vote
+    // sum strictly positive, merge is elementwise addition)
+    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
       .select(col("id"), tokenHash(col("t")).as("h"))
-    val h = col("h")
-    val votes = (0 until bits).map(b =>
-      sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
-    val aggd = ex.groupBy("id").agg(votes.head, votes.tail: _*)
-    def bit(b: Int): Column = when(col(s"v$b") > 0, 1L).otherwise(0L)
-    // assemble in two halves combined with shift/or: a plain *2 fold of
-    // 64 bits would overflow the sign bit and trip ANSI checks
-    val lo = bits / 2
-    def fold(msb: Int, lsb: Int): Column =
-      (msb to lsb by -1).map(bit).reduce((acc, x) => acc * 2 + x)
-    aggd.select(col("id"),
-      shiftleft(fold(bits - 1, lo), lo).bitwiseOR(fold(lo - 1, 0)).as("sig"))
+      .groupBy("id")
+      .agg(graft.plans.SimhashVotesAgg.simhashSig(col("h"), bits).as("sig"))
   }
 
   /** Hamming distance between two 64-bit signatures. */

@@ -269,10 +269,18 @@ object Describe {
             // finite-only bounds: NaN/±Inf go to edge slices by rule, so
             // the bucketing literals must span only the finite values
             val vd = col("v").cast(DoubleType)
+            // bounds are taken over the CLAMPED proxy (same as
+            // Stats.exactQuantiles / Packing.deterministicSlice): clamping
+            // is monotone, only slice balance shifts, and it keeps
+            // mxv-mnv from overflowing to Infinity when the finite range
+            // spans more than ~1.8e308 (which would make the bucket
+            // division produce NaN and floor(NaN).cast throw under ANSI)
+            val half = Double.MaxValue / 2
+            val pb = greatest(least(vd, lit(half)), lit(-half))
             val finiteV =
               if (family == "double")
                 when(isnan(vd) || vd === Double.PositiveInfinity ||
-                  vd === Double.NegativeInfinity, lit(null)).otherwise(vd)
+                  vd === Double.NegativeInfinity, lit(null)).otherwise(pb)
               else vd
             val smallAgg =
               if (smallQ.isEmpty) Nil
@@ -305,8 +313,6 @@ object Describe {
             if (qCols.nonEmpty) {
               val nSlices = df.sparkSession.conf
                 .get("spark.sql.shuffle.partitions").toInt
-              val half = Double.MaxValue / 2
-              val pb = greatest(least(vd, lit(half)), lit(-half))
               val slice = coalesce(qCols.map { n =>
                 val bucket = vBounds.get(n) match {
                   case Some((mn, mx)) if mn < mx =>

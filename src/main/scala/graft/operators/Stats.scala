@@ -191,9 +191,15 @@ object Stats {
         .getOrElse(throw new IllegalStateException(s"no value covers position $pos"))
         .getDouble(0)
       hs.map { h =>
-        val lo = valueAt(math.floor(h).toLong)
-        val hi = valueAt(math.min(math.ceil(h).toLong, n - 1))
-        lo + (h - math.floor(h)) * (hi - lo)
+        val lower = math.floor(h).toLong
+        val higher = math.min(math.ceil(h).toLong, n - 1)
+        // Spark Percentile's exact two-sided form (same as the Describe
+        // bracket chain): bit-identical to the buffered aggregate for
+        // finite values, and the right answer (not NaN) when an endpoint
+        // is ±Infinity or h is integral — `lo + frac*(hi-lo)` gives
+        // 0*(Inf-Inf)=NaN in both of those cases
+        if (higher == lower) valueAt(lower)
+        else (higher - h) * valueAt(lower) + (h - lower) * valueAt(higher)
       }
     } finally vals.unpersist(false)
   }

@@ -94,7 +94,10 @@ object LlmQueries {
     val toks = Dedup.tokens(col("text"))
     val variants = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
-        concat_ws(" ", slice(toks, lit(1), size(toks) - 2)).as("text"))
+        // length guarded: Spark's slice THROWS on a negative length
+        // (DuckDB's list_slice returns []) — a <2-token doc must yield
+        // an empty variant, not fail the query
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(0)))).as("text"))
     docs.select("doc_id", "text").unionByName(variants)
   }
 
@@ -178,7 +181,8 @@ object LlmQueries {
     val toks = Dedup.tokens(col("text"))
     val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
-        concat_ws(" ", slice(toks, lit(1), size(toks) - 2)).as("text"))
+        // same negative-length guard as nearDupCorpus
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(0)))).as("text"))
     Dedup.crossNearDupPairsMinhash(batch, docs, "doc_id", "text",
       shingleWords = 3, numHashes = 128, bands = 32, rowsPerBand = 4,
       threshold = 0.7)
