@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quietAuditedWindowWarn()
     // Between queries, drop everything a query persisted: operator-internal
     // persist() blocks (CacheManager) and localCheckpoint RDD blocks.
     // Without this, cached plans leak across queries and a query's number
@@ -68,4 +69,17 @@ object Bench {
     println(line)
     spark.stop()
   }
+
+  /** Drop WindowExec's logger to ERROR for harness runs: its only WARN
+    * ("No Partition Defined ... single partition") fires on frames this
+    * engine has audited as bounded by construction (phase-2 slice/bucket
+    * totals, post-limit top-N — grep "AUDITED GLOBAL WINDOW"), and it
+    * flooded ~90% of the round-7 bench tail, burying real warnings. A
+    * constant partition key cannot silence it (foldable keys are
+    * optimized out of the window spec). Library callers are unaffected —
+    * only the two harness mains call this. */
+  private[graft] def quietAuditedWindowWarn(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 }

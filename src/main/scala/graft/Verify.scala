@@ -30,6 +30,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.quietAuditedWindowWarn() // bounded-frame WARN flood, see there
     new java.io.File(outDir).mkdirs()
     val digests = scala.collection.mutable.SortedMap.empty[String, String]
     SparkEntry.queries

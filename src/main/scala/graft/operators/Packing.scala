@@ -287,6 +287,12 @@ object Packing {
     // construction — no persist(), no cross-instantiation hazard.
     val offsets = sliced.groupBy("_slice")
       .agg(sum(col(tokenCol)).as("_ptotal"))
+    // AUDITED GLOBAL WINDOW: the frame is ≤ nSlices+2 rows by
+    // construction (one per slice), so WindowExec's "No Partition
+    // Defined" WARN — aimed at corpus-sized frames — is benign here.
+    // A constant partition key does not silence it (foldable keys are
+    // optimized out of the spec); Bench/Verify drop that one logger to
+    // ERROR instead so driver logs stay readable.
     val offW = Window.orderBy("_slice")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bases = offsets

@@ -183,6 +183,8 @@ object TextAnalysis {
     val newTerms = withB.groupBy("term").agg(min(col("bucket")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
     val tokCounts = withB.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    // AUDITED GLOBAL WINDOW: frame is ≤ #buckets rows (tiny) — the
+    // "No Partition Defined" WARN is benign here (see Packing.offW)
     val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     tokCounts.join(newTerms, Seq("bucket"), "left")
       .na.fill(0L, Seq("new_terms"))

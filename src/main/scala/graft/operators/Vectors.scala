@@ -267,6 +267,8 @@ object Vectors {
     // single-task window over the corpus; the rank window then runs on
     // topN rows only
     import org.apache.spark.sql.expressions.Window
+    // AUDITED GLOBAL WINDOW: runs post-limit on ≤ topN rows — the
+    // "No Partition Defined" WARN is benign here (see Packing.offW)
     val w = Window.orderBy(col("sq_dist").desc, col(idCol).asc)
     dist.orderBy(col("sq_dist").desc, col(idCol).asc).limit(topN)
       .withColumn("rank", row_number().over(w).cast("int"))
