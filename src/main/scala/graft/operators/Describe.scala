@@ -93,11 +93,12 @@ object Describe {
   val DefaultExactQuantileMaxDistinct: Long = 4L * 1000 * 1000
 
   /** Family-path quantile ROUTING bound (performance, not correctness —
-    * both routes are exact): columns whose exact distinct count is at or
-    * under this use one weighted Percentile job over the cached
-    * frequency table (buffer bounded by this constant, ~10 MB); columns
-    * above it use the distributed bracket chain, which holds no
-    * whole-column buffer at any cardinality. */
+    * both routes are exact): columns whose distinct count is PROVABLY at
+    * or under this — via the free static bound min(n, max-min+1 for
+    * integral/date values) — ride the weighted Percentile inside job A
+    * (buffer bounded by this constant, ~10 MB); all others use the
+    * distributed bracket chain, which holds no whole-column buffer at
+    * any cardinality. */
   val PercentileBufferMaxDistinct: Long = 1L << 18
 
   /** Profile `columns` of `df`. `df` must already be null-normalized
@@ -188,20 +189,21 @@ object Describe {
             case _ => None
           }
         }
-        // Cardinality ROUTING estimates (HLL, one small job, and only
-        // when the table's row count even makes the relevant bound
-        // reachable — n itself caps every distinct count):
-        //  - family columns: over PercentileBufferMaxDistinct ⇒ the
-        //    distributed bracket chain instead of the (bounded)
-        //    Percentile buffer — both exact, so the ~2% HLL error is
-        //    harmless;
-        //  - fallback columns (non-family types, e.g. decimals): over
-        //    exactQuantileMaxDistinct ⇒ the t-digest sketch (their only
-        //    scalable route).
+        // Cardinality ROUTING estimate for FALLBACK (non-family) columns
+        // only — decimals/arrays, whose quantiles must choose between the
+        // bounded Percentile buffer and the t-digest sketch before their
+        // freq job runs. One small HLL job, and only when n even makes
+        // the bound reachable. Family columns need no estimate: their
+        // routing reads the EXACT distinct count off job A (below) and
+        // runs the chosen route as a second job over the persisted freq
+        // table — no extra scan, no sketch error. An earlier variant rode
+        // HLL sketches on the pass-1 wide agg instead: approx_count_
+        // distinct is an ImperativeAggregate, which knocks the whole
+        // pass-1 hash agg out of whole-stage codegen (measured: the
+        // 4-column long-form profile went 1.6 s -> 3.7 s at sf0.1).
         val gateEstimates: Map[String, Long] = {
           val qCols = columns.filter(c => wantsQuantiles(static(c)) &&
-            n > (if (familyOf(c).isEmpty) exactQuantileMaxDistinct
-                 else percentileBufferMaxDistinct))
+            familyOf(c).isEmpty && n > exactQuantileMaxDistinct)
           if (qCols.isEmpty) Map.empty
           else {
             val est = df.agg(
@@ -222,6 +224,29 @@ object Describe {
             get(n, "mean").map(_.asInstanceOf[Number].doubleValue())
           else None
 
+        // Static distinct-count upper bound for quantile routing: d ≤ n
+        // always, and d ≤ max - min + 1 for integral/date columns (pass-1
+        // extrema). Double arithmetic keeps the range overflow-safe and
+        // is exact far beyond the 2^18 bound being tested.
+        def epochish(v: Any): Option[Double] = v match {
+          case x: java.sql.Date => Some(x.toLocalDate.toEpochDay.toDouble)
+          case x: java.time.LocalDate => Some(x.toEpochDay.toDouble)
+          case x: Number => Some(x.doubleValue())
+          case _ => None
+        }
+        def provablySmall(name: String): Boolean =
+          n <= percentileBufferMaxDistinct || {
+            val integral = fields(name).dataType match {
+              case ByteType | ShortType | IntegerType | LongType | DateType => true
+              case _ => false
+            }
+            integral && (for {
+              mn <- get(name, "min").flatMap(epochish)
+              mx <- get(name, "max").flatMap(epochish)
+            } yield mx - mn + 1 <= percentileBufferMaxDistinct.toDouble)
+              .getOrElse(false)
+          }
+
         val byFamily = want.flatMap(n => familyOf(n).map { case (f, conv) => (f, n, conv) })
           .groupBy(_._1)
         byFamily.foreach { case (family, members) =>
@@ -232,26 +257,37 @@ object Describe {
             .filter(col("v").isNotNull)
           val wantQ = members.map(_._2)
             .filter(n => family != "string" && wantsQuantiles(static(n)))
-          // Exact type-7 quantiles, routed by the HLL estimates (both
-          // routes are exact, so routing error is harmless):
-          //  - small-cardinality columns ride job A's weighted Percentile
-          //    directly — the buffer is bounded by
-          //    PercentileBufferMaxDistinct, and no extra job runs;
-          //  - large-cardinality columns go DISTRIBUTED below: a
-          //    per-column two-phase prefix sum over the (c, v, f) table
-          //    brackets the ≤ 2·|probs| rows covering the needed order
-          //    statistics; interpolation is driver-side (the same
-          //    arithmetic as Stats.exactQuantiles — Spark Percentile /
-          //    DuckDB quantile_cont parity). No buffer ever holds a
-          //    whole column's distinct set, at ANY cardinality — this
-          //    path needs no sketch fallback.
-          val (smallQ, largeQ) = wantQ.partition(
-            gateEstimates.getOrElse(_, 0L) <= percentileBufferMaxDistinct)
+          // Exact type-7 quantiles, routed in two FREE tiers (both routes
+          // are exact, so routing can never change a value):
+          //  - PROVABLY-small columns — static bound min(n, max-min+1 for
+          //    integral/date values, all known from pass 1) at or under
+          //    PercentileBufferMaxDistinct — ride job A's weighted
+          //    Percentile directly: no extra job, bounded buffer;
+          //  - AMBIGUOUS columns (high-n doubles, wide-range longs) are
+          //    routed by the EXACT distinct count job A computes anyway:
+          //    actually-small ones get one extra weighted-Percentile job
+          //    over the CACHED freq blocks (sub-bound rows, ~ms), and
+          //    truly-large ones go DISTRIBUTED: a per-column two-phase
+          //    prefix sum over the (c, v, f) table brackets the
+          //    ≤ 2·|probs| rows covering the needed order statistics;
+          //    interpolation is driver-side (the same arithmetic as
+          //    Stats.exactQuantiles — Spark Percentile / DuckDB
+          //    quantile_cont parity). No buffer ever holds a whole
+          //    column's distinct set, at ANY cardinality — this path
+          //    needs no sketch fallback.
+          // Rejected alternatives, each measured at sf0.1: a dedicated
+          // HLL routing job ≈ one extra full scan per profile; HLL riding
+          // pass 1 knocks the wide agg out of whole-stage codegen (the
+          // 4-column profile went 1.6 s -> 3.7 s); exact-d routing for
+          // EVERY column forces persist + a second round trip on the
+          // provably-small majority.
+          val (smallQ, ambigQ) = wantQ.partition(qn => provablySmall(qn))
           // the frequency table feeds one job when every quantile column
-          // is small (job A), two more when the bracket chain runs —
+          // is provably small (job A); ambiguous columns add a second
+          // consumer (the cached percentile job or the bracket chain) —
           // persist only when those extra consumers exist
           val freq0 = pairs.groupBy("c", "v").agg(count(lit(1)).as("f"))
-          val freq = if (largeQ.nonEmpty) freq0.persist() else freq0
+          val freq = if (ambigQ.nonEmpty) freq0.persist() else freq0
           try {
             val madMembers = members.map(_._2).flatMap(n => madMeanOf(n).map(n -> _))
             // job A — ONE aggregation over the freq table: distinct
@@ -287,7 +323,7 @@ object Describe {
               else Seq(percentile(when(col("c").isin(smallQ: _*), col("v")),
                 typedLit(QuantilePs), col("f")).as("q"))
             val boundsAgg =
-              if (largeQ.isEmpty) Nil
+              if (ambigQ.isEmpty) Nil
               else Seq(sum("f").as("nrows"),
                 min(finiteV).as("mnv"), max(finiteV).as("mxv"))
             val aggExprs = count(lit(1)).as("d") +: (smallAgg ++ boundsAgg ++ madAgg)
@@ -301,13 +337,26 @@ object Describe {
               dByCol(c) = r.getAs[Long]("d")
               if (smallQ.contains(c) && r.getAs[Any]("q") != null)
                 qByCol(c) = r.getAs[scala.collection.Seq[Any]]("q")
-              if (largeQ.contains(c)) {
+              if (ambigQ.contains(c)) {
                 nByCol(c) = r.getAs[Long]("nrows")
                 if (r.getAs[Any]("mnv") != null)
                   vBounds(c) = (r.getAs[Double]("mnv"), r.getAs[Double]("mxv"))
               }
               if (madSet.contains(c) && r.getAs[Any]("mad") != null)
                 madFromFreq(c) = r.getAs[Double]("mad")
+            }
+            // tier 2: the exact d settles the ambiguous columns
+            val (lateSmallQ, largeQ) = ambigQ.partition(qn =>
+              dByCol.getOrElse(qn, 0L) <= percentileBufferMaxDistinct)
+            if (lateSmallQ.nonEmpty) {
+              // sub-bound groups only, over the CACHED freq blocks — the
+              // scan was already paid by job A's materialization
+              freq.filter(col("c").isin(lateSmallQ: _*)).groupBy("c")
+                .agg(percentile(col("v"), typedLit(QuantilePs), col("f")).as("q"))
+                .collect().foreach { r =>
+                  if (r.getAs[Any]("q") != null)
+                    qByCol(r.getString(0)) = r.getAs[scala.collection.Seq[Any]]("q")
+                }
             }
             val qCols = largeQ.filter(n => nByCol.getOrElse(n, 0L) > 0)
             if (qCols.nonEmpty) {
