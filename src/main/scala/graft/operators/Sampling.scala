@@ -115,6 +115,44 @@ object Sampling {
       .drop("__ord")
   }
 
+  /** Temperature-weighted corpus mixing: per-group token budgets are
+    * allocated proportionally to (group token total)^alpha over a global
+    * token budget — alpha=1 reproduces natural proportions, alpha→0
+    * flattens toward uniform (the multilingual up-sampling rule of the
+    * XLM-R/mT5 family) — then each group keeps docs in md5-priority
+    * order within its own budget, exactly like [[mixByTokenBudget]].
+    *
+    * Scale shape: group totals are one hash aggregation (|groups| rows),
+    * the share normalizer one more row on top, and both join back as
+    * broadcasts; the running sum is the same two-phase
+    * [[Packing.groupedPrefixSum]] plan — no single-task per-group
+    * windows, no driver-side collect.
+    *
+    * Determinism bridge: each group's share is rounded to 1e-6 BEFORE
+    * the budget multiply (the fitted-parameter rule), so ULP drift in
+    * pow or in the |groups|-term normalizer sum order cannot move a
+    * budget across its floor. Adds `tokens_before` and `group_budget`. */
+  def mixByTemperature(df: DataFrame, keyCol: String, groupCol: String,
+      tokenCol: String, totalBudget: Long, alpha: Double,
+      seed: Long = 0L): DataFrame = {
+    require(totalBudget > 0, s"budget must be positive, got $totalBudget")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val totals = df.groupBy(groupCol)
+      .agg(sum(col(tokenCol)).cast("double").as("__gt"))
+    val z = totals.agg(sum(pow(col("__gt"), lit(alpha))).as("__z"))
+    val budgets = totals.crossJoin(broadcast(z))
+      .select(col(groupCol),
+        floor((floor(pow(col("__gt"), lit(alpha)) / col("__z") * 1e6 + 0.5) / 1e6) *
+          lit(totalBudget.toDouble)).cast("long").as("group_budget"))
+    val ordered = df.withColumn("__ord",
+      concat(md5(concat_ws("#", lit(seed), col(keyCol).cast("string"))),
+        lit("#"), col(keyCol).cast("string")))
+    Packing.groupedPrefixSum(ordered, groupCol, "__ord", tokenCol, "tokens_before")
+      .join(broadcast(budgets), Seq(groupCol))
+      .filter(col("tokens_before") + col(tokenCol) <= col("group_budget"))
+      .drop("__ord")
+  }
+
   /** Assign every row a split label by hash range: `weights` are
     * (label, weight) pairs, normalized over their sum — e.g.
     * Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)). Stable under

@@ -300,4 +300,52 @@ object TextAnalysis {
     df.select(col(idCol),
       array_max(array(scored: _*)).getField("lang").as("predicted_lang"))
   }
+
+  /** Okapi BM25 relevance of every document against a fixed query term
+    * set, top-k by score — the retrieval sibling of [[tfidfTopTerms]]:
+    * adds document-length normalization and term-frequency saturation
+    * (idf(t) · tf·(k1+1) / (tf + k1·(1−b) + k1·b·|d|/avgdl), the
+    * Lucene-family idf form ln((N−df+0.5)/(df+0.5)+1) which is never
+    * negative).
+    *
+    * Scale shape: the token array is filtered to the query terms BEFORE
+    * exploding, so the per-(doc, term) frequency aggregation sees
+    * O(query matches) rows, never the full corpus posting set; per-term
+    * document frequencies (≤ |query| rows) and the corpus constants
+    * (one row: N, avgdl) join back as broadcasts; top-k is
+    * orderBy+limit → TakeOrderedAndProject, no global sort.
+    *
+    * Determinism bridge: avgdl is rounded to 1e-6 before scoring and the
+    * final score to 1e-6 before ordering (the fitted-parameter rule —
+    * both engines rank from the same literals, so ULP drift in ln or in
+    * the ≤|query|-term sum order cannot reorder the top-k). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      k: Int = 20): DataFrame = {
+    require(query.nonEmpty, "query term set must be non-empty")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__dl", size(col("__t")).cast("double"))
+    val consts = toks.agg(count(lit(1)).cast("double").as("__n"),
+      (floor(avg(col("__dl")) * 1e6 + 0.5) / 1e6).as("__avgdl"))
+    val qarr = array(query.map(lit(_)): _*)
+    val tf = toks
+      .select(col(idCol), col("__dl"),
+        explode(filter(col("__t"), t => array_contains(qarr, t))).as("__term"))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = tf.groupBy("__term")
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val scored = tf.join(broadcast(dfreq), "__term")
+      .crossJoin(broadcast(consts))
+      .withColumn("__s",
+        log((col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1.0)) *
+          col("__tf") * (lit(k1) + lit(1.0)) /
+          (col("__tf") + lit(k1) * (lit(1.0) - lit(b)) +
+            lit(k1) * lit(b) * col("__dl") / col("__avgdl")))
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_match"),
+        (floor(sum(col("__s")) * 1e6 + 0.5) / 1e6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -900,6 +900,48 @@ object LlmQueries {
       |FROM c WHERE tokens_before + n_tokens <= 600
       |ORDER BY source, doc_id""".stripMargin
 
+  /** Temperature-weighted corpus mix: per-source budgets ∝ (source token
+    * total)^0.5 over a 5000-token global budget — the multilingual
+    * up-sampling rule (alpha<1 boosts small sources relative to natural
+    * proportions) — then md5-priority selection within each budget via
+    * the same two-phase prefix sum as [[mixCorpus]]. The oracle replays
+    * share computation and running sum with plain SQL windows. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val withTok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.Sampling.mixByTemperature(
+      withTok, "doc_id", "source", "n_tokens",
+      totalBudget = 5000L, alpha = 0.5, seed = 7L)
+      .select(col("source"), col("doc_id"), col("tokens_before"),
+        col("n_tokens"), col("group_budget"))
+      .orderBy("source", "doc_id")
+  }
+
+  // group shares are rounded to 1e-6 BEFORE the budget multiply (the
+  // fitted-parameter bridge) and every cumulative/budget column is cast
+  // back to BIGINT (DuckDB window/filter sums return HUGEINT)
+  private val mixTemperatureOracle: String =
+    """WITH t AS (
+      | SELECT doc_id, source,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |  md5('7#' || CAST(doc_id AS VARCHAR)) || '#' || CAST(doc_id AS VARCHAR) AS ord
+      | FROM documents),
+      |g AS (SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS gt FROM t GROUP BY source),
+      |z AS (SELECT sum(pow(gt, 0.5)) AS z FROM g),
+      |b AS (SELECT source,
+      |       CAST(floor(floor(pow(gt, 0.5)/z*1e6 + 0.5)/1e6 * 5000.0) AS BIGINT) AS group_budget
+      |      FROM g, z),
+      |c AS (
+      | SELECT source, doc_id, n_tokens,
+      |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tokens_before
+      | FROM t)
+      |SELECT c.source, c.doc_id, c.tokens_before, c.n_tokens, b.group_budget
+      |FROM c JOIN b ON c.source = b.source
+      |WHERE c.tokens_before + c.n_tokens <= b.group_budget
+      |ORDER BY c.source, c.doc_id""".stripMargin
+
   /** SELF-CHECKING twin of [[mixCorpus]], built to isolate the driver-gate
     * hash divergence that two rounds of judge replays could not reproduce
     * (VERDICT r6/r7: mix_corpus `hash_match:false` in the driver's
@@ -1028,6 +1070,39 @@ object LlmQueries {
        |FROM scored
        |QUALIFY "rank" <= 3 AND doc_id < 50
        |ORDER BY doc_id, "rank"""".stripMargin
+
+  /** BM25 retrieval: top-20 documents for a fixed query term set
+    * (k1=1.2, b=0.75). 'dup' is the one rare term in the synthetic
+    * vocabulary (df ≈ 5% of docs vs ~78% for the rest), so the ranking
+    * exercises a genuine idf spread, and both score and rank ride the
+    * rounded-literal bridge (see [[TextAnalysis.bm25TopK]]). */
+  def bm25TopDocs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+      Seq("dup", "join", "hash"), k1 = 1.2, b = 0.75, k = 20)
+      .select(col("doc_id"), col("n_match"), col("bm25"))
+
+  private val bm25Oracle: String =
+    """WITH d AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      | FROM documents),
+      |l AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t FROM d),
+      |c AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |       floor(avg(dl)*1e6 + 0.5)/1e6 AS avgdl FROM l),
+      |tf AS (
+      | SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+      | FROM (SELECT doc_id, dl,
+      |        unnest(list_filter(t, x -> list_contains(['dup', 'join', 'hash'], x))) AS term
+      |       FROM l)
+      | GROUP BY doc_id, dl, term),
+      |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      |s AS (
+      | SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_match,
+      |  sum(ln((c.n - dfreq.df + 0.5)/(dfreq.df + 0.5) + 1.0) * tf.tf * (1.2 + 1.0) /
+      |      (tf.tf + 1.2*(1.0 - 0.75) + 1.2*0.75*tf.dl/c.avgdl)) AS raw
+      | FROM tf, dfreq, c WHERE tf.term = dfreq.term
+      | GROUP BY tf.doc_id)
+      |SELECT doc_id, n_match, floor(raw*1e6 + 0.5)/1e6 AS bm25
+      |FROM s ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
   /** Stratified rebalancing sample: per-language keep fractions
     * (en halved, es kept, de dropped to 20%), census output. */
@@ -1851,6 +1926,7 @@ object LlmQueries {
     QueryDef("token_budget", tokenBudget, Some(tokenBudgetOracle)),
     QueryDef("top_terms", topTerms, Some(topTermsOracle)),
     QueryDef("tfidf_top_terms", tfidfTopTerms, Some(tfidfOracle)),
+    QueryDef("bm25_topk", bm25TopDocs, Some(bm25Oracle)),
     QueryDef("stratified_sample_docs", stratifiedSampleDocs, Some(stratifiedSampleOracle)),
     QueryDef("lang_census", langCensus, Some(langCensusOracle)),
     QueryDef("text_quality", textQuality, Some(textQualityOracle)),
@@ -1884,6 +1960,7 @@ object LlmQueries {
     QueryDef("cap_per_group", capPerGroupDocs, Some(capPerGroupOracle)),
     QueryDef("mix_corpus", mixCorpus, Some(mixCorpusOracle)),
     QueryDef("mix_corpus_check", mixCorpusCheck, Some(mixCorpusCheckOracle)),
+    QueryDef("mix_temperature", mixTemperature, Some(mixTemperatureOracle)),
     QueryDef("project_embeddings", projectEmbeddings, Some(projectEmbeddingsOracle)),
     QueryDef("kmeans_assign", kmeansAssignEmb, Some(kmeansAssignOracle)),
     QueryDef("tfidf_cosine_pairs", tfidfCosinePairs, Some(tfidfCosinePairsOracle)),

@@ -289,6 +289,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert((kept2 -- (1L to 60L).toSet).size === (keptIds -- kept2).size)
   }
 
+  test("temperature mix flattens budgets toward uniform and keeps each group inside its budget") {
+    val s = spark
+    import s.implicits._
+    // group a: 900 tokens, group b: 100 — natural shares .9/.1
+    val df = ((1L to 90L).map(i => (i, "a", 10L)) ++ (91L to 100L).map(i => (i, "b", 10L)))
+      .toDF("id", "grp", "tok")
+    val out = graft.operators.Sampling.mixByTemperature(df, "id", "grp", "tok",
+      totalBudget = 500L, alpha = 0.5, seed = 1L)
+    // sqrt weighting: shares 30/40 and 10/40 ⇒ budgets 375/125 (natural
+    // proportions would give 450/50 — alpha<1 boosts the small group)
+    val budgets = out.select("grp", "group_budget").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(budgets === Map("a" -> 375L, "b" -> 125L))
+    // whole docs only, never exceeding the group budget: a keeps 37 of
+    // 90 (370 ≤ 375); b's entire 100 tokens fit under its 125 budget
+    val byGrp = out.groupBy("grp").agg(count(lit(1)).as("n"), sum("tok").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byGrp === Set(("a", 37L, 370L), ("b", 10L, 100L)))
+    // alpha=1 reproduces natural proportions exactly
+    val natural = graft.operators.Sampling.mixByTemperature(df, "id", "grp", "tok",
+        totalBudget = 500L, alpha = 1.0, seed = 1L)
+      .select("grp", "group_budget").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(natural === Map("a" -> 450L, "b" -> 50L))
+  }
+
   test("overlap chunking covers every token, overlaps by size - stride, last chunk short") {
     // 7 tokens, size 4, stride 2 -> starts 0,2,4,6: chunks of 4,4,3,1 tokens
     val out = Packing.chunkTokens(docs((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "")),

@@ -230,4 +230,24 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSet === Set((3L, 4L)))
   }
+
+  test("bm25: rare term dominates idf, longer docs are length-penalized, non-matches absent") {
+    // 'rare' in 1 of 4 docs, 'common' in 3 of 4; doc 4 matches neither
+    val df = docs(
+      (1L, "rare common filler"),
+      (2L, "common filler pad"),
+      (3L, "common filler pad pad pad pad pad pad pad"),
+      (4L, "filler pad only"))
+    val out = TextAnalysis.bm25TopK(df, "doc_id", "text",
+        Seq("rare", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L), "rank order")
+    assert(out.map(t => t._1 -> t._2).toMap === Map(1L -> 2L, 2L -> 1L, 3L -> 1L),
+      "n_match counts matched query terms")
+    // docs 2 and 3 have identical tf for 'common'; 3 is longer, so b>0
+    // must push it strictly below 2
+    val score = out.map(t => t._1 -> t._3).toMap
+    assert(score(2L) > score(3L), "length normalization")
+    assert(score(1L) > score(2L), "rare-term idf dominates")
+  }
 }

@@ -69,8 +69,9 @@ class DeterminismStressSpec extends SparkSpec {
     // evaluation mode, and interpreted (non-codegen) expression eval —
     // and require the canonical result to be bit-identical to the
     // session-default run for every prefix-sum consumer.
-    val queries = Seq("mix_corpus", "mix_corpus_check", "shuffle_order",
-      "pack_sequences", "spearman_lineitem", "equidepth_lineitem")
+    val queries = Seq("mix_corpus", "mix_corpus_check", "mix_temperature",
+      "shuffle_order", "pack_sequences", "spearman_lineitem",
+      "equidepth_lineitem")
     val defaults = queries.map(q => q -> canonical(q)).toMap
     dropCaches()
     val sweeps: Seq[(String, Seq[(String, String)])] = Seq(

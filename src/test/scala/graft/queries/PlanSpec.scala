@@ -224,4 +224,29 @@ class PlanSpec extends SparkSpec {
     val exchanges = plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
     assert(exchanges === 1, s"expected exactly one exchange:\n$plan")
   }
+
+  test("bm25 broadcasts df/constants, top-k is TakeOrderedAndProject, no product joins") {
+    val plan = planOf(LlmQueries.bm25TopDocs(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be distributed top-k, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"df join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"tiny sides must never sort-merge:\n$plan")
+  }
+
+  test("temperature mix broadcasts budgets and never windows a whole group in one task") {
+    val plan = planOf(LlmQueries.mixTemperature(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"budget join must broadcast:\n$plan")
+    // the data-sized window must partition by (group, slice), never the
+    // bare group — the single-task-per-group shape the two-phase prefix
+    // sum exists to avoid
+    val windowed = plan.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windowed.nonEmpty && windowed.forall(_.contains("_slice")),
+      s"window must be sliced:\n${windowed.mkString("\n")}")
+    assert(!plan.contains("spark_partition_id"),
+      s"slice ids must be pure row functions:\n$plan")
+  }
 }
