@@ -348,4 +348,46 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
   }
+
+  /** DSIR-style contrastive importance weighting (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by how target-domain-like its term
+    * distribution is — the data-selection step that up-weights
+    * in-domain-looking text before pretraining. `isTarget` marks the
+    * in-domain seed rows (a subset of the corpus); each term gets a
+    * log-likelihood ratio λ = ln(p̂_target / p̂_corpus) under add-one
+    * smoothing over the shared vocabulary, and a document's score is
+    * the sum of λ over its tokens (positive ⇒ more target-like than
+    * the corpus average).
+    *
+    * Scale shape: term counts for both sides come from ONE hash
+    * aggregation over the exploded tokens (the target side is a
+    * conditional sum, not a second scan), the λ table is
+    * vocabulary-sized and joins back as a broadcast, and per-document
+    * scoring is a plain hash aggregation — no shuffle carries
+    * corpus-scale rows beyond the token explode every text operator
+    * pays.
+    *
+    * Determinism bridge: λ is rounded to 1e-6 BEFORE the per-document
+    * sum and the sum to 1e-6 before output (fitted-parameter rule), so
+    * ln and sum-order ULP drift between engines cannot move a score. */
+  def dsirImportance(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val toks = df.select(col(idCol), isTarget.cast("boolean").as("__tgt"),
+      explode(tokens(col(textCol))).as("__term"))
+    val counts = toks.groupBy("__term").agg(
+      sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("__ct"),
+      count(lit(1)).as("__call"))
+    val totals = counts.agg(sum(col("__ct")).as("__tt"),
+      sum(col("__call")).as("__ta"), count(lit(1)).as("__v"))
+    val lam = counts.crossJoin(broadcast(totals))
+      .select(col("__term"),
+        (floor(log(((col("__ct") + lit(1L)).cast("double") / (col("__tt") + col("__v"))) /
+          ((col("__call") + lit(1L)).cast("double") / (col("__ta") + col("__v")))) * 1e6 + 0.5) / 1e6)
+          .as("__lam"))
+    toks.join(broadcast(lam), "__term")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        (floor(sum(col("__lam")) * 1e6 + 0.5) / 1e6).as("dsir_score"))
+  }
 }

@@ -1561,6 +1561,41 @@ object LlmQueries {
        |FROM toks JOIN freq USING (term) CROSS JOIN tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** DSIR importance weights against the English slice as the in-domain
+    * target: per-term add-one-smoothed log-likelihood ratios, summed per
+    * document (see [[TextAnalysis.dsirImportance]]). Positive score =
+    * more target-like than the corpus average — the up-weighting signal
+    * of importance resampling. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirImportance(Tables.documents(spark, dir), "doc_id", "text",
+      col("lang") === "en")
+      .select(col("doc_id"), col("n_tokens"), col("dsir_score"))
+      .orderBy("doc_id")
+
+  // λ and the per-doc sum both round to 1e-6 (fitted-parameter bridge);
+  // totals cast to BIGINT before arithmetic (DuckDB sum → HUGEINT)
+  private val dsirOracle: String =
+    """WITH toks AS (
+      | SELECT doc_id, lang = 'en' AS tgt,
+      |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      | FROM documents),
+      |counts AS (
+      | SELECT term,
+      |  CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |  count(*) AS call
+      | FROM toks GROUP BY term),
+      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+      |        CAST(sum(call) AS BIGINT) AS ta, count(*) AS v FROM counts),
+      |lam AS (
+      | SELECT term,
+      |  floor(ln((CAST(ct + 1 AS DOUBLE)/(tt + v)) /
+      |           (CAST(call + 1 AS DOUBLE)/(ta + v)))*1e6 + 0.5)/1e6 AS lam
+      | FROM counts, tot)
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      | floor(sum(l.lam)*1e6 + 0.5)/1e6 AS dsir_score
+      |FROM toks t JOIN lam l ON t.term = l.term
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------------------- sequence packing
 
   private val PackBudget = 512
@@ -1949,6 +1984,7 @@ object LlmQueries {
     QueryDef("quality_regression", qualityRegression, Some(qualityRegressionOracle)),
     QueryDef("repetition_docs", repetitionDocs, Some(repetitionOracle)),
     QueryDef("lm_score_docs", lmScoreDocs, Some(lmScoreOracle)),
+    QueryDef("dsir_weights", dsirWeights, Some(dsirOracle)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("chunk_docs", chunkDocs, Some(chunkDocsOracle)),
     QueryDef("simhash_md5_pairs", simhashMd5Pairs, Some(simhashMd5Oracle)),

@@ -250,4 +250,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(score(2L) > score(3L), "length normalization")
     assert(score(1L) > score(2L), "rare-term idf dominates")
   }
+
+  test("dsir: target-heavy terms score positive, and a non-target doc full of them outranks the seeds") {
+    // target = docs 1-2; 'aa' is target-heavy, 'bb' corpus-typical.
+    // doc 4 is NOT in the target but looks target-like — DSIR's whole
+    // point is that it must score highest anyway.
+    val df = docs(
+      (1L, "aa aa"), (2L, "aa bb"), (3L, "bb bb"), (4L, "aa aa aa"))
+    val out = TextAnalysis.dsirImportance(df, "doc_id", "text",
+        col("doc_id") <= 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(4L) > out(1L) && out(1L) > out(2L) && out(2L) > out(3L),
+      s"ordering must follow target-affinity: $out")
+    assert(out(4L) > 0 && out(3L) < 0, s"sign must split on affinity: $out")
+  }
 }
