@@ -529,4 +529,51 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** ExactSubstr-style repeated-span report (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", the
+    * substring half next to the document-level MinHash half): for every
+    * document, the MAXIMAL token spans whose every covering `n`-gram
+    * occurs at least twice in the corpus (any doc, self-repeats
+    * included) — the regions substring dedup would strip before
+    * training. Returns one row per document that has any duplicated
+    * span: (id, n_dup_spans, dup_tokens).
+    *
+    * Scale shape: grams are built per row from the token array (an
+    * expression, no window), duplicated grams come from one hash
+    * aggregation keyed on the gram, matched start positions join back
+    * on the same key, and span merging (gaps-and-islands) runs in
+    * per-document windows — bounded by document length, partitioned on
+    * the high-cardinality id, never corpus-global. All arithmetic is
+    * integral: no float bridge needed for the oracle.
+    *
+    * The join keys the gram STRING (exact, engine-portable). At corpus
+    * scales where shuffling n·avg-token bytes per gram dominates, key
+    * xxhash64(gram) instead and accept the ~n·2^-64 collision odds per
+    * pair — the plan is unchanged. */
+  def repeatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"span grams need n >= 2, got $n")
+    val toks = tokens(col(textCol))
+    val grams = df.select(col(idCol), posexplode(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))).as(Seq("__pos", "__g")))
+    val dupGrams = grams.groupBy("__g").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__g")
+    val hits = grams.join(dupGrams, Seq("__g")).select(col(idCol), col("__pos"))
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    val prevEnd = max(col("__pos") + n)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = hits.withColumn("__new",
+      when(col("__pos") > coalesce(prevEnd, lit(-1)), 1L).otherwise(0L))
+    val islands = marked.withColumn("__isl",
+      sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__pos")).as("__s"), max(col("__pos") + n).as("__e"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("__e") - col("__s")).cast("long").as("dup_tokens"))
+  }
 }

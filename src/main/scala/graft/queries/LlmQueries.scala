@@ -88,6 +88,35 @@ object LlmQueries {
        |FROM lines JOIN freq USING (line)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** ExactSubstr-style repeated-span report over the raw documents
+    * table: maximal token spans every 8-gram of which occurs ≥2 times in
+    * the corpus (the substring-dedup strip regions; the planted
+    * near-duplicate docs surface here as long shared spans). Integer
+    * arithmetic end to end — no float bridge. */
+  def repeatedSpansDocs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedNgramSpans(Tables.documents(spark, dir), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+
+  private val repeatedSpansOracle: String =
+    """WITH d AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      | FROM documents),
+      |g AS (
+      | SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+      | FROM d, unnest(generate_series(1, len(t) - 7)) AS u(i)
+      | WHERE len(t) >= 8),
+      |m AS (SELECT g.doc_id, g.pos FROM g
+      |      JOIN (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1) dg USING (gram)),
+      |mk AS (SELECT doc_id, pos,
+      |  CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS is_new
+      | FROM m),
+      |i2 AS (SELECT doc_id, pos, sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM mk),
+      |sp AS (SELECT doc_id, isl, min(pos) AS s, max(pos + 8) AS e FROM i2 GROUP BY doc_id, isl)
+      |SELECT doc_id, count(*) AS n_dup_spans, CAST(sum(e - s) AS BIGINT) AS dup_tokens
+      |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Near-dup test corpus: the documents plus, for every 7th doc, a
     * variant with the last two words dropped (planted near-duplicates at
     * Jaccard ~0.85). Constructed identically in the SQL oracle. */
@@ -1945,6 +1974,7 @@ object LlmQueries {
     QueryDef("dedup_exact_docs", dedupExactDocs, Some(dedupExactOracle)),
     QueryDef("dup_report_docs", dupReportDocs, Some(dupReportOracle)),
     QueryDef("line_dedup_docs", lineDedupDocs, Some(lineDedupOracle)),
+    QueryDef("repeated_spans_docs", repeatedSpansDocs, Some(repeatedSpansOracle)),
     QueryDef("minhash_neardup_docs", minhashNeardupDocs, Some(minhashNeardupOracle)),
     QueryDef("minhash_dedup_keep", minhashDedupKeep, Some(minhashDedupKeepOracle)),
     QueryDef("minhash_keep_longest", minhashKeepLongest, Some(minhashKeepLongestOracle)),

@@ -569,4 +569,20 @@ class DedupSimilaritySpec extends SparkSpec {
     val (j2, j8) = (jobsFor(2), jobsFor(8))
     assert(j2 === j8, s"job count must not grow with k: k=2 -> $j2 jobs, k=8 -> $j8")
   }
+
+  test("repeated spans: overlapping gram hits merge into maximal spans; self-repeats count; short docs drop") {
+    // docs 1 and 2 share tokens a..d (3 overlapping 2-grams -> ONE
+    // merged span of 4 tokens each); doc 3 repeats "x y" within itself
+    // (two disjoint spans of 2); doc 4 is unique; doc 5 is shorter than n
+    val df = docs(
+      (1L, "a b c d p q"),
+      (2L, "z a b c d w"),
+      (3L, "x y k m x y"),
+      (4L, "u v r s t n"),
+      (5L, "a"))
+    val out = Dedup.repeatedNgramSpans(df, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 1L, 4L), (2L, 1L, 4L), (3L, 2L, 4L)))
+  }
 }
