@@ -689,6 +689,42 @@ object LlmQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-language quality-percentile gate: keep documents whose blended
+    * quality score clears their OWN language's P60 — the per-domain
+    * quality filter (a fixed global threshold over-prunes languages
+    * whose surface statistics run low). Thresholds are exact type-7
+    * percentiles per language over the ROUNDED scores (both engines
+    * rank identical 1e-6 literals — the [[groupedQuantilesDocs]]
+    * percentile ≍ quantile_cont bridge), rounded again before the
+    * comparison, and joined back as a 5-row broadcast. */
+  def qualityFilterByLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val q = TextAnalysis.qualityMetrics(docs, "doc_id", "text", Stopwords)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), r(col("quality_score"), 6).as("qs"))
+    val thr = q.groupBy("lang")
+      .agg(r(percentile(col("qs"), lit(0.6)), 6).as("thr"))
+    q.join(broadcast(thr), Seq("lang"))
+      .filter(col("qs") >= col("thr"))
+      .select(col("doc_id"), col("lang"), col("qs").as("quality_score"),
+        col("thr").as("lang_threshold"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityFilterByLangOracle: String = {
+    import QualitySql.score
+    s"""WITH q AS (
+       | SELECT doc_id, lang, ${rSql(score, 6)} AS qs
+       | FROM (SELECT doc_id, lang, text,
+       |        list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |       FROM documents)),
+       |thr AS (SELECT lang, ${rSql("quantile_cont(qs, 0.6)", 6)} AS thr
+       |        FROM q GROUP BY lang)
+       |SELECT q.doc_id, q.lang, q.qs AS quality_score, thr.thr AS lang_threshold
+       |FROM q JOIN thr USING (lang) WHERE q.qs >= thr.thr
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
   /** Linear quality surrogate — the "distill the expensive signal into
     * cheap features" pipeline step: OLS-fit the composite quality score
     * against two cheap surface features (token count / 100, alpha
@@ -2015,6 +2051,7 @@ object LlmQueries {
     QueryDef("repetition_docs", repetitionDocs, Some(repetitionOracle)),
     QueryDef("lm_score_docs", lmScoreDocs, Some(lmScoreOracle)),
     QueryDef("dsir_weights", dsirWeights, Some(dsirOracle)),
+    QueryDef("quality_filter_by_lang", qualityFilterByLang, Some(qualityFilterByLangOracle)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("chunk_docs", chunkDocs, Some(chunkDocsOracle)),
     QueryDef("simhash_md5_pairs", simhashMd5Pairs, Some(simhashMd5Oracle)),

@@ -235,6 +235,34 @@ class PlanSpec extends SparkSpec {
       s"tiny sides must never sort-merge:\n$plan")
   }
 
+  test("dsir scoring broadcasts the ratio table; only the 1-row totals NLJ") {
+    val plan = planOf(LlmQueries.dsirWeights(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"λ join must broadcast the vocabulary table:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"vocabulary-sized sides must never sort-merge:\n$plan")
+  }
+
+  test("repeated spans: per-document windows only, gram join is an equi join") {
+    val plan = planOf(LlmQueries.repeatedSpansDocs(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram match must be an equi join:\n$plan")
+    // every window partitions on the document id — bounded frames
+    val windowed = plan.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windowed.nonEmpty && windowed.forall(_.contains("doc_id")),
+      s"span-merge windows must partition per document:\n${windowed.mkString("\n")}")
+  }
+
+  test("per-language quality gate broadcasts the 5-row threshold table") {
+    val plan = planOf(LlmQueries.qualityFilterByLang(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
   test("temperature mix broadcasts budgets and never windows a whole group in one task") {
     val plan = planOf(LlmQueries.mixTemperature(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),
