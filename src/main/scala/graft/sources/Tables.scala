@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the engine's test corpus (TESTDATA.md).
   *
@@ -12,7 +12,20 @@ import org.apache.spark.sql.types.LongType
   * INT64(TIMESTAMP(NANOS)) parquet columns, so we read them as raw nanos
   * via `spark.sql.legacy.parquet.nanosAsLong` and floor-convert to
   * microsecond TimestampType — a lossless ordering-preserving truncation
-  * (floor), matching how any downstream date_trunc bucketing floors. */
+  * (floor), matching how any downstream date_trunc bucketing floors.
+  *
+  * Timestamp flavor: the generator's `events.ts` has alternated between
+  * TIMESTAMP(NANOS) and plain TIMESTAMP(MICROS, isAdjustedToUTC=false);
+  * the latter loads as TimestampNTZType, which Spark 4 refuses in
+  * instant-expecting functions (unix_micros, watermarks) — so the
+  * stream-time column normalizes to instant TimestampType either way.
+  * All engine sessions (Verify/Bench/tests) pin
+  * spark.sql.session.timeZone=UTC, so the NTZ→TIMESTAMP cast is the
+  * identity on the underlying micros — the same instant DuckDB sees
+  * reading the file natively. Date-ladder columns (l_shipdate,
+  * o_orderdate) stay NTZ as loaded: they never feed instant functions,
+  * and describe/date queries OUTPUT them, where NTZ is required for
+  * parity with DuckDB's naive rendering (see the verify skill). */
 object Tables {
 
   val All: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
@@ -25,9 +38,11 @@ object Tables {
     // a timestamp; convert the known stream-time column.
     // integer `div`, NOT `/`: double division of epoch-nanos (~1.7e18)
     // exceeds the 2^53 double mantissa and corrupts the microsecond digit
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    } else df
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

@@ -161,14 +161,19 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"))
-    // nanosecond timestamps: same rescue as the batch loader
+    // timestamp-flavor rescue: same normalization as the batch loader
+    // (nanos-as-long epoch, or MICROS-NTZ → instant under the UTC session)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream
       .schema(spark.read.parquet(dir.toString).schema)
       .parquet(dir.toString)
-    val events = raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val events = raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
     val agg = Streams.tumblingAgg(events.withWatermark("ts", "1 hour"), "ts", "1 hour", "event_type")
     val q = agg.writeStream.format("memory").queryName("file_stream_hourly")
       .outputMode("append").start()
