@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling and dataset splitting.
@@ -144,6 +145,69 @@ object Sampling {
       .select(col(groupCol),
         floor((floor(pow(col("__gt"), lit(alpha)) / col("__z") * 1e6 + 0.5) / 1e6) *
           lit(totalBudget.toDouble)).cast("long").as("group_budget"))
+    val ordered = df.withColumn("__ord",
+      concat(md5(concat_ws("#", lit(seed), col(keyCol).cast("string"))),
+        lit("#"), col(keyCol).cast("string")))
+    Packing.groupedPrefixSum(ordered, groupCol, "__ord", tokenCol, "tokens_before")
+      .join(broadcast(budgets), Seq(groupCol))
+      .filter(col("tokens_before") + col(tokenCol) <= col("group_budget"))
+      .drop("__ord")
+  }
+
+  /** UniMax corpus mixing (epoch-capped waterfilling, the published
+    * alternative to temperature sampling for multilingual budgets):
+    * allocate a global token budget as UNIFORMLY as possible across
+    * groups, subject to each group's repeat cap
+    * `cap_g = floor(maxEpochs * group tokens)` — small sources are
+    * capped at their epoch ceiling, the remaining budget waterfills
+    * evenly over the rest. Then each group keeps documents in
+    * md5-priority order within its allocation, exactly like
+    * [[mixByTokenBudget]].
+    *
+    * The waterfill has a closed form over the |groups|-row totals table:
+    * sort groups by cap ascending; group i (of n) is exhausted iff
+    * serving every remaining group at level cap_i still fits the
+    * leftover budget — `cap_i*(n-i+1) + cum_{i-1} <= B`, a prefix
+    * property under this order — and every non-exhausted group gets
+    * `(B - sum of exhausted caps) div (n - k)`. INTEGER arithmetic end
+    * to end (caps floor to long, the level is integer division), so
+    * there is no float bridge to round: any engine replays it exactly.
+    *
+    * Scale shape: totals are one hash aggregation; the waterfill windows
+    * run over |groups| rows (bounded — sources/languages, not documents;
+    * the audited bounded-frame category) and the single-row reduction
+    * joins back as a broadcast; per-row work is the same two-phase
+    * [[Packing.groupedPrefixSum]] as every other mixer. Adds
+    * `tokens_before` and `group_budget`. */
+  def mixByUniMax(df: DataFrame, keyCol: String, groupCol: String,
+      tokenCol: String, totalBudget: Long, maxEpochs: Double,
+      seed: Long = 0L): DataFrame = {
+    require(totalBudget > 0, s"budget must be positive, got $totalBudget")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val totals = df.groupBy(groupCol)
+      .agg(sum(col(tokenCol)).cast("long").as("__gt"))
+      .withColumn("__cap", floor(col("__gt") * lit(maxEpochs)).cast("long"))
+    // bounded |groups|-row frames: caps ascending, group as tie-break
+    val byCap = Window.orderBy(col("__cap"), col(groupCol))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val flagged = totals
+      .withColumn("__i", row_number().over(byCap))
+      .withColumn("__cum", sum("__cap")
+        .over(byCap.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__exhausted",
+        col("__cap") * (col("__n") - col("__i") + 1) +
+          (col("__cum") - col("__cap")) <= totalBudget)
+    val kAgg = flagged.agg(
+      coalesce(max(when(col("__exhausted"), col("__i"))), lit(0L)).as("__k"),
+      coalesce(max(when(col("__exhausted"), col("__cum"))), lit(0L)).as("__csum"))
+    // `when` evaluates lazily, but guard the divisor anyway (all-capped
+    // ⇒ n-k = 0): `div` is integer division — no 2^53 double hazard
+    val budgets = flagged.crossJoin(broadcast(kAgg))
+      .select(col(groupCol),
+        when(col("__exhausted"), col("__cap"))
+          .otherwise(expr(s"($totalBudget - __csum) div greatest(__n - __k, 1)"))
+          .as("group_budget"))
     val ordered = df.withColumn("__ord",
       concat(md5(concat_ws("#", lit(seed), col(keyCol).cast("string"))),
         lit("#"), col(keyCol).cast("string")))

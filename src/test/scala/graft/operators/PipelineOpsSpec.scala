@@ -315,6 +315,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(natural === Map("a" -> 450L, "b" -> 50L))
   }
 
+  test("unimax mix waterfills evenly, caps small groups at their epoch ceiling") {
+    val s = spark
+    import s.implicits._
+    // tokens: a=1000, b=100, c=60 — caps at 1 epoch: 1000/100/60
+    val df = ((1L to 100L).map(i => (i, "a", 10L)) ++
+      (101L to 110L).map(i => (i, "b", 10L)) ++
+      (111L to 116L).map(i => (i, "c", 10L))).toDF("id", "grp", "tok")
+    val out = graft.operators.Sampling.mixByUniMax(df, "id", "grp", "tok",
+      totalBudget = 400L, maxEpochs = 1.0, seed = 1L)
+    // waterfill: sorted caps 60,100,1000; 60*3=180<=400 exhausted,
+    // 100*2+60=260<=400 exhausted, 1000+160>400 not ⇒ c=60, b=100,
+    // a=(400-160) div 1 = 240
+    val budgets = out.select("grp", "group_budget").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(budgets === Map("a" -> 240L, "b" -> 100L, "c" -> 60L))
+    // kept tokens never exceed the budget, whole docs only
+    val byGrp = out.groupBy("grp").agg(sum("tok").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byGrp === Map("a" -> 240L, "b" -> 100L, "c" -> 60L))
+    // all-capped edge: a tiny budget exhausts every group's uniform
+    // share before any cap binds ⇒ nobody is capped, level = B div n
+    val tiny = graft.operators.Sampling.mixByUniMax(df, "id", "grp", "tok",
+      totalBudget = 45L, maxEpochs = 1.0, seed = 1L)
+    val tinyBudgets = tiny.select("grp", "group_budget").distinct().collect()
+      .map(r => r.getLong(1)).toSet
+    assert(tinyBudgets === Set(15L))
+    // epoch cap binds everywhere when the budget dwarfs the corpus
+    val big = graft.operators.Sampling.mixByUniMax(df, "id", "grp", "tok",
+      totalBudget = 100000L, maxEpochs = 0.5, seed = 1L)
+    val bigBudgets = big.select("grp", "group_budget").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bigBudgets === Map("a" -> 500L, "b" -> 50L, "c" -> 30L))
+  }
+
   test("overlap chunking covers every token, overlaps by size - stride, last chunk short") {
     // 7 tokens, size 4, stride 2 -> starts 0,2,4,6: chunks of 4,4,3,1 tokens
     val out = Packing.chunkTokens(docs((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "")),
