@@ -439,6 +439,37 @@ object Dedup {
       .drop("__rk", "__cc_component")
   }
 
+  /** SOFT dedup: instead of dropping near-duplicates, down-weight them —
+    * every document gets `weight = 1 / |its dedup cluster|`, so each
+    * near-dup cluster contributes one document's worth of mass to the
+    * training mix however many copies it has (the sampling-weight
+    * alternative to hard removal: cheaper to revisit than a deleted
+    * corpus, and unbiased where hard dedup keeps an arbitrary copy).
+    * Clusters come from [[connectedComponents]] over the verified pair
+    * graph; unpaired documents form singleton clusters with weight 1.
+    *
+    * Scale shape: cluster sizes are one hash aggregation on the
+    * component id (high-cardinality — most clusters are tiny) and join
+    * back on the same key — the size table is |components| rows and the
+    * join an equi shuffle join, never a broadcast of corpus-sized state.
+    * Returns (idCol, component, cluster_size, weight), the weight
+    * rounded to 1e-6 so any engine replays the division exactly. */
+  def softDedupWeights(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("__cc_id"), col("component").as("__cc_component"))
+    val labeled = df.select(col(idCol))
+      .join(comp, df(idCol) === comp("__cc_id"), "left")
+      .select(col(idCol),
+        coalesce(col("__cc_component"), col(idCol)).as("component"))
+    val sizes = labeled.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("component"))
+      .select(col(idCol), col("component"), col("cluster_size"),
+        (floor(lit(1.0) / col("cluster_size") * 1e6 + 0.5) / 1e6).as("weight"))
+  }
+
   /** 64-bit SimHash signatures: bit b is set when the sum of (+1 / -1)
     * votes from token-hash bit b is positive. Tokens are exploded and all
     * 64 vote sums plus the signature assembly run as ONE fused aggregate

@@ -62,6 +62,37 @@ object TextAnalysis {
       .withColumn("dup_fraction",
         (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
 
+  /** First-occurrence NOVELTY per document: the fraction of a document's
+    * distinct word n-grams that appear for the FIRST time in the corpus
+    * when documents are visited in deterministic md5-priority order (the
+    * same seeded order the mixers select by). A doc full of n-grams the
+    * earlier corpus already contains contributes little new text even if
+    * no single document matches it at dedup thresholds — the
+    * incremental-value signal between exact/near dedup (whole-doc) and
+    * repeated-span stripping (substring): rank by novelty to prioritize
+    * genuinely new content, or threshold to drop mosaic-duplicate docs.
+    *
+    * Scale shape: distinct gram rows ([[Dedup.shingleRows]], codegen'd
+    * explode) → per-gram min-priority (one map-side-combinable hash
+    * aggregation on the gram key) → equi join back on the gram → per-doc
+    * aggregation. No corpus-sized windows, broadcasts, or collects; the
+    * priority is a pure function of the doc id, so the result is
+    * engine- and partitioning-independent. Docs with fewer than n tokens
+    * emit no rows (no grams survive the explode). */
+  def novelty(df: DataFrame, idCol: String, textCol: String, n: Int,
+      seed: Long = 0L): DataFrame = {
+    val grams = Dedup.shingleRows(df, idCol, textCol, n)
+      .withColumn("__ord",
+        concat(md5(concat_ws("#", lit(seed), col("id").cast("string"))),
+          lit("#"), col("id").cast("string")))
+    val first = grams.groupBy("s").agg(min("__ord").as("__first"))
+    grams.join(first, "s")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__ord") === col("__first"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
+  }
+
   /** Corpus-fit unigram language-model score per document (the
     * CCNet/KenLM-family quality signal, reduced to its unigram core):
     * fit = token frequencies over the whole corpus; score = per-document

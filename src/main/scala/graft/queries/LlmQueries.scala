@@ -374,6 +374,46 @@ object LlmQueries {
        |WHERE rk = 1
        |ORDER BY doc_id""".stripMargin
 
+  /** Soft dedup over the same minhash cluster graph: every document in
+    * the planted near-dup corpus gets `weight = 1/|cluster|`
+    * ([[Dedup.softDedupWeights]]) — the down-weighting alternative to
+    * hard removal, giving each cluster one document's worth of training
+    * mass. Shares the memoized pair graph with the three hard-dedup
+    * queries; the oracle recomputes clusters from brute-force Jaccard +
+    * recursive reachability and replays the rounded division. */
+  def dupWeightDocs(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(Tables.documents(spark, dir))
+    val pairs = minhashPairs(spark, dir)
+    Dedup.softDedupWeights(corpus, "doc_id", pairs, "a", "b")
+      .orderBy("doc_id")
+  }
+
+  private val dupWeightOracle: String =
+    s"""WITH RECURSIVE $nearDupCorpusSql,
+       |sh AS (
+       | SELECT doc_id,
+       |  list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+       |    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |       FROM corpus)),
+       |p AS (
+       | SELECT a.doc_id AS a, b.doc_id AS b
+       | FROM sh a, sh b
+       | WHERE a.doc_id < b.doc_id
+       |  AND len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7),
+       |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+       |reach(id, lbl) AS (
+       | SELECT doc_id, doc_id FROM corpus
+       | UNION
+       | SELECT e.b AS id, r.lbl FROM reach r JOIN e ON e.a = r.id),
+       |comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id),
+       |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+       |SELECT comp.doc_id, comp.component,
+       | CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+       | ${rSql("1.0 / sz.cluster_size", 6)} AS weight
+       |FROM comp JOIN sz USING (component)
+       |ORDER BY comp.doc_id""".stripMargin
+
   /** SimHash signatures + near-dup pairs (hash family not expressible in
     * the oracle — rows-only check; semantics unit-tested).
     *
@@ -1660,6 +1700,30 @@ object LlmQueries {
        | ${rSql("(sum(c) - count(*)) / CAST(sum(c) AS DOUBLE)", 6)} AS dup_fraction
        |FROM gc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** First-occurrence novelty per document (trigrams, md5-priority visit
+    * order, seed 13): the mosaic-duplication signal between whole-doc
+    * dedup and repeated-span stripping — see [[TextAnalysis.novelty]].
+    * The oracle replays the per-gram min-priority and the rounded
+    * fraction with plain SQL aggregation. */
+  def noveltyDocs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.novelty(Tables.documents(spark, dir), "doc_id", "text", 3,
+      seed = 13L)
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        r(col("novelty"), 6).as("novelty"))
+      .orderBy("doc_id")
+
+  private val noveltyOracle: String =
+    s"""WITH g AS (${wordGramSql("documents", 3)}),
+       |o AS (SELECT doc_id, s,
+       |  md5('13#' || CAST(doc_id AS VARCHAR)) || '#' || CAST(doc_id AS VARCHAR) AS ord
+       | FROM g),
+       |f AS (SELECT s, min(ord) AS first_ord FROM o GROUP BY s)
+       |SELECT doc_id, count(*) AS n_grams,
+       | CAST(sum(CASE WHEN ord = first_ord THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       | ${rSql("sum(CASE WHEN ord = first_ord THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 6)} AS novelty
+       |FROM o JOIN f USING (s)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- unigram LM scoring
 
   /** Corpus-fit unigram cross-entropy per document (CCNet-style quality
@@ -2070,6 +2134,7 @@ object LlmQueries {
     QueryDef("minhash_neardup_docs", minhashNeardupDocs, Some(minhashNeardupOracle)),
     QueryDef("minhash_dedup_keep", minhashDedupKeep, Some(minhashDedupKeepOracle)),
     QueryDef("minhash_keep_longest", minhashKeepLongest, Some(minhashKeepLongestOracle)),
+    QueryDef("dup_weight_docs", dupWeightDocs, Some(dupWeightOracle)),
     QueryDef("simhash_neardup_docs", simhashNeardupDocs, None),
     QueryDef("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardOracle)),
     QueryDef("containment_dup_pairs", containmentPairs, Some(containmentOracle)),
@@ -2105,6 +2170,7 @@ object LlmQueries {
     QueryDef("bloom_decon_keep", bloomDeconKeep, Some(bloomDeconKeepOracle)),
     QueryDef("quality_regression", qualityRegression, Some(qualityRegressionOracle)),
     QueryDef("repetition_docs", repetitionDocs, Some(repetitionOracle)),
+    QueryDef("novelty_docs", noveltyDocs, Some(noveltyOracle)),
     QueryDef("lm_score_docs", lmScoreDocs, Some(lmScoreOracle)),
     QueryDef("dsir_weights", dsirWeights, Some(dsirOracle)),
     QueryDef("quality_filter_by_lang", qualityFilterByLang, Some(qualityFilterByLangOracle)),

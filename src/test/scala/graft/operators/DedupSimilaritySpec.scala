@@ -464,6 +464,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept === Set(2L, 4L, 5L)) // longest of {1,2,3}; lonely 4; tie -> 5
   }
 
+  test("softDedupWeights gives 1/|cluster| per doc, singletons weight 1") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f"))
+      .toDF("doc_id", "text")
+    // cluster {1,2,3} and cluster {5,6}; 4 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val out = Dedup.softDedupWeights(df, "doc_id", pairs, "a", "b")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 3L, 0.333333), (2L, 1L, 3L, 0.333333), (3L, 1L, 3L, 0.333333),
+      (4L, 4L, 1L, 1.0), (5L, 5L, 2L, 0.5), (6L, 5L, 2L, 0.5)))
+    // total mass = one document's worth per cluster
+    assert(out.map(_._4).sum === 0.333333 * 3 + 1.0 + 0.5 * 2)
+  }
+
   test("cross-dedup finds batch-vs-corpus near-dups and never within-side pairs") {
     val s = spark
     import s.implicits._

@@ -105,6 +105,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("novelty: first visit owns shared grams, unique grams always novel") {
+    val out = TextAnalysis.novelty(
+      docs((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w")),
+      "doc_id", "text", 3, seed = 1L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._2).toSeq === Seq(2L, 2L, 2L)) // 2 trigrams each
+    // twins 1 and 2: whichever md5-orders first owns both shared grams
+    assert(out.filter(r => r._1 <= 2).map(_._4).toSet === Set(1.0, 0.0))
+    assert(out.find(_._1 == 3L).get._4 === 1.0) // unique grams always novel
+    // total novel grams = distinct grams in the corpus
+    assert(out.map(_._3).sum === 4L)
+    // short docs emit nothing
+    assert(TextAnalysis.novelty(docs((1L, "a b")), "doc_id", "text", 3).collect().isEmpty)
+  }
+
   test("contiguous packing assigns offsets equal to the exclusive prefix sum") {
     val s = spark
     import s.implicits._
