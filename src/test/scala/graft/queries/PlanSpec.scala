@@ -263,6 +263,40 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
 
+  test("unimax mix broadcasts budgets; the data-sized prefix-sum window is sliced") {
+    val plan = planOf(LlmQueries.mixUniMax(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"budget join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    // waterfill windows run on the |groups|-row totals table (bounded);
+    // the corpus-sized running sum must still be the sliced two-phase plan
+    val windowed = plan.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windowed.exists(_.contains("_slice")),
+      s"prefix-sum window must be sliced:\n${windowed.mkString("\n")}")
+    assert(!plan.contains("spark_partition_id"),
+      s"slice ids must be pure row functions:\n$plan")
+  }
+
+  test("novelty: gram first-owner join is an equi join, windows per document only") {
+    val plan = planOf(LlmQueries.noveltyDocs(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"first-owner match must be an equi join:\n$plan")
+    // the only windows are shingleRows' per-document gram builders
+    val windowed = plan.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windowed.nonEmpty && windowed.forall(_.contains("id")),
+      s"gram windows must partition per document:\n${windowed.mkString("\n")}")
+  }
+
+  test("soft dedup weights: cluster-size join is an equi join on the component key") {
+    val plan = planOf(LlmQueries.dupWeightDocs(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"size join must be an equi join:\n$plan")
+  }
+
   test("temperature mix broadcasts budgets and never windows a whole group in one task") {
     val plan = planOf(LlmQueries.mixTemperature(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),
