@@ -74,6 +74,56 @@ object Packing {
           .cast("long").as("n_chunk_tokens"))
   }
 
+  /** CONTENT-DEFINED chunking (the dedup-stable alternative to fixed
+    * windows): a chunk boundary falls after token position i whenever the
+    * md5 of the `gramWords`-token gram ENDING at i starts with
+    * `zeroHexDigits` zero hex digits — an expected chunk length of
+    * 16^zeroHexDigits tokens. Because boundaries depend only on a local
+    * content window, inserting or deleting text resynchronizes within one
+    * gram: every later chunk keeps its exact text, so chunk-level exact
+    * dedup still matches across document revisions — the property fixed
+    * [[chunkTokens]] windows lose (one insertion shifts every subsequent
+    * chunk). The md5-prefix rule keeps the boundary decision replayable
+    * by any engine (no xxhash in the cut path).
+    *
+    * Boundary candidates stop at n-1, so no empty trailing chunk; docs
+    * shorter than gramWords+1 tokens emit one whole-doc chunk; token-less
+    * docs emit nothing. Production CDC adds min/max chunk clamps —
+    * deliberately omitted here to keep the cut rule a pure per-position
+    * predicate (clamps reintroduce sequential state).
+    *
+    * Scale shape: identical to [[chunkTokens]] — tokenize → per-position
+    * boundary predicate → span assembly, all array expressions in one
+    * narrow projection; chunks never leave the partition that read the
+    * document. */
+  def chunkContentDefined(df: DataFrame, idCol: String, textCol: String,
+      gramWords: Int = 4, zeroHexDigits: Int = 1): DataFrame = {
+    require(gramWords > 0 && zeroHexDigits > 0)
+    val zeros = "0" * zeroHexDigits
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol), toks.as("_t"))
+      .withColumn("_n", org.apache.spark.sql.functions.size(col("_t")))
+      .filter(col("_n") > 0)
+      // sequence(a, b) descends when a > b — guard short docs to an
+      // empty candidate list instead
+      .withColumn("_b", when(col("_n") - 1 >= gramWords,
+        filter(sequence(lit(gramWords), col("_n") - 1), i =>
+          substring(md5(array_join(
+            slice(col("_t"), i - (gramWords - 1), lit(gramWords)), " ")),
+            1, zeroHexDigits) === lit(zeros)))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("_starts",
+        concat(array(lit(1)), transform(col("_b"), b => b + 1)))
+      .withColumn("_ends",
+        concat(transform(col("_b"), b => b), array(col("_n"))))
+      .select(col(idCol), col("_t"),
+        posexplode(arrays_zip(col("_starts"), col("_ends"))).as(Seq("chunk_id", "_se")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("_t"), col("_se._starts"),
+          col("_se._ends") - col("_se._starts") + 1), " ").as("chunk_text"),
+        (col("_se._ends") - col("_se._starts") + 1).cast("long").as("n_chunk_tokens"))
+  }
+
   // ---------------------------------------------------------------------
   // Deterministic slicing: the foundation both prefix sums stand on.
   // ---------------------------------------------------------------------

@@ -1837,6 +1837,39 @@ object LlmQueries {
        |                     chunk_id * $ChunkStride + $ChunkSize)) AS BIGINT) AS n_chunk_tokens
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Content-defined chunking over the corpus (4-token gram window,
+    * 1 zero hex digit ⇒ ~16-token expected chunks): boundaries fall
+    * where local content says, so revisions resynchronize and chunk
+    * dedup keeps matching — see [[Packing.chunkContentDefined]]. The
+    * oracle replays the md5-prefix cut rule and span assembly with
+    * DuckDB list expressions. */
+  def cdcChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    Packing.chunkContentDefined(Tables.documents(spark, dir), "doc_id", "text",
+      gramWords = 4, zeroHexDigits = 1)
+      .orderBy("doc_id", "chunk_id")
+
+  private val cdcChunkOracle: String =
+    """WITH d AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      | FROM documents),
+      |nn AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0),
+      |b AS (
+      | SELECT doc_id, t, n,
+      |  list_filter(range(4, n), i ->
+      |    substring(md5(array_to_string(list_slice(t, i - 3, i), ' ')), 1, 1) = '0') AS bpos
+      | FROM nn),
+      |s AS (
+      | SELECT doc_id, t,
+      |  list_concat([1], list_transform(bpos, b -> b + 1)) AS starts,
+      |  list_concat(list_transform(bpos, b -> b), [n]) AS ends
+      | FROM b),
+      |u AS (SELECT doc_id, t, starts, ends,
+      |       unnest(range(len(starts))) AS k FROM s)
+      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+      | array_to_string(list_slice(t, starts[k + 1], ends[k + 1]), ' ') AS chunk_text,
+      | CAST(ends[k + 1] - starts[k + 1] + 1 AS BIGINT) AS n_chunk_tokens
+      |FROM u ORDER BY doc_id, chunk_id""".stripMargin
+
   // ------------------------------------------------- oracle-checked simhash
 
   /** 60-bit SimHash whose token hash is md5-derived (conv of the first 15
@@ -2176,6 +2209,7 @@ object LlmQueries {
     QueryDef("quality_filter_by_lang", qualityFilterByLang, Some(qualityFilterByLangOracle)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("chunk_docs", chunkDocs, Some(chunkDocsOracle)),
+    QueryDef("cdc_chunk_docs", cdcChunkDocs, Some(cdcChunkOracle)),
     QueryDef("simhash_md5_pairs", simhashMd5Pairs, Some(simhashMd5Oracle)),
     QueryDef("quantize_vectors", quantizeVectors, Some(quantizeVectorsOracle)),
     QueryDef("quantized_topk", quantizedTopk, Some(quantizedTopkOracle)),

@@ -376,6 +376,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).toSeq === Seq(4L, 4L, 3L, 1L))
   }
 
+  test("content-defined chunks cover every token in order and resynchronize after an edit") {
+    val body = (1 to 200).map(i => s"tok${i * 7 % 97}x$i").mkString(" ")
+    val out = Packing.chunkContentDefined(docs((1L, body)), "doc_id", "text",
+        gramWords = 4, zeroHexDigits = 1)
+      .orderBy("chunk_id").collect()
+    // chunks partition the token stream exactly
+    assert(out.map(_.getString(2)).mkString(" ") === body)
+    assert(out.map(_.getLong(3)).sum === 200L)
+    // CDC property: prepending tokens changes early chunks only — every
+    // boundary after the edit window falls at the same CONTENT position,
+    // so late chunk texts reappear verbatim
+    val edited = "zz1 zz2 zz3 " + body
+    val out2 = Packing.chunkContentDefined(docs((1L, edited)), "doc_id", "text",
+        gramWords = 4, zeroHexDigits = 1)
+      .orderBy("chunk_id").collect().map(_.getString(2))
+    val origTexts = out.map(_.getString(2))
+    assert(origTexts.length > 3, s"fixture too short: ${origTexts.length} chunks")
+    // all but the first original chunk must survive the edit verbatim
+    assert(origTexts.drop(1).forall(out2.contains),
+      s"late chunks must resynchronize:\norig=${origTexts.toSeq}\nedited=${out2.toSeq}")
+  }
+
+  test("content-defined chunking: short docs emit one whole-doc chunk, empty emit none") {
+    val out = Packing.chunkContentDefined(docs((1L, "a b c"), (2L, "")),
+      "doc_id", "text", gramWords = 4, zeroHexDigits = 1).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 1L && out.head.getString(2) === "a b c")
+  }
+
   test("chunking a doc shorter than one window emits exactly one full-doc chunk") {
     val out = Packing.chunkTokens(docs((1L, "a b")), "doc_id", "text", 8, 8).collect()
     assert(out.length === 1)
