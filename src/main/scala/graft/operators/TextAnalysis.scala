@@ -332,6 +332,54 @@ object TextAnalysis {
       array_max(array(scored: _*)).getField("lang").as("predicted_lang"))
   }
 
+  /** Bigram language-model scoring with Stupid Backoff (Brants et al.
+    * 2007) — the KenLM-family quality filter one order above
+    * [[unigramLmScore]]: fit bigram/unigram counts on the `isFit` slice
+    * (the in-domain reference), then score EVERY document's transitions
+    *
+    *   S(w2|w1) = c(w1 w2)/c(w1)                 when the fit set saw the bigram
+    *            = alpha · (c(w2)+1)/(N+V)        otherwise (add-one unigram backoff)
+    *
+    * and report per-document avg(-ln S) over its n_tokens-1 transitions
+    * (docs with <2 tokens emit nothing). Lower = more in-domain-like.
+    * Scoring docs OUTSIDE the fit slice is the production shape (CCNet:
+    * fit on target, rank candidates), and it is what makes backoff live.
+    *
+    * Scale shape: fit counts are two hash aggregations (bigram key,
+    * unigram key) — the vocabulary-sized tables join back by key
+    * (broadcast when small, equi-shuffle otherwise: Spark's planner
+    * decides by size); the 1-row (N, V) totals ride a broadcast cross
+    * join; per-doc scoring is one hash aggregation. Fitted values round
+    * to 1e-6 per transition-score only at the END (avg then round — the
+    * same bridge unigramLmScore uses). */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      isFit: Column, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val fit = df.filter(isFit)
+    val biCnt = Dedup.gramRows(fit, idCol, textCol, 2)
+      .groupBy("s").agg(count(lit(1)).as("__cb"))
+    val uniCnt = fit.select(explode(tokens(col(textCol))).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__cu"))
+    val totals = uniCnt.agg(sum("__cu").as("__n"), count(lit(1)).as("__v"))
+    val occ = Dedup.gramRows(df, idCol, textCol, 2)
+      .withColumn("__w1", substring_index(col("s"), " ", 1))
+      .withColumn("__w2", substring_index(col("s"), " ", -1))
+    occ.join(biCnt, Seq("s"), "left")
+      .join(uniCnt.select(col("__t").as("__w1"), col("__cu").as("__c1")),
+        Seq("__w1"), "left")
+      .join(uniCnt.select(col("__t").as("__w2"), col("__cu").as("__c2")),
+        Seq("__w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__s",
+        when(col("__cb").isNotNull && col("__c1").isNotNull,
+          col("__cb").cast("double") / col("__c1"))
+        .otherwise(lit(alpha) * (coalesce(col("__c2"), lit(0L)) + lit(1L)).cast("double") /
+          (col("__n") + col("__v"))))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_transitions"),
+        (floor(avg(-log(col("__s"))) * 1e6 + 0.5) / 1e6).as("cross_entropy"))
+  }
+
   /** Okapi BM25 relevance of every document against a fixed query term
     * set, top-k by score — the retrieval sibling of [[tfidfTopTerms]]:
     * adds document-length normalization and term-frequency saturation

@@ -1746,6 +1746,39 @@ object LlmQueries {
        |FROM toks JOIN freq USING (term) CROSS JOIN tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bigram Stupid-Backoff LM scoring: fit bigram/unigram counts on the
+    * even-doc_id half of the corpus, score every document's transitions
+    * ([[TextAnalysis.bigramLmScore]], alpha = 0.4) — odd docs exercise
+    * the backoff path with genuinely unseen bigrams. The oracle replays
+    * counts, backoff arithmetic and the rounded per-doc average. */
+  def lmBigramDocs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(Tables.documents(spark, dir), "doc_id", "text",
+      pmod(col("doc_id"), lit(2)) === 0, alpha = 0.4)
+      .orderBy("doc_id")
+
+  private val lmBigramOracle: String =
+    s"""WITH fitdocs AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       |fb AS (SELECT s, count(*) AS cb
+       |       FROM (${wordGramSql("fitdocs", 2, distinct = false)}) GROUP BY s),
+       |fu AS (SELECT tok, count(*) AS cu FROM (
+       |        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |        FROM fitdocs) GROUP BY tok),
+       |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n, count(*) AS v FROM fu),
+       |o2 AS (SELECT doc_id, s,
+       |        string_split(s, ' ')[1] AS w1, string_split(s, ' ')[2] AS w2
+       |       FROM (${wordGramSql("documents", 2, distinct = false)})),
+       |j AS (SELECT o2.doc_id,
+       |  CASE WHEN fb.cb IS NOT NULL AND f1.cu IS NOT NULL
+       |       THEN CAST(fb.cb AS DOUBLE) / f1.cu
+       |       ELSE 0.4 * (COALESCE(f2.cu, 0) + 1) / CAST(tot.n + tot.v AS DOUBLE) END AS sc
+       | FROM o2 LEFT JOIN fb USING (s)
+       |  LEFT JOIN fu f1 ON f1.tok = o2.w1
+       |  LEFT JOIN fu f2 ON f2.tok = o2.w2
+       |  CROSS JOIN tot)
+       |SELECT doc_id, count(*) AS n_transitions,
+       | floor(avg(-ln(sc)) * 1e6 + 0.5) / 1e6 AS cross_entropy
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** DSIR importance weights against the English slice as the in-domain
     * target: per-term add-one-smoothed log-likelihood ratios, summed per
     * document (see [[TextAnalysis.dsirImportance]]). Positive score =
@@ -2205,6 +2238,7 @@ object LlmQueries {
     QueryDef("repetition_docs", repetitionDocs, Some(repetitionOracle)),
     QueryDef("novelty_docs", noveltyDocs, Some(noveltyOracle)),
     QueryDef("lm_score_docs", lmScoreDocs, Some(lmScoreOracle)),
+    QueryDef("lm_bigram_docs", lmBigramDocs, Some(lmBigramOracle)),
     QueryDef("dsir_weights", dsirWeights, Some(dsirOracle)),
     QueryDef("quality_filter_by_lang", qualityFilterByLang, Some(qualityFilterByLangOracle)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),

@@ -177,6 +177,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(2) - expected2) < 1e-12)
   }
 
+  test("bigram LM with backoff is hand-computable: seen ratio, unseen backs off") {
+    // fit = even doc 2: "a b a c" — bigrams {a b, b a, a c} each once;
+    // unigrams a:2, b:1, c:1 -> N=4, V=3
+    val out = TextAnalysis.bigramLmScore(
+      docs((1L, "a b z"), (2L, "a b a c"), (3L, "x")),
+      "doc_id", "text", pmod(col("doc_id"), lit(2)) === 0, alpha = 0.4)
+      .orderBy("doc_id").collect()
+    assert(out.length === 2) // single-token doc 3 has no transitions
+    // doc 1: "a b" seen (1/2); "b z" unseen -> 0.4*(0+1)/(4+3)
+    val d1 = (-math.log(0.5) - math.log(0.4 / 7)) / 2
+    assert(out(0).getLong(1) === 2L)
+    assert(math.abs(out(0).getDouble(2) - math.floor(d1 * 1e6 + 0.5) / 1e6) < 1e-12)
+    // doc 2 (inside fit): all seen -> (1/2, 1/1, 1/2)
+    val d2 = (-math.log(0.5) - math.log(1.0) - math.log(0.5)) / 3
+    assert(out(1).getLong(1) === 3L)
+    assert(math.abs(out(1).getDouble(2) - math.floor(d2 * 1e6 + 0.5) / 1e6) < 1e-12)
+  }
+
   test("line dedup removes corpus-frequent lines, keeps unique prose in order") {
     val banner = "subscribe now"
     val d = docs(
