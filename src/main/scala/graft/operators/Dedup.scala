@@ -439,6 +439,56 @@ object Dedup {
       .drop("__rk", "__cc_component")
   }
 
+  /** WINNOWING document fingerprints (Schleimer et al. 2003 — the MOSS
+    * algorithm): hash every k-token gram, slide a window of `w`
+    * consecutive gram hashes, and select each window's RIGHTMOST minimal
+    * hash. The selected (position, hash) set is the fingerprint: any
+    * shared run of at least w+k-1 tokens between two documents is
+    * GUARANTEED to share a fingerprint, at ~2/(w+1) the density of the
+    * full gram set — the local-fingerprint middle ground between one
+    * digest per doc ([[graft.operators.TextAnalysis.fingerprintMd5]])
+    * and every-gram inverted indexes ([[containmentPairs]]).
+    *
+    * Hashes are md5 hex strings: engine-portable (DuckDB replays them)
+    * and collision-free in practice, so the min is unambiguous and the
+    * rightmost tie-break only arbitrates genuinely repeated gram text.
+    *
+    * Scale shape: gram rows ride the per-document lead window
+    * ([[gramRows]] — bounded by doc length, high-cardinality partition
+    * key); the window-min is the same bounded frame; the
+    * rightmost-argmin resolves via a self-join on (id, hash) — an EQUI
+    * join with the w-row range as post-condition, amplification ≤ w per
+    * gram. Docs with fewer than k+w-1 tokens have no full window and
+    * emit nothing (the paper's m < w case). Returns (id, pos,
+    * fingerprint) with pos the 0-based token index the winning gram
+    * starts at. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 1, s"need k > 0, w > 1; got k=$k w=$w")
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("gpos", "t")))
+    val byPos = Window.partitionBy("id").orderBy("gpos")
+    val gramParts = col("t") +: (1 until k).map(i => lead(col("t"), i).over(byPos))
+    val grams = toks
+      .select(col("id"), col("gpos"),
+        md5(concat_ws(" ", gramParts: _*)).as("h"),
+        lead(col("t"), k - 1).over(byPos).isNotNull.as("full"))
+      .filter(col("full")).drop("full")
+    val winFrame = Window.partitionBy("id").orderBy("gpos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val ends = grams.withColumn("wmin", min("h").over(winFrame))
+      .filter(col("gpos") >= w - 1)
+      .select(col("id").as("eid"), col("gpos").as("epos"), col("wmin"))
+    ends.join(grams,
+        col("eid") === col("id") && col("wmin") === col("h") &&
+          col("gpos") >= col("epos") - (w - 1) && col("gpos") <= col("epos"))
+      .groupBy(col("eid"), col("epos"), col("wmin"))
+      .agg(max(col("gpos")).as("pos"))
+      .select(col("eid").as(idCol), col("pos").cast("long").as("pos"),
+        col("wmin").as("fingerprint"))
+      .distinct()
+  }
+
   /** SOFT dedup: instead of dropping near-duplicates, down-weight them —
     * every document gets `weight = 1 / |its dedup cluster|`, so each
     * near-dup cluster contributes one document's worth of mass to the
@@ -570,13 +620,16 @@ object Dedup {
     * training. Returns one row per document that has any duplicated
     * span: (id, n_dup_spans, dup_tokens).
     *
-    * Scale shape: grams are built per row from the token array (an
-    * expression, no window), duplicated grams come from one hash
-    * aggregation keyed on the gram, matched start positions join back
-    * on the same key, and span merging (gaps-and-islands) runs in
-    * per-document windows — bounded by document length, partitioned on
-    * the high-cardinality id, never corpus-global. All arithmetic is
-    * integral: no float bridge needed for the oracle.
+    * Scale shape: grams are built in the codegen'd posexplode + lead
+    * form ([[gramRows]]' substrate — the array-HOF form interpreted its
+    * lambdas per position and benched ~4x slower on this very operator),
+    * with contiguous post-filter positions from the same per-document
+    * window; duplicated grams come from one hash aggregation keyed on
+    * the gram, matched start positions join back on the same key, and
+    * span merging (gaps-and-islands) runs in per-document windows —
+    * bounded by document length, partitioned on the high-cardinality id,
+    * never corpus-global. All arithmetic is integral: no float bridge
+    * needed for the oracle.
     *
     * The join keys the gram STRING (exact, engine-portable). At corpus
     * scales where shuffling n·avg-token bytes per gram dominates, key
@@ -585,12 +638,18 @@ object Dedup {
   def repeatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 2, s"span grams need n >= 2, got $n")
-    val toks = tokens(col(textCol))
-    val grams = df.select(col(idCol), posexplode(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))).as(Seq("__pos", "__g")))
+    val raw = df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("__rp", "__t")))
+      .filter(col("__t") =!= "")
+    val byP = Window.partitionBy(idCol).orderBy("__rp")
+    // contiguous 0-based positions over the FILTERED tokens (raw split
+    // positions have gaps where empties fell out)
+    val gramParts = col("__t") +: (1 until n).map(i => lead(col("__t"), i).over(byP))
+    val grams = raw.select(col(idCol),
+        (row_number().over(byP) - 1).as("__pos"),
+        concat_ws(" ", gramParts: _*).as("__g"),
+        lead(col("__t"), n - 1).over(byP).isNotNull.as("__full"))
+      .filter(col("__full")).drop("__full")
     val dupGrams = grams.groupBy("__g").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select("__g")
     val hits = grams.join(dupGrams, Seq("__g")).select(col(idCol), col("__pos"))

@@ -1870,6 +1870,37 @@ object LlmQueries {
        |                     chunk_id * $ChunkStride + $ChunkSize)) AS BIGINT) AS n_chunk_tokens
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Winnowing fingerprints over the corpus (3-token grams, window 4 ⇒
+    * any shared 6-token run is guaranteed a shared fingerprint at
+    * ~2/5 gram density) — see [[Dedup.winnowFingerprints]]. The oracle
+    * replays gram hashing, the window minimum and the rightmost-argmin
+    * with plain SQL windows and an equi join. */
+  def winnowDocs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(Tables.documents(spark, dir), "doc_id", "text",
+      k = 3, w = 4)
+      .orderBy("doc_id", "pos")
+
+  private val winnowOracle: String =
+    """WITH d AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      | FROM documents),
+      |g0 AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) >= 3),
+      |gi AS (SELECT doc_id, t, unnest(range(1, n - 1)) AS i FROM g0),
+      |g2 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos,
+      |        md5(array_to_string(list_slice(t, i, i + 2), ' ')) AS h
+      |       FROM gi),
+      |wm AS (SELECT doc_id, gpos, h,
+      |        min(h) OVER (PARTITION BY doc_id ORDER BY gpos
+      |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+      |       FROM g2),
+      |e AS (SELECT doc_id, gpos AS epos, wmin FROM wm WHERE gpos >= 3)
+      |SELECT DISTINCT e.doc_id, CAST(max(r.gpos) AS BIGINT) AS pos,
+      | e.wmin AS fingerprint
+      |FROM e JOIN g2 r ON r.doc_id = e.doc_id AND r.h = e.wmin
+      | AND r.gpos BETWEEN e.epos - 3 AND e.epos
+      |GROUP BY e.doc_id, e.epos, e.wmin
+      |ORDER BY e.doc_id, pos""".stripMargin
+
   /** Content-defined chunking over the corpus (4-token gram window,
     * 1 zero hex digit ⇒ ~16-token expected chunks): boundaries fall
     * where local content says, so revisions resynchronize and chunk
@@ -2244,6 +2275,7 @@ object LlmQueries {
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("chunk_docs", chunkDocs, Some(chunkDocsOracle)),
     QueryDef("cdc_chunk_docs", cdcChunkDocs, Some(cdcChunkOracle)),
+    QueryDef("winnow_fingerprints", winnowDocs, Some(winnowOracle)),
     QueryDef("simhash_md5_pairs", simhashMd5Pairs, Some(simhashMd5Oracle)),
     QueryDef("quantize_vectors", quantizeVectors, Some(quantizeVectorsOracle)),
     QueryDef("quantized_topk", quantizedTopk, Some(quantizedTopkOracle)),

@@ -464,6 +464,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept === Set(2L, 4L, 5L)) // longest of {1,2,3}; lonely 4; tie -> 5
   }
 
+  test("winnowing: every hash window has a fingerprint; shared runs share one") {
+    val s = spark
+    import s.implicits._
+    val body = (1 to 60).map(i => s"w${i * 13 % 41}n$i").mkString(" ")
+    val out = Dedup.winnowFingerprints(Seq((1L, body)).toDF("doc_id", "text"),
+        "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    val selected = out.map(_._1).toSet
+    // guarantee: every window of 4 consecutive gram positions (grams
+    // 0..57) contains at least one selected position
+    for (e <- 3 to 57)
+      assert((e - 3 to e).exists(p => selected.contains(p.toLong)),
+        s"window ending at $e has no fingerprint: $selected")
+    // density well below the full gram set
+    assert(selected.size < 58 && selected.size >= 58 / 4)
+    // any shared run of >= w+k-1 = 6 tokens shares a fingerprint hash
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val two = Seq((1L, s"$shared " + (1 to 30).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"b$i").mkString(" ") + s" $shared"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(two, "doc_id", "text", k = 3, w = 4)
+      .collect().groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.map(_.getString(2)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "documents sharing a 10-token run must share a fingerprint")
+    // docs without one full hash window emit nothing (m < w)
+    assert(Dedup.winnowFingerprints(Seq((1L, "a b c d e")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3, w = 4).collect().isEmpty)
+  }
+
   test("softDedupWeights gives 1/|cluster| per doc, singletons weight 1") {
     val s = spark
     import s.implicits._

@@ -70,7 +70,7 @@ class DeterminismStressSpec extends SparkSpec {
     // and require the canonical result to be bit-identical to the
     // session-default run for every prefix-sum consumer.
     val queries = Seq("mix_corpus", "mix_corpus_check", "mix_temperature",
-      "shuffle_order", "pack_sequences", "spearman_lineitem",
+      "mix_unimax", "shuffle_order", "pack_sequences", "spearman_lineitem",
       "equidepth_lineitem")
     val defaults = queries.map(q => q -> canonical(q)).toMap
     dropCaches()
