@@ -32,6 +32,27 @@ object TextAnalysis {
 
   def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text)).cast("long")
 
+  /** Tokenizer FERTILITY census per group (usually language): BPE-ish
+    * tokens per whitespace word and characters per BPE-ish token — the
+    * standard diagnostic for how well a tokenizer's segmentation fits
+    * each slice of a multilingual corpus (high fertility = the slice
+    * pays more sequence length per word; budget and mixing decisions
+    * should see it). One hash aggregation, |groups| output rows; ratios
+    * round to 1e-6 so any engine replays the division. */
+  def tokenizerFertility(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    df.groupBy(groupCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol))).as("n_words"),
+      sum(bpeishTokenCount(col(textCol))).as("n_tokens"),
+      sum(length(col(textCol)).cast("long")).as("n_chars"))
+    .select(col(groupCol), col("n_docs"), col("n_words"), col("n_tokens"),
+      col("n_chars"),
+      (floor(col("n_tokens").cast("double") / col("n_words") * 1e6 + 0.5) / 1e6)
+        .as("tokens_per_word"),
+      (floor(col("n_chars").cast("double") / col("n_tokens") * 1e6 + 0.5) / 1e6)
+        .as("chars_per_token"))
+
   /** Per-document token stats: count + mean token length. */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))

@@ -674,6 +674,24 @@ object LlmQueries {
        | CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS BIGINT) AS bpeish_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer fertility per language ([[TextAnalysis.tokenizerFertility]]):
+    * BPE-ish tokens per word and chars per token by lang — the
+    * segmentation-fit diagnostic a multilingual budget should see. */
+  def tokenizerFertilityLang(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenizerFertility(Tables.documents(spark, dir), "lang", "text")
+      .orderBy("lang")
+
+  private val tokenizerFertilityOracle: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       | CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_words,
+       | CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}'))) AS BIGINT) AS n_tokens,
+       | CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       | floor(sum(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')))
+       |   / CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS tokens_per_word,
+       | floor(sum(length(text))
+       |   / CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}'))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chars_per_token
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Corpus-wide top-20 terms. */
   def topTerms(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTerms(Tables.documents(spark, dir), "text", 20)
@@ -2243,6 +2261,7 @@ object LlmQueries {
     QueryDef("ivf_topk", ivfTopk, Some(cosineTopkOracle)),
     QueryDef("text_token_stats", textTokenStats, Some(textTokenStatsOracle)),
     QueryDef("token_budget", tokenBudget, Some(tokenBudgetOracle)),
+    QueryDef("tokenizer_fertility", tokenizerFertilityLang, Some(tokenizerFertilityOracle)),
     QueryDef("top_terms", topTerms, Some(topTermsOracle)),
     QueryDef("tfidf_top_terms", tfidfTopTerms, Some(tfidfOracle)),
     QueryDef("bm25_topk", bm25TopDocs, Some(bm25Oracle)),

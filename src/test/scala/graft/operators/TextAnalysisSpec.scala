@@ -177,6 +177,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(2) - expected2) < 1e-12)
   }
 
+  test("tokenizer fertility is hand-computable per group") {
+    val s = spark
+    import s.implicits._
+    // "ab cd, 12": 3 whitespace words; bpeish ab|cd|,|12 = 4; 9 chars
+    val df = Seq((1L, "en", "ab cd, 12")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.tokenizerFertility(df, "lang", "text").collect().head
+    assert(out.getLong(1) === 1L && out.getLong(2) === 3L)
+    assert(out.getLong(3) === 4L && out.getLong(4) === 9L)
+    assert(out.getDouble(5) === math.floor(4.0 / 3 * 1e6 + 0.5) / 1e6)
+    assert(out.getDouble(6) === 2.25)
+  }
+
   test("bigram LM with backoff is hand-computable: seen ratio, unseen backs off") {
     // fit = even doc 2: "a b a c" — bigrams {a b, b a, a c} each once;
     // unigrams a:2, b:1, c:1 -> N=4, V=3
