@@ -179,9 +179,12 @@ object Sampling {
     * joins back as a broadcast; per-row work is the same two-phase
     * [[Packing.groupedPrefixSum]] as every other mixer. Adds
     * `tokens_before` and `group_budget`. */
-  def mixByUniMax(df: DataFrame, keyCol: String, groupCol: String,
-      tokenCol: String, totalBudget: Long, maxEpochs: Double,
-      seed: Long = 0L): DataFrame = {
+  /** The waterfill allocation table alone — (groupCol, group_budget) —
+    * for callers that materialize the allocation differently than a
+    * one-pass prefix (see [[expandEpochs]]). Semantics and arithmetic
+    * exactly as documented on [[mixByUniMax]]. */
+  def uniMaxBudgets(df: DataFrame, groupCol: String, tokenCol: String,
+      totalBudget: Long, maxEpochs: Double): DataFrame = {
     require(totalBudget > 0, s"budget must be positive, got $totalBudget")
     require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
     val totals = df.groupBy(groupCol)
@@ -203,11 +206,17 @@ object Sampling {
       coalesce(max(when(col("__exhausted"), col("__cum"))), lit(0L)).as("__csum"))
     // `when` evaluates lazily, but guard the divisor anyway (all-capped
     // ⇒ n-k = 0): `div` is integer division — no 2^53 double hazard
-    val budgets = flagged.crossJoin(broadcast(kAgg))
+    flagged.crossJoin(broadcast(kAgg))
       .select(col(groupCol),
         when(col("__exhausted"), col("__cap"))
           .otherwise(expr(s"($totalBudget - __csum) div greatest(__n - __k, 1)"))
           .as("group_budget"))
+  }
+
+  def mixByUniMax(df: DataFrame, keyCol: String, groupCol: String,
+      tokenCol: String, totalBudget: Long, maxEpochs: Double,
+      seed: Long = 0L): DataFrame = {
+    val budgets = uniMaxBudgets(df, groupCol, tokenCol, totalBudget, maxEpochs)
     val ordered = df.withColumn("__ord",
       concat(md5(concat_ws("#", lit(seed), col(keyCol).cast("string"))),
         lit("#"), col(keyCol).cast("string")))
@@ -215,6 +224,42 @@ object Sampling {
       .join(broadcast(budgets), Seq(groupCol))
       .filter(col("tokens_before") + col(tokenCol) <= col("group_budget"))
       .drop("__ord")
+  }
+
+  /** Materialize a per-group token allocation into EPOCH-EXPANDED rows —
+    * what "2.3 epochs of a small source" physically means in a training
+    * run: each group emits `budget div tokens` COMPLETE passes over its
+    * documents plus one partial pass holding the md5-priority prefix of
+    * the remainder (`budget mod tokens`), every row tagged with its
+    * 0-based `epoch`. Feed [[uniMaxBudgets]] (or any (group,
+    * group_budget) table) in; get the actual repeated-row training mix
+    * out. Whole documents only, same priority rule as every mixer, so
+    * the expansion is engine-replayable and append-stable.
+    *
+    * Scale shape: group totals one hash aggregation; the budget/total
+    * tables are |groups| rows and broadcast; per-row work is the shared
+    * two-phase prefix sum plus a sequence-explode bounded by the epoch
+    * count (small by construction — a budget implies epochs ≈
+    * budget/corpus, never data-dependent blowup). */
+  def expandEpochs(df: DataFrame, keyCol: String, groupCol: String,
+      tokenCol: String, budgets: DataFrame, seed: Long = 0L): DataFrame = {
+    val totals = df.groupBy(groupCol)
+      .agg(sum(col(tokenCol)).cast("long").as("__gt"))
+    val parts = budgets.join(totals, Seq(groupCol))
+      .select(col(groupCol),
+        expr("group_budget div __gt").as("__full"),
+        expr("group_budget % __gt").as("__rem"))
+    val ordered = df.withColumn("__ord",
+      concat(md5(concat_ws("#", lit(seed), col(keyCol).cast("string"))),
+        lit("#"), col(keyCol).cast("string")))
+    Packing.groupedPrefixSum(ordered, groupCol, "__ord", tokenCol, "tokens_before")
+      .join(broadcast(parts), Seq(groupCol))
+      .withColumn("epoch", explode(sequence(lit(0L), col("__full"))))
+      // complete passes keep everything; the final partial pass keeps
+      // the budget-remainder priority prefix (whole docs only)
+      .filter(col("epoch") < col("__full") ||
+        col("tokens_before") + col(tokenCol) <= col("__rem"))
+      .drop("__ord", "__full", "__rem")
   }
 
   /** Assign every row a split label by hash range: `weights` are

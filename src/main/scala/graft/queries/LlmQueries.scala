@@ -1121,6 +1121,67 @@ object LlmQueries {
       |WHERE c.tokens_before + c.n_tokens <= b.group_budget
       |ORDER BY c.source, c.doc_id""".stripMargin
 
+  /** Epoch-expanded UniMax mix: a 60000-token budget over ~27k corpus
+    * tokens waterfills to 3000/source (0.5–3 epochs caps never bind at
+    * this SF), and [[graft.operators.Sampling.expandEpochs]] materializes
+    * each source's allocation as complete passes plus a remainder
+    * prefix, every row tagged with its epoch — the physical repeated-row
+    * training mix. Integer arithmetic end to end. */
+  def mixUniMaxEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val withTok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val budgets = graft.operators.Sampling.uniMaxBudgets(
+      withTok, "source", "n_tokens", totalBudget = 60000L, maxEpochs = 3.0)
+    graft.operators.Sampling.expandEpochs(
+      withTok, "doc_id", "source", "n_tokens", budgets, seed = 11L)
+      .select(col("source"), col("doc_id"), col("epoch"),
+        col("tokens_before"), col("n_tokens"))
+      .orderBy("source", "doc_id", "epoch")
+  }
+
+  // the epoch filter lives INSIDE list_filter, not an outer WHERE:
+  // DuckDB 1.0.0's binder fails ("Failed to bind column reference")
+  // when a CTE's unnest alias is filtered through the join above it
+  private val mixUniMaxEpochsOracle: String =
+    """WITH t AS (
+      | SELECT doc_id, source,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |  md5('11#' || CAST(doc_id AS VARCHAR)) || '#' || CAST(doc_id AS VARCHAR) AS ord
+      | FROM documents),
+      |g AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS gt FROM t GROUP BY source),
+      |caps AS (SELECT source, CAST(floor(gt * 3.0) AS BIGINT) AS cap FROM g),
+      |w AS (
+      | SELECT source, cap,
+      |  CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+      |  CAST(sum(cap) OVER (ORDER BY cap, source
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |  CAST(count(*) OVER () AS BIGINT) AS n
+      | FROM caps),
+      |f AS (SELECT *, cap*(n-i+1) + (cum-cap) <= 60000 AS exhausted FROM w),
+      |k AS (SELECT CAST(COALESCE(max(CASE WHEN exhausted THEN i END), 0) AS BIGINT) AS k,
+      |       CAST(COALESCE(max(CASE WHEN exhausted THEN cum END), 0) AS BIGINT) AS csum
+      |      FROM f),
+      |b AS (SELECT f.source,
+      |       CAST(CASE WHEN f.exhausted THEN f.cap
+      |            ELSE (60000 - k.csum) // greatest(f.n - k.k, 1) END AS BIGINT) AS group_budget
+      |      FROM f, k),
+      |fr AS (SELECT b.source, b.group_budget // g.gt AS fullp,
+      |        b.group_budget % g.gt AS rem
+      |       FROM b JOIN g USING (source)),
+      |c AS (
+      | SELECT source, doc_id, n_tokens,
+      |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tokens_before
+      | FROM t),
+      |e AS (SELECT c.source, c.doc_id, c.n_tokens, c.tokens_before,
+      |       unnest(list_filter(range(fr.fullp + 1),
+      |         x -> x < fr.fullp OR c.tokens_before + c.n_tokens <= fr.rem)) AS epoch
+      |      FROM c JOIN fr USING (source))
+      |SELECT source, doc_id, CAST(epoch AS BIGINT) AS epoch,
+      | tokens_before, n_tokens
+      |FROM e ORDER BY source, doc_id, epoch""".stripMargin
+
   /** SELF-CHECKING twin of [[mixCorpus]], built to isolate the driver-gate
     * hash divergence that two rounds of judge replays could not reproduce
     * (VERDICT r6/r7: mix_corpus `hash_match:false` in the driver's
@@ -2306,6 +2367,7 @@ object LlmQueries {
     QueryDef("mix_corpus_check", mixCorpusCheck, Some(mixCorpusCheckOracle)),
     QueryDef("mix_temperature", mixTemperature, Some(mixTemperatureOracle)),
     QueryDef("mix_unimax", mixUniMax, Some(mixUniMaxOracle)),
+    QueryDef("mix_unimax_epochs", mixUniMaxEpochs, Some(mixUniMaxEpochsOracle)),
     QueryDef("project_embeddings", projectEmbeddings, Some(projectEmbeddingsOracle)),
     QueryDef("kmeans_assign", kmeansAssignEmb, Some(kmeansAssignOracle)),
     QueryDef("tfidf_cosine_pairs", tfidfCosinePairs, Some(tfidfCosinePairsOracle)),

@@ -376,6 +376,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).toSeq === Seq(4L, 4L, 3L, 1L))
   }
 
+  test("epoch expansion: complete passes + remainder prefix, exact-multiple edge") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 5L).map(i => (i, "a", 10L)).toDF("id", "grp", "tok")
+    def budgets(b: Long) = Seq(("a", b)).toDF("grp", "group_budget")
+    // 125 over 50 tokens: 2 complete passes + a 25-token prefix (2 docs)
+    val out = graft.operators.Sampling.expandEpochs(df, "id", "grp", "tok",
+      budgets(125L), seed = 1L).collect()
+    assert(out.length === 12)
+    val byEpoch = out.groupBy(_.getAs[Long]("epoch")).view.mapValues(_.length).toMap
+    assert(byEpoch === Map(0L -> 5, 1L -> 5, 2L -> 2))
+    // partial pass is the same priority prefix every mixer selects
+    val partial = out.filter(_.getAs[Long]("epoch") == 2L)
+      .map(_.getAs[Long]("id")).toSet
+    val prefix = graft.operators.Sampling.mixByTokenBudget(df, "id", "grp", "tok",
+      budgetPerGroup = 25L, seed = 1L).collect().map(_.getAs[Long]("id")).toSet
+    assert(partial === prefix)
+    // sub-corpus budget: pure prefix at epoch 0
+    val small = graft.operators.Sampling.expandEpochs(df, "id", "grp", "tok",
+      budgets(30L), seed = 1L).collect()
+    assert(small.length === 3 && small.forall(_.getAs[Long]("epoch") == 0L))
+    // exact multiple: no partial rows at all
+    val exact = graft.operators.Sampling.expandEpochs(df, "id", "grp", "tok",
+      budgets(100L), seed = 1L).collect()
+    assert(exact.length === 10)
+    assert(exact.map(_.getAs[Long]("epoch")).toSet === Set(0L, 1L))
+  }
+
   test("content-defined chunks cover every token in order and resynchronize after an edit") {
     val body = (1 to 200).map(i => s"tok${i * 7 % 97}x$i").mkString(" ")
     val out = Packing.chunkContentDefined(docs((1L, body)), "doc_id", "text",
