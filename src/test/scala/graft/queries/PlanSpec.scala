@@ -297,6 +297,42 @@ class PlanSpec extends SparkSpec {
       s"size join must be an equi join:\n$plan")
   }
 
+  test("content-defined chunking is one narrow stage: no exchange at all") {
+    // the OPERATOR, not the registered query — the driver contract's
+    // deterministic output orderBy adds one legitimate range exchange
+    val plan = planOf(graft.operators.Packing.chunkContentDefined(
+      graft.sources.Tables.documents(spark, dir), "doc_id", "text", 4, 1))
+    assert(!plan.contains("Exchange"),
+      s"chunks must never leave the reading partition:\n$plan")
+  }
+
+  test("winnowing resolves the argmin through an equi join, never a nested loop") {
+    val plan = planOf(LlmQueries.winnowDocs(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"(id, hash) must be the join key with the range as post-condition:\n$plan")
+  }
+
+  test("bigram LM joins count tables by key and never products the corpus") {
+    val plan = planOf(LlmQueries.lmBigramDocs(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    // only the 1-row totals may ride a nested loop (broadcast cross
+    // join); count TREE lines only — the formatted details section
+    // repeats every node name once more
+    val bnlj = plan.linesIterator.count(_.contains("- BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"count-table joins must be equi joins:\n$plan")
+  }
+
+  test("epoch expansion broadcasts the parts table; prefix sum stays sliced") {
+    val plan = planOf(LlmQueries.mixUniMaxEpochs(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"budget/parts join must broadcast:\n$plan")
+    val windowed = plan.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windowed.exists(_.contains("_slice")),
+      s"prefix-sum window must be sliced:\n${windowed.mkString("\n")}")
+  }
+
   test("temperature mix broadcasts budgets and never windows a whole group in one task") {
     val plan = planOf(LlmQueries.mixTemperature(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),
