@@ -237,6 +237,12 @@ object Dedup {
       threshold: Double = 0.7, seed: Int = 42): DataFrame = {
     val shB = shingleRows(batch, idCol, textCol, shingleWords).persist()
     val shC = shingleRows(corpus, idCol, textCol, shingleWords).persist()
+    // materialize the caches BEFORE the banding/verify diamond fans out:
+    // persist() is lazy, and the two consumers' shuffle-map stages are
+    // submitted concurrently — whichever starts before the cache is
+    // populated recomputes the whole shingle lineage (observed as a
+    // bimodal 1.3 s / 5.1 s bench spread; the count is one cheap pass)
+    shB.count(); shC.count()
     crossNearDupPairsFromIndex(
       shB, bandRows(shB, numHashes, bands, rowsPerBand, seed),
       shC, bandRows(shC, numHashes, bands, rowsPerBand, seed), threshold)
