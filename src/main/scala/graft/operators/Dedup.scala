@@ -495,6 +495,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate near-dup pairs from SHARED winnow fingerprints — the MOSS
+    * use of [[winnowFingerprints]]: documents sharing at least
+    * `minShared` selected hashes are candidates, with the shared count
+    * as the match signal. Corpus-frequent fingerprints (boilerplate
+    * selected by more than `maxDf` docs) are excluded before pairing —
+    * the same posting guard as [[containmentPairs]], which is what keeps
+    * the self-join from squaring on template text. Pair candidates meet
+    * only on a shared fingerprint key (equi join, bounded posting
+    * lists), never all-pairs. Returns (a, b, n_shared). */
+  def winnowCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2, maxDf: Int = 20): DataFrame = {
+    require(minShared > 0 && maxDf > 0)
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol), col("fingerprint")).distinct()
+    val rare = fp.groupBy("fingerprint")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fingerprint")
+    val fr = fp.join(rare, Seq("fingerprint"))
+    val l = fr.select(col("fingerprint"), col(idCol).as("a"))
+    val r = fr.select(col("fingerprint"), col(idCol).as("b"))
+    l.join(r, Seq("fingerprint"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SOFT dedup: instead of dropping near-duplicates, down-weight them —
     * every document gets `weight = 1 / |its dedup cluster|`, so each
     * near-dup cluster contributes one document's worth of mass to the

@@ -1959,26 +1959,58 @@ object LlmQueries {
       k = 3, w = 4)
       .orderBy("doc_id", "pos")
 
+  /** The winnow selection as a reusable CTE chain over `src`, ending in
+    * `sel` = (doc_id, pos, fingerprint). */
+  private def winnowCteSql(src: String): String =
+    s"""d AS (
+       | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       | FROM $src),
+       |g0 AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) >= 3),
+       |gi AS (SELECT doc_id, t, unnest(range(1, n - 1)) AS i FROM g0),
+       |g2 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos,
+       |        md5(array_to_string(list_slice(t, i, i + 2), ' ')) AS h
+       |       FROM gi),
+       |wm AS (SELECT doc_id, gpos, h,
+       |        min(h) OVER (PARTITION BY doc_id ORDER BY gpos
+       |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+       |       FROM g2),
+       |e AS (SELECT doc_id, gpos AS epos, wmin FROM wm WHERE gpos >= 3),
+       |sel AS (
+       | SELECT DISTINCT e.doc_id, CAST(max(r.gpos) AS BIGINT) AS pos,
+       |  e.wmin AS fingerprint
+       | FROM e JOIN g2 r ON r.doc_id = e.doc_id AND r.h = e.wmin
+       |  AND r.gpos BETWEEN e.epos - 3 AND e.epos
+       | GROUP BY e.doc_id, e.epos, e.wmin)""".stripMargin
+
   private val winnowOracle: String =
-    """WITH d AS (
-      | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-      | FROM documents),
-      |g0 AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) >= 3),
-      |gi AS (SELECT doc_id, t, unnest(range(1, n - 1)) AS i FROM g0),
-      |g2 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos,
-      |        md5(array_to_string(list_slice(t, i, i + 2), ' ')) AS h
-      |       FROM gi),
-      |wm AS (SELECT doc_id, gpos, h,
-      |        min(h) OVER (PARTITION BY doc_id ORDER BY gpos
-      |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
-      |       FROM g2),
-      |e AS (SELECT doc_id, gpos AS epos, wmin FROM wm WHERE gpos >= 3)
-      |SELECT DISTINCT e.doc_id, CAST(max(r.gpos) AS BIGINT) AS pos,
-      | e.wmin AS fingerprint
-      |FROM e JOIN g2 r ON r.doc_id = e.doc_id AND r.h = e.wmin
-      | AND r.gpos BETWEEN e.epos - 3 AND e.epos
-      |GROUP BY e.doc_id, e.epos, e.wmin
-      |ORDER BY e.doc_id, pos""".stripMargin
+    s"""WITH ${winnowCteSql("documents")}
+       |SELECT doc_id, pos, fingerprint FROM sel
+       |ORDER BY doc_id, pos""".stripMargin
+
+  /** Candidate near-dup pairs from shared winnow fingerprints on the
+    * planted near-dup corpus ([[Dedup.winnowCandidatePairs]]): trimmed
+    * twins share most of their selected hashes, so they surface with
+    * high n_shared; the maxDf=20 posting guard drops boilerplate
+    * fingerprints before pairing. The oracle replays selection,
+    * the rarity guard, and the pair count. */
+  def winnowPairsDocs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowCandidatePairs(
+      nearDupCorpus(Tables.documents(spark, dir)), "doc_id", "text",
+      k = 3, w = 4, minShared = 2, maxDf = 20)
+      .orderBy("a", "b")
+
+  private val winnowPairsOracle: String =
+    s"""WITH $nearDupCorpusSql,
+       |${winnowCteSql("corpus")},
+       |fp AS (SELECT DISTINCT doc_id, fingerprint FROM sel),
+       |rare AS (SELECT fingerprint FROM fp
+       |         GROUP BY fingerprint HAVING count(*) <= 20),
+       |fr AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN rare USING (fingerprint))
+       |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared
+       |FROM fr l JOIN fr r
+       | ON l.fingerprint = r.fingerprint AND l.doc_id < r.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY a, b""".stripMargin
 
   /** Content-defined chunking over the corpus (4-token gram window,
     * 1 zero hex digit ⇒ ~16-token expected chunks): boundaries fall
@@ -2356,6 +2388,7 @@ object LlmQueries {
     QueryDef("chunk_docs", chunkDocs, Some(chunkDocsOracle)),
     QueryDef("cdc_chunk_docs", cdcChunkDocs, Some(cdcChunkOracle)),
     QueryDef("winnow_fingerprints", winnowDocs, Some(winnowOracle)),
+    QueryDef("winnow_candidate_pairs", winnowPairsDocs, Some(winnowPairsOracle)),
     QueryDef("simhash_md5_pairs", simhashMd5Pairs, Some(simhashMd5Oracle)),
     QueryDef("quantize_vectors", quantizeVectors, Some(quantizeVectorsOracle)),
     QueryDef("quantized_topk", quantizedTopk, Some(quantizedTopkOracle)),

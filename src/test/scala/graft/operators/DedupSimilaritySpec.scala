@@ -494,6 +494,27 @@ class DedupSimilaritySpec extends SparkSpec {
       "doc_id", "text", k = 3, w = 4).collect().isEmpty)
   }
 
+  test("winnow candidate pairs: near-twins surface, boilerplate guarded out") {
+    val s = spark
+    import s.implicits._
+    val body = (1 to 40).map(i => s"v${i * 11 % 37}q$i").mkString(" ")
+    val boiler = (1 to 12).map(i => s"tpl$i").mkString(" ")
+    // 1 and 2 near-twins; 3 unrelated; 4..29 share ONLY boilerplate
+    val docs = (Seq((1L, body), (2L, body + " extra tail"),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))) ++
+      (4L to 29L).map(i => (i, s"$boiler uniq${i}a uniq${i}b uniq${i}c uniq${i}d uniq${i}e uniq${i}f")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowCandidatePairs(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 2, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 2),
+      s"twins must pair with a high shared count: ${pairs.toSeq}")
+    // 26 docs share the boilerplate fingerprints -> df > 10 -> guarded out
+    assert(!pairs.exists(p => p._1 >= 4L),
+      s"boilerplate-only pairs must be guarded out: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("softDedupWeights gives 1/|cluster| per doc, singletons weight 1") {
     val s = spark
     import s.implicits._
