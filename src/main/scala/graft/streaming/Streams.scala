@@ -282,6 +282,50 @@ object Streams {
           .write.mode("append").parquet(logDir)
     }
 
+  /** Streaming NOVELTY monitor — the ingestion-time counterpart of
+    * [[graft.operators.TextAnalysis.novelty]]: every micro-batch reports
+    * what fraction of its distinct word n-grams the standing corpus has
+    * never seen, and appends exactly those novel grams to the index. A
+    * collapsing novelty curve is the live signal that an ingest feed has
+    * started replaying content worth deduplicating or dropping —
+    * visible while the batch is in flight, before any document-level
+    * detector fires.
+    *
+    * Replay-safe like [[dedupIngestSink]]: both the gram index and the
+    * log write per-batch `batch=<id>` dirs with overwrite, and a batch
+    * reads only index rows from batches STRICTLY below its own id, so a
+    * recovery replay recomputes identical rows instead of double
+    * counting itself. Gram membership is one left-anti equi join against
+    * the index — the index holds each gram once (first-seen batch only),
+    * so it grows with vocabulary, not corpus size. */
+  def noveltyMonitor(stream: DataFrame, idCol: String, textCol: String,
+      targetDir: String, n: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val (gramsDir, logDir) = (s"$targetDir/grams", s"$targetDir/log")
+        val bg = graft.operators.Dedup.shingleRows(batch.toDF(), idCol, textCol, n)
+          .select("s").distinct().persist()
+        try {
+          bg.count() // materialize before the count/anti-join diamond
+          val fs = new org.apache.hadoop.fs.Path(gramsDir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val novel =
+            if (!fs.exists(new org.apache.hadoop.fs.Path(gramsDir))) bg
+            else bg.join(spark.read.parquet(gramsDir)
+              .filter(col("batch") < id).select("s"), Seq("s"), "left_anti")
+          novel.write.mode("overwrite").parquet(s"$gramsDir/batch=$id")
+          val nGrams = bg.count()
+          val nNovel = spark.read.parquet(s"$gramsDir/batch=$id").count()
+          import spark.implicits._
+          Seq((id, nGrams, nNovel,
+              if (nGrams == 0) 0.0 else nNovel.toDouble / nGrams))
+            .toDF("batch_id", "n_grams", "n_novel", "novelty")
+            .write.mode("overwrite").parquet(s"$logDir/batch=$id")
+        } finally bg.unpersist(false)
+    }
+
   /** Highest-numbered `v=<n>` subdirectory of an [[upsertSink]] target,
     * optionally restricted to versions strictly below `below` (recovery
     * replays pass the current batch id). Resolved through the path's

@@ -333,6 +333,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("noveltyMonitor: novelty collapses on replayed content, index is first-seen-only") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val out = java.nio.file.Files.createTempDirectory("stream_novelty").toString
+    val q = Streams.noveltyMonitor(mem.toDF(), "doc_id", "text", out).start()
+    try {
+      val bodyA = (1 to 20).map(i => s"a$i").mkString(" ")
+      mem.addData(Doc(1L, bodyA))
+      q.processAllAvailable()
+      mem.addData(Doc(2L, bodyA), Doc(3L, (1 to 20).map(i => s"c$i").mkString(" ")))
+      q.processAllAvailable()
+      val log = spark.read.parquet(s"$out/log")
+        .orderBy("batch_id").collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("n_grams"),
+          r.getAs[Long]("n_novel"), r.getAs[Double]("novelty")))
+      // batch 0: all 18 trigrams of bodyA novel
+      assert(log(0) === ((0L, 18L, 18L, 1.0)))
+      // batch 1: bodyA's 18 grams replayed + 18 new from doc 3
+      assert(log(1)._2 === 36L && log(1)._3 === 18L && log(1)._4 === 0.5)
+      // index holds each gram exactly once, across both batches
+      val idx = spark.read.parquet(s"$out/grams")
+      assert(idx.count() === 36L)
+      assert(idx.select("s").distinct().count() === 36L)
+    } finally q.stop()
+  }
+
   test("psiMonitor logs per-batch drift vs a static reference") {
     val s = spark
     import s.implicits._
