@@ -48,6 +48,25 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < cut)
   }
 
+  /** Per-ROW weighted deterministic sampling — the RESAMPLING step that
+    * realizes a computed weight column: soft-dedup weights
+    * ([[Dedup.softDedupWeights]] — each near-dup cluster thins to ~one
+    * survivor in expectation), DSIR importance weights, quality scores.
+    * A row is kept iff `hashBucket(seed # key) < floor(weight · 65536)`
+    * with the weight clipped to [0, 1] — [[deterministicSample]]
+    * generalized from one global fraction to a per-row fraction, with
+    * the same properties: the decision depends only on (seed, key,
+    * weight), so it is reproducible across engines, runs, partitionings
+    * and appends, and changing the seed draws a fresh realization.
+    * Weights should come pre-rounded (the 1e-6 bridge) so the integer
+    * threshold cannot sit on an engine-dependent ULP. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+      seed: Long = 0L): DataFrame = {
+    val b = hashBucket(concat_ws("#", lit(seed), col(keyCol).cast("string")))
+    df.filter(b <
+      floor(least(greatest(weight, lit(0.0)), lit(1.0)) * Buckets).cast("int"))
+  }
+
   /** Deterministic global shuffle for reproducible training order:
     * every row gets `shuffle_pos` — its 0-based rank in the order of
     * md5(seed # key). The permutation depends only on (seed, key), so it

@@ -414,6 +414,59 @@ object LlmQueries {
        |FROM comp JOIN sz USING (component)
        |ORDER BY comp.doc_id""".stripMargin
 
+  /** Soft dedup REALIZED by weighted sampling: each doc in the planted
+    * near-dup corpus keeps with probability 1/|cluster|
+    * ([[graft.operators.Sampling.weightedSample]] over
+    * [[Dedup.softDedupWeights]]) — clusters thin to ~one survivor in
+    * expectation without choosing a canonical copy. The oracle replays
+    * clusters, the rounded weight, and the md5-bucket keep decision
+    * digit for digit. */
+  def softDedupSample(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(Tables.documents(spark, dir))
+    val wts = Dedup.softDedupWeights(corpus, "doc_id",
+      minhashPairs(spark, dir), "a", "b")
+    graft.operators.Sampling.weightedSample(wts, "doc_id", col("weight"), seed = 3L)
+      .select(col("doc_id"), col("cluster_size"), col("weight"))
+      .orderBy("doc_id")
+  }
+
+  private val softDedupSampleOracle: String = {
+    // md5 hex prefix as an integer bucket (DuckDB has no conv(,16,10)) —
+    // the same digit arithmetic as mixCorpusCheck's content digest
+    def dig(p: Int): String =
+      s"(ascii(substring(h, $p, 1)) - CASE WHEN ascii(substring(h, $p, 1)) >= 97 THEN 87 ELSE 48 END)"
+    val hex4 = (1 to 4).map(p => s"${dig(p)} * ${1 << (4 * (4 - p))}").mkString(" + ")
+    s"""WITH RECURSIVE $nearDupCorpusSql,
+       |sh AS (
+       | SELECT doc_id,
+       |  list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+       |    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |       FROM corpus)),
+       |p AS (
+       | SELECT a.doc_id AS a, b.doc_id AS b
+       | FROM sh a, sh b
+       | WHERE a.doc_id < b.doc_id
+       |  AND len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7),
+       |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+       |reach(id, lbl) AS (
+       | SELECT doc_id, doc_id FROM corpus
+       | UNION
+       | SELECT e.b AS id, r.lbl FROM reach r JOIN e ON e.a = r.id),
+       |comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id),
+       |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component),
+       |wt AS (SELECT comp.doc_id, CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+       |        floor(1.0 / sz.cluster_size * 1e6 + 0.5) / 1e6 AS weight
+       |       FROM comp JOIN sz USING (component)),
+       |kb AS (SELECT doc_id, cluster_size, weight,
+       |        md5('3#' || CAST(doc_id AS VARCHAR)) AS h
+       |       FROM wt)
+       |SELECT doc_id, cluster_size, weight
+       |FROM kb
+       |WHERE $hex4 < floor(least(greatest(weight, 0.0), 1.0) * 65536)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** SimHash signatures + near-dup pairs (hash family not expressible in
     * the oracle — rows-only check; semantics unit-tested).
     *
@@ -2343,6 +2396,7 @@ object LlmQueries {
     QueryDef("minhash_dedup_keep", minhashDedupKeep, Some(minhashDedupKeepOracle)),
     QueryDef("minhash_keep_longest", minhashKeepLongest, Some(minhashKeepLongestOracle)),
     QueryDef("dup_weight_docs", dupWeightDocs, Some(dupWeightOracle)),
+    QueryDef("soft_dedup_sample", softDedupSample, Some(softDedupSampleOracle)),
     QueryDef("simhash_neardup_docs", simhashNeardupDocs, None),
     QueryDef("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardOracle)),
     QueryDef("containment_dup_pairs", containmentPairs, Some(containmentOracle)),

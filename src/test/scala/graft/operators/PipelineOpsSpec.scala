@@ -376,6 +376,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).toSeq === Seq(4L, 4L, 3L, 1L))
   }
 
+  test("weighted sampling: w=1 always kept, w=0 never, ~w in between, deterministic") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 3000L).map(i =>
+      (i, if (i <= 1000) 1.0 else if (i <= 2000) 0.0 else 0.5)).toDF("id", "w")
+    val kept = graft.operators.Sampling.weightedSample(df, "id", col("w"), seed = 9L)
+      .collect().map(_.getLong(0))
+    assert(kept.count(_ <= 1000) === 1000) // w=1: every row
+    assert(!kept.exists(i => i > 1000 && i <= 2000)) // w=0: none
+    val half = kept.count(_ > 2000)
+    assert(half > 400 && half < 600, s"w=0.5 kept $half of 1000")
+    // decision is a pure function of (seed, key, weight)
+    val again = graft.operators.Sampling.weightedSample(df, "id", col("w"), seed = 9L)
+      .collect().map(_.getLong(0))
+    assert(again.sorted.toSeq === kept.sorted.toSeq)
+    // a different seed draws a different realization of the same rates
+    val other = graft.operators.Sampling.weightedSample(df, "id", col("w"), seed = 10L)
+      .collect().map(_.getLong(0)).filter(_ > 2000).toSet
+    assert(other !== kept.filter(_ > 2000).toSet)
+  }
+
   test("epoch expansion: complete passes + remainder prefix, exact-multiple edge") {
     val s = spark
     import s.implicits._
