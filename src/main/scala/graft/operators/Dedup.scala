@@ -461,13 +461,13 @@ object Dedup {
     *
     * Scale shape: gram rows ride the per-document lead window
     * ([[gramRows]] — bounded by doc length, high-cardinality partition
-    * key); the window-min is the same bounded frame; the
-    * rightmost-argmin resolves via a self-join on (id, hash) — an EQUI
-    * join with the w-row range as post-condition, amplification ≤ w per
-    * gram. Docs with fewer than k+w-1 tokens have no full window and
-    * emit nothing (the paper's m < w case). Returns (id, pos,
-    * fingerprint) with pos the 0-based token index the winning gram
-    * starts at. */
+    * key); the rightmost-argmin is ONE more bounded-frame window —
+    * `min_by` ordered by (hash, -pos) picks the minimal hash with the
+    * rightmost position directly, so no self-join and no second
+    * evaluation of the gram lineage. Docs with fewer than k+w-1 tokens
+    * have no full window and emit nothing (the paper's m < w case).
+    * Returns (id, pos, fingerprint) with pos the 0-based token index
+    * the winning gram starts at. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k > 0 && w > 1, s"need k > 0, w > 1; got k=$k w=$w")
@@ -482,16 +482,13 @@ object Dedup {
       .filter(col("full")).drop("full")
     val winFrame = Window.partitionBy("id").orderBy("gpos")
       .rowsBetween(-(w - 1), Window.currentRow)
-    val ends = grams.withColumn("wmin", min("h").over(winFrame))
+    grams
+      .withColumn("__sel", min_by(struct(col("gpos"), col("h")),
+        struct(col("h"), (-col("gpos")).as("__np"))).over(winFrame))
       .filter(col("gpos") >= w - 1)
-      .select(col("id").as("eid"), col("gpos").as("epos"), col("wmin"))
-    ends.join(grams,
-        col("eid") === col("id") && col("wmin") === col("h") &&
-          col("gpos") >= col("epos") - (w - 1) && col("gpos") <= col("epos"))
-      .groupBy(col("eid"), col("epos"), col("wmin"))
-      .agg(max(col("gpos")).as("pos"))
-      .select(col("eid").as(idCol), col("pos").cast("long").as("pos"),
-        col("wmin").as("fingerprint"))
+      .select(col("id").as(idCol),
+        col("__sel.gpos").cast("long").as("pos"),
+        col("__sel.h").as("fingerprint"))
       .distinct()
   }
 
