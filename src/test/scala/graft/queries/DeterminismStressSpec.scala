@@ -70,8 +70,8 @@ class DeterminismStressSpec extends SparkSpec {
     // and require the canonical result to be bit-identical to the
     // session-default run for every prefix-sum consumer.
     val queries = Seq("mix_corpus", "mix_corpus_check", "mix_temperature",
-      "mix_unimax", "shuffle_order", "pack_sequences", "spearman_lineitem",
-      "equidepth_lineitem")
+      "mix_unimax", "mix_unimax_epochs", "shuffle_order", "pack_sequences",
+      "spearman_lineitem", "equidepth_lineitem")
     val defaults = queries.map(q => q -> canonical(q)).toMap
     dropCaches()
     val sweeps: Seq[(String, Seq[(String, String)])] = Seq(
