@@ -25,6 +25,34 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object Contamination {
 
+  /** SURGICAL span-level decontamination — the middle ground between
+    * dropping a whole contaminated document ([[report]] / [[bloomKeep]])
+    * and keeping it verbatim: for each corpus document, the MAXIMAL
+    * token spans whose every covering n-gram appears in the eval set.
+    * Cut these spans and the document contributes its clean remainder
+    * to training instead of being discarded for one quoted benchmark
+    * line. Returns one row per span: (idCol, span_start, span_end,
+    * span_tokens) with span_end exclusive, positions 0-based over the
+    * whitespace tokens.
+    *
+    * Scale shape: corpus gram occurrences ride the codegen'd positional
+    * substrate ([[Dedup.positionalGramRows]]); the eval gram set is
+    * DISTINCT rows broadcast to the match join (map-side, no shuffle of
+    * the big side); span merging is the shared gaps-and-islands pass in
+    * per-document windows ([[Dedup.mergeSpans]]). Integer arithmetic
+    * end to end. */
+  def contaminatedSpans(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val cg = Dedup.positionalGramRows(corpus, idCol, textCol, n)
+    val bg = Dedup.shingleRows(bench, idCol, textCol, n)
+      .select(col("s").as("__g")).distinct()
+    val hits = cg.join(broadcast(bg), Seq("__g"))
+      .select(col(idCol), col("__pos"))
+    Dedup.mergeSpans(hits, idCol, n)
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).cast("long").as("span_tokens"))
+  }
+
   /** Per-pair overlap: (corpus_id, bench_id, n_shared) for every
     * corpus/bench document pair sharing at least one distinct word
     * n-gram. Exact — a pair is counted from a shared-gram equi-join,

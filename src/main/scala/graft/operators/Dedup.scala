@@ -664,35 +664,53 @@ object Dedup {
     * scales where shuffling n·avg-token bytes per gram dominates, key
     * xxhash64(gram) instead and accept the ~n·2^-64 collision odds per
     * pair — the plan is unchanged. */
-  def repeatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    require(n >= 2, s"span grams need n >= 2, got $n")
+  /** Every n-gram occurrence with its contiguous 0-based start position
+    * over the FILTERED tokens (raw split positions have gaps where
+    * empties fell out) — (idCol, __pos, __g), the codegen'd
+    * posexplode + lead substrate shared by span detection. */
+  private[operators] def positionalGramRows(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
     val raw = df.select(col(idCol),
       posexplode(split(col(textCol), " ")).as(Seq("__rp", "__t")))
       .filter(col("__t") =!= "")
     val byP = Window.partitionBy(idCol).orderBy("__rp")
-    // contiguous 0-based positions over the FILTERED tokens (raw split
-    // positions have gaps where empties fell out)
     val gramParts = col("__t") +: (1 until n).map(i => lead(col("__t"), i).over(byP))
-    val grams = raw.select(col(idCol),
+    raw.select(col(idCol),
         (row_number().over(byP) - 1).as("__pos"),
         concat_ws(" ", gramParts: _*).as("__g"),
         lead(col("__t"), n - 1).over(byP).isNotNull.as("__full"))
       .filter(col("__full")).drop("__full")
-    val dupGrams = grams.groupBy("__g").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > 1).select("__g")
-    val hits = grams.join(dupGrams, Seq("__g")).select(col(idCol), col("__pos"))
+  }
+
+  /** The gaps-and-islands merge shared by span reporters: matched gram
+    * START positions (idCol, __pos) → maximal merged spans
+    * (idCol, span_start, span_end) with span_end EXCLUSIVE (pos + n). */
+  private[operators] def mergeSpans(hits: DataFrame, idCol: String,
+      n: Int): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy("__pos")
     val prevEnd = max(col("__pos") + n)
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val marked = hits.withColumn("__new",
-      when(col("__pos") > coalesce(prevEnd, lit(-1)), 1L).otherwise(0L))
-    val islands = marked.withColumn("__isl",
-      sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    islands.groupBy(col(idCol), col("__isl"))
-      .agg(min(col("__pos")).as("__s"), max(col("__pos") + n).as("__e"))
+    hits
+      .withColumn("__new",
+        when(col("__pos") > coalesce(prevEnd, lit(-1)), 1L).otherwise(0L))
+      .withColumn("__isl",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + n).as("span_end"))
+      .drop("__isl")
+  }
+
+  def repeatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"span grams need n >= 2, got $n")
+    val grams = positionalGramRows(df, idCol, textCol, n)
+    val dupGrams = grams.groupBy("__g").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__g")
+    val hits = grams.join(dupGrams, Seq("__g")).select(col(idCol), col("__pos"))
+    mergeSpans(hits, idCol, n)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_dup_spans"),
-        sum(col("__e") - col("__s")).cast("long").as("dup_tokens"))
+        sum(col("span_end") - col("span_start")).cast("long").as("dup_tokens"))
   }
 }

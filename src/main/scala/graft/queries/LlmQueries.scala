@@ -1814,6 +1814,44 @@ object LlmQueries {
        |WHERE ids.doc_id NOT IN (SELECT doc_id FROM hit)
        |ORDER BY ids.doc_id""".stripMargin
 
+  /** Surgical span-level decontamination
+    * ([[Contamination.contaminatedSpans]]): per corpus doc, the maximal
+    * token spans whose every 8-gram appears in the eval set — cut the
+    * span, keep the clean remainder, instead of dropping the document
+    * for one quoted benchmark line. The planted 30-token bench prefixes
+    * surface as whole-doc spans. */
+  def deconSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Contamination.contaminatedSpans(contamCorpus(docs), benchDocs(docs),
+      "doc_id", "text", DecontamN)
+      .select(col("doc_id"),
+        col("span_start").cast(LongType).as("span_start"),
+        col("span_end").cast(LongType).as("span_end"),
+        col("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val deconSpansOracle: String =
+    s"""WITH $contamCorpusSql,
+       |g AS (
+       | SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+${DecontamN - 1}], ' ') AS gram
+       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |       FROM corpus), unnest(generate_series(1, len(t) - ${DecontamN - 1})) AS u(i)
+       | WHERE len(t) >= $DecontamN),
+       |bgr AS (SELECT DISTINCT s FROM (${wordGramSql("bench", DecontamN)})),
+       |m AS (SELECT g.doc_id, g.pos FROM g JOIN bgr ON g.gram = bgr.s),
+       |mk AS (SELECT doc_id, pos,
+       |  CASE WHEN pos > coalesce(max(pos + $DecontamN) OVER (PARTITION BY doc_id ORDER BY pos
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS is_new
+       | FROM m),
+       |i2 AS (SELECT doc_id, pos, sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM mk),
+       |sp AS (SELECT doc_id, isl, min(pos) AS s, max(pos + $DecontamN) AS e
+       |       FROM i2 GROUP BY doc_id, isl)
+       |SELECT doc_id, CAST(s AS BIGINT) AS span_start, CAST(e AS BIGINT) AS span_end,
+       | CAST(e - s AS BIGINT) AS span_tokens
+       |FROM sp ORDER BY doc_id, span_start""".stripMargin
+
   // ------------------------------------------------- repetition quality
 
   /** Per-document trigram repetition signal (Gopher/C4-style boilerplate
@@ -2431,6 +2469,7 @@ object LlmQueries {
     QueryDef("decontaminate_docs", decontaminateDocs, Some(decontaminateOracle)),
     QueryDef("contamination_pairs", contaminationPairs, Some(contaminationPairsOracle)),
     QueryDef("bloom_decon_keep", bloomDeconKeep, Some(bloomDeconKeepOracle)),
+    QueryDef("decon_spans", deconSpans, Some(deconSpansOracle)),
     QueryDef("quality_regression", qualityRegression, Some(qualityRegressionOracle)),
     QueryDef("repetition_docs", repetitionDocs, Some(repetitionOracle)),
     QueryDef("novelty_docs", noveltyDocs, Some(noveltyOracle)),

@@ -90,6 +90,23 @@ class PipelineOpsSpec extends SparkSpec {
       loose.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("contaminated spans: exact quoted region merges, clean docs emit nothing") {
+    val s = spark
+    import s.implicits._
+    val quote = (1 to 10).map(i => s"q$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"own1 own2 own3 $quote own4 own5 own6"), // quote at pos 3..12
+      (2L, (1 to 20).map(i => s"c$i").mkString(" ")))   // clean
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"intro $quote outro")).toDF("doc_id", "text")
+    val out = graft.operators.Contamination.contaminatedSpans(
+        corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // only the 8-grams fully inside the quote match: starts 3..5 (grams
+    // q1..q8, q2..q9, q3..q10) -> one merged span [3, 13) = 10 tokens
+    assert(out.toSeq === Seq((1L, 3, 13, 10L)))
+  }
+
   test("repetition computes duplicate n-gram fraction and max repeat") {
     // "a b a b a b" → 3-grams: "a b a", "b a b", "a b a", "b a b" → 4 total, 2 distinct
     val out = TextAnalysis.repetition(docs((1L, "a b a b a b")), "doc_id", "text", 3)
