@@ -31,6 +31,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Bench.quietAuditedWindowWarn() // bounded-frame WARN flood, see there
+    Bench.quietAuditedCheckpointWarn() // drained-checkpoint WARN flood, see there
     new java.io.File(outDir).mkdirs()
     val digests = scala.collection.mutable.SortedMap.empty[String, String]
     SparkEntry.queries

@@ -27,8 +27,11 @@ object Contamination {
 
   /** SURGICAL span-level decontamination — the middle ground between
     * dropping a whole contaminated document ([[report]] / [[bloomKeep]])
-    * and keeping it verbatim: for each corpus document, the MAXIMAL
-    * token spans whose every covering n-gram appears in the eval set.
+    * and keeping it verbatim: for each corpus document, the maximal
+    * token spans in which every token is covered by at least one
+    * eval-set n-gram. (Weaker than "every covering n-gram is in the
+    * eval set": gaps-and-islands merges touching hit windows, and a
+    * gram straddling two touching windows need not itself match.)
     * Cut these spans and the document contributes its clean remainder
     * to training instead of being discarded for one quoted benchmark
     * line. Returns one row per span: (idCol, span_start, span_end,

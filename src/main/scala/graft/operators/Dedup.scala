@@ -503,9 +503,28 @@ object Dedup {
     * lists), never all-pairs. Returns (a, b, n_shared). */
   def winnowCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, minShared: Int = 2, maxDf: Int = 20): DataFrame = {
-    require(minShared > 0 && maxDf > 0)
+    // The fingerprint table feeds THREE consumers (the df guard and both
+    // sides of the pair self-join); its lineage is window-heavy
+    // (posexplode + two per-document windows), so materialize it eagerly
+    // before the diamond fans out — localCheckpoint cuts the lineage and
+    // each consumer reads the stored blocks instead of re-running the
+    // whole fingerprint computation (the recompute tripled this
+    // operator's cost). Pipelines with a standing fingerprint table use
+    // [[winnowCandidatePairsFromFingerprints]] directly.
     val fp = winnowFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol), col("fingerprint")).distinct()
+      .localCheckpoint(true)
+    winnowCandidatePairsFromFingerprints(fp, idCol, minShared, maxDf)
+  }
+
+  /** [[winnowCandidatePairs]] over a PREBUILT fingerprint table —
+    * distinct (idCol, fingerprint) rows, exactly the artifact a pipeline
+    * stores alongside its corpus (the winnow analogue of
+    * [[crossNearDupPairsFromIndex]]'s standing index): pairing costs the
+    * posting joins only, zero fingerprint recompute. */
+  def winnowCandidatePairsFromFingerprints(fp: DataFrame, idCol: String,
+      minShared: Int, maxDf: Int): DataFrame = {
+    require(minShared > 0 && maxDf > 0)
     val rare = fp.groupBy("fingerprint")
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("fingerprint")

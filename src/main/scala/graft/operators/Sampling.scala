@@ -59,7 +59,14 @@ object Sampling {
     * weight), so it is reproducible across engines, runs, partitionings
     * and appends, and changing the seed draws a fresh realization.
     * Weights should come pre-rounded (the 1e-6 bridge) so the integer
-    * threshold cannot sit on an engine-dependent ULP. */
+    * threshold cannot sit on an engine-dependent ULP.
+    *
+    * Keep rates are QUANTIZED to 16 bits: the threshold is
+    * `floor(weight * 65536)`, so every weight is biased DOWN by up to
+    * 2^-16 and a weight below 1/65536 keeps nothing at all. Harmless
+    * for soft-dedup 1/|cluster| weights (clusters nowhere near 65k
+    * members); for very small importance/DSIR weights, rescale into a
+    * workable range or widen the bucket space before sampling. */
   def weightedSample(df: DataFrame, keyCol: String, weight: Column,
       seed: Long = 0L): DataFrame = {
     val b = hashBucket(concat_ws("#", lit(seed), col(keyCol).cast("string")))
@@ -188,9 +195,15 @@ object Sampling {
     * serving every remaining group at level cap_i still fits the
     * leftover budget — `cap_i*(n-i+1) + cum_{i-1} <= B`, a prefix
     * property under this order — and every non-exhausted group gets
-    * `(B - sum of exhausted caps) div (n - k)`. INTEGER arithmetic end
-    * to end (caps floor to long, the level is integer division), so
-    * there is no float bridge to round: any engine replays it exactly.
+    * `(B - sum of exhausted caps) div (n - k)`. INTEGER arithmetic
+    * everywhere except ONE float bridge: the per-group cap is
+    * `floor(total_tokens * maxEpochs)` computed in doubles — for group
+    * token totals approaching 2^53 the product loses integer precision
+    * and the floored cap could diverge across engines (the oracle
+    * replays the same double product, so both sides agree here; callers
+    * at that magnitude should pre-scale or pass integral maxEpochs).
+    * The waterfill itself (cumulative caps, the level's integer
+    * division) is long arithmetic with no rounding to bridge.
     *
     * Scale shape: totals are one hash aggregation; the waterfill windows
     * run over |groups| rows (bounded — sources/languages, not documents;

@@ -142,13 +142,27 @@ object Stats {
     * hash-checks this end to end). Nulls are excluded; n = 0 fails
     * loudly. */
   def exactQuantiles(df: DataFrame, c: String, probs: Seq[Double]): Seq[Double] = {
-    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
-      s"probs must be in [0, 1], got $probs")
-    val vals = df.filter(col(c).isNotNull)
+    val vals = valueFrequencies(df, c)
+      .persist() // perf only: two small downstream actions share the scan
+    try quantilesFromFrequencies(vals, probs)
+    finally vals.unpersist(false)
+  }
+
+  /** The distinct (value, count) table — (`_v` double, `_cnt` long) —
+    * that [[quantilesFromFrequencies]] consumes: one hash aggregation,
+    * the only full scan of the quantile pipeline. */
+  private def valueFrequencies(df: DataFrame, c: String): DataFrame =
+    df.filter(col(c).isNotNull)
       .groupBy(col(c).cast("double").as("_v"))
       .agg(count(lit(1)).as("_cnt"))
-      .persist() // perf only: two small downstream actions share the scan
-    try {
+
+  /** Steps 2–3 of [[exactQuantiles]] over a prebuilt (and materialized —
+    * persisted or checkpointed, since two actions consume it) frequency
+    * table from [[valueFrequencies]]. */
+  private def quantilesFromFrequencies(vals: DataFrame, probs: Seq[Double]): Seq[Double] = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0, 1], got $probs");
+    {
       // ONE job over the distinct table: total row count + finite value
       // bounds (the slice-bucketing literals — NaN/±Inf go to edge
       // slices by rule, matching Packing.deterministicSlice)
@@ -163,8 +177,8 @@ object Stats {
       val b = vals.agg(sum("_cnt").as("n"),
         min(finiteV).as("mn"), max(finiteV).as("mx")).head()
       val n = if (b.isNullAt(0)) 0L else b.getLong(0)
-      require(n > 0, s"exactQuantiles('$c'): no non-null values")
-      val nSlices = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      require(n > 0, "exactQuantiles: no non-null values")
+      val nSlices = vals.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
       val slice = if (b.isNullAt(1) || !(b.getDouble(1) < b.getDouble(2))) {
         when(isnan(vd) || vd === Double.PositiveInfinity, lit(nSlices))
           .when(vd === Double.NegativeInfinity, lit(-1)).otherwise(lit(0))
@@ -201,7 +215,7 @@ object Stats {
         if (higher == lower) valueAt(lower)
         else (higher - h) * valueAt(lower) + (h - lower) * valueAt(higher)
       }
-    } finally vals.unpersist(false)
+    }
   }
 
   /** Equi-DEPTH binning: bucket edges are exact type-7 quantiles
@@ -210,19 +224,30 @@ object Stats {
     * bin closed — each bin holds ~1/bins of the data regardless of
     * distribution, the binning a feature pipeline actually wants for
     * skewed measures. Returns (bin, lo, hi, cnt). Duplicate edges from
-    * heavy ties collapse naturally (empty bins are absent). */
+    * heavy ties collapse naturally (empty bins are absent).
+    *
+    * ONE full scan total: the (value, count) frequency table the
+    * quantile math already builds is materialized (localCheckpoint —
+    * it outlives this call inside the lazily-executed result plan,
+    * which a persist/unpersist pair can't provide) and the bin counts
+    * are derived from IT — binning is a pure function of the value, so
+    * summing `_cnt` per bin over the distinct values equals counting
+    * rows, without rescanning `df` against the edge literals (the
+    * rescan made this the most expensive query on the bench board). */
   def equiDepthHistogram(df: DataFrame, c: String, bins: Int): DataFrame = {
     require(bins > 0)
     val probs = (0 to bins).map(_.toDouble / bins)
-    val edges = exactQuantiles(df, c, probs)
+    val vals = valueFrequencies(df, c).localCheckpoint(true)
+    val edges = quantilesFromFrequencies(vals, probs)
     // CASE ladder over the literal edges: value < edge_1 -> bin 0, etc.;
-    // the max value lands in the last bin (<= top edge)
+    // the max value lands in the last bin (<= top edge). `_v` is the
+    // double-cast value — identical comparisons to the raw column, which
+    // Spark would implicitly cast against the double edge literals.
     val bin = (1 until bins).foldRight(lit(bins - 1)) { case (i, acc) =>
-      when(col(c) < edges(i), lit(i - 1)).otherwise(acc)
+      when(col("_v") < edges(i), lit(i - 1)).otherwise(acc)
     }.cast("int")
-    df.filter(col(c).isNotNull)
-      .groupBy(bin.as("bin"))
-      .agg(count(lit(1)).as("cnt"))
+    vals.groupBy(bin.as("bin"))
+      .agg(sum("_cnt").cast("long").as("cnt"))
       .select(col("bin"),
         element_at(typedLit(edges), col("bin") + 1).as("lo"),
         element_at(typedLit(edges), col("bin") + 2).as("hi"),

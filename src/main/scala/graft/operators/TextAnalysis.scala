@@ -38,7 +38,10 @@ object TextAnalysis {
     * each slice of a multilingual corpus (high fertility = the slice
     * pays more sequence length per word; budget and mixing decisions
     * should see it). One hash aggregation, |groups| output rows; ratios
-    * round to 1e-6 so any engine replays the division. */
+    * round to 1e-6 so any engine replays the division, and a degenerate
+    * group (all-empty documents ⇒ zero words or tokens) gets an EXPLICIT
+    * null ratio rather than riding engine-specific divide-by-zero
+    * behavior. */
   def tokenizerFertility(df: DataFrame, groupCol: String,
       textCol: String): DataFrame =
     df.groupBy(groupCol).agg(
@@ -48,9 +51,11 @@ object TextAnalysis {
       sum(length(col(textCol)).cast("long")).as("n_chars"))
     .select(col(groupCol), col("n_docs"), col("n_words"), col("n_tokens"),
       col("n_chars"),
-      (floor(col("n_tokens").cast("double") / col("n_words") * 1e6 + 0.5) / 1e6)
+      when(col("n_words") > 0,
+        floor(col("n_tokens").cast("double") / col("n_words") * 1e6 + 0.5) / 1e6)
         .as("tokens_per_word"),
-      (floor(col("n_chars").cast("double") / col("n_tokens") * 1e6 + 0.5) / 1e6)
+      when(col("n_tokens") > 0,
+        floor(col("n_chars").cast("double") / col("n_tokens") * 1e6 + 0.5) / 1e6)
         .as("chars_per_token"))
 
   /** Per-document token stats: count + mean token length. */

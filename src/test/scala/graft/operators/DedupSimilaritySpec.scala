@@ -515,6 +515,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("winnow pairing consumes a materialized fingerprint table — lineage runs once") {
+    val s = spark
+    import s.implicits._
+    val body = (1 to 40).map(i => s"m${i * 7 % 31}p$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, body + " tail x"),
+      (3L, (1 to 40).map(i => s"q$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.winnowCandidatePairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 2, maxDf = 10)
+    // the fingerprint lineage (posexplode + two per-doc windows) is cut
+    // by the eager localCheckpoint, so the pairing plan must contain NO
+    // window at all — each of the three consumers (df guard + both join
+    // sides) scans the stored blocks instead of re-running the windows
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"fingerprint lineage leaked into the pairing plan:\n$plan")
+    assert(plan.contains("ExistingRDD"), plan)
+    // and the standing-index entry point reproduces the operator exactly
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .select(col("doc_id"), col("fingerprint")).distinct().localCheckpoint(true)
+    val viaIndex = Dedup.winnowCandidatePairsFromFingerprints(fp, "doc_id",
+      minShared = 2, maxDf = 10)
+    assert(viaIndex.orderBy("a", "b").collect() === pairs.orderBy("a", "b").collect())
+  }
+
   test("softDedupWeights gives 1/|cluster| per doc, singletons weight 1") {
     val s = spark
     import s.implicits._

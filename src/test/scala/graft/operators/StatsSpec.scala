@@ -132,4 +132,18 @@ class StatsSpec extends SparkSpec {
     assert(out.head._2 === 1.0)
     assert(math.abs(out(4)._3 - 500.5) < 1e-9) // median edge = 500.5
   }
+
+  test("equi-depth bin counts come from the frequency table, not a base rescan") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 1000).map(i => (i % 250).toDouble).toDF("x")
+    val hist = Stats.equiDepthHistogram(df, "x", 4)
+    val plan = hist.queryExecution.executedPlan.toString
+    // the binning aggregation must scan the checkpointed (value, count)
+    // table — one full scan of the data total, not one per phase
+    assert(plan.contains("ExistingRDD"), plan)
+    assert(!plan.contains("LocalTableScan"), s"base data rescanned:\n$plan")
+    // summing _cnt over distinct values equals counting rows
+    assert(hist.agg(sum("cnt")).head().getLong(0) === 1000L)
+  }
 }

@@ -131,4 +131,29 @@ class SinksSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(shard0.toSeq === shard0.sorted.toSeq, "rows must be hash-ordered within the shard")
   }
+
+  test("Memo builds each (session, dir, key) exactly once and reads parquet back") {
+    val s = spark
+    import s.implicits._
+    // unique key per run: the registry is session-scoped and the shared
+    // spec session outlives individual test invocations
+    val key = "spec-" + java.lang.Long.toHexString(System.nanoTime())
+    var builds = 0
+    def build = { builds += 1; Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+    val first = Memo.tableFor(spark, "memo-dir", key)(build)
+    val second = Memo.tableFor(spark, "memo-dir", key)(build)
+    assert(builds === 1, "second call must reuse the memoized write")
+    assert(second.orderBy("id").collect() === first.orderBy("id").collect())
+    // consumers scan the stored parquet, not the build lineage — the
+    // contract that makes diamond-shaped consumers recompute-free
+    val plan = second.queryExecution.executedPlan.toString
+    assert(plan.contains("Parquet"), plan)
+    // a different dir is a different artifact (one session, several SFs)
+    Memo.tableFor(spark, "memo-dir-2", key)(build)
+    assert(builds === 2)
+    var setups = 0
+    Memo.onceFor(spark, "memo-dir", key) { setups += 1 }
+    Memo.onceFor(spark, "memo-dir", key) { setups += 1 }
+    assert(setups === 1, "onceFor must run setup exactly once")
+  }
 }
