@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{GeoQueries, LlmQueries, ProfilingQueries, QueryDef, RelationalQueries, StreamShapeQueries}
+import graft.queries.{GeoQueries, LlmQueries, ProfilingQueries, QueryDef, RelationalQueries, SketchQueries, StreamShapeQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
 
   private def registry: Seq[QueryDef] =
     ProfilingQueries.all ++ RelationalQueries.all ++ LlmQueries.all ++
-      StreamShapeQueries.all ++ GeoQueries.all
+      StreamShapeQueries.all ++ GeoQueries.all ++ SketchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -33,8 +33,14 @@ import graft.core.SemanticType
   *     interleaves their stages across the cluster.
   *  3. `approximate = true` (the 100 TB mode) folds distinct + quantiles
   *     back into pass 1 as mergeable sketches (HLL++
-  *     `approx_count_distinct`, `percentile_approx`) — benched ~10x
-  *     cheaper than the exact pair and single-pass.
+  *     `approx_count_distinct`, KLL quantiles
+  *     [[graft.plans.KllSketchAgg]]) — benched ~10x cheaper than the
+  *     exact pair and single-pass. KLL (k = [[ApproxQuantileK]], ~0.3%
+  *     normalized rank error) replaced `percentile_approx` here: the GK
+  *     summary answers one in-query percentile but cannot be stored or
+  *     unioned, while the KLL sketch is the same object
+  *     [[Profiles]] persists per shard — approximate describe over a
+  *     sharded corpus is now profile-union, not rescan.
   *  4. `mad` needs the mean first: one dependent second aggregation for
   *     all numeric columns together (petk/tools.py:62).
   *
@@ -59,6 +65,12 @@ object Describe {
   /** Reference quantile labels: '{:.0%}'.format(p) (petk/tools.py:48). */
   val QuantilePs: Seq[Double] = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
   val QuantileNames: Seq[String] = Seq("5%", "25%", "50%", "75%", "95%")
+
+  /** KLL parameter for approximate-mode quantiles: k=1024 keeps the
+    * sketch at a few thousand retained doubles (~100 KB serialized) for
+    * ~0.3% normalized rank error — coarser than percentile_approx(10000)
+    * but mergeable (see class doc, mode 3). */
+  val ApproxQuantileK: Int = 1024
 
   /** One profiled column: reference-ordered stat map (petk/tools.py:18-68).
     * Values are Any (Long / Double / Boolean / String / timestamp) exactly
@@ -85,8 +97,8 @@ object Describe {
     * frequency-weighted percentile puts its whole distinct-value set into
     * ONE TypedImperative Percentile buffer — fine at oracle scale, an OOM
     * for a near-unique column at 100 TB. Above this many distinct values
-    * the quantiles fall back to the mergeable t-digest sketch
-    * (percentile_approx), same as `approximate = true`; distinct_count
+    * the quantiles fall back to the mergeable KLL sketch
+    * ([[graft.plans.KllSketchAgg]]), same as `approximate = true`; distinct_count
     * stays exact either way (the frequency table is a scalable hash agg).
     * ~4M doubles ≈ a few hundred MB of buffer — the default keeps well
     * under a normal executor's headroom. */
@@ -136,7 +148,8 @@ object Describe {
       if (approximate && wantsDistinct(st))
         a("distinct_count", approx_count_distinct(c))
       if (approximate && wantsQuantiles(st))
-        a("quantiles", percentile_approx(quantileInput(name), typedLit(QuantilePs), lit(10000)))
+        a("quantiles", graft.plans.KllSketchAgg.kllQuantiles(
+          quantileInput(name).cast(DoubleType), QuantilePs, ApproxQuantileK))
       st match {
         case SemanticType.Boolean =>
           a("mean", avg(c.cast(IntegerType)))
@@ -443,10 +456,11 @@ object Describe {
               val qs =
                 if (withQ && exact && r.getAs[Any]("q") != null)
                   Some(r.getAs[scala.collection.Seq[Any]]("q").toSeq)
-                else if (withQ && !exact) { // gate fired: t-digest over raw rows
+                else if (withQ && !exact) { // gate fired: KLL over raw rows
                   val rr = df.filter(col(name).isNotNull)
-                    .agg(percentile_approx(quantileInput(name),
-                      typedLit(QuantilePs), lit(10000)).as("q")).head()
+                    .agg(graft.plans.KllSketchAgg.kllQuantiles(
+                      quantileInput(name).cast(DoubleType), QuantilePs,
+                      ApproxQuantileK).as("q")).head()
                   if (rr.isNullAt(0)) None else Some(rr.getSeq[Any](0).toSeq)
                 } else None
               (r.getAs[Long]("d"), qs)

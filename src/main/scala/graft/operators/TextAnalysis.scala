@@ -151,6 +151,40 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(n)
 
+  /** Exact heavy hitters without shuffling the term universe — the
+    * 100 TB form of [[topTerms]]' absolute-threshold cousin.
+    *
+    * `groupBy(term).count` shuffles EVERY distinct term to answer a
+    * question about the few above `minShare`. Two passes instead:
+    * pass 1 folds the corpus into one Misra–Gries sketch
+    * ([[graft.plans.FreqItemsAgg]] — map-side partial sketches, the
+    * shuffle carries one ≤`sketchCapacity`-entry buffer per partition);
+    * its item set provably contains every term with share >
+    * 1/(sketchCapacity+1), so for `minShare` above that blind spot it is
+    * a superset of the answer. Pass 2 broadcast-joins the ≤capacity
+    * candidates back against the token stream for exact counts and
+    * applies the threshold — the output is EXACT and independent of the
+    * (arrival-order-dependent) sketch contents. No driver collect: the
+    * candidate set flows as a broadcast join side. */
+  def exactHeavyHitters(df: DataFrame, textCol: String, minShare: Double,
+      sketchCapacity: Int = 512): DataFrame = {
+    require(minShare > 1.0 / (sketchCapacity + 1),
+      s"minShare=$minShare is inside the sketch blind spot 1/${sketchCapacity + 1}: " +
+        "raise minShare or the sketch capacity")
+    val toks = df.select(explode(tokens(col(textCol))).as("term"))
+    val cands = toks
+      .agg(graft.plans.FreqItemsAgg.freqItems(col("term"), sketchCapacity).as("cands"),
+        count(lit(1)).as("n_total"))
+      .select(explode(col("cands")).as("c"), col("n_total"))
+      .select(col("c.item").as("term"), col("n_total"))
+    toks.join(broadcast(cands), "term")
+      .groupBy("term", "n_total")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").cast("double") > col("n_total") * minShare)
+      .select("term", "cnt")
+      .orderBy(col("cnt").desc, col("term").asc)
+  }
+
   /** Per-document TF-IDF top-k terms: tf = in-document term count,
     * idf = ln(N / df) with df = number of documents containing the term.
     * Three hash aggregations over exploded token rows plus a broadcast of

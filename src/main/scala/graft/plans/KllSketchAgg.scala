@@ -1,0 +1,275 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** KLL streaming quantile sketch (Karnin, Lang, Liberty: "Optimal
+  * Quantile Approximation in Streams", FOCS 2016 — the sketch behind
+  * Apache DataSketches' KLL; implemented here from the paper, not the
+  * library, since nothing beyond Spark is on the classpath).
+  *
+  * Why it exists: `percentile_approx` (Spark's GK-style
+  * QuantileSummaries) answers one query over one aggregation — its
+  * summary is not exposed as a storable value, so a 100 TB pipeline
+  * cannot profile each ingest shard once and later UNION the profiles
+  * into a corpus profile. KLL is a ~`O(k log log n)`-space fully
+  * mergeable sketch: [[KllSketchAgg]] builds one from raw values (and
+  * can emit it as bytes), [[KllUnionAgg]] merges stored sketches —
+  * union of per-shard profiles replaces any rescan of the corpus. The
+  * exact-quantile paths of describe ([[graft.operators.Stats]]) are
+  * untouched; this is the sketch mode with documented error bounds.
+  *
+  * Structure: a stack of compactors. Level `h` holds items of weight
+  * `2^h`; level capacities decay geometrically (ratio 2/3) from `k` at
+  * the top, floored at 8. When total size exceeds total capacity the
+  * lowest over-full level is sorted and every other item is promoted to
+  * the level above (the other half is discarded, transferring its
+  * weight). Normalized rank error is ~1.65% at k=200 for the randomized
+  * sketch; this implementation draws the odd/even compaction coin from a
+  * fixed-seed splitmix64 stream, trading the adversarial-input guarantee
+  * for replay determinism under a fixed partitioning (the same tradeoff
+  * as the engine's md5-keyed samplers). Tests assert ≤2.5% measured rank
+  * error at k=200 and merge/build agreement within 2× the single-build
+  * error.
+  *
+  * Merge is buffer concatenation level-by-level followed by compaction —
+  * associative and commutative up to the (bounded-error) compaction
+  * randomness, so partial aggregation and shard-merge order never break
+  * the rank guarantee, only the specific retained items. */
+final class KllState(val k: Int) extends Serializable {
+  var n: Long = 0L
+  private[plans] var seed: Long = 0x9e3779b97f4a7c15L
+  val levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty[Double])
+
+  private def nextCoin(): Boolean = {
+    // splitmix64 step — deterministic per-sketch coin stream
+    seed += 0x9e3779b97f4a7c15L
+    var z = seed
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) >= 0L
+  }
+
+  private def capacity(h: Int): Int = {
+    val fromTop = levels.length - 1 - h
+    math.max(8, math.ceil(k * math.pow(2.0 / 3.0, fromTop)).toInt)
+  }
+
+  private def totalSize: Int = { var s = 0; var i = 0; while (i < levels.length) { s += levels(i).length; i += 1 }; s }
+  private def totalCapacity: Int = { var s = 0; var i = 0; while (i < levels.length) { s += capacity(i); i += 1 }; s }
+
+  def update(v: Double): Unit = { levels(0) += v; n += 1L; compress() }
+
+  def merge(other: KllState): Unit = {
+    require(other.k == k, s"cannot merge KLL sketches with different k: $k vs ${other.k}")
+    n += other.n
+    var h = 0
+    while (h < other.levels.length) {
+      if (h >= levels.length) levels += ArrayBuffer.empty[Double]
+      levels(h) ++= other.levels(h)
+      h += 1
+    }
+    compress()
+  }
+
+  private def compress(): Unit = {
+    var guard = 0
+    while (totalSize > totalCapacity && guard < 64) {
+      // lowest level at-or-over its capacity; levels(0) is the usual one
+      var h = 0
+      while (h < levels.length && levels(h).length < capacity(h)) h += 1
+      if (h == levels.length) return // capacities satisfied level-by-level
+      compact(h)
+      guard += 1
+    }
+  }
+
+  private def compact(h: Int): Unit = {
+    if (h == levels.length - 1) levels += ArrayBuffer.empty[Double]
+    val sorted = levels(h).sortInPlace()
+    val oddLeftover = if (sorted.length % 2 == 1) Some(sorted.remove(sorted.length - 1)) else None
+    val offset = if (nextCoin()) 0 else 1
+    val up = levels(h + 1)
+    var i = offset
+    while (i < sorted.length) { up += sorted(i); i += 2 }
+    sorted.clear()
+    oddLeftover.foreach(sorted += _) // keeps its own weight at level h
+  }
+
+  /** Estimated value at normalized rank `p` (inclusive-rank convention:
+    * the smallest retained value whose cumulative weight reaches
+    * `ceil(p*n)`). Undefined (NaN) on an empty sketch. */
+  def quantile(p: Double): Double = {
+    if (n == 0L) return Double.NaN
+    val pairs = ArrayBuffer.empty[(Double, Long)]
+    var h = 0
+    while (h < levels.length) {
+      val w = 1L << h
+      levels(h).foreach(v => pairs += ((v, w)))
+      h += 1
+    }
+    val sorted = pairs.sortInPlace()(Ordering.by(_._1))
+    val target = math.max(1L, math.ceil(p * n).toLong)
+    var cum = 0L
+    var i = 0
+    while (i < sorted.length) {
+      cum += sorted(i)._2
+      if (cum >= target) return sorted(i)._1
+      i += 1
+    }
+    sorted.last._1
+  }
+
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(k); out.writeLong(n); out.writeLong(seed)
+    out.writeInt(levels.length)
+    levels.foreach { buf =>
+      out.writeInt(buf.length)
+      buf.foreach(out.writeDouble)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object KllState {
+  def deserialize(bytes: Array[Byte]): KllState = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val st = new KllState(in.readInt())
+    st.n = in.readLong()
+    st.seed = in.readLong()
+    st.levels.clear()
+    val nl = in.readInt()
+    var h = 0
+    while (h < nl) {
+      val sz = in.readInt()
+      val buf = new ArrayBuffer[Double](sz)
+      var i = 0
+      while (i < sz) { buf += in.readDouble(); i += 1 }
+      st.levels += buf
+      h += 1
+    }
+    st
+  }
+}
+
+/** Shared TypedImperativeAggregate plumbing for the two KLL nodes.
+  * Output is either the serialized sketch (`BinaryType`, for storage in
+  * a shard profile) or the quantile estimates at `probs`
+  * (`array<double>`, for direct query). */
+sealed trait KllAggBase extends TypedImperativeAggregate[KllState] with UnaryLike[Expression] {
+  def k: Int
+  def probs: Seq[Double]
+  def emitBytes: Boolean
+
+  override def dataType: DataType =
+    if (emitBytes) BinaryType else ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): KllState = new KllState(k)
+  override def merge(a: KllState, b: KllState): KllState = { a.merge(b); a }
+  override def eval(buf: KllState): Any =
+    if (emitBytes) buf.serialize()
+    else new GenericArrayData(probs.map(buf.quantile).toArray)
+  override def serialize(buf: KllState): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): KllState = KllState.deserialize(bytes)
+
+  protected def checkParams(): TypeCheckResult =
+    if (k < 8) TypeCheckResult.TypeCheckFailure(s"$prettyName requires k >= 8, got $k")
+    else if (!emitBytes && probs.isEmpty)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName in quantile mode requires at least one prob")
+    else if (probs.exists(p => p < 0.0 || p > 1.0))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName probs must be in [0, 1]: $probs")
+    else TypeCheckResult.TypeCheckSuccess
+}
+
+/** Builds a KLL sketch from a DOUBLE column. Nulls and NaNs are skipped
+  * (NaN has no rank; the profiler counts NaN separately, Report A5). */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int,
+    probs: Seq[Double],
+    emitBytes: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends KllAggBase {
+
+  override def prettyName: String = "kll_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a DOUBLE child, got ${child.dataType.sql}")
+    else checkParams()
+
+  override def update(buf: KllState, input: InternalRow): KllState = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = v.asInstanceOf[Double]
+      if (!d.isNaN) buf.update(d)
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KllSketchAgg = copy(child = c)
+}
+
+/** Merges serialized KLL sketches (a BINARY column of [[KllState]]
+  * bytes) — the shard-profile union path. `k` must match the sketches'
+  * build parameter (asserted per input). */
+case class KllUnionAgg(
+    child: Expression,
+    k: Int,
+    probs: Seq[Double],
+    emitBytes: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends KllAggBase {
+
+  override def prettyName: String = "kll_union"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a BINARY child, got ${child.dataType.sql}")
+    else checkParams()
+
+  override def update(buf: KllState, input: InternalRow): KllState = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(KllState.deserialize(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KllUnionAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllUnionAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KllUnionAgg = copy(child = c)
+}
+
+object KllSketchAgg {
+  /** Quantile estimates (array<double>, one per prob) for a grouped column. */
+  def kllQuantiles(c: Column, probs: Seq[Double], k: Int = 200): Column =
+    Bridge.column(KllSketchAgg(Bridge.expression(c), k, probs, emitBytes = false).toAggregateExpression())
+
+  /** The serialized sketch itself — store it in a shard profile. */
+  def kllSketch(c: Column, k: Int = 200): Column =
+    Bridge.column(KllSketchAgg(Bridge.expression(c), k, Nil, emitBytes = true).toAggregateExpression())
+
+  /** Quantile estimates from a column of stored sketches. */
+  def kllUnionQuantiles(c: Column, probs: Seq[Double], k: Int = 200): Column =
+    Bridge.column(KllUnionAgg(Bridge.expression(c), k, probs, emitBytes = false).toAggregateExpression())
+
+  /** Merged sketch bytes from a column of stored sketches. */
+  def kllUnion(c: Column, k: Int = 200): Column =
+    Bridge.column(KllUnionAgg(Bridge.expression(c), k, Nil, emitBytes = true).toAggregateExpression())
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Profiles, TextAnalysis}
+import graft.plans.KllSketchAgg
+import graft.queries.QueryDef.{r, rSql}
+import graft.sources.Tables
+
+/** Driver-gated queries for the mergeable-sketch layer (KLL quantiles,
+  * Misra–Gries heavy hitters, shard-profile union).
+  *
+  * Two oracle styles here. `heavy_hitters_terms` and the exact fields of
+  * `shard_profile_merge` are ordinary value-equality oracles — the
+  * engine's answer is exact, DuckDB recomputes it. The sketch ESTIMATES
+  * (KLL quantiles, HLL distinct) are approximate by contract, so DuckDB
+  * cannot reproduce them value-for-value; for those the engine measures
+  * its own error against the exact answer ON THE GATE DATA and emits a
+  * bound-satisfaction boolean, and the oracle asserts the boolean — the
+  * driver thereby verifies the error CONTRACT (rank within ±0.05,
+  * distinct within ±10%) every round on real data, not a constant. The
+  * bounds are ≥2× the sketches' expected error (KLL k=200 ≈ 1.65% rank,
+  * HLL lgK=12 ≈ 1.6% distinct), so the booleans are stable, not flaky. */
+object SketchQueries {
+
+  private val Probs = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+  private val RankEps = 0.05
+
+  /** Rank-interval check used by both sketch checks: an estimate `est`
+    * for prob `p` passes when p ∈ [rank(v < est) − eps, rank(v ≤ est) + eps]
+    * — the interval form is exact-sketch-safe on discrete columns, where
+    * a single value can carry more probability mass than eps. */
+  private def withinEps(lt: org.apache.spark.sql.Column, le: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) =
+    (lt / n - RankEps <= p) && (le / n + RankEps >= p)
+
+  /** KLL(k=200) quantile estimates on lineitem.l_extendedprice, each
+    * verified against its measured rank on the same data. */
+  def kllQuantileCheck(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").cast("double").as("v"))
+    val est = v
+      .agg(KllSketchAgg.kllQuantiles(col("v"), Probs, 200).as("q"),
+        count(col("v")).as("n"))
+      .select(col("n"), posexplode(col("q")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "est")
+    val probOf = element_at(lit(Probs.toArray), col("i").cast("int") + 1)
+    v.crossJoin(broadcast(est)) // |Probs| rows on the right: bounded fan-out
+      .groupBy("i", "est", "n")
+      .agg(count(when(col("v") < col("est"), 1)).as("lt"),
+        count(when(col("v") <= col("est"), 1)).as("le"))
+      .select(probOf.as("prob"),
+        withinEps(col("lt"), col("le"), col("n"), probOf).as("within_eps"))
+      .orderBy("prob")
+  }
+
+  private val kllQuantileCheckOracle: String =
+    """SELECT CAST(p AS DOUBLE) AS prob, true AS within_eps
+      |FROM (VALUES (0.05), (0.25), (0.5), (0.75), (0.95)) t(p)
+      |ORDER BY prob""".stripMargin
+
+  /** Exact terms above 3% corpus share via the two-pass Misra–Gries
+    * plan ([[TextAnalysis.exactHeavyHitters]]): output is exact, so the
+    * oracle is a plain recount. */
+  def heavyHittersTerms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.exactHeavyHitters(Tables.documents(spark, dir), "text",
+      minShare = 0.03, sketchCapacity = 512)
+
+  private val heavyHittersOracle: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents)
+      |SELECT term, count(*) AS cnt
+      |FROM toks GROUP BY term
+      |HAVING count(*) > (SELECT count(*) FROM toks) * 0.03
+      |ORDER BY cnt DESC, term ASC""".stripMargin
+
+  private val ProfileCols = Seq("l_discount", "l_extendedprice", "l_quantity")
+
+  /** Profile lineitem in 8 md5 shards, merge the 24 profile rows, and
+    * emit the merged stats: exact fields against DuckDB's single-pass
+    * globals (shard-invariance of the merge), sketch fields as measured
+    * error-bound booleans (KLL-union median rank, HLL-union distinct). */
+  def shardProfileMerge(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val shard = pmod(conv(substring(md5(col("l_orderkey").cast("string")), 1, 4), 16, 10)
+      .cast("long"), lit(8L))
+    val merged = Profiles.mergeProfiles(
+      Profiles.shardProfiles(li, shard, ProfileCols, 200), Seq(0.5), 200)
+      .select(col("col"), col("n"), col("n_null"), col("min"), col("max"),
+        col("sum"), col("mean"), col("std"),
+        element_at(col("q"), 1).as("med"), col("distinct_est"))
+    val half = lit(0.5)
+    val checks = Profiles.melt(li, lit(0L), ProfileCols)
+      .join(broadcast(merged.select("col", "med", "distinct_est")), "col")
+      .groupBy("col", "med", "distinct_est")
+      .agg(count(when(col("v") < col("med"), 1)).as("lt"),
+        count(when(col("v") <= col("med"), 1)).as("le"),
+        countDistinct(col("v")).as("nd"),
+        count(col("v")).as("nn"))
+      .select(col("col"),
+        withinEps(col("lt"), col("le"), col("nn"), half).as("median_ok"),
+        (abs(col("distinct_est") / col("nd") - 1.0) <= 0.1).as("distinct_ok"))
+    merged
+      .select(col("col"), col("n"), col("n_null"),
+        r(col("min"), 6).as("min"), r(col("max"), 6).as("max"),
+        r(col("sum"), 2).as("sum"),
+        // rd7, not rd6: l_discount's exact mean is 0.0499185 — a
+        // 7-decimal value whose rd6 image sits exactly on the floor(+0.5)
+        // boundary, so ULP-level association differences between the
+        // shard-merged sum and DuckDB's single-pass avg flip the last
+        // digit. At 7 digits the value is exactly representable and lands
+        // mid-interval.
+        r(col("mean"), 7).as("mean"), r(col("std"), 6).as("std"))
+      .join(checks, "col")
+      .orderBy("col")
+  }
+
+  private val shardProfileMergeOracle: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col, count($c) AS n, count(*) - count($c) AS n_null,
+         | ${rSql(s"CAST(min($c) AS DOUBLE)", 6)} AS min,
+         | ${rSql(s"CAST(max($c) AS DOUBLE)", 6)} AS max,
+         | ${rSql(s"sum(CAST($c AS DOUBLE))", 2)} AS sum,
+         | ${rSql(s"avg(CAST($c AS DOUBLE))", 7)} AS mean,
+         | ${rSql(s"stddev_samp(CAST($c AS DOUBLE))", 6)} AS std,
+         | true AS median_ok, true AS distinct_ok
+         |FROM lineitem""".stripMargin
+    ProfileCols.map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("kll_quantile_check", kllQuantileCheck, Some(kllQuantileCheckOracle)),
+    QueryDef("heavy_hitters_terms", heavyHittersTerms, Some(heavyHittersOracle)),
+    QueryDef("shard_profile_merge", shardProfileMerge, Some(shardProfileMergeOracle)))
+}

@@ -1,0 +1,145 @@
+package graft.plans
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** KLL quantile sketch + Misra–Gries frequent-items: error contracts,
+  * mergeability, serialization. Data is seeded-PRNG synthetic so the
+  * assertions are replayable. */
+class SketchAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def exactRank(sorted: Array[Double], x: Double): Double = {
+    // normalized inclusive rank: |{v <= x}| / n
+    var lo = 0; var hi = sorted.length
+    while (lo < hi) { val m = (lo + hi) >>> 1; if (sorted(m) <= x) lo = m + 1 else hi = m }
+    lo.toDouble / sorted.length
+  }
+
+  private def rankErr(sorted: Array[Double], p: Double, est: Double): Double = {
+    // distance from p to the [rank(v < est), rank(v <= est)] interval
+    var lo = 0; var hi = sorted.length
+    while (lo < hi) { val m = (lo + hi) >>> 1; if (sorted(m) < est) lo = m + 1 else hi = m }
+    val rLt = lo.toDouble / sorted.length
+    val rLe = exactRank(sorted, est)
+    if (p < rLt) rLt - p else if (p > rLe) p - rLe else 0.0
+  }
+
+  private val probs = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+
+  test("KllState: rank error <= 2.5% at k=200 on uniform and heavy-tailed streams") {
+    val rnd = new scala.util.Random(42)
+    for (data <- Seq(
+        Array.fill(60000)(rnd.nextDouble()),
+        Array.fill(60000)(math.exp(4.0 * rnd.nextGaussian())), // heavy tail
+        Array.tabulate(60000)(i => (i % 50).toDouble))) { // discrete, massy values
+      val st = new KllState(200)
+      data.foreach(st.update)
+      val sorted = data.sorted
+      probs.foreach { p =>
+        val e = rankErr(sorted, p, st.quantile(p))
+        assert(e <= 0.025, s"rank error $e at p=$p")
+      }
+      assert(st.n === data.length)
+    }
+  }
+
+  test("KllState: merge of disjoint shards meets the same bound, any merge order") {
+    val rnd = new scala.util.Random(7)
+    val data = Array.fill(80000)(rnd.nextGaussian())
+    val shards = data.grouped(10000).toArray
+    val sketches = shards.map { s => val st = new KllState(200); s.foreach(st.update); st }
+    // left fold and reversed fold — both must satisfy the contract
+    for (order <- Seq(sketches, sketches.reverse)) {
+      val merged = new KllState(200)
+      order.foreach(s => merged.merge(KllState.deserialize(s.serialize()))) // merge consumes
+      assert(merged.n === data.length)
+      val sorted = data.sorted
+      probs.foreach { p =>
+        val e = rankErr(sorted, p, merged.quantile(p))
+        assert(e <= 0.025, s"merged rank error $e at p=$p")
+      }
+    }
+  }
+
+  test("KllState: serialization round-trips exactly and stays sublinear in n") {
+    val rnd = new scala.util.Random(3)
+    val st = new KllState(200)
+    Array.fill(100000)(rnd.nextDouble()).foreach(st.update)
+    val bytes = st.serialize()
+    val back = KllState.deserialize(bytes)
+    probs.foreach(p => assert(back.quantile(p) === st.quantile(p)))
+    assert(back.n === st.n)
+    // ~k log(n/k) doubles, not n: the whole point of the sketch
+    assert(bytes.length < 100000, s"sketch is ${bytes.length} bytes for n=100000")
+  }
+
+  test("kll_quantiles and kll_sketch/kll_union agree through DataFrames") {
+    val rnd = new scala.util.Random(11)
+    val data = Seq.fill(20000)(rnd.nextDouble() * 100.0)
+    val df = data.zipWithIndex.map { case (v, i) => (i % 16, v) }.toDF("g", "v")
+    val direct = df.agg(KllSketchAgg.kllQuantiles(col("v"), probs, 200)).head
+      .getSeq[Double](0)
+    val viaUnion = df.groupBy("g")
+      .agg(KllSketchAgg.kllSketch(col("v"), 200).as("sk"))
+      .agg(KllSketchAgg.kllUnionQuantiles(col("sk"), probs, 200)).head
+      .getSeq[Double](0)
+    val sorted = data.toArray.sorted
+    probs.zipWithIndex.foreach { case (p, i) =>
+      assert(rankErr(sorted, p, direct(i)) <= 0.025, s"direct p=$p")
+      assert(rankErr(sorted, p, viaUnion(i)) <= 0.025, s"union p=$p")
+    }
+    // nulls and NaNs are skipped, not ranked
+    val withJunk = df.union(Seq((99, Double.NaN)).toDF("g", "v"))
+      .union(Seq((99, Option.empty[Double])).toDF("g", "v"))
+    val est = withJunk.agg(KllSketchAgg.kllQuantiles(col("v"), Seq(0.5), 200)).head.getSeq[Double](0)
+    assert(rankErr(sorted, 0.5, est.head) <= 0.025)
+  }
+
+  test("FreqItemsAgg: guaranteed superset of items above n/(capacity+1), counts are lower bounds") {
+    val rnd = new scala.util.Random(5)
+    // Zipf-ish: item i with weight ~ 1/(i+1); far more distinct items than capacity
+    val universe = 5000
+    val stream = Array.fill(120000) {
+      val u = rnd.nextDouble()
+      s"item_${math.min(universe - 1, math.floor(math.exp(u * math.log(universe.toDouble))).toInt - 1)}"
+    }
+    val cap = 64
+    val exact = stream.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val sketch = stream.toSeq.toDF("t").repartition(8)
+      .agg(FreqItemsAgg.freqItems(col("t"), cap)).head
+      .getSeq[Row](0).map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = stream.length.toLong
+    val blind = n / (cap + 1)
+    exact.filter(_._2 > blind).keys.foreach { hh =>
+      assert(sketch.contains(hh), s"heavy hitter $hh (cnt=${exact(hh)}) missing")
+    }
+    sketch.foreach { case (item, est) =>
+      assert(est <= exact(item), s"$item over-counted: $est > ${exact(item)}")
+      assert(exact(item) - est <= blind, s"$item error ${exact(item) - est} > $blind")
+    }
+    assert(sketch.size <= cap)
+  }
+
+  test("exactHeavyHitters equals the full groupBy answer despite a lossy sketch") {
+    val rnd = new scala.util.Random(13)
+    val words = Array.tabulate(400)(i => s"w$i")
+    val docs = Seq.tabulate(300) { d =>
+      // per doc: skewed draws so a few words clear 1.5% share, most don't
+      (d, Seq.fill(80)(words(math.min(399, (math.abs(rnd.nextGaussian()) * 25).toInt))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = graft.operators.TextAnalysis
+      .exactHeavyHitters(docs, "text", minShare = 0.015, sketchCapacity = 80)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val toks = docs.select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+    val n = toks.count()
+    val slow = toks.groupBy("t").count()
+      .filter(col("count").cast("double") > lit(n * 0.015))
+      .orderBy(col("count").desc, col("t").asc)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(fast.toSeq === slow.toSeq)
+    assert(fast.nonEmpty) // the test must actually exercise the threshold
+  }
+}
