@@ -69,18 +69,7 @@ case class FreqItemsAgg(
     val v = child.eval(input)
     if (v != null) {
       // UTF8String may alias a reused input buffer — materialize the key
-      val s = v.asInstanceOf[UTF8String].toString
-      buf.get(s) match {
-        case Some(c) => buf.update(s, c + 1L)
-        case None =>
-          if (buf.size < capacity) buf.update(s, 1L)
-          else {
-            // decrement-all: amortized O(1) — each sweep retires >= size
-            // count units and total units added is n
-            buf.mapValuesInPlace((_, c) => c - 1L)
-            buf.filterInPlace((_, c) => c > 0L)
-          }
-      }
+      FreqItemsAgg.mgUpdate(buf, v.asInstanceOf[UTF8String].toString, capacity)
     }
     buf
   }
@@ -106,7 +95,39 @@ case class FreqItemsAgg(
     new GenericArrayData(rows.asInstanceOf[Array[Any]])
   }
 
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] =
+    FreqItemsAgg.serializeCounts(buf)
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] =
+    FreqItemsAgg.deserializeCounts(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): FreqItemsAgg = copy(child = c)
+}
+
+object FreqItemsAgg {
+  /** array<struct<item,est>> of ≤ capacity candidate heavy hitters — a
+    * guaranteed superset of items with true count > n/(capacity+1). */
+  def freqItems(c: Column, capacity: Int): Column =
+    Bridge.column(FreqItemsAgg(Bridge.expression(c), capacity).toAggregateExpression())
+
+  /** One Misra–Gries step on a standing counter map (shared by the
+    * aggregate's update and the streaming trending monitor). */
+  def mgUpdate(buf: mutable.HashMap[String, Long], item: String, capacity: Int): Unit =
+    buf.get(item) match {
+      case Some(c) => buf.update(item, c + 1L)
+      case None =>
+        if (buf.size < capacity) buf.update(item, 1L)
+        else {
+          // decrement-all: amortized O(1) — each sweep retires >= size
+          // count units and total units added is n
+          buf.mapValuesInPlace((_, c) => c - 1L)
+          buf.filterInPlace((_, c) => c > 0L)
+        }
+    }
+
+  def serializeCounts(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
@@ -118,7 +139,7 @@ case class FreqItemsAgg(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+  def deserializeCounts(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = mutable.HashMap.empty[String, Long]
     val sz = in.readInt()
@@ -132,15 +153,4 @@ case class FreqItemsAgg(
     }
     buf
   }
-
-  override def withNewMutableAggBufferOffset(o: Int): FreqItemsAgg = copy(mutableAggBufferOffset = o)
-  override def withNewInputAggBufferOffset(o: Int): FreqItemsAgg = copy(inputAggBufferOffset = o)
-  override protected def withNewChildInternal(c: Expression): FreqItemsAgg = copy(child = c)
-}
-
-object FreqItemsAgg {
-  /** array<struct<item,est>> of ≤ capacity candidate heavy hitters — a
-    * guaranteed superset of items with true count > n/(capacity+1). */
-  def freqItems(c: Column, capacity: Int): Column =
-    Bridge.column(FreqItemsAgg(Bridge.expression(c), capacity).toAggregateExpression())
 }

@@ -50,7 +50,7 @@ import org.apache.spark.sql.types._
 final class KllState(val k: Int) extends Serializable {
   var n: Long = 0L
   private[plans] var seed: Long = 0x9e3779b97f4a7c15L
-  val levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty[Double])
+  val levels: ArrayBuffer[DoubleBuf] = ArrayBuffer(new DoubleBuf())
 
   private def nextCoin(): Boolean = {
     // splitmix64 step — deterministic per-sketch coin stream
@@ -66,7 +66,7 @@ final class KllState(val k: Int) extends Serializable {
     math.max(8, math.ceil(k * math.pow(2.0 / 3.0, fromTop)).toInt)
   }
 
-  private def totalSize: Int = { var s = 0; var i = 0; while (i < levels.length) { s += levels(i).length; i += 1 }; s }
+  private def totalSize: Int = { var s = 0; var i = 0; while (i < levels.length) { s += levels(i).len; i += 1 }; s }
   private def totalCapacity: Int = { var s = 0; var i = 0; while (i < levels.length) { s += capacity(i); i += 1 }; s }
 
   def update(v: Double): Unit = { levels(0) += v; n += 1L; compress() }
@@ -76,8 +76,8 @@ final class KllState(val k: Int) extends Serializable {
     n += other.n
     var h = 0
     while (h < other.levels.length) {
-      if (h >= levels.length) levels += ArrayBuffer.empty[Double]
-      levels(h) ++= other.levels(h)
+      if (h >= levels.length) levels += new DoubleBuf()
+      levels(h).appendAll(other.levels(h))
       h += 1
     }
     compress()
@@ -88,7 +88,7 @@ final class KllState(val k: Int) extends Serializable {
     while (totalSize > totalCapacity && guard < 64) {
       // lowest level at-or-over its capacity; levels(0) is the usual one
       var h = 0
-      while (h < levels.length && levels(h).length < capacity(h)) h += 1
+      while (h < levels.length && levels(h).len < capacity(h)) h += 1
       if (h == levels.length) return // capacities satisfied level-by-level
       compact(h)
       guard += 1
@@ -96,15 +96,17 @@ final class KllState(val k: Int) extends Serializable {
   }
 
   private def compact(h: Int): Unit = {
-    if (h == levels.length - 1) levels += ArrayBuffer.empty[Double]
-    val sorted = levels(h).sortInPlace()
-    val oddLeftover = if (sorted.length % 2 == 1) Some(sorted.remove(sorted.length - 1)) else None
+    if (h == levels.length - 1) levels += new DoubleBuf()
+    val buf = levels(h)
+    buf.sortInPlace()
+    val hasOdd = buf.len % 2 == 1
+    val oddLeftover = if (hasOdd) buf.removeLast() else 0.0
     val offset = if (nextCoin()) 0 else 1
     val up = levels(h + 1)
     var i = offset
-    while (i < sorted.length) { up += sorted(i); i += 2 }
-    sorted.clear()
-    oddLeftover.foreach(sorted += _) // keeps its own weight at level h
+    while (i < buf.len) { up += buf(i); i += 2 }
+    buf.clear()
+    if (hasOdd) buf += oddLeftover // keeps its own weight at level h
   }
 
   /** Estimated value at normalized rank `p` (inclusive-rank convention:
@@ -112,23 +114,30 @@ final class KllState(val k: Int) extends Serializable {
     * `ceil(p*n)`). Undefined (NaN) on an empty sketch. */
   def quantile(p: Double): Double = {
     if (n == 0L) return Double.NaN
-    val pairs = ArrayBuffer.empty[(Double, Long)]
+    // gather (value, weight) into parallel arrays, index-sorted by value
+    // (eval-time only — once per group, not per row)
+    val total = totalSize
+    val vs = new Array[Double](total)
+    val ws = new Array[Long](total)
+    var idx = 0
     var h = 0
     while (h < levels.length) {
       val w = 1L << h
-      levels(h).foreach(v => pairs += ((v, w)))
+      val buf = levels(h)
+      var i = 0
+      while (i < buf.len) { vs(idx) = buf(i); ws(idx) = w; idx += 1; i += 1 }
       h += 1
     }
-    val sorted = pairs.sortInPlace()(Ordering.by(_._1))
+    val order = Array.range(0, total).sortBy(i => vs(i))
     val target = math.max(1L, math.ceil(p * n).toLong)
     var cum = 0L
-    var i = 0
-    while (i < sorted.length) {
-      cum += sorted(i)._2
-      if (cum >= target) return sorted(i)._1
-      i += 1
+    var j = 0
+    while (j < total) {
+      cum += ws(order(j))
+      if (cum >= target) return vs(order(j))
+      j += 1
     }
-    sorted.last._1
+    vs(order(total - 1))
   }
 
   def serialize(): Array[Byte] = {
@@ -137,8 +146,9 @@ final class KllState(val k: Int) extends Serializable {
     out.writeInt(k); out.writeLong(n); out.writeLong(seed)
     out.writeInt(levels.length)
     levels.foreach { buf =>
-      out.writeInt(buf.length)
-      buf.foreach(out.writeDouble)
+      out.writeInt(buf.len)
+      var i = 0
+      while (i < buf.len) { out.writeDouble(buf(i)); i += 1 }
     }
     out.flush()
     bos.toByteArray
@@ -156,7 +166,7 @@ object KllState {
     var h = 0
     while (h < nl) {
       val sz = in.readInt()
-      val buf = new ArrayBuffer[Double](sz)
+      val buf = new DoubleBuf(math.max(sz, 8))
       var i = 0
       while (i < sz) { buf += in.readDouble(); i += 1 }
       st.levels += buf
@@ -164,6 +174,37 @@ object KllState {
     }
     st
   }
+}
+
+/** Growable primitive double buffer — the KLL level store. ArrayBuffer
+  * [Double] boxes every element (generic backing array), which puts an
+  * allocation on EVERY sketch update and a boxed comparator sort on
+  * every compaction; at profile scale (tens of millions of updates per
+  * aggregation) that dominated the aggregate's cost. This is a plain
+  * double[] with manual length, sorted via Arrays.sort(double[]). */
+private[plans] final class DoubleBuf(initialCapacity: Int = 8) {
+  private[plans] var arr: Array[Double] = new Array[Double](initialCapacity)
+  private[plans] var len: Int = 0
+
+  def +=(v: Double): Unit = {
+    if (len == arr.length) {
+      val next = new Array[Double](arr.length * 2)
+      System.arraycopy(arr, 0, next, 0, len)
+      arr = next
+    }
+    arr(len) = v
+    len += 1
+  }
+
+  def appendAll(other: DoubleBuf): Unit = {
+    var i = 0
+    while (i < other.len) { this += other.arr(i); i += 1 }
+  }
+
+  def apply(i: Int): Double = arr(i)
+  def clear(): Unit = len = 0
+  def sortInPlace(): Unit = java.util.Arrays.sort(arr, 0, len)
+  def removeLast(): Double = { len -= 1; arr(len) }
 }
 
 /** Shared TypedImperativeAggregate plumbing for the two KLL nodes.

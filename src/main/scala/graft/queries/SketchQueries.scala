@@ -86,6 +86,12 @@ object SketchQueries {
     val li = Tables.lineitem(spark, dir)
     val shard = pmod(conv(substring(md5(col("l_orderkey").cast("string")), 1, 4), 16, 10)
       .cast("long"), lit(8L))
+    // `merged` feeds BOTH the exact-field output and the check join —
+    // NOT a recompute diamond: the profile aggregation's exchange is
+    // deduped by ReuseExchange, and an explicit localCheckpoint barrier
+    // measured SLOWER (3.0 vs 2.8 s same-window A/B) by breaking
+    // whole-plan pipelining. Query cost splits ~1.3 s operator floor
+    // (profile pass) + ~0.5 s verification pass + stage overhead.
     val merged = Profiles.mergeProfiles(
       Profiles.shardProfiles(li, shard, ProfileCols, 200), Seq(0.5), 200)
       .select(col("col"), col("n"), col("n_null"), col("min"), col("max"),

@@ -15,6 +15,19 @@ case class ProfileUpdate(
     key: String, count: Long, n_null: Long,
     mean: Double, variance: Double, min: Double, max: Double)
 
+/** One emitted quantile update (per key, per micro-batch): current KLL
+  * estimates at the monitor's probs, plus the sketch bytes themselves so
+  * a downstream consumer can union them with batch shard profiles. */
+case class QuantileUpdate(
+    key: String, count: Long, quantiles: Seq[Double], sketch: Array[Byte])
+
+/** One emitted trending-terms update (per key, per micro-batch): the
+  * current Misra–Gries counters sorted by residual count — a guaranteed
+  * superset of every term above a 1/(capacity+1) share of the stream so
+  * far, with counts as lower bounds. */
+case class TrendingUpdate(
+    key: String, processed: Long, terms: Seq[(String, Long)])
+
 /** Structured-Streaming operators (SURVEY.md §2.C row 14). Each transform
   * is written against the unified DataFrame API, so the same function
   * serves the batch table and the `readStream` source: in streaming mode
@@ -81,6 +94,79 @@ object Streams {
           rows.foreach { case (_, v) => s = welford(s, v) }
           state.update(s)
           render(key, s)
+      }
+  }
+
+  /** Incremental per-key QUANTILES: [[incrementalProfile]] covers the
+    * moment block, but running medians/percentiles have no
+    * constant-space exact form — the state here is a serialized KLL
+    * sketch ([[graft.plans.KllState]], ~k log(n/k) doubles per key,
+    * independent of stream length), folded forward each micro-batch and
+    * emitted with the current estimates (Update-mode sink).
+    *
+    * The emitted `sketch` bytes are the SAME object
+    * [[graft.operators.Profiles]] stores per batch shard, so a streaming
+    * ingest monitor and a batch backfill produce union-compatible
+    * summaries: corpus quantiles = KllUnionAgg over both. Works
+    * identically on a batch Dataset (one "batch" = the whole input). */
+  def quantileMonitor(stream: DataFrame, keyCol: String, valueCol: String,
+      probs: Seq[Double], k: Int = 200): Dataset[QuantileUpdate] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(keyCol).cast("string").as("_1"), col(valueCol).cast("double").as("_2"))
+      .as[(String, Option[Double])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], QuantileUpdate](GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val st = state.getOption.map(graft.plans.KllState.deserialize)
+            .getOrElse(new graft.plans.KllState(k))
+          rows.foreach { case (_, v) =>
+            v.foreach(d => if (!d.isNaN) st.update(d))
+          }
+          val bytes = st.serialize()
+          state.update(bytes)
+          QuantileUpdate(key, st.n, probs.map(st.quantile), bytes)
+      }
+  }
+
+  /** Streaming trending terms: the frequent-items twin of
+    * [[quantileMonitor]]. Per-key state is a Misra–Gries counter map of
+    * at most `capacity` entries ([[graft.plans.FreqItemsAgg]] — the same
+    * sketch the batch heavy-hitters pass folds map-side), advanced one
+    * MG step per token each micro-batch. State is O(keys · capacity),
+    * independent of stream length and of the (unbounded) term universe —
+    * the monitor never holds a full term count map. Each update emits the
+    * current counters (superset guarantee + lower-bound counts as in the
+    * batch sketch); an exact recount of the emitted candidates, as in
+    * [[graft.operators.TextAnalysis.exactHeavyHitters]] pass 2, turns
+    * any snapshot into exact trending counts. Works identically on a
+    * batch Dataset. */
+  def trendingTermsMonitor(stream: DataFrame, keyCol: String, textCol: String,
+      capacity: Int = 256): Dataset[TrendingUpdate] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(keyCol).cast("string").as("_1"),
+        graft.operators.TextAnalysis.tokens(col(textCol)).as("_2"))
+      .as[(String, Seq[String])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Array[Byte]), TrendingUpdate](GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val (seen0, bytes0) = state.getOption.getOrElse((0L, Array.empty[Byte]))
+          val counts =
+            if (bytes0.isEmpty) scala.collection.mutable.HashMap.empty[String, Long]
+            else graft.plans.FreqItemsAgg.deserializeCounts(bytes0)
+          var seen = seen0
+          rows.foreach { case (_, toks) =>
+            toks.foreach { t =>
+              graft.plans.FreqItemsAgg.mgUpdate(counts, t, capacity)
+              seen += 1L
+            }
+          }
+          state.update((seen, graft.plans.FreqItemsAgg.serializeCounts(counts)))
+          TrendingUpdate(key, seen,
+            counts.toSeq.sortBy { case (t, c) => (-c, t) })
       }
   }
 

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -120,6 +121,94 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(b2.getAs[Double]("variance") - 4.0) < 1e-12) // var_samp([2,4,6])
       assert(b2.getAs[Double]("min") === 2.0)
       assert(b2.getAs[Double]("max") === 6.0)
+    } finally q.stop()
+  }
+
+  test("quantile monitor folds KLL state across micro-batches; emitted sketch unions with batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val rnd = new scala.util.Random(23)
+    val batch1 = Array.fill(4000)(rnd.nextDouble() * 100.0)
+    val batch2 = Array.fill(4000)(rnd.nextDouble() * 100.0 + 50.0) // shifted: estimates must move
+    val monitor = Streams.quantileMonitor(mem.toDF(), "user_id", "value", Seq(0.25, 0.5, 0.75))
+    val q = monitor.writeStream.format("memory").queryName("kll_monitor")
+      .outputMode("update").start()
+    def rank(all: Array[Double], x: Double) = all.count(_ <= x).toDouble / all.length
+    try {
+      mem.addData(batch1.zipWithIndex.map { case (v, i) =>
+        Ev(ts("2024-01-01 10:00:00"), 1L, v, i.toLong) }.toSeq: _*)
+      q.processAllAvailable()
+      val b1 = spark.table("kll_monitor").orderBy("count").collect().last
+      assert(b1.getAs[Long]("count") === 4000L)
+      val qs1 = b1.getSeq[Double](b1.fieldIndex("quantiles"))
+      Seq(0.25, 0.5, 0.75).zip(qs1).foreach { case (p, est) =>
+        assert(math.abs(rank(batch1, est) - p) <= 0.025, s"batch1 p=$p") }
+      // second micro-batch MERGES into the standing sketch (not a restart)
+      mem.addData(batch2.zipWithIndex.map { case (v, i) =>
+        Ev(ts("2024-01-01 10:05:00"), 1L, v, 10000L + i) }.toSeq: _*)
+      q.processAllAvailable()
+      val all = batch1 ++ batch2
+      val b2 = spark.table("kll_monitor").orderBy("count").collect().last
+      assert(b2.getAs[Long]("count") === 8000L)
+      val qs2 = b2.getSeq[Double](b2.fieldIndex("quantiles"))
+      Seq(0.25, 0.5, 0.75).zip(qs2).foreach { case (p, est) =>
+        assert(math.abs(rank(all, est) - p) <= 0.025, s"merged p=$p") }
+      // the emitted bytes are a real KLL sketch: union with a batch-built
+      // sketch of disjoint data and the union meets the bound on the whole
+      val streamSketch = graft.plans.KllState.deserialize(
+        b2.getAs[Array[Byte]]("sketch"))
+      val backfill = Array.fill(4000)(rnd.nextDouble() * 200.0)
+      val batchSketch = new graft.plans.KllState(200)
+      backfill.foreach(batchSketch.update)
+      streamSketch.merge(batchSketch)
+      val corpus = all ++ backfill
+      assert(streamSketch.n === corpus.length.toLong)
+      Seq(0.25, 0.5, 0.75).foreach { p =>
+        assert(math.abs(rank(corpus, streamSketch.quantile(p)) - p) <= 0.025,
+          s"union p=$p") }
+    } finally q.stop()
+  }
+
+  test("trending monitor keeps MG guarantees across micro-batches with bounded state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val cap = 8
+    val monitor = Streams.trendingTermsMonitor(
+      mem.toDF().withColumn("k", lit("all")), "k", "text", capacity = cap)
+    val q = monitor.writeStream.format("memory").queryName("trending")
+      .outputMode("update").start()
+    // far more distinct terms than capacity; "hot" dominates batch 1,
+    // "surge" takes over in batch 2
+    def doc(id: Long, words: Seq[String]) = Doc(id, words.mkString(" "))
+    val rnd = new scala.util.Random(31)
+    def noise(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(500)}")
+    try {
+      mem.addData((0L until 20L).map(i => doc(i, Seq.fill(12)("hot") ++ noise(8))): _*)
+      q.processAllAvailable()
+      val b1 = spark.table("trending").orderBy("processed").collect().last
+      val terms1 = b1.getSeq[Row](b1.fieldIndex("terms")).map(r => (r.getString(0), r.getLong(1)))
+      assert(b1.getAs[Long]("processed") === 400L)
+      assert(terms1.size <= cap)
+      assert(terms1.head._1 === "hot") // 240/400 — far above the n/(cap+1) blind spot
+      assert(terms1.head._2 <= 240L)   // MG counts are lower bounds
+      // batch 2: a new term surges; the standing state must admit it
+      mem.addData((100L until 140L).map(i => doc(i, Seq.fill(15)("surge") ++ noise(5))): _*)
+      q.processAllAvailable()
+      val b2 = spark.table("trending").orderBy("processed").collect().last
+      val terms2 = b2.getSeq[Row](b2.fieldIndex("terms")).map(r => (r.getString(0), r.getLong(1)))
+      assert(b2.getAs[Long]("processed") === 1200L)
+      assert(terms2.size <= cap)
+      val asMap = terms2.toMap
+      // both true heavies (hot 240/1200=20%, surge 600/1200=50%) survive:
+      // each clears the 1/(cap+1)=11% blind spot of the full stream
+      assert(asMap.contains("surge") && asMap.contains("hot"))
+      assert(asMap("surge") <= 600L && asMap("hot") <= 240L)
+      // lower-bound error is within the MG guarantee n/(cap+1)
+      assert(600L - asMap("surge") <= 1200L / (cap + 1))
     } finally q.stop()
   }
 

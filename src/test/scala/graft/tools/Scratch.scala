@@ -22,40 +22,47 @@ object Scratch {
     }
     def time(label: String)(f: => Unit): Unit = {
       f; dropCaches()
-      val ts = (1 to 2).map { _ =>
+      val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); f; dropCaches(); (System.nanoTime() - t0) / 1e9
       }
-      println(f"$label%-44s ${ts.min}%.3f s")
+      println(f"$label%-44s ${ts.min}%.3f s  (${ts.map(t => f"$t%.2f").mkString(", ")})")
     }
 
+    import graft.operators.Profiles
+    import graft.queries.QueryDef.r
     val li = graft.sources.Tables.lineitem(spark, dir)
-    println("distinct l_extendedprice: " + li.select("l_extendedprice").distinct.count())
-    println("distinct l_shipdate: " + li.select("l_shipdate").distinct.count())
+    val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
+    val shard = pmod(conv(substring(md5(col("l_orderkey").cast("string")), 1, 4), 16, 10).cast("long"), lit(8L))
 
-    val q = graft.SparkEntry.queries
-    time("describe_date_lineitem") { q("describe_date_lineitem")(spark, dir).count() }
-    time("describe_numeric_lineitem") { q("describe_numeric_lineitem")(spark, dir).count() }
-    time("describe_long_lineitem") { q("describe_long_lineitem")(spark, dir).count() }
-    time("describe_bool_lineitem") { q("describe_bool_lineitem")(spark, dir).count() }
+    def variant(checkpoint: Boolean) = {
+      val m0 = Profiles.mergeProfiles(
+        Profiles.shardProfiles(li, shard, cols, 200), Seq(0.5), 200)
+        .select(col("col"), col("n"), col("n_null"), col("min"), col("max"),
+          col("sum"), col("mean"), col("std"),
+          element_at(col("q"), 1).as("med"), col("distinct_est"))
+      val merged = if (checkpoint) m0.localCheckpoint(true) else m0
+      val half = lit(0.5)
+      val checks = Profiles.melt(li, lit(0L), cols)
+        .join(broadcast(merged.select("col", "med", "distinct_est")), "col")
+        .groupBy("col", "med", "distinct_est")
+        .agg(count(when(col("v") < col("med"), 1)).as("lt"),
+          count(when(col("v") <= col("med"), 1)).as("le"),
+          countDistinct(col("v")).as("nd"),
+          count(col("v")).as("nn"))
+        .select(col("col"),
+          ((col("lt") / col("nn") - 0.05 <= half) && (col("le") / col("nn") + 0.05 >= half)).as("median_ok"),
+          (abs(col("distinct_est") / col("nd") - 1.0) <= 0.1).as("distinct_ok"))
+      merged.select(col("col"), col("n"), col("n_null"),
+        r(col("min"), 6).as("min"), r(col("max"), 6).as("max"),
+        r(col("sum"), 2).as("sum"), r(col("mean"), 7).as("mean"), r(col("std"), 6).as("std"))
+        .join(checks, "col").orderBy("col")
+    }
 
-    // pieces: what does the date profile spend its time on?
-    import graft.operators.Describe
-    time("profile(l_shipdate) alone") {
-      Describe.profile(li, Seq("l_shipdate")).size
-    }
-    time("profile(l_extendedprice) alone") {
-      Describe.profile(li, Seq("l_extendedprice")).size
-    }
-    time("profile(l_extendedprice) forced bracket") {
-      Describe.profile(li, Seq("l_extendedprice"), percentileBufferMaxDistinct = 0).size
-    }
-    time("profile(l_extendedprice) forced BUFFERED") {
-      Describe.profile(li, Seq("l_extendedprice"),
-        percentileBufferMaxDistinct = Long.MaxValue).size
-    }
-    time("profile(l_shipdate) forced bracket") {
-      Describe.profile(li, Seq("l_shipdate"), percentileBufferMaxDistinct = 0).size
-    }
+    time("profile pass floor") { Profiles.shardProfiles(li, shard, cols).count() }
+    time("variant NO barrier") { variant(false).count() }
+    time("variant localCheckpoint") { variant(true).count() }
+    time("variant NO barrier (2)") { variant(false).count() }
+    time("variant localCheckpoint (2)") { variant(true).count() }
     spark.stop()
   }
 }
