@@ -169,4 +169,52 @@ object Contamination {
       }
     kept.select(col("id").as(idCol), col("n_grams"))
   }
+
+  /** CORPUS-OVERLAP TRIAGE by KMV sketches ([[graft.plans.KmvSketchAgg]]):
+    * estimate |A|, |B|, |A∪B|, |A∩B| and Jaccard of two distinct-hash
+    * sets (n-gram sets of two corpora) WITHOUT a distinct-join — each
+    * side folds to one ≤k-long sketch (a tiny aggregation with map-side
+    * partials), and every estimate is array arithmetic on the two
+    * sketches. This is the question one asks BEFORE running full
+    * decontamination ([[report]]): "does corpus B overlap corpus A
+    * enough to care?" at the cost of two scans and no shuffle of gram
+    * sets. Relative error ~1/sqrt(k); sets smaller than k are exact.
+    *
+    * `hashA`/`hashB` must be uniform NON-NEGATIVE long hashes in
+    * [0, 2^bits) — `conv(substring(md5(s),1,15),16,10)` (60-bit,
+    * engine-reproducible: the kmv_overlap oracle replays it) or
+    * `xxhash64(s) >>> 4` for the cheap path. The sketch is a pure
+    * function of the hash SET, so the estimates are deterministic across
+    * partitionings and replays.
+    *
+    * Returns ONE row: (d_a_est, d_b_est, d_union_est, d_inter_est,
+    * jaccard_est). */
+  def kmvOverlapEstimate(a: DataFrame, hashA: org.apache.spark.sql.Column,
+      b: DataFrame, hashB: org.apache.spark.sql.Column,
+      k: Int, bits: Int = 60): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62]: $bits")
+    val scale = math.pow(2.0, bits) // exactly representable
+    val sa = a.agg(graft.plans.KmvSketchAgg.kmvSketch(hashA, k).as("ka"))
+    val sb = b.agg(graft.plans.KmvSketchAgg.kmvSketch(hashB, k).as("kb"))
+    // (k-1)/u_(k) when the sketch is full; an under-full sketch holds the
+    // whole set, so its size IS the distinct count
+    def dEst(arr: org.apache.spark.sql.Column) =
+      when(size(arr) < k, size(arr).cast("double"))
+        .otherwise(lit((k - 1).toDouble) / (element_at(arr, k).cast("double") / lit(scale)))
+    sa.crossJoin(broadcast(sb)) // two 1-row frames
+      // the k smallest of A∪B are all in ka ∪ kb (anything in the union's
+      // top-k is in its own side's top-k), so ku is a true KMV of A∪B
+      .withColumn("ku", slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+      // h ∈ ku present in BOTH side sketches ⟺ h ∈ A∩B (an A∩B member of
+      // the union's top-k ranks ≤ k in each side) — ρ estimates Jaccard
+      .withColumn("rho",
+        size(array_intersect(array_intersect(col("ku"), col("ka")), col("kb"))).cast("double")
+          / size(col("ku")))
+      .select(
+        dEst(col("ka")).as("d_a_est"),
+        dEst(col("kb")).as("d_b_est"),
+        dEst(col("ku")).as("d_union_est"),
+        (col("rho") * dEst(col("ku"))).as("d_inter_est"),
+        col("rho").as("jaccard_est"))
+  }
 }

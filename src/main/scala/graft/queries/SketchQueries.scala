@@ -136,8 +136,88 @@ object SketchQueries {
     ProfileCols.map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col")
   }
 
+  /** KMV corpus-overlap triage ([[Contamination.kmvOverlapEstimate]])
+    * between the trigram sets of two disjoint document slices
+    * (doc_id % 10 ≠ 0 vs = 0). The KMV sketch is a pure function of the
+    * hash set (order/partition/merge invariant) and the hash is the
+    * md5-derived 60-bit long DuckDB replays digit-for-digit, so the
+    * ESTIMATES are oracle-checked value-for-value (rounded), alongside
+    * the exact distinct counts — a full independent-engine verification
+    * of the estimator, not just an error-bound boolean. */
+  def kmvOverlapDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Contamination, Dedup}
+    val docs = Tables.documents(spark, dir)
+    def hashed(slice: DataFrame): DataFrame =
+      Dedup.shingleRows(slice, "doc_id", "text", 3)
+        .select(conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .distinct()
+    val a = hashed(docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L))
+    val b = hashed(docs.filter(pmod(col("doc_id"), lit(10L)) === 0L))
+    val est = Contamination.kmvOverlapEstimate(a, col("h"), b, col("h"), k = KmvK)
+    val exact = a.agg(count(lit(1)).as("d_a"))
+      .crossJoin(b.agg(count(lit(1)).as("d_b")))
+      .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("d_union")))
+      .withColumn("d_inter", col("d_a") + col("d_b") - col("d_union"))
+    exact.crossJoin(broadcast(est))
+      .select(col("d_a"), col("d_b"), col("d_union"), col("d_inter"),
+        r(col("d_inter").cast("double") / col("d_union"), 6).as("jaccard"),
+        r(col("d_a_est"), 3).as("d_a_est"),
+        r(col("d_b_est"), 3).as("d_b_est"),
+        r(col("d_union_est"), 3).as("d_union_est"),
+        r(col("d_inter_est"), 3).as("d_inter_est"),
+        r(col("jaccard_est"), 6).as("jaccard_est"))
+  }
+
+  private val KmvK = 1024
+
+  private val kmvOverlapOracle: String = {
+    // numeric value of the first 15 md5 hex chars — same digit arithmetic
+    // the simhash oracle replays; < 2^60 so BIGINT-exact
+    def dig(p: Int) =
+      s"(ascii(substring(h, $p, 1)) - CASE WHEN ascii(substring(h, $p, 1)) >= 97 THEN 87 ELSE 48 END)"
+    val hexVal = (1 to 15)
+      .map(p => s"${dig(p)} * CAST(${1L << (4 * (15 - p))} AS BIGINT)")
+      .mkString(" + ")
+    def grams(cond: String) =
+      s"""SELECT DISTINCT $hexVal AS h FROM (
+         | SELECT md5(s) AS h FROM (
+         |  SELECT DISTINCT unnest(list_transform(
+         |    range(1, len(t) - 1),
+         |    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+         |  FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |        FROM documents WHERE $cond)
+         |  WHERE len(t) >= 3))""".stripMargin
+    val two60 = "1152921504606846976.0" // 2^60, the engine's normalizer
+    def dEst(n: String, mx: String) =
+      s"CASE WHEN $n < $KmvK THEN CAST($n AS DOUBLE) ELSE ${KmvK - 1}.0 / (CAST($mx AS DOUBLE) / $two60) END"
+    s"""WITH ga AS (${grams("doc_id % 10 <> 0")}),
+       |gb AS (${grams("doc_id % 10 = 0")}),
+       |ka AS (SELECT h FROM ga ORDER BY h LIMIT $KmvK),
+       |kb AS (SELECT h FROM gb ORDER BY h LIMIT $KmvK),
+       |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT $KmvK),
+       |s AS (SELECT
+       | (SELECT count(*) FROM ga) AS d_a,
+       | (SELECT count(*) FROM gb) AS d_b,
+       | (SELECT count(*) FROM (SELECT h FROM ga UNION SELECT h FROM gb)) AS d_union,
+       | (SELECT count(*) FROM ka) AS n_ka, (SELECT max(h) FROM ka) AS max_ka,
+       | (SELECT count(*) FROM kb) AS n_kb, (SELECT max(h) FROM kb) AS max_kb,
+       | (SELECT count(*) FROM ku) AS n_ku, (SELECT max(h) FROM ku) AS max_ku,
+       | (SELECT count(*) FROM ku
+       |   WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)) AS n_both)
+       |SELECT d_a, d_b, d_union, d_a + d_b - d_union AS d_inter,
+       | ${rSql("CAST(d_a + d_b - d_union AS DOUBLE) / d_union", 6)} AS jaccard,
+       | ${rSql(dEst("n_ka", "max_ka"), 3)} AS d_a_est,
+       | ${rSql(dEst("n_kb", "max_kb"), 3)} AS d_b_est,
+       | ${rSql(dEst("n_ku", "max_ku"), 3)} AS d_union_est,
+       | ${rSql(s"(CAST(n_both AS DOUBLE) / n_ku) * (${dEst("n_ku", "max_ku")})", 3)} AS d_inter_est,
+       | ${rSql("CAST(n_both AS DOUBLE) / n_ku", 6)} AS jaccard_est
+       |FROM s""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("kll_quantile_check", kllQuantileCheck, Some(kllQuantileCheckOracle)),
     QueryDef("heavy_hitters_terms", heavyHittersTerms, Some(heavyHittersOracle)),
-    QueryDef("shard_profile_merge", shardProfileMerge, Some(shardProfileMergeOracle)))
+    QueryDef("shard_profile_merge", shardProfileMerge, Some(shardProfileMergeOracle)),
+    QueryDef("kmv_overlap_docs", kmvOverlapDocs, Some(kmvOverlapOracle)))
 }

@@ -123,6 +123,48 @@ class SketchAggSpec extends SparkSpec {
     assert(sketch.size <= cap)
   }
 
+  test("KmvSketchAgg: pure function of the hash set — partition/order invariant") {
+    val rnd = new scala.util.Random(19)
+    val hashes = Seq.fill(50000)(rnd.nextLong() >>> 4) // non-negative 60-bit
+    val expected = hashes.distinct.sorted.take(512)
+    for (parts <- Seq(1, 7, 32); data <- Seq(hashes, hashes.reverse)) {
+      val got = data.toDF("h").repartition(parts)
+        .agg(KmvSketchAgg.kmvSketch(col("h"), 512)).head.getSeq[Long](0)
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
+  test("KMV overlap estimates meet ~1/sqrt(k) error; under-full sketches are exact") {
+    val s = spark
+    import graft.operators.Contamination
+    // |A|=40000, |B|=25000, |A∩B|=10000 — ids hashed to uniform longs
+    def h(i: Int): Long = {
+      var z = i.toLong + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (z ^ (z >>> 31)) >>> 4
+    }
+    val a = (0 until 40000).map(h).toDF("h")
+    val b = (30000 until 55000).map(h).toDF("h")
+    val k = 1024
+    val row = Contamination.kmvOverlapEstimate(a, col("h"), b, col("h"), k).head
+    val tol = 5.0 / math.sqrt(k) // ~0.156 relative
+    assert(math.abs(row.getAs[Double]("d_a_est") / 40000.0 - 1.0) <= tol)
+    assert(math.abs(row.getAs[Double]("d_b_est") / 25000.0 - 1.0) <= tol)
+    assert(math.abs(row.getAs[Double]("d_union_est") / 55000.0 - 1.0) <= tol)
+    assert(math.abs(row.getAs[Double]("d_inter_est") / 10000.0 - 1.0) <= 2 * tol)
+    assert(math.abs(row.getAs[Double]("jaccard_est") - 10000.0 / 55000.0) <= 0.05)
+    // sets smaller than k: everything exact
+    val smallA = (0 until 600).map(h).toDF("h")
+    val smallB = (400 until 900).map(h).toDF("h")
+    val ex = Contamination.kmvOverlapEstimate(smallA, col("h"), smallB, col("h"), k).head
+    assert(ex.getAs[Double]("d_a_est") === 600.0)
+    assert(ex.getAs[Double]("d_b_est") === 500.0)
+    assert(ex.getAs[Double]("d_union_est") === 900.0)
+    assert(math.abs(ex.getAs[Double]("d_inter_est") - 200.0) < 1e-9)
+    assert(math.abs(ex.getAs[Double]("jaccard_est") - 200.0 / 900.0) < 1e-12)
+  }
+
   test("exactHeavyHitters equals the full groupBy answer despite a lossy sketch") {
     val rnd = new scala.util.Random(13)
     val words = Array.tabulate(400)(i => s"w$i")
