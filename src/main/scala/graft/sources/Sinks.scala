@@ -111,4 +111,28 @@ object Sinks {
       .partitionBy("shard")
       .parquet(path)
   }
+
+  /** [[writeTrainingShards]] plus the profile sidecar a 100 TB pipeline
+    * should ALWAYS write: one mergeable profile row per (shard, column)
+    * ([[graft.operators.Profiles]] — exact moments + KLL/HLL sketch
+    * bytes) stored at `path/_profiles`. Profiling reads the WRITTEN
+    * artifact back (a columnar scan of just `profileCols` + the shard
+    * partition column), not the input lineage — the profile always
+    * describes exactly what landed on disk, and costs a narrow scan
+    * instead of re-executing the upstream plan. The `_profiles` prefix
+    * keeps the sidecar invisible to readers of `path` (underscore paths
+    * are filtered by Spark's file index, like `_SUCCESS`). The corpus
+    * profile of ANY subset of shards — or of many shard exports unioned
+    * — is `Profiles.mergeProfiles` over the sidecar rows: profiling the
+    * corpus never rescans it. Returns the sidecar frame. */
+  def writeTrainingShardsWithProfiles(df: DataFrame, path: String, keyCol: String,
+      seed: Long, shards: Int, profileCols: Seq[String], k: Int = 200): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    writeTrainingShards(df, path, keyCol, seed, shards)
+    val spark = df.sparkSession
+    val written = spark.read.parquet(path)
+    graft.operators.Profiles.shardProfiles(written, col("shard"), profileCols, k)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_profiles")
+    spark.read.parquet(s"$path/_profiles")
+  }
 }

@@ -132,6 +132,32 @@ class SinksSpec extends SparkSpec {
     assert(shard0.toSeq === shard0.sorted.toSeq, "rows must be hash-ordered within the shard")
   }
 
+  test("shard export with profile sidecar: merge equals whole-data stats, sidecar invisible") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Profiles
+    val rnd = new scala.util.Random(41)
+    val df = (1L to 2000L).map(i => (i, rnd.nextDouble() * 100.0, (i % 13).toDouble))
+      .toDF("id", "a", "b")
+    val out = tmp("shards_prof")
+    val sidecar = graft.sources.Sinks.writeTrainingShardsWithProfiles(
+      df, out, "id", seed = 3L, shards = 4, profileCols = Seq("a", "b"))
+    assert(sidecar.count() === 4L * 2)
+    // the corpus profile from the sidecar matches the whole-data stats
+    val merged = Profiles.mergeProfiles(spark.read.parquet(s"$out/_profiles"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = df.agg(count(col("a")).as("n"), sum("a").as("s"),
+      stddev_samp(col("a")).as("sd")).head
+    assert(merged("a").getAs[Long]("n") === g.getAs[Long]("n"))
+    assert(math.abs(merged("a").getAs[Double]("sum") - g.getAs[Double]("s")) < 1e-6)
+    assert(math.abs(merged("a").getAs[Double]("std") - g.getAs[Double]("sd")) < 1e-9)
+    assert(merged("b").getAs[Long]("distinct_est") === 13L)
+    // _profiles must not leak into readers of the shard table
+    val back = spark.read.parquet(out)
+    assert(back.count() === 2000L)
+    assert(back.columns.sorted.toSeq === Seq("a", "b", "id", "shard", "shuffle_hash"))
+  }
+
   test("Memo builds each (session, dir, key) exactly once and reads parquet back") {
     val s = spark
     import s.implicits._
