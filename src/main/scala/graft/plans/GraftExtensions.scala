@@ -41,6 +41,14 @@ object GraftExtensions {
         KllSketchAgg(exprs.head, intLit(exprs(2), "k"),
           doubleArrayLit(exprs(1), "probs"), emitBytes = false)
       }),
+    (new FunctionIdentifier("kll_weighted_quantiles"),
+      new ExpressionInfo(classOf[KllWeightedSketchAgg].getCanonicalName, "kll_weighted_quantiles"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4,
+          "kll_weighted_quantiles(value, weight, probs_array, k) takes exactly 4 arguments")
+        KllWeightedSketchAgg(exprs.head, exprs(1), intLit(exprs(3), "k"),
+          doubleArrayLit(exprs(2), "probs"), emitBytes = false)
+      }),
     (new FunctionIdentifier("freq_items"),
       new ExpressionInfo(classOf[FreqItemsAgg].getCanonicalName, "freq_items"),
       (exprs: Seq[Expression]) => {

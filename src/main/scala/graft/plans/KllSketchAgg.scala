@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
@@ -70,6 +70,29 @@ final class KllState(val k: Int) extends Serializable {
   private def totalCapacity: Int = { var s = 0; var i = 0; while (i < levels.length) { s += capacity(i); i += 1 }; s }
 
   def update(v: Double): Unit = { levels(0) += v; n += 1L; compress() }
+
+  /** Weighted insert: level h of the stack holds items of weight 2^h, so
+    * a row of integer weight w enters as ONE copy per set bit of w —
+    * exact total weight with at most 63 inserts, never w replications.
+    * (Cormode et al.'s weighted KLL uses the same bit decomposition.)
+    * Fractional weights must be pre-scaled to integers by the caller
+    * (the engine's soft-dedup weights already ride a 2^16 quantization,
+    * [[graft.operators.Sampling]]). */
+  def updateWeighted(v: Double, w: Long): Unit = {
+    require(w >= 0L, s"weight must be non-negative, got $w")
+    var h = 0
+    var rest = w
+    while (rest != 0L) {
+      if ((rest & 1L) == 1L) {
+        while (levels.length <= h) levels += new DoubleBuf()
+        levels(h) += v
+      }
+      rest >>>= 1
+      h += 1
+    }
+    n += w
+    compress()
+  }
 
   def merge(other: KllState): Unit = {
     require(other.k == k, s"cannot merge KLL sketches with different k: $k vs ${other.k}")
@@ -207,11 +230,11 @@ private[plans] final class DoubleBuf(initialCapacity: Int = 8) {
   def removeLast(): Double = { len -= 1; arr(len) }
 }
 
-/** Shared TypedImperativeAggregate plumbing for the two KLL nodes.
-  * Output is either the serialized sketch (`BinaryType`, for storage in
-  * a shard profile) or the quantile estimates at `probs`
-  * (`array<double>`, for direct query). */
-sealed trait KllAggBase extends TypedImperativeAggregate[KllState] with UnaryLike[Expression] {
+/** Shared TypedImperativeAggregate plumbing for the KLL nodes. Output is
+  * either the serialized sketch (`BinaryType`, for storage in a shard
+  * profile) or the quantile estimates at `probs` (`array<double>`, for
+  * direct query). */
+sealed trait KllAggCommon extends TypedImperativeAggregate[KllState] {
   def k: Int
   def probs: Seq[Double]
   def emitBytes: Boolean
@@ -236,6 +259,8 @@ sealed trait KllAggBase extends TypedImperativeAggregate[KllState] with UnaryLik
       TypeCheckResult.TypeCheckFailure(s"$prettyName probs must be in [0, 1]: $probs")
     else TypeCheckResult.TypeCheckSuccess
 }
+
+sealed trait KllAggBase extends KllAggCommon with UnaryLike[Expression]
 
 /** Builds a KLL sketch from a DOUBLE column. Nulls and NaNs are skipped
   * (NaN has no rank; the profiler counts NaN separately, Report A5). */
@@ -297,7 +322,62 @@ case class KllUnionAgg(
   override protected def withNewChildInternal(c: Expression): KllUnionAgg = copy(child = c)
 }
 
+/** WEIGHTED KLL build: each row contributes its `weight` (BIGINT ≥ 0)
+  * copies of `value` via the bit-decomposition insert
+  * ([[KllState.updateWeighted]] — at most 63 level inserts per row, never
+  * weight replications). Quantiles are then over the WEIGHTED
+  * distribution — "the median token sits in a document of length X"
+  * (weight = token count), or soft-dedup/importance-weighted profiles
+  * (pre-scale fractional weights to integers; the engine's samplers
+  * already quantize rates at 2^16). Null value, NaN value, null weight
+  * and zero weight all contribute nothing. */
+case class KllWeightedSketchAgg(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    probs: Seq[Double],
+    emitBytes: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends KllAggCommon with BinaryLike[Expression] {
+
+  override def prettyName: String = "kll_weighted_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a DOUBLE value child, got ${left.dataType.sql}")
+    else if (right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a BIGINT weight child, got ${right.dataType.sql}")
+    else checkParams()
+
+  override def update(buf: KllState, input: InternalRow): KllState = {
+    val v = left.eval(input)
+    val w = right.eval(input)
+    if (v != null && w != null) {
+      val d = v.asInstanceOf[Double]
+      val wt = w.asInstanceOf[Long]
+      if (!d.isNaN && wt > 0L) buf.updateWeighted(d, wt)
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KllWeightedSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllWeightedSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllWeightedSketchAgg =
+    copy(left = l, right = r)
+}
+
 object KllSketchAgg {
+  /** Weighted quantile estimates for a grouped (value, weight) pair. */
+  def kllWeightedQuantiles(v: Column, w: Column, probs: Seq[Double], k: Int = 200): Column =
+    Bridge.column(KllWeightedSketchAgg(Bridge.expression(v), Bridge.expression(w),
+      k, probs, emitBytes = false).toAggregateExpression())
+
+  /** The serialized weighted sketch — unions with any other KLL sketch. */
+  def kllWeightedSketch(v: Column, w: Column, k: Int = 200): Column =
+    Bridge.column(KllWeightedSketchAgg(Bridge.expression(v), Bridge.expression(w),
+      k, Nil, emitBytes = true).toAggregateExpression())
+
   /** Quantile estimates (array<double>, one per prob) for a grouped column. */
   def kllQuantiles(c: Column, probs: Seq[Double], k: Int = 200): Column =
     Bridge.column(KllSketchAgg(Bridge.expression(c), k, probs, emitBytes = false).toAggregateExpression())

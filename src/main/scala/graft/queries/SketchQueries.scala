@@ -136,6 +136,39 @@ object SketchQueries {
     ProfileCols.map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col")
   }
 
+  /** TOKEN-WEIGHTED document-length quantiles via the weighted KLL build
+    * ([[graft.plans.KllWeightedSketchAgg]]): "the median TOKEN sits in a
+    * document of length X" — the length-biased distribution that governs
+    * packing efficiency and long-doc dominance, where every document
+    * counts its token mass, not one vote. Verified like
+    * [[kllQuantileCheck]]: the engine measures each estimate's exact
+    * WEIGHTED rank interval on the gate data, the oracle asserts the
+    * ±0.05 bound booleans. */
+  def kllWeightedCheck(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val d = Tables.documents(spark, dir)
+      .select(TextAnalysis.tokenCount(col("text")).as("w"))
+      .select(col("w").cast("double").as("v"), col("w"))
+    val est = d
+      .agg(KllSketchAgg.kllWeightedQuantiles(col("v"), col("w"), Probs, 200).as("q"),
+        sum(col("w")).as("tw"))
+      .select(col("tw"), posexplode(col("q")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "est")
+    val probOf = element_at(lit(Probs.toArray), col("i").cast("int") + 1)
+    d.crossJoin(broadcast(est))
+      .groupBy("i", "est", "tw")
+      .agg(sum(when(col("v") < col("est"), col("w")).otherwise(0L)).as("lt"),
+        sum(when(col("v") <= col("est"), col("w")).otherwise(0L)).as("le"))
+      .select(probOf.as("prob"),
+        withinEps(col("lt"), col("le"), col("tw"), probOf).as("within_eps"))
+      .orderBy("prob")
+  }
+
+  private val kllWeightedCheckOracle: String =
+    """SELECT CAST(p AS DOUBLE) AS prob, true AS within_eps
+      |FROM (VALUES (0.05), (0.25), (0.5), (0.75), (0.95)) t(p)
+      |ORDER BY prob""".stripMargin
+
   /** KMV corpus-overlap triage ([[Contamination.kmvOverlapEstimate]])
     * between the trigram sets of two disjoint document slices
     * (doc_id % 10 ≠ 0 vs = 0). The KMV sketch is a pure function of the
@@ -219,5 +252,6 @@ object SketchQueries {
     QueryDef("kll_quantile_check", kllQuantileCheck, Some(kllQuantileCheckOracle)),
     QueryDef("heavy_hitters_terms", heavyHittersTerms, Some(heavyHittersOracle)),
     QueryDef("shard_profile_merge", shardProfileMerge, Some(shardProfileMergeOracle)),
-    QueryDef("kmv_overlap_docs", kmvOverlapDocs, Some(kmvOverlapOracle)))
+    QueryDef("kmv_overlap_docs", kmvOverlapDocs, Some(kmvOverlapOracle)),
+    QueryDef("kll_weighted_check", kllWeightedCheck, Some(kllWeightedCheckOracle)))
 }

@@ -123,6 +123,54 @@ class SketchAggSpec extends SparkSpec {
     assert(sketch.size <= cap)
   }
 
+  test("weighted KLL tracks exact weighted quantiles; bit-decomposition equals replication") {
+    val rnd = new scala.util.Random(29)
+    val rows = Array.fill(20000)((rnd.nextDouble() * 1000.0, 1L + rnd.nextInt(20)))
+    // exact weighted rank over the expanded distribution
+    val sorted = rows.sortBy(_._1)
+    val total = rows.map(_._2).sum
+    def weightedErr(p: Double, est: Double): Double = {
+      var lt = 0L; var le = 0L
+      sorted.foreach { case (v, w) => if (v < est) lt += w; if (v <= est) le += w }
+      val (rLt, rLe) = (lt.toDouble / total, le.toDouble / total)
+      if (p < rLt) rLt - p else if (p > rLe) p - rLe else 0.0
+    }
+    val st = new KllState(200)
+    rows.foreach { case (v, w) => st.updateWeighted(v, w) }
+    assert(st.n === total)
+    probs.foreach { p =>
+      assert(weightedErr(p, st.quantile(p)) <= 0.025, s"weighted p=$p")
+    }
+    // replicated stream: same distribution, bound must also hold, and the
+    // two sketches must agree with each other within combined bounds
+    val repl = new KllState(200)
+    rows.foreach { case (v, w) => var i = 0L; while (i < w) { repl.update(v); i += 1 } }
+    assert(repl.n === total)
+    probs.foreach { p =>
+      assert(weightedErr(p, repl.quantile(p)) <= 0.025, s"replicated p=$p")
+    }
+    // zero weight contributes nothing
+    val z = new KllState(200)
+    z.updateWeighted(42.0, 0L)
+    assert(z.n === 0L)
+    // weighted sketch unions with an unweighted one
+    st.merge(repl)
+    assert(st.n === 2L * total)
+    probs.foreach(p => assert(weightedErr(p, st.quantile(p)) <= 0.025, s"merged p=$p"))
+  }
+
+  test("kllWeightedQuantiles through DataFrames: length-biased median shifts right") {
+    // values 1..100 each with weight = value: weighted median ~ 71
+    // (sum(1..x) >= 0.5*sum(1..100) at x = 71), unweighted median ~ 50
+    val df = (1 to 100).map(i => (i.toDouble, i.toLong)).toDF("v", "w")
+    val wq = df.agg(KllSketchAgg.kllWeightedQuantiles(col("v"), col("w"), Seq(0.5), 200))
+      .head.getSeq[Double](0).head
+    val uq = df.agg(KllSketchAgg.kllQuantiles(col("v"), Seq(0.5), 200))
+      .head.getSeq[Double](0).head
+    assert(math.abs(wq - 71.0) <= 3.0, s"weighted median $wq")
+    assert(math.abs(uq - 50.0) <= 3.0, s"unweighted median $uq")
+  }
+
   test("KmvSketchAgg: pure function of the hash set — partition/order invariant") {
     val rnd = new scala.util.Random(19)
     val hashes = Seq.fill(50000)(rnd.nextLong() >>> 4) // non-negative 60-bit
