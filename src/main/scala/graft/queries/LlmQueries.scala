@@ -2436,7 +2436,30 @@ object LlmQueries {
        |SELECT vec_id, cell FROM a3 ORDER BY vec_id""".stripMargin
   }
 
+  /** Character-level fuzzy duplicate pairs over the distinct customer
+    * names: every unordered pair within Levenshtein distance 1, found by
+    * [[graft.operators.Fuzzy.fuzzyPairs]]'s symmetric-delete blocking
+    * (candidates meet ONLY on shared deletion-variant keys — no
+    * all-pairs) and verified with the exact distance. The oracle IS the
+    * all-pairs scan (quadratic — the ground truth the blocked plan must
+    * reproduce exactly), with the same length-band prefilter DuckDB
+    * needs to stay fast. */
+  def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Fuzzy.fuzzyPairs(
+        Tables.customer(spark, dir).select(col("c_name")), "c_name", maxDist = 1)
+      .orderBy("s_a", "s_b")
+
+  private val fuzzyNamePairsOracle: String =
+    """WITH p AS (SELECT DISTINCT c_name AS s FROM customer WHERE c_name IS NOT NULL)
+      |SELECT a.s AS s_a, b.s AS s_b,
+      | CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      |FROM p a JOIN p b ON a.s < b.s
+      |WHERE abs(length(a.s) - length(b.s)) <= 1
+      |  AND levenshtein(a.s, b.s) <= 1
+      |ORDER BY s_a, s_b""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("fuzzy_name_pairs", fuzzyNamePairs, Some(fuzzyNamePairsOracle)),
     QueryDef("dedup_exact_docs", dedupExactDocs, Some(dedupExactOracle)),
     QueryDef("dup_report_docs", dupReportDocs, Some(dupReportOracle)),
     QueryDef("line_dedup_docs", lineDedupDocs, Some(lineDedupOracle)),

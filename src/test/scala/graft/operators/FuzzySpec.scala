@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FuzzySpec extends SparkSpec {
+
+  /** Reference Levenshtein DP for brute-force ground truth. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  // planted edit families around shared stems + unrelated strings
+  private val words = Seq(
+    "spark", "spork", "sparks", "spar", "stark", "shark",
+    "kitten", "sitten", "sittin", "mitten", "kittens",
+    "table", "cable", "tale", "tabled", "stable",
+    "query", "quern", "queue", "quiet",
+    "alpha", "omega", "delta", "gamma", "gamm", "gammaa",
+    "", "a", "b", "ab", "ba")
+
+  test("deletionVariants enumerates every <=k-deletion string including the input") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("abc").toDF("s")
+      .select(Fuzzy.deletionVariants(col("s"), 1).as("v"))
+      .collect().head.getSeq[String](0).toSet
+    assert(got === Set("abc", "bc", "ac", "ab"))
+    val got2 = Seq("abc").toDF("s")
+      .select(Fuzzy.deletionVariants(col("s"), 2).as("v"))
+      .collect().head.getSeq[String](0).toSet
+    assert(got2 === Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+    // empty string: no positions to delete — just itself, no fabricated keys
+    val empty = Seq("").toDF("s")
+      .select(Fuzzy.deletionVariants(col("s"), 2).as("v"))
+      .collect().head.getSeq[String](0).toSet
+    assert(empty === Set(""))
+  }
+
+  test("fuzzyPairs equals brute-force Levenshtein pairs at maxDist 1 and 2") {
+    val s = spark
+    import s.implicits._
+    val df = words.toDF("w")
+    for (k <- Seq(1, 2)) {
+      val got = Fuzzy.fuzzyPairs(df, "w", maxDist = k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val want = (for {
+        a <- words; b <- words if a < b
+        d = lev(a, b) if d <= k
+      } yield (a, b, d.toLong)).toSet
+      assert(got === want, s"maxDist=$k")
+    }
+  }
+
+  test("maxKeyDf guard drops pairs that only meet in hot variant keys") {
+    val s = spark
+    import s.implicits._
+    // 6 single-char strings: every pair is distance 1 and meets ONLY in
+    // the hot empty-string variant key (df = 6)
+    val df = Seq("a", "b", "c", "d", "e", "f").toDF("w")
+    assert(Fuzzy.fuzzyPairs(df, "w", 1).count() === 15)
+    assert(Fuzzy.fuzzyPairs(df, "w", 1, maxKeyDf = 5).count() === 0)
+  }
+}
