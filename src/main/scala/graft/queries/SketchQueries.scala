@@ -248,7 +248,102 @@ object SketchQueries {
        |FROM s""".stripMargin
   }
 
+  /** SQL text for the numeric value of the first 15 hex chars of an md5
+    * string column `h` — BIGINT-exact (< 2^60), the digit arithmetic the
+    * KMV/simhash oracles replay. */
+  private def md5Prefix15Sql(h: String): String = {
+    def dig(p: Int) =
+      s"(ascii(substring($h, $p, 1)) - CASE WHEN ascii(substring($h, $p, 1)) >= 97 THEN 87 ELSE 48 END)"
+    (1 to 15).map(p => s"${dig(p)} * CAST(${1L << (4 * (15 - p))} AS BIGINT)")
+      .mkString("(", " + ", ")")
+  }
+
+  private val CmsDepth = 3
+  private val CmsWidth = 8192
+
+  /** Count-Min point-frequency check ([[CountMin]]): sketch lineitem's
+    * part keys (d=3 × w=8192 cells — ≤ 24k shuffled rows however big the
+    * input), then estimate the 20 most frequent keys against their
+    * exact counts. The bucket hash is md5-digit arithmetic, so the
+    * oracle rebuilds the ENTIRE sketch from the per-key exact counts
+    * (cell = Σ counts of keys hashing there — arrival-order
+    * independence is what makes this reconstruction exact) and replays
+    * the estimates value-for-value: est ≥ exact by construction, and
+    * the driver verifies the exact estimate values, not just a bound. */
+  def cmsFreqCheck(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    val li = Tables.lineitem(spark, dir)
+    val sk = CountMin.sketch(li, col("l_partkey"), CmsDepth, CmsWidth)
+    val top = li.groupBy("l_partkey").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("l_partkey")).limit(20)
+    top.join(
+        CountMin.estimates(sk, top.select("l_partkey"), "l_partkey", CmsDepth, CmsWidth),
+        "l_partkey")
+      .select(col("l_partkey"), col("exact"), col("est"))
+      .orderBy(col("exact").desc, col("l_partkey"))
+  }
+
+  private val cmsFreqCheckOracle: String =
+    s"""WITH keys AS (
+       |  SELECT l_partkey, count(*) AS exact FROM lineitem GROUP BY 1),
+       |hk AS (
+       |  SELECT k.l_partkey, k.exact, r.i,
+       |         md5(CAST(r.i AS VARCHAR) || '#' || CAST(k.l_partkey AS VARCHAR)) AS h
+       |  FROM keys k CROSS JOIN range(0, $CmsDepth) r(i)),
+       |hb AS (
+       |  SELECT l_partkey, exact, i, ${md5Prefix15Sql("h")} % $CmsWidth AS bucket
+       |  FROM hk),
+       |cells AS (
+       |  SELECT i, bucket, CAST(sum(exact) AS BIGINT) AS cnt
+       |  FROM hb GROUP BY 1, 2),
+       |est AS (
+       |  SELECT hb.l_partkey, min(c.cnt) AS est
+       |  FROM hb JOIN cells c ON hb.i = c.i AND hb.bucket = c.bucket
+       |  GROUP BY 1)
+       |SELECT k.l_partkey, k.exact, e.est
+       |FROM (SELECT l_partkey, exact FROM keys
+       |      ORDER BY exact DESC, l_partkey LIMIT 20) k
+       |JOIN est e USING (l_partkey)
+       |ORDER BY exact DESC, l_partkey""".stripMargin
+
+  /** Join-size estimation via the CMS inner product
+    * ([[CountMin.joinSizeEstimate]]): the self-join cardinality of
+    * lineitem on l_partkey, estimated from two 24k-cell sketches
+    * without executing the join — the pre-join sizing signal a planner
+    * wants before choosing broadcast vs shuffle vs skew handling.
+    * Estimate and exact size (Σ count²) are both emitted; the oracle
+    * rebuilds the sketch and replays the inner product exactly. */
+  def cmsJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    val li = Tables.lineitem(spark, dir)
+    val sk = CountMin.sketch(li, col("l_partkey"), CmsDepth, CmsWidth)
+    val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact"))
+    exact.crossJoin(broadcast(CountMin.selfJoinSizeEstimate(sk))) // 1 row × 1 row
+      .select(col("exact"), col("est"), (col("est") >= col("exact")).as("overcounts"))
+  }
+
+  private val cmsJoinSizeOracle: String =
+    s"""WITH keys AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+       |hk AS (
+       |  SELECT k.cnt, r.i,
+       |         md5(CAST(r.i AS VARCHAR) || '#' || CAST(k.l_partkey AS VARCHAR)) AS h
+       |  FROM keys k CROSS JOIN range(0, $CmsDepth) r(i)),
+       |hb AS (SELECT cnt, i, ${md5Prefix15Sql("h")} % $CmsWidth AS bucket FROM hk),
+       |cells AS (
+       |  SELECT i, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+       |  FROM hb GROUP BY 1, 2),
+       |dots AS (
+       |  SELECT i, CAST(sum(cell * cell) AS BIGINT) AS dot
+       |  FROM cells GROUP BY 1)
+       |SELECT CAST((SELECT sum(cnt * cnt) FROM keys) AS BIGINT) AS exact,
+       |       (SELECT min(dot) FROM dots) AS est,
+       |       (SELECT min(dot) FROM dots) >=
+       |         CAST((SELECT sum(cnt * cnt) FROM keys) AS BIGINT) AS overcounts""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("cms_freq_check", cmsFreqCheck, Some(cmsFreqCheckOracle)),
+    QueryDef("cms_join_size", cmsJoinSize, Some(cmsJoinSizeOracle)),
     QueryDef("kll_quantile_check", kllQuantileCheck, Some(kllQuantileCheckOracle)),
     QueryDef("heavy_hitters_terms", heavyHittersTerms, Some(heavyHittersOracle)),
     QueryDef("shard_profile_merge", shardProfileMerge, Some(shardProfileMergeOracle)),
