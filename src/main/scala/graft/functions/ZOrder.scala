@@ -40,4 +40,19 @@ object ZOrder {
     * negative values to 0, overflow to the max code. */
   def clampCode(c: Column, bits: Int): Column =
     least(greatest(c.cast("long"), lit(0L)), lit((1L << bits) - 1))
+
+  /** Driver-side [[morton2]] on literals — for computing z-range bounds
+    * of a box predicate. The key is monotone in EACH coordinate (x's
+    * bits occupy fixed positions, likewise y's), so every point of the
+    * box [xlo,xhi]×[ylo,yhi] has a key in
+    * [morton2(xlo,ylo), morton2(xhi,yhi)]: a coarse scan interval that
+    * prunes parquet files by footer stats. The interval also contains
+    * z-curve excursions OUTSIDE the box, so callers must re-apply the
+    * exact box predicate after the range scan. */
+  def morton2Long(x: Long, y: Long, bits: Int): Long = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      ((x >> i) & 1L) * (1L << (2 * i)) + ((y >> i) & 1L) * (1L << (2 * i + 1))
+    }.sum
+  }
 }

@@ -855,6 +855,46 @@ object RelationalQueries {
        |FROM events ORDER BY event_id""".stripMargin
   }
 
+  /** Z-ordered PRUNED box scan — the read half of
+    * [[graft.sources.Sinks.writeZOrdered]]'s layout bargain. The events
+    * table is materialized once per (session, dir) in z-key range
+    * partitions (16 files with disjoint zkey ranges; warmup-charged via
+    * [[Memo]], the standing-layout economics of a real events table);
+    * the scan then applies a coarse z-interval
+    * [morton2(xlo,ylo), morton2(xhi,yhi)] — valid because the Morton
+    * key is monotone in each coordinate — which parquet footer min/max
+    * stats turn into FILE SKIPS, then re-applies the exact box
+    * predicate to discard the z-curve's excursions outside the box.
+    * The oracle scans the raw table with only the box predicate: the
+    * pruned read must lose nothing. File-count reduction is asserted in
+    * SinksSpec. */
+  def zorderPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    def xCol = pmod(col("user_id"), lit(1024L))
+    def yCol = pmod(floor(unix_timestamp(col("ts")) / 3600).cast(LongType), lit(1024L))
+    val zt = graft.sources.Memo.tableFor(spark, dir, "zorder-events-16") {
+      Tables.events(spark, dir)
+        .withColumn("zkey", graft.functions.ZOrder.morton2(xCol, yCol, 10))
+        .repartitionByRange(16, col("zkey"))
+        .sortWithinPartitions("zkey")
+    }
+    val (xlo, xhi, ylo, yhi) = (20L, 60L, 300L, 400L)
+    val zlo = graft.functions.ZOrder.morton2Long(xlo, ylo, 10)
+    val zhi = graft.functions.ZOrder.morton2Long(xhi, yhi, 10)
+    zt.filter(col("zkey").between(zlo, zhi))
+      .filter(xCol.between(xlo, xhi) && yCol.between(ylo, yhi))
+      .agg(count(lit(1)).as("n"),
+        r(sum("value"), 4).as("sum_value"),
+        sum("user_id").as("sum_user"))
+  }
+
+  private val zorderPrunedScanOracle: String =
+    s"""SELECT count(*) AS n,
+       | ${rSql("sum(value)", 4)} AS sum_value,
+       | CAST(sum(user_id) AS BIGINT) AS sum_user
+       |FROM events
+       |WHERE user_id % 1024 BETWEEN 20 AND 60
+       |  AND (epoch_ns(ts) // 3600000000000) % 1024 BETWEEN 300 AND 400""".stripMargin
+
   /** Correlated LATERAL join — per-customer top-2 orders by price as a
     * lateral subquery (the modern SQL shape for per-row subselects,
     * supported by Spark 4 and DuckDB alike). Catalyst decorrelates the
@@ -942,5 +982,6 @@ object RelationalQueries {
     QueryDef("q5_region_revenue", q5RegionRevenue, Some(q5RegionRevenueOracle)),
     QueryDef("merge_upsert_orders", mergeUpsertOrders, Some(mergeUpsertOracle)),
     QueryDef("zorder_events", zorderEvents, Some(zorderEventsOracle)),
+    QueryDef("zorder_pruned_scan", zorderPrunedScan, Some(zorderPrunedScanOracle)),
     QueryDef("lateral_top_orders", lateralTopOrders, Some(lateralTopOrdersOracle)))
 }

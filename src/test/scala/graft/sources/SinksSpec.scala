@@ -99,6 +99,28 @@ class SinksSpec extends SparkSpec {
     assert(zmax - zmin < 64 * 64 / 4, s"z-span too wide: [$zmin, $zmax]")
   }
 
+  test("z-interval box scan: pushed range, few files touched, no rows lost") {
+    val s = spark
+    import s.implicits._
+    val rows = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val path = tmp("zbox")
+    Sinks.writeZOrdered(rows.toDF("x", "y"), path, "x", "y", bits = 6, files = 16)
+    val back = spark.read.parquet(path)
+    val (zlo, zhi) = (graft.functions.ZOrder.morton2Long(8, 8, 6),
+      graft.functions.ZOrder.morton2Long(15, 15, 6))
+    val pruned = back.filter(col("zkey").between(zlo, zhi))
+      .filter(col("x").between(8, 15) && col("y").between(8, 15))
+    // coarse z-interval + exact box re-check loses nothing vs box-only
+    assert(pruned.count() ===
+      back.filter(col("x").between(8, 15) && col("y").between(8, 15)).count())
+    // the zkey range reaches the parquet reader (row-group skip filter)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("zkey"), plan)
+    // layout clustering: the 64-cell box lives in few of the 16 files
+    val touched = pruned.select(input_file_name()).distinct().count()
+    assert(touched <= 2, s"box rows spread over $touched files")
+  }
+
   test("training shards: balanced, one file per shard, byte-identical across topologies") {
     val s = spark
     import s.implicits._

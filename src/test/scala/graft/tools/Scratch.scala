@@ -28,12 +28,10 @@ object Scratch {
       val spread = ts.max / ts.min
       println(f"$label%-28s ${ts.map(t => f"$t%.2f").mkString(", ")}  spread=${spread}%.2fx")
     }
-    passes("winnow_candidate_pairs", 5) { q("winnow_candidate_pairs")(spark, dir).count() }
-    passes("cross_dedup_batch", 5) { q("cross_dedup_batch")(spark, dir).count() }
-    passes("kll_quantile_check", 5) { q("kll_quantile_check")(spark, dir).count() }
-    passes("heavy_hitters_terms", 5) { q("heavy_hitters_terms")(spark, dir).count() }
-    passes("kmv_overlap_docs", 5) { q("kmv_overlap_docs")(spark, dir).count() }
-    passes("shard_profile_merge", 5) { q("shard_profile_merge")(spark, dir).count() }
+    for (name <- Seq("fuzzy_name_pairs", "cms_freq_check", "cms_join_size",
+        "zorder_pruned_scan")) {
+      passes(name, 3) { q(name)(spark, dir).count() }
+    }
     spark.stop()
   }
 }
