@@ -294,6 +294,49 @@ object Sampling {
       .drop("__ord", "__full", "__rem")
   }
 
+  /** Systematic probability-proportional-to-size (PPS) sampling: a
+    * FIXED-SIZE weighted sample of exactly `k` draws, deterministic and
+    * integer-exact end to end — the fixed-budget counterpart of
+    * [[weightedSample]]'s per-row Bernoulli (which only controls the
+    * EXPECTED sample size). Classic survey-sampling systematics: lay
+    * the rows on a line in md5(seed # key) order, each occupying a
+    * segment of its integer weight; drop k evenly spaced ticks at
+    * positions j·W/k (j = 0..k−1, W = total weight); a row is drawn
+    * once per tick inside its segment, so `n_picks` =
+    * ceil((cum+w)·k / W) − ceil(cum·k / W) ≥ 1 iff selected, with
+    * inclusion probability min(1, w·k/W) and rows heavier than W/k
+    * drawn multiple times (PPS with replacement above that line). The
+    * hash order is a deterministic shuffle, so the k draws are spread
+    * uniformly over the corpus — no clustering by any natural order.
+    *
+    * Everything is INTEGER arithmetic on longs (cum·k ≤ W·k must stay
+    * below 2^63 — at W = 10^14 tokens that allows k up to ~9·10^4, and
+    * larger k has no use at that scale) and the cumulative weights ride
+    * [[Packing.packContiguous]]'s two-phase prefix sum — never a
+    * single-task global window. Weights clamp at 0; zero-weight rows
+    * are never drawn. Adds `n_picks` (≥ 1, the multiplicity) and keeps
+    * only selected rows. */
+  def systematicSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val hashed = df
+      .withColumn("__h", md5(concat_ws("#", lit(seed), col(keyCol).cast("string"))))
+      .withColumn("__wt", greatest(col(weightCol).cast("long"), lit(0L)))
+    val cum = Packing.packContiguous(hashed, "__h", "__wt", budget = Int.MaxValue)
+      .withColumnRenamed("start_offset", "__cum")
+      .drop("seq_id", "crosses_boundary")
+    val total = df
+      .agg(coalesce(sum(greatest(col(weightCol).cast("long"), lit(0L))), lit(0L))
+        .as("__tw"))
+    cum.crossJoin(broadcast(total)) // 1-row total side
+      .withColumn("n_picks",
+        when(col("__tw") > 0L, expr(
+          s"((__cum + __wt) * ${k}L + __tw - 1) DIV __tw - (__cum * ${k}L + __tw - 1) DIV __tw"))
+          .otherwise(lit(0L)))
+      .filter(col("n_picks") > 0L)
+      .drop("__h", "__wt", "__cum", "__tw")
+  }
+
   /** Assign every row a split label by hash range: `weights` are
     * (label, weight) pairs, normalized over their sum — e.g.
     * Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)). Stable under

@@ -2458,8 +2458,91 @@ object LlmQueries {
       |  AND levenshtein(a.s, b.s) <= 1
       |ORDER BY s_a, s_b""".stripMargin
 
+  /** Entity resolution end-to-end: fuzzy pairs → connected components →
+    * canonical pick. Distance-1 name pairs ([[Fuzzy.fuzzyPairs]]) over a
+    * customer slice become an edge set; [[Dedup.connectedComponents]]
+    * labels each name with its entity (min member key); the canonical
+    * string is the entity representative's name. The record-linkage
+    * composition every dedup pipeline ships: block → verify → cluster →
+    * canonicalize, with no all-pairs at any step. The oracle recomputes
+    * the clustering from the ground-truth quadratic Levenshtein pairs
+    * via a recursive reachability CTE. */
+  def entityResolutionNames(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Fuzzy}
+    val cust = Tables.customer(spark, dir)
+      .filter(pmod(col("c_custkey"), lit(7L)) === 0L)
+      .select(col("c_custkey"), col("c_name"))
+    val ids = cust.groupBy(col("c_name").as("s"))
+      .agg(min("c_custkey").as("id"))
+    val pairs = Fuzzy.fuzzyPairs(cust.select(col("c_name")), "c_name", maxDist = 1)
+    val edges = pairs
+      .join(broadcast(ids.select(col("s").as("s_a"), col("id").as("id_a"))), "s_a")
+      .join(broadcast(ids.select(col("s").as("s_b"), col("id").as("id_b"))), "s_b")
+      .select("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges, "id_a", "id_b")
+    val ent = ids.join(comp, Seq("id"), "left")
+      .select(col("id").as("c_custkey"), col("s").as("c_name"),
+        coalesce(col("component"), col("id")).as("entity_id"))
+    ent.join(broadcast(ids.select(col("id").as("entity_id"), col("s").as("canonical"))),
+        "entity_id")
+      .select(col("c_custkey"), col("c_name"), col("entity_id"), col("canonical"))
+      .orderBy("c_custkey")
+  }
+
+  private val entityResolutionOracle: String =
+    """WITH RECURSIVE c AS (
+      | SELECT min(c_custkey) AS id, c_name AS s FROM customer
+      | WHERE c_custkey % 7 = 0 GROUP BY c_name),
+      |p AS (
+      | SELECT a.id AS u, b.id AS v FROM c a JOIN c b
+      | ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
+      |  AND levenshtein(a.s, b.s) = 1),
+      |e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+      |reach(id, lbl) AS (
+      | SELECT id, id FROM c
+      | UNION
+      | SELECT e.v AS id, r.lbl FROM reach r JOIN e ON e.u = r.id),
+      |comp AS (SELECT id, CAST(min(lbl) AS BIGINT) AS entity_id
+      |         FROM reach GROUP BY id)
+      |SELECT c.id AS c_custkey, c.s AS c_name, comp.entity_id,
+      |       canon.s AS canonical
+      |FROM c JOIN comp USING (id) JOIN c canon ON canon.id = comp.entity_id
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Fixed-size weighted corpus sample via [[Sampling.systematicSample]]:
+    * exactly 100 PPS draws over documents weighted by size — heavy
+    * documents drawn with multiplicity, the fixed-budget counterpart of
+    * soft_dedup_sample's Bernoulli keep. Integer arithmetic end to end,
+    * so the oracle replays every tick placement exactly. */
+  def systematicSampleDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .systematicSample(Tables.documents(spark, dir), "doc_id", "n_chars",
+        k = 100, seed = 7L)
+      .select(col("doc_id"), col("n_chars"), col("n_picks"))
+      .orderBy("doc_id")
+
+  private val systematicSampleOracle: String =
+    """WITH w AS (
+      | SELECT doc_id, n_chars,
+      |        CAST(greatest(coalesce(n_chars, 0), 0) AS BIGINT) AS wt,
+      |        md5('7#' || CAST(doc_id AS VARCHAR)) AS h
+      | FROM documents),
+      |c AS (
+      | SELECT doc_id, n_chars, wt,
+      |        CAST(sum(wt) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+      |          AND CURRENT ROW) - wt AS BIGINT) AS cum
+      | FROM w),
+      |t AS (SELECT CAST(sum(wt) AS BIGINT) AS W FROM w)
+      |SELECT doc_id, n_chars,
+      |       ((cum + wt) * 100 + W - 1) // W - (cum * 100 + W - 1) // W AS n_picks
+      |FROM c, t
+      |WHERE ((cum + wt) * 100 + W - 1) // W - (cum * 100 + W - 1) // W > 0
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("fuzzy_name_pairs", fuzzyNamePairs, Some(fuzzyNamePairsOracle)),
+    QueryDef("entity_resolution_names", entityResolutionNames, Some(entityResolutionOracle)),
+    QueryDef("systematic_sample_docs", systematicSampleDocs, Some(systematicSampleOracle)),
     QueryDef("dedup_exact_docs", dedupExactDocs, Some(dedupExactOracle)),
     QueryDef("dup_report_docs", dupReportDocs, Some(dupReportOracle)),
     QueryDef("line_dedup_docs", lineDedupDocs, Some(lineDedupOracle)),

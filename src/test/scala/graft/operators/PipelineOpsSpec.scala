@@ -562,4 +562,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
     assert(pairs.head.getInt(2) === 2)
   }
+
+  test("systematic PPS sample: exactly k draws, window-reference equal, partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 500L).map(i => (i, rnd.nextInt(40).toLong)).toDF("id", "w")
+    val k = 37
+    val got = graft.operators.Sampling.systematicSample(df, "id", "w", k, seed = 3L)
+      .select("id", "n_picks").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // total multiplicity is exactly k (tick placement telescopes)
+    assert(got.map(_._2).sum === k.toLong)
+    // zero-weight rows are never drawn
+    val zeros = df.filter(col("w") === 0).select("id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => !zeros.contains(r._1)))
+    // equals a plain single-window reference of the same arithmetic
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat_ws("#", lit(3L), col("id").cast("string")))
+    val ref = df.withColumn("h", h)
+      .withColumn("cum", sum(col("w")).over(
+        Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("w"))
+      .crossJoin(broadcast(df.agg(sum("w").as("tw"))))
+      .withColumn("n_picks", expr(s"((cum + w) * ${k}L + tw - 1) DIV tw - (cum * ${k}L + tw - 1) DIV tw"))
+      .filter(col("n_picks") > 0)
+      .select("id", "n_picks").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === ref.toSeq)
+    // partition-count invariance (cluster-topology proxy)
+    val wide = graft.operators.Sampling.systematicSample(df.repartition(13), "id", "w", k, seed = 3L)
+      .select("id", "n_picks").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(wide.toSeq === got.toSeq)
+    // a heavy row (w > W/k) is drawn with multiplicity
+    val heavy = df.unionByName(Seq((9999L, 5000L)).toDF("id", "w"))
+    val hGot = graft.operators.Sampling.systematicSample(heavy, "id", "w", k, seed = 3L)
+      .filter(col("id") === 9999L).select("n_picks").collect()
+    assert(hGot.nonEmpty && hGot.head.getLong(0) > 1L)
+  }
 }
