@@ -149,4 +149,39 @@ class PropertySpec extends SparkSpec {
         twice.collect().map(_.getString(0)).toSeq
     }, smallN)
   }
+
+  test("fuzzyPairs equals brute-force Levenshtein over random strings at k=1 and k=2") {
+    val s = spark
+    import s.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val gen = for {
+      n <- Gen.choose(5, 30)
+      maxLen <- Gen.choose(1, 8)
+      alpha <- Gen.choose(2, 3) // tiny alphabet -> dense near-pairs
+      k <- Gen.oneOf(1, 2)
+      seed <- Gen.choose(0L, 10000L)
+    } yield (n, maxLen, alpha, k, seed)
+    check(Prop.forAllNoShrink(gen) { case (n, maxLen, alpha, k, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val words = (1 to n).map(_ =>
+        new String(Array.fill(rnd.nextInt(maxLen + 1))(('a' + rnd.nextInt(alpha)).toChar)))
+        .distinct
+      val got = Fuzzy.fuzzyPairs(words.toDF("w"), "w", maxDist = k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val want = (for {
+        a <- words; b <- words if a < b
+        d = lev(a, b) if d <= k
+      } yield (a, b, d.toLong)).toSet
+      got == want
+    }, smallN)
+  }
 }
