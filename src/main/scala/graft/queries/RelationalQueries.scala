@@ -668,6 +668,32 @@ object RelationalQueries {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  /** ORC round trip — the second columnar format of the C1 sink row:
+    * supplier goes out through the ORC writer and comes back through the
+    * ORC reader (pushdown/pruning work as with parquet); the aggregate
+    * must match DuckDB reading the ORIGINAL parquet, so the format
+    * conversion is proven lossless for longs, strings and doubles. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val supplier = Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    graft.sources.Sinks.writeOrc(supplier, s"$tmp/supplier_orc")
+    graft.sources.Sinks.readOrc(spark, s"$tmp/supplier_orc")
+      .filter(col("s_acctbal") > 0)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        r(sum("s_acctbal"), 2).as("sum_bal"),
+        min("s_name").as("first_supplier"))
+      .orderBy("s_nationkey")
+  }
+
+  private val orcRoundtripOracle: String =
+    s"""SELECT s_nationkey, count(*) AS n_suppliers,
+       | ${rSql("sum(s_acctbal)", 2)} AS sum_bal,
+       | min(s_name) AS first_supplier
+       |FROM supplier WHERE s_acctbal > 0
+       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   /** Dimension-chain projection: supplier -> nation -> region. */
   def supplierNation(spark: SparkSession, dir: String): DataFrame =
     Tables.supplier(spark, dir)
@@ -973,6 +999,7 @@ object RelationalQueries {
     QueryDef("range_join_events", rangeJoinEvents, Some(rangeJoinOracle)),
     QueryDef("range_join_banded", rangeJoinBanded, Some(rangeJoinBandedOracle)),
     QueryDef("csv_json_roundtrip", csvJsonRoundtrip, Some(csvJsonRoundtripOracle)),
+    QueryDef("orc_roundtrip", orcRoundtrip, Some(orcRoundtripOracle)),
     QueryDef("window_range_frame", windowRangeFrame, Some(windowRangeFrameOracle)),
     QueryDef("subqueries_customers", subqueriesCustomers, Some(subqueriesOracle)),
     QueryDef("bucketed_join_revenue", bucketedJoinRevenue, Some(bucketedJoinOracle)),

@@ -21,6 +21,15 @@ object Sinks {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC — the other columnar interchange format Spark ships natively
+    * (predicate pushdown + column pruning work the same as parquet);
+    * for pipelines whose upstream warehouse is ORC-based. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Compacting writer — the small-files remedy: pick the output file
     * count from the optimizer's size estimate so each file lands near
     * `targetFileBytes` (default 128 MB, the usual HDFS/parquet sweet

@@ -99,6 +99,23 @@ class SinksSpec extends SparkSpec {
     assert(zmax - zmin < 64 * 64 / 4, s"z-span too wide: [$zmin, $zmax]")
   }
 
+  test("orc round trip preserves rows, schema and values") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.25), (3L, null.asInstanceOf[String], 0.0))
+      .toDF("id", "name", "v")
+    val path = tmp("orc")
+    Sinks.writeOrc(df, path)
+    val back = Sinks.readOrc(spark, path)
+    // nullability is metadata the reader widens; names and types must hold
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect() === df.orderBy("id").collect())
+    // pushdown reaches the ORC scan like parquet
+    val plan = back.filter(col("id") === 2L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"), plan)
+  }
+
   test("z-interval box scan: pushed range, few files touched, no rows lost") {
     val s = spark
     import s.implicits._
