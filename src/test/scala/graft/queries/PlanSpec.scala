@@ -347,4 +347,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("spark_partition_id"),
       s"slice ids must be pure row functions:\n$plan")
   }
+
+  test("fuzzy pairs: candidates meet only in hash equi-joins, no cartesian anywhere") {
+    val plan = planOf(LlmQueries.fuzzyNamePairs(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop join permitted is none: candidate generation,
+    // collision branch and both resolutions are hash joins
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"))
+  }
+
+  test("cms sketch aggregates partially before the bounded-cell exchange") {
+    val plan = planOf(SketchQueries.cmsFreqCheck(spark, dir))
+    // partial+final pairs: d*w cells bound the shuffle, map-side combine on
+    val hashAggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate pairs:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("systematic sample: prefix sum is sliced, total is a broadcast 1-row side") {
+    val plan = planOf(LlmQueries.systematicSampleDocs(spark, dir))
+    // the per-row running sum windows over _slice, never one global task
+    assert(plan.contains("_slice"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
