@@ -2458,6 +2458,56 @@ object LlmQueries {
       |  AND levenshtein(a.s, b.s) <= 1
       |ORDER BY s_a, s_b""".stripMargin
 
+  /** Cross-split LEAKAGE AUDIT — the check a train/test split should
+    * always run before training: near-duplicate pairs whose members
+    * landed in DIFFERENT splits (document-keyed splitting puts a doc in
+    * train and its twin in test; group_split_docs is the prevention,
+    * this is the detection). Composes the memoized verified pair graph
+    * ([[minhashPairs]] — the standing artifact, warmup-charged) with
+    * [[graft.operators.Sampling.assignSplits]]; the tiny pair set
+    * broadcasts against the corpus-sized split map, so the audit costs
+    * two broadcast joins over an artifact that already exists. The
+    * oracle brute-forces all-pairs Jaccard and replays the md5 split
+    * buckets. */
+  def splitLeakageAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val pairs = minhashPairs(spark, dir)
+    val split = Sampling.assignSplits(
+      nearDupCorpus(Tables.documents(spark, dir)).select("doc_id"), "doc_id",
+      Seq(("train", 0.9), ("test", 0.1)))
+    broadcast(pairs)
+      .join(split.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
+      .join(split.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("a"), col("b"), r(col("jaccard"), 6).as("jaccard"),
+        col("split_a"), col("split_b"))
+      .orderBy("a", "b")
+  }
+
+  private val splitLeakageOracle: String = {
+    val jac = "len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)"
+    s"""WITH $nearDupCorpusSql,
+       |sh AS (
+       | SELECT doc_id,
+       |  list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+       |    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |       FROM corpus)),
+       |p AS (
+       | SELECT a.doc_id AS a, b.doc_id AS b, ${rSql(jac, 6)} AS jaccard
+       | FROM sh a, sh b
+       | WHERE a.doc_id < b.doc_id AND $jac >= 0.7),
+       |sp AS (
+       | SELECT doc_id,
+       |  CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+       |    < ${(0.9 * 65536).toInt} THEN 'train' ELSE 'test' END AS split
+       | FROM corpus)
+       |SELECT p.a, p.b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+       |FROM p JOIN sp sa ON p.a = sa.doc_id JOIN sp sb ON p.b = sb.doc_id
+       |WHERE sa.split <> sb.split
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** Entity resolution end-to-end: fuzzy pairs → connected components →
     * canonical pick. Distance-1 name pairs ([[Fuzzy.fuzzyPairs]]) over a
     * customer slice become an edge set; [[Dedup.connectedComponents]]
@@ -2542,6 +2592,7 @@ object LlmQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("fuzzy_name_pairs", fuzzyNamePairs, Some(fuzzyNamePairsOracle)),
     QueryDef("entity_resolution_names", entityResolutionNames, Some(entityResolutionOracle)),
+    QueryDef("split_leakage_audit", splitLeakageAudit, Some(splitLeakageOracle)),
     QueryDef("systematic_sample_docs", systematicSampleDocs, Some(systematicSampleOracle)),
     QueryDef("dedup_exact_docs", dedupExactDocs, Some(dedupExactOracle)),
     QueryDef("dup_report_docs", dupReportDocs, Some(dupReportOracle)),

@@ -71,7 +71,13 @@ class DeterminismStressSpec extends SparkSpec {
     // session-default run for every prefix-sum consumer.
     val queries = Seq("mix_corpus", "mix_corpus_check", "mix_temperature",
       "mix_unimax", "mix_unimax_epochs", "shuffle_order", "pack_sequences",
-      "spearman_lineitem", "equidepth_lineitem")
+      "spearman_lineitem", "equidepth_lineitem",
+      // round-9 second-session deterministic consumers: the systematic
+      // sampler rides the same two-phase prefix sum; the fuzzy join and
+      // its CC composition must be partition/conf-invariant sets; the
+      // CMS cells are order-invariant sums of a pure key function
+      "systematic_sample_docs", "fuzzy_name_pairs",
+      "entity_resolution_names", "cms_freq_check")
     val defaults = queries.map(q => q -> canonical(q)).toMap
     dropCaches()
     val sweeps: Seq[(String, Seq[(String, String)])] = Seq(
