@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-column statistics the profiling surface needs beyond the
@@ -270,6 +271,87 @@ object Stats {
       ((col(c) - col(s"__m_$c")) /
         when(col(s"__s_$c") =!= 0.0, col(s"__s_$c"))).as(s"z_$c"))
     out.select(df.columns.map(col) ++ zCols: _*)
+  }
+
+  /** Categorical association between two columns — the chi-square
+    * statistic, Cramér's V, and BOTH directions of Theil's uncertainty
+    * coefficient U, from ONE contingency pass (the pandas-profiling-
+    * class "association matrix" cell the per-column describe ladder
+    * cannot see).
+    *
+    * Shape: the only full scan is the `groupBy(a, b).count` building the
+    * contingency cells; everything downstream (marginals via windows,
+    * the closing aggregate) runs over the |A|·|B|-cell frame, which is
+    * bounded by category cardinalities, not rows — the audited
+    * bounded-frame window category (the global-sum window single-tasks a
+    * frame of at most a few thousand cells, never the table).
+    *
+    * Identities used so ABSENT cells need no generation:
+    *   chi2 = Σ_cells o²/e − n            (zero cells contribute 0 to o²/e)
+    *   H(A) = −Σ_cells (o/n)·ln(n_a/n)    (Σ_{b|a} o = n_a)
+    *   H(A|B) = −Σ_cells (o/n)·ln(o/n_b)
+    *   U(A|B) = (H(A) − H(A|B)) / H(A)    (null when H(A) = 0)
+    * Cramér's V = sqrt(chi2 / (n·(min(R,C)−1))), null for a 1×C or R×1
+    * table (no association is defined). Null values in either column are
+    * excluded (pairwise-complete, matching `corr`). One output row. */
+  def association(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df
+      .filter(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a).cast("string").as("_a"), col(b).cast("string").as("_b"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val enriched = cells
+      .withColumn("n_a", sum("o").over(Window.partitionBy("_a")))
+      .withColumn("n_b", sum("o").over(Window.partitionBy("_b")))
+      .withColumn("n", sum("o").over(Window.partitionBy()))
+    val hA = -sum(col("o") / col("n") * log(col("n_a") / col("n")))
+    val hB = -sum(col("o") / col("n") * log(col("n_b") / col("n")))
+    val hAgB = -sum(col("o") / col("n") * log(col("o") / col("n_b")))
+    val hBgA = -sum(col("o") / col("n") * log(col("o") / col("n_a")))
+    enriched.agg(
+        max("n").as("nd"),
+        countDistinct("_a").as("r_levels"),
+        countDistinct("_b").as("c_levels"),
+        (sum(col("o") * col("o") / (col("n_a") * col("n_b") / col("n"))) -
+          max("n")).as("chi2"),
+        hA.as("h_a"), hB.as("h_b"), hAgB.as("h_a_given_b"), hBgA.as("h_b_given_a"))
+      .select(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        col("nd").cast("long").as("n"),
+        col("r_levels"), col("c_levels"),
+        col("chi2"),
+        when(least(col("r_levels"), col("c_levels")) > 1,
+          sqrt(col("chi2") / (col("nd") * (least(col("r_levels"), col("c_levels")) - 1))))
+          .as("cramers_v"),
+        when(col("h_a") > 0, (col("h_a") - col("h_a_given_b")) / col("h_a"))
+          .as("theil_u_ab"),
+        when(col("h_b") > 0, (col("h_b") - col("h_b_given_a")) / col("h_b"))
+          .as("theil_u_ba"))
+  }
+
+  /** Benford first-significant-digit census of a numeric column — the
+    * classic fabricated-data / unit-mix validation screen. The digit is
+    * the first `[1-9]` character of the value's string form, which is
+    * notation-independent (a scientific-notation mantissa starts with
+    * the first significant digit, fixed notation reaches it after any
+    * sign/zeros) and avoids the cross-engine ULP hazard of a
+    * log10/pow round trip near exact powers of ten. Zeros, nulls, NaN
+    * and infinities are excluded (no first significant digit). One
+    * groupBy over ≤9 keys; expected frequency is log10(1 + 1/d).
+    * Returns (digit, cnt, obs_p, exp_p, dev) ordered by digit. */
+  def benfordDigits(df: DataFrame, c: String): DataFrame = {
+    val v = col(c).cast("double")
+    val digits = df
+      .filter(v.isNotNull && !isnan(v) && v =!= 0.0 &&
+        v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity)
+      .select(regexp_extract(v.cast("string"), "[1-9]", 0).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val withTotal = digits.withColumn("total", sum("cnt").over(Window.partitionBy()))
+    withTotal.select(
+        col("digit"), col("cnt"),
+        (col("cnt") / col("total")).as("obs_p"),
+        (log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))).as("exp_p"))
+      .withColumn("dev", col("obs_p") - col("exp_p"))
+      .orderBy("digit")
   }
 
   /** Top `k` most frequent values per column, long-form

@@ -151,6 +151,44 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(n)
 
+  /** Collocation mining: adjacent-bigram pointwise mutual information,
+    * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over the bigram
+    * stream and p(·) over the unigram stream — the standard screen for
+    * multiword expressions ("new york") vs incidental adjacency. PMI is
+    * notoriously noisy at low counts, so pairs below `minCount` are
+    * dropped BEFORE the unigram join (the standard guard, and what keeps
+    * the join small: the surviving bigram table is bounded by pairs
+    * frequent enough to matter, not by the corpus).
+    *
+    * Shape: bigrams come from zipping each token array with its own
+    * tail (no self-join, no positional explode-join); unigram and
+    * bigram counts are plain hash aggs; the two corpus totals ride one
+    * 1-row broadcast. Returns unordered scored pairs
+    * (w1, w2, n_ab, pmi) — rank/limit in the caller so ordering can be
+    * applied to ROUNDED scores when an oracle replays the query. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val t = tokens(col(textCol))
+    val docs = df.select(t.as("t")).filter(size(col("t")) >= 2)
+    val bigrams = docs.select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val uni = df.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("double").as("c_w"))
+    val totals = df.agg(
+      sum(size(t)).cast("double").as("n_uni"),
+      sum(greatest(size(t) - 1, lit(0))).cast("double").as("n_bi"))
+    val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    bc.join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        log((col("n_ab") / col("n_bi")) /
+          ((col("c_a") / col("n_uni")) * (col("c_b") / col("n_uni")))).as("pmi"))
+  }
+
   /** Exact heavy hitters without shuffling the term universe — the
     * 100 TB form of [[topTerms]]' absolute-threshold cousin.
     *

@@ -756,6 +756,30 @@ object LlmQueries {
       |      FROM documents)
       |GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""".stripMargin
 
+  /** Top-20 adjacent-bigram collocations by PMI (min pair count 5);
+    * ordering and the top-k cut are applied to the ROUNDED score so the
+    * oracle's selection is identical (ties broken by the pair itself). */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(Tables.documents(spark, dir), "text", minCount = 5L)
+      .select(col("w1"), col("w2"), col("n_ab"), r(col("pmi"), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+
+  private val pmiOracle: String =
+    s"""WITH d AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |           FROM documents),
+       |tot AS (SELECT CAST(sum(len(t)) AS DOUBLE) AS n_uni,
+       |               CAST(sum(greatest(len(t) - 1, 0)) AS DOUBLE) AS n_bi FROM d),
+       |uc AS (SELECT w, CAST(count(*) AS DOUBLE) AS c_w
+       |       FROM (SELECT unnest(t) AS w FROM d) GROUP BY w),
+       |bc AS (SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS n_ab
+       |       FROM d, unnest(generate_series(1, len(t) - 1)) AS u(i)
+       |       GROUP BY 1, 2 HAVING count(*) >= 5)
+       |SELECT w1, w2, n_ab,
+       | ${rSql("ln((n_ab / n_bi) / ((a.c_w / n_uni) * (b.c_w / n_uni)))", 6)} AS pmi
+       |FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w CROSS JOIN tot
+       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
   /** Language census. */
   def langCensus(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langCensus(Tables.documents(spark, dir), "lang").orderBy("lang")
@@ -2616,6 +2640,7 @@ object LlmQueries {
     QueryDef("token_budget", tokenBudget, Some(tokenBudgetOracle)),
     QueryDef("tokenizer_fertility", tokenizerFertilityLang, Some(tokenizerFertilityOracle)),
     QueryDef("top_terms", topTerms, Some(topTermsOracle)),
+    QueryDef("pmi_collocations", pmiCollocations, Some(pmiOracle)),
     QueryDef("tfidf_top_terms", tfidfTopTerms, Some(tfidfOracle)),
     QueryDef("bm25_topk", bm25TopDocs, Some(bm25Oracle)),
     QueryDef("stratified_sample_docs", stratifiedSampleDocs, Some(stratifiedSampleOracle)),

@@ -643,8 +643,79 @@ object ProfilingQueries {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Categorical association (chi2 / Cramér's V / Theil's U both ways)
+    * for the two natural categorical pairs in the star schema — the
+    * pandas-profiling association-matrix cell (Stats.association); one
+    * contingency scan per pair, all statistics from the bounded cell
+    * frame. */
+  def assocCategorical(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.operators.Stats.association(
+      Tables.lineitem(spark, dir), "l_returnflag", "l_linestatus")
+    val or = graft.operators.Stats.association(
+      Tables.orders(spark, dir), "o_orderstatus", "o_orderpriority")
+    li.unionByName(or)
+      .select(col("col_a"), col("col_b"), col("n"), col("r_levels"),
+        col("c_levels"), r(col("chi2"), 6).as("chi2"),
+        r(col("cramers_v"), 6).as("cramers_v"),
+        r(col("theil_u_ab"), 6).as("theil_u_ab"),
+        r(col("theil_u_ba"), 6).as("theil_u_ba"))
+      .orderBy("col_a")
+  }
+
+  private val assocOracle: String = {
+    def one(table: String, a: String, b: String): String =
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         | CAST(max(n) AS BIGINT) AS n,
+         | count(DISTINCT _a) AS r_levels, count(DISTINCT _b) AS c_levels,
+         | ${rSql("sum(o*o/(n_a*n_b/n)) - max(n)", 6)} AS chi2,
+         | ${rSql("CASE WHEN least(count(DISTINCT _a), count(DISTINCT _b)) > 1 THEN sqrt((sum(o*o/(n_a*n_b/n)) - max(n)) / (max(n) * (least(count(DISTINCT _a), count(DISTINCT _b)) - 1))) END", 6)} AS cramers_v,
+         | ${rSql("CASE WHEN -sum(o/n*ln(n_a/n)) > 0 THEN (-sum(o/n*ln(n_a/n)) + sum(o/n*ln(o/n_b))) / (-sum(o/n*ln(n_a/n))) END", 6)} AS theil_u_ab,
+         | ${rSql("CASE WHEN -sum(o/n*ln(n_b/n)) > 0 THEN (-sum(o/n*ln(n_b/n)) + sum(o/n*ln(o/n_a))) / (-sum(o/n*ln(n_b/n))) END", 6)} AS theil_u_ba
+         |FROM (
+         | SELECT _a, _b, o,
+         |  sum(o) OVER (PARTITION BY _a) AS n_a,
+         |  sum(o) OVER (PARTITION BY _b) AS n_b,
+         |  sum(o) OVER () AS n
+         | FROM (SELECT CAST($a AS VARCHAR) AS _a, CAST($b AS VARCHAR) AS _b,
+         |        CAST(count(*) AS DOUBLE) AS o
+         |       FROM $table WHERE $a IS NOT NULL AND $b IS NOT NULL
+         |       GROUP BY 1, 2))""".stripMargin
+    s"""${one("lineitem", "l_returnflag", "l_linestatus")}
+       |UNION ALL
+       |${one("orders", "o_orderstatus", "o_orderpriority")}
+       |ORDER BY col_a""".stripMargin
+  }
+
+  /** Benford first-significant-digit screen on the price column
+    * (Stats.benfordDigits): 9-row census with observed vs expected
+    * frequencies — a validation-rule primitive for fabricated-data /
+    * unit-mix detection. */
+  def benfordLineitem(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.benfordDigits(Tables.lineitem(spark, dir), "l_extendedprice")
+      .select(col("digit"), col("cnt"), r(col("obs_p"), 6).as("obs_p"),
+        r(col("exp_p"), 6).as("exp_p"), r(col("dev"), 6).as("dev"))
+      .orderBy("digit")
+
+  private val benfordOracle: String =
+    s"""SELECT digit, cnt, ${rSql("obs_p", 6)} AS obs_p, ${rSql("exp_p", 6)} AS exp_p,
+       | ${rSql("obs_p - exp_p", 6)} AS dev
+       |FROM (
+       | SELECT digit, cnt,
+       |  cnt / CAST(sum(cnt) OVER () AS DOUBLE) AS obs_p,
+       |  ln(1.0 + 1.0/digit) / ln(10.0) AS exp_p
+       | FROM (
+       |  SELECT CAST(regexp_extract(CAST(CAST(l_extendedprice AS DOUBLE) AS VARCHAR), '[1-9]') AS INT) AS digit,
+       |   count(*) AS cnt
+       |  FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice <> 0
+       |   AND isfinite(CAST(l_extendedprice AS DOUBLE))
+       |  GROUP BY 1))
+       |ORDER BY digit""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("psi_lineitem", psiLineitem, Some(psiOracle)),
+    QueryDef("assoc_categorical", assocCategorical, Some(assocOracle)),
+    QueryDef("benford_lineitem", benfordLineitem, Some(benfordOracle)),
     QueryDef("stat_drift_lineitem", statDriftLineitem, Some(statDriftOracle)),
     QueryDef("corr_matrix_lineitem", corrMatrixLineitem, Some(corrMatrixOracle)),
     QueryDef("spearman_lineitem", spearmanLineitem, Some(spearmanOracle)),

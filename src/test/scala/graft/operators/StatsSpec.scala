@@ -146,4 +146,44 @@ class StatsSpec extends SparkSpec {
     // summing _cnt over distinct values equals counting rows
     assert(hist.agg(sum("cnt")).head().getLong(0) === 1000L)
   }
+
+  test("association: perfect, independent, and degenerate 1-level cases") {
+    val s = spark
+    import s.implicits._
+    // perfect association (a determines b and vice versa): chi2 = n·(min-1),
+    // V = 1, Theil's U = 1 both ways. 2x2 diag with 2 rows per cell.
+    val perfect = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")).toDF("a", "b")
+    val p = Stats.association(perfect, "a", "b").head()
+    assert(p.getLong(2) === 4L) // n
+    assert(math.abs(p.getDouble(5) - 4.0) < 1e-12, s"chi2 ${p.getDouble(5)}")
+    assert(math.abs(p.getDouble(6) - 1.0) < 1e-12) // cramers_v
+    assert(math.abs(p.getDouble(7) - 1.0) < 1e-12) // theil_u_ab
+    assert(math.abs(p.getDouble(8) - 1.0) < 1e-12) // theil_u_ba
+    // independence: uniform 2x2 grid — chi2 = 0, V = 0, U = 0
+    val indep = Seq(("x", "c"), ("x", "d"), ("y", "c"), ("y", "d")).toDF("a", "b")
+    val i = Stats.association(indep, "a", "b").head()
+    assert(math.abs(i.getDouble(5)) < 1e-12)
+    assert(math.abs(i.getDouble(6)) < 1e-12)
+    assert(math.abs(i.getDouble(7)) < 1e-12)
+    // degenerate: constant a — V and U(a|b) undefined (null), H(A) = 0
+    val const = Seq(("k", "c"), ("k", "d")).toDF("a", "b")
+    val c = Stats.association(const, "a", "b").head()
+    assert(c.isNullAt(6) && c.isNullAt(7))
+  }
+
+  test("benford digits: string-form first significant digit, exclusions, freqs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1.0, 12.0, -15.0, 0.002, 950.0, 0.0, Double.NaN,
+      Double.PositiveInfinity).toDF("v")
+    val out = Stats.benfordDigits(df, "v").collect()
+    // zero / NaN / Inf excluded; digits: 1 (from 1.0, 12.0, -15.0... sign
+    // skipped), 2 (0.002 leading zeros skipped), 9
+    assert(out.map(r => r.getInt(0) -> r.getLong(1)).toMap ===
+      Map(1 -> 3L, 2 -> 1L, 9 -> 1L))
+    val first = out.head
+    assert(math.abs(first.getDouble(2) - 0.6) < 1e-12) // obs_p of digit 1
+    assert(math.abs(first.getDouble(3) - math.log10(2.0)) < 1e-12) // exp_p
+    assert(math.abs(first.getDouble(4) - (0.6 - math.log10(2.0))) < 1e-12)
+  }
 }

@@ -294,4 +294,21 @@ class TextAnalysisSpec extends SparkSpec {
       s"ordering must follow target-affinity: $out")
     assert(out(4L) > 0 && out(3L) < 0, s"sign must split on affinity: $out")
   }
+
+  test("collocations: hand-computed PMI, minCount guard, adjacency only") {
+    val df = docs((1L, "a b a b"), (2L, "a b c"))
+    // bigrams: (a,b)x3, (b,a)x1, (b,c)x1 — n_bi = 5, n_uni = 7,
+    // unigrams a:3 b:3 c:1
+    val all = TextAnalysis.collocations(df, "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(all.keySet === Set(("a", "b"), ("b", "a"), ("b", "c")))
+    val (nab, pmi) = all(("a", "b"))
+    assert(nab === 3L)
+    val expected = math.log((3.0 / 5.0) / ((3.0 / 7.0) * (3.0 / 7.0)))
+    assert(math.abs(pmi - expected) < 1e-12, s"got $pmi want $expected")
+    // minCount prunes the singletons before the unigram join
+    val top = TextAnalysis.collocations(df, "text", minCount = 2L).collect()
+    assert(top.length === 1 && top.head.getString(0) === "a")
+  }
 }
