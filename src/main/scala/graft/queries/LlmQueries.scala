@@ -952,6 +952,105 @@ object LlmQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** END-TO-END curation funnel — the capstone composition a training-
+    * data team actually runs, five stages chained through the engine's
+    * own operators with a per-stage (n_docs, n_tokens) census as the
+    * audit trail:
+    *
+    *   1_raw      documents as ingested
+    *   2_dedup    exact text dedup (Dedup.exact, keep-min doc_id)
+    *   3_quality  corpus_filter's gate: lang ∈ {en, de}, 5–180 tokens,
+    *              rounded quality_score ≥ 0.5
+    *   4_decon    drop docs sharing any word 8-gram with the bench
+    *              slice (Contamination.bloomKeep — bit-identical to
+    *              exact decon, so the oracle replays plain SQL)
+    *   5_mix      per-language 2000-token budget, md5-priority
+    *              (Sampling.mixByTokenBudget, seed 7)
+    *
+    * Every stage feeds the next lazily — one Catalyst plan per census,
+    * no materialization between stages; the funnel proves the operators
+    * COMPOSE (each is oracle-checked alone elsewhere; here the chain is
+    * checked end-to-end against one DuckDB CTE pipeline). */
+  def pipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    def census(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(TextAnalysis.tokenCount(col("text"))), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    val dd = Dedup.exact(docs, Seq("text"), "doc_id")
+    val quality = TextAnalysis.qualityMetrics(dd, "doc_id", "text", Stopwords)
+      .select(col("doc_id"), r(col("quality_score"), 6).as("qs"))
+    val gated = dd.join(quality, Seq("doc_id"))
+      .filter(col("lang").isin("en", "de") &&
+        TextAnalysis.tokenCount(col("text")).between(5, 180) && col("qs") >= 0.5)
+      .select("doc_id", "lang", "text")
+    val keep = Contamination.bloomKeep(gated, benchDocs(docs),
+      "doc_id", "text", DecontamN)
+    val cleaned = gated.join(keep.select("doc_id"), Seq("doc_id"))
+    val mixed = graft.operators.Sampling.mixByTokenBudget(
+      cleaned.select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      "doc_id", "lang", "n_tokens", budgetPerGroup = 2000L, seed = 7L)
+    val mixedCensus = mixed
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+      .select(lit("5_mix").as("stage"), col("n_docs"), col("n_tokens"))
+    census(docs, "1_raw")
+      .unionByName(census(dd, "2_dedup"))
+      .unionByName(census(gated, "3_quality"))
+      .unionByName(census(cleaned, "4_decon"))
+      .unionByName(mixedCensus)
+      .orderBy("stage")
+  }
+
+  // lazy: references wordGramSql/DecontamN/benchDocs declared further
+  // down the object — a strict val here would initialize before them
+  private lazy val pipelineFunnelOracle: String = {
+    import QualitySql.score
+    def cens(src: String, stage: String, tokExpr: String = "len(t)") =
+      s"""SELECT '$stage' AS stage, count(*) AS n_docs,
+         | CAST(coalesce(sum($tokExpr), 0) AS BIGINT) AS n_tokens FROM $src"""
+        .stripMargin
+    s"""WITH d AS (
+       | SELECT doc_id, lang, text,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS t
+       | FROM documents),
+       |dd AS (
+       | SELECT * FROM d
+       | QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+       |g AS (
+       | SELECT * FROM dd
+       | WHERE lang IN ('en', 'de') AND len(t) BETWEEN 5 AND 180
+       |  AND ${rSql(score, 6)} >= 0.5),
+       |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0),
+       |bg AS (SELECT DISTINCT s FROM (${wordGramSql("bench", DecontamN)})),
+       |cg AS (${wordGramSql("g", DecontamN)}),
+       |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (s)),
+       |c AS (SELECT * FROM g
+       |      WHERE NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = g.doc_id)),
+       |mix AS (
+       | SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  md5('7#' || CAST(doc_id AS VARCHAR)) || '#' || CAST(doc_id AS VARCHAR) AS ord
+       | FROM c),
+       |m AS (
+       | SELECT * FROM (
+       |  SELECT doc_id, n_tokens,
+       |   CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY ord
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tokens_before
+       |  FROM mix)
+       | WHERE tokens_before + n_tokens <= 2000)
+       |${cens("d", "1_raw")}
+       |UNION ALL
+       |${cens("dd", "2_dedup")}
+       |UNION ALL
+       |${cens("g", "3_quality")}
+       |UNION ALL
+       |${cens("c", "4_decon")}
+       |UNION ALL
+       |${cens("m", "5_mix", "n_tokens")}
+       |ORDER BY stage""".stripMargin
+  }
+
   /** Deterministic 10% sample + 80/10/10 split assignment by key hash —
     * stable under repartition/retry/append, reproduced exactly by the
     * DuckDB oracle (md5 hex → bucket). The split census checks the
@@ -2652,6 +2751,7 @@ object LlmQueries {
     QueryDef("langid_fixed", langidFixed, Some(langidFixedOracle)),
     QueryDef("text_clean", textClean, Some(textCleanOracle)),
     QueryDef("corpus_filter", corpusFilter, Some(corpusFilterOracle)),
+    QueryDef("pipeline_funnel", pipelineFunnel, Some(pipelineFunnelOracle)),
     QueryDef("sample_split_docs", sampleSplitDocs, Some(sampleSplitOracle)),
     QueryDef("group_split_docs", groupSplitDocs, Some(groupSplitOracle)),
     QueryDef("vector_norms", vectorNorms, Some(vectorNormsOracle)),

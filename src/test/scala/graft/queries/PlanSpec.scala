@@ -372,4 +372,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("pipeline funnel: stage censuses are monotone and the chain stays join-shaped") {
+    val out = LlmQueries.pipelineFunnel(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === Set("1_raw", "2_dedup", "3_quality", "4_decon", "5_mix"))
+    // every stage can only shrink the corpus, and nothing empties at sf0.001
+    val order = Seq("1_raw", "2_dedup", "3_quality", "4_decon", "5_mix")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(out(b)._1 <= out(a)._1, s"$b docs grew past $a: $out")
+      assert(out(b)._2 <= out(a)._2, s"$b tokens grew past $a: $out")
+    }
+    assert(out("5_mix")._1 > 0, s"funnel emptied: $out")
+    val plan = planOf(LlmQueries.pipelineFunnel(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("association: the only windows run over the contingency-cell frame") {
+    val plan = planOf(ProfilingQueries.assocCategorical(spark, dir))
+    // the full scans are the two groupBy contingency passes; the window
+    // inputs are their outputs (post-aggregation), never the base tables
+    assert(plan.contains("Window"), plan)
+    val hashAggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 4, s"expected partial+final contingency aggs:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
