@@ -29,6 +29,34 @@ object Drift {
     * Reading: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 break. */
   def psi(df: DataFrame, valueCol: String, isBase: Column,
       bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    val withTotals = histWithTotals(df, valueCol, isBase, bins)
+    // an empty slice makes PSI ill-defined: the when guards keep the
+    // ANSI divide from raising on 0/0 and the final mask returns a null
+    // psi (counts still reported) rather than a garbage number
+    val p = greatest(col("nb").cast("double") /
+      when(col("tb") =!= 0, col("tb")), lit(eps))
+    val q = greatest(col("no").cast("double") /
+      when(col("to") =!= 0, col("to")), lit(eps))
+    withTotals
+      .select(((p - q) * log(p / q)).as("term"),
+        col("nb"), col("no"), col("tb"), col("to"))
+      .agg(
+        when(max(col("tb")) === 0 || max(col("to")) === 0, lit(null))
+          .otherwise(sum(col("term"))).as("psi"),
+        sum("nb").cast("long").as("n_base"),
+        sum("no").cast("long").as("n_other"))
+  }
+
+  /** Shared two-slice histogram: `bins` equal-width bins over the
+    * combined [min, max] with per-bin slice counts (nb, no) and slice
+    * totals (tb, to). The totals ride a window over the `bins`-sized
+    * histogram, NOT a separate aggregate frame: hist feeding two
+    * consumers would recompute the whole binning lineage (two scans +
+    * two bin exchanges); this keeps every divergence metric built on it
+    * at ONE pass over the data per side. The constant partition key
+    * bounds the window at `bins` rows. */
+  private def histWithTotals(df: DataFrame, valueCol: String,
+      isBase: Column, bins: Int): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
     val v = col(valueCol).cast("double")
     val bounds = df.filter(v.isNotNull)
@@ -43,28 +71,38 @@ object Drift {
     val hist = binned.groupBy("bin").agg(
       sum(when(col("base"), 1L).otherwise(0L)).as("nb"),
       sum(when(!col("base"), 1L).otherwise(0L)).as("no"))
-    // slice totals as a window over the `bins`-sized histogram, NOT a
-    // separate aggregate frame: hist feeding two consumers would
-    // recompute the whole binning lineage (two scans + two bin
-    // exchanges); this keeps psi at ONE pass over the data per side.
-    // The constant partition key bounds the window at `bins` rows.
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-    val withTotals = hist
+    hist
       .withColumn("tb", sum("nb").over(wAll))
       .withColumn("to", sum("no").over(wAll))
-    // an empty slice makes PSI ill-defined: the when guards keep the
-    // ANSI divide from raising on 0/0 and the final mask returns a null
-    // psi (counts still reported) rather than a garbage number
-    val p = greatest(col("nb").cast("double") /
-      when(col("tb") =!= 0, col("tb")), lit(eps))
-    val q = greatest(col("no").cast("double") /
-      when(col("to") =!= 0, col("to")), lit(eps))
+  }
+
+  /** Jensen–Shannon divergence between the `isBase` slice and its
+    * complement over the same equal-width binning as [[psi]] (same one
+    * scan per side, same replayable binning). Natural-log JSD, bounded
+    * in [0, ln 2]; symmetric and defined WITHOUT an epsilon clamp — a
+    * bin empty on one side contributes 0·ln(…) = 0 by the standard
+    * convention (the guard below), and the mixture m > 0 whenever
+    * either side occupies the bin. Null when either slice is empty.
+    * Returns one row: (jsd, n_base, n_other).
+    *
+    * PSI's eps-clamp makes it blow up on disjoint supports (that is
+    * its job as an alarm); JSD saturates at ln 2 — the better metric
+    * for RANKING drifts or feeding a monitor threshold. */
+  def jsDivergence(df: DataFrame, valueCol: String, isBase: Column,
+      bins: Int = 10): DataFrame = {
+    val withTotals = histWithTotals(df, valueCol, isBase, bins)
+    val p = col("nb").cast("double") / when(col("tb") =!= 0, col("tb"))
+    val q = col("no").cast("double") / when(col("to") =!= 0, col("to"))
+    val m = (p + q) / 2
+    val term =
+      when(col("nb") > 0, p * log(p / m) / 2).otherwise(lit(0.0)) +
+      when(col("no") > 0, q * log(q / m) / 2).otherwise(lit(0.0))
     withTotals
-      .select(((p - q) * log(p / q)).as("term"),
-        col("nb"), col("no"), col("tb"), col("to"))
+      .select(term.as("term"), col("nb"), col("no"), col("tb"), col("to"))
       .agg(
         when(max(col("tb")) === 0 || max(col("to")) === 0, lit(null))
-          .otherwise(sum(col("term"))).as("psi"),
+          .otherwise(sum(col("term"))).as("jsd"),
         sum("nb").cast("long").as("n_base"),
         sum("no").cast("long").as("n_other"))
   }

@@ -73,4 +73,29 @@ object Validation {
     bounds.upper.foreach(u => notes = notes.when(c > lit(u), lit("Value is greater than the upper bound")))
     shape(df, keyCol, column, "range", notes.isNotNull, notes)
   }
+
+  /** DATA-DRIVEN fence validation: rows outside the Tukey fences
+    * [q1 − k·IQR, q3 + k·IQR] — [[range]]'s cousin where the bounds come
+    * from the column's own quartiles instead of the schema (the screen a
+    * profiler suggests when no domain bounds exist; k = 1.5 is the
+    * boxplot convention, 3.0 the "far out" variant).
+    *
+    * Two passes total: exact type-7 quartiles via the distributed
+    * bracket chain ([[Stats.exactQuantiles]] — bounded driver traffic,
+    * never a whole-column percentile buffer), whose two doubles come
+    * back as literals into one filtered scan — so the fence predicate
+    * pushes into the column scan like any static range rule. Returns
+    * (keyCol, value, side, fence_lo, fence_hi), nulls excluded. */
+  def iqrOutliers(df: DataFrame, keyCol: String, column: String,
+      k: Double = 1.5): DataFrame = {
+    val Seq(q1, q3) = Stats.exactQuantiles(df, column, Seq(0.25, 0.75))
+    val iqr = q3 - q1
+    val lo = q1 - k * iqr
+    val hi = q3 + k * iqr
+    val v = col(column).cast("double")
+    df.filter(v.isNotNull && (v < lo || v > hi))
+      .select(col(keyCol), v.as("value"),
+        when(v < lo, lit("below")).otherwise(lit("above")).as("side"),
+        lit(lo).as("fence_lo"), lit(hi).as("fence_hi"))
+  }
 }

@@ -604,6 +604,65 @@ object ProfilingQueries {
        | CAST(sum(no) AS BIGINT) AS n_other
        |FROM hist, totals""".stripMargin
 
+  /** Jensen–Shannon divergence over the SAME slices and binning as
+    * [[psiLineitem]] (Drift.jsDivergence) — the bounded, symmetric
+    * companion metric, one scan per side. */
+  def jsdLineitem(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.jsDivergence(
+        Tables.lineitem(spark, dir), "l_extendedprice",
+        col("l_shipdate") < lit("1998-01-01").cast("date"))
+      .select(r(col("jsd"), 6).as("jsd"), col("n_base"), col("n_other"))
+
+  private val jsdOracle: String = {
+    val p = "(nb / tb)"
+    val q = "(no / \"to\")"
+    val m = s"(($p + $q) / 2)"
+    s"""WITH v AS (
+       | SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+       |  l_shipdate < DATE '1998-01-01' AS base
+       | FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       |bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM v),
+       |binned AS (
+       | SELECT CASE WHEN hi = lo THEN 0
+       |  ELSE least(9, CAST(floor((x - lo) * 10 / (hi - lo)) AS INT)) END AS bin, base
+       | FROM v, bounds),
+       |hist AS (
+       | SELECT bin,
+       |  sum(CASE WHEN base THEN 1 ELSE 0 END) AS nb,
+       |  sum(CASE WHEN NOT base THEN 1 ELSE 0 END) AS no
+       | FROM binned GROUP BY bin),
+       |totals AS (SELECT sum(nb) AS tb, sum(no) AS "to" FROM hist)
+       |SELECT
+       | ${rSql(s"sum(CASE WHEN nb > 0 THEN $p * ln($p / $m) / 2 ELSE 0 END + CASE WHEN no > 0 THEN $q * ln($q / $m) / 2 ELSE 0 END)", 6)} AS jsd,
+       | CAST(sum(nb) AS BIGINT) AS n_base,
+       | CAST(sum(no) AS BIGINT) AS n_other
+       |FROM hist, totals""".stripMargin
+  }
+
+  /** Tukey-fence outlier findings on events.value (Validation.
+    * iqrOutliers, k = 1.5): data-driven range validation — the fences
+    * are exact type-7 quartile literals, so the predicate pushes into
+    * the scan. */
+  def outliersEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Validation.iqrOutliers(
+        Tables.events(spark, dir), "event_id", "value", 1.5)
+      .select(col("event_id"), r(col("value"), 6).as("value"), col("side"),
+        r(col("fence_lo"), 6).as("fence_lo"), r(col("fence_hi"), 6).as("fence_hi"))
+      .orderBy("event_id", "value")
+
+  private val outliersOracle: String =
+    s"""WITH f AS (
+       | SELECT quantile_cont(CAST(value AS DOUBLE), 0.25) AS q1,
+       |  quantile_cont(CAST(value AS DOUBLE), 0.75) AS q3
+       | FROM events),
+       |b AS (SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM f)
+       |SELECT event_id, ${rSql("CAST(value AS DOUBLE)", 6)} AS value,
+       | CASE WHEN value < lo THEN 'below' ELSE 'above' END AS side,
+       | ${rSql("lo", 6)} AS fence_lo, ${rSql("hi", 6)} AS fence_hi
+       |FROM events, b
+       |WHERE value IS NOT NULL AND (value < lo OR value > hi)
+       |ORDER BY event_id, value""".stripMargin
+
   /** Per-column stat drift (count, null fraction, mean, std) between the
     * same two ship-date slices, long-form rows. */
   def statDriftLineitem(spark: SparkSession, dir: String): DataFrame = {
@@ -714,6 +773,8 @@ object ProfilingQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("psi_lineitem", psiLineitem, Some(psiOracle)),
+    QueryDef("jsd_lineitem", jsdLineitem, Some(jsdOracle)),
+    QueryDef("outliers_events", outliersEvents, Some(outliersOracle)),
     QueryDef("assoc_categorical", assocCategorical, Some(assocOracle)),
     QueryDef("benford_lineitem", benfordLineitem, Some(benfordOracle)),
     QueryDef("stat_drift_lineitem", statDriftLineitem, Some(statDriftOracle)),

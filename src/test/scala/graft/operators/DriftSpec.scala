@@ -50,4 +50,22 @@ class DriftSpec extends SparkSpec {
     assert(mb === 2.0 && mo === 3.5 && math.abs(md - 1.5) < 1e-12)
     assert(out(("b", "null_fraction"))._3 === 0.0)
   }
+
+  test("jsd: identical slices = 0, disjoint slices = ln 2, empty slice = null") {
+    val s = spark
+    import s.implicits._
+    // identical distributions across the split: every bin 50/50
+    val same = (1 to 100).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
+    val z = Drift.jsDivergence(same, "v", col("id") <= 50).head
+    assert(math.abs(z.getDouble(0)) < 1e-12)
+    assert(z.getLong(1) === 50L && z.getLong(2) === 50L)
+    // disjoint supports saturate at ln 2 (no epsilon blow-up)
+    val disjoint = ((1 to 50).map(i => (i.toLong, 0.0)) ++
+      (51 to 100).map(i => (i.toLong, 100.0))).toDF("id", "v")
+    val d = Drift.jsDivergence(disjoint, "v", col("id") <= 50).head
+    assert(math.abs(d.getDouble(0) - math.log(2.0)) < 1e-12, s"got ${d.getDouble(0)}")
+    // one empty slice: null jsd, counts still reported
+    val e = Drift.jsDivergence(same, "v", lit(true)).head
+    assert(e.isNullAt(0) && e.getLong(1) === 100L && e.getLong(2) === 0L)
+  }
 }

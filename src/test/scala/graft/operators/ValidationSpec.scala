@@ -89,4 +89,22 @@ class ValidationSpec extends SparkSpec {
       Map("status" -> ColumnRules(accepted = Some(Seq("O")))))
     assert(r.validate().count() === 0)
   }
+
+  test("iqrOutliers: Tukey fences from exact quartiles, sides labeled, nulls out") {
+    val s = spark
+    import s.implicits._
+    // 1..11 plus two planted extremes; type-7 quartiles of the 13 values:
+    // q1 = 3, q3 = 9 -> IQR 6, fences [-6, 18]
+    val df = ((1 to 11).map(_.toDouble) ++ Seq(-50.0, 50.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = Validation.iqrOutliers(df, "id", "v", 1.5).collect()
+      .map(r => r.getDouble(1) -> r.getString(2)).toMap
+    assert(out === Map(-50.0 -> "below", 50.0 -> "above"), out.toString)
+    // nulls never flag
+    val withNull = spark.createDataFrame(Seq(
+      Row(1L, 1.0), Row(2L, null), Row(3L, 100.0), Row(4L, 2.0), Row(5L, 3.0)).asJava,
+      StructType(Seq(StructField("id", LongType), StructField("v", DoubleType))))
+    val flagged = Validation.iqrOutliers(withNull, "id", "v", 1.5).collect()
+    assert(flagged.forall(!_.isNullAt(1)))
+  }
 }
