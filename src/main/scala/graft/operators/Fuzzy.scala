@@ -186,4 +186,46 @@ object Fuzzy {
         greatest(col("a.sid"), col("b.sid")).as("sid_b"))
     subCand.union(indelCand).distinct()
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo's merge/purge,
+    * 1995) — the OTHER classic record-linkage candidate scheme: sort the
+    * distinct strings, compare each only with its `window − 1`
+    * successors in sort order, verify candidates with the exact
+    * Levenshtein distance. Complements [[fuzzyPairs]]: symmetric-delete
+    * is lossless for distance ≤ k but its variant fan-out grows with k;
+    * sorted-neighborhood costs O(n·window) REGARDLESS of the distance
+    * cutoff, at the price of recall limited to pairs the sort key puts
+    * near each other (the standard trade; prefix-heavy keys like names
+    * and codes are where it earns its keep).
+    *
+    * Spark shape: the global sort rank comes from
+    * [[Packing.packContiguous]]'s two-phase prefix sum over the
+    * DISTINCT strings (deterministic slices, per-slice windows, one
+    * |slices|-row global window — never a single-task sort of the
+    * table). Each string then meets its neighbors through a plain
+    * equi-join: the right side re-keys every string to its `d`
+    * following rank positions (d ∈ [1, window)), the left side stays at
+    * its own rank, so a pair at sort distance d meets exactly once (at
+    * the later string's rank) — no pair dedup shuffle. Exact distances
+    * verify the bounded candidate set; output is
+    * (s_a, s_b, sort_gap, dist) with s_a the sort-order predecessor. */
+  def sortedNeighborPairs(strings: DataFrame, strCol: String,
+      window: Int, maxDist: Int): DataFrame = {
+    require(window >= 2, s"window must be at least 2, got $window")
+    val strs = strings
+      .select(col(strCol).as("s")).filter(col("s").isNotNull).distinct()
+      .withColumn("_cnt", lit(1L))
+    val ranked = Packing.packContiguous(strs, "s", "_cnt", budget = Int.MaxValue)
+      .select(col("s"), col("start_offset").as("rk"))
+      .localCheckpoint() // feeds both join sides — one rank computation
+    val anchored = ranked.select(col("s").as("sb"),
+        explode(sequence(col("rk") - (window - 1), col("rk") - 1)).as("rk"),
+        col("rk").as("rk_b"))
+    ranked.as("a")
+      .join(anchored, Seq("rk"))
+      .select(col("s").as("s_a"), col("sb").as("s_b"),
+        (col("rk_b") - col("rk")).as("sort_gap"),
+        levenshtein(col("s"), col("sb")).cast("long").as("dist"))
+      .filter(col("dist").between(1, maxDist))
+  }
 }

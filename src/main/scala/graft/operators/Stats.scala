@@ -354,6 +354,47 @@ object Stats {
       .orderBy("digit")
   }
 
+  /** Functional-dependency check det → dep: does every value of `det`
+    * map to exactly one value of `dep`? The discovery primitive behind
+    * "these two columns are redundant" profiler warnings and schema-
+    * normalization advice. One hash aggregation keyed by `det` (per-det
+    * distinct-dep counts), then a tiny closing agg — the per-group
+    * distinct state is bounded by the dep values under one det, never
+    * the table. Null dets are excluded (no determinant); null deps
+    * count as a branch value like any other. Returns one row:
+    * (det, dep, n_det, n_violating, max_branch, fd_holds) where
+    * n_violating = dets mapping to >1 dep and max_branch is the widest
+    * fan-out. */
+  def functionalDependency(df: DataFrame, det: String, dep: String): DataFrame =
+    df.filter(col(det).isNotNull)
+      .groupBy(col(det))
+      .agg(countDistinct(col(dep)).as("__nb"))
+      .agg(count(lit(1)).as("n_det"),
+        sum(when(col("__nb") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max("__nb").as("max_branch"))
+      .select(lit(det).as("det"), lit(dep).as("dep"), col("n_det"),
+        col("n_violating"), col("max_branch"),
+        (col("n_violating") === 0).as("fd_holds"))
+
+  /** Candidate-key check: is the column set `cols` unique over the
+    * frame? count vs distinct-count in one aggregation pair. Returns
+    * one row (key_cols, n_rows, n_distinct, n_dup_rows, is_key);
+    * `label` names the frame in unioned multi-table censuses. */
+  def keyCandidate(df: DataFrame, cols: Seq[String], label: String): DataFrame = {
+    require(cols.nonEmpty, "keyCandidate needs at least one column")
+    // rows with a null key part are excluded EXPLICITLY (a null can
+    // never identify a row); without the filter Spark's multi-column
+    // countDistinct would skip them silently while n_rows counted them
+    df.na.drop("any", cols)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(cols.head), cols.tail.map(col): _*).as("n_distinct"))
+      .select(lit(label).as("table_name"),
+        lit(cols.mkString(",")).as("key_cols"),
+        col("n_rows"), col("n_distinct"),
+        (col("n_rows") - col("n_distinct")).as("n_dup_rows"),
+        (col("n_rows") === col("n_distinct")).as("is_key"))
+  }
+
   /** Top `k` most frequent values per column, long-form
     * (column, value, cnt, rank), values cast to string for a uniform
     * schema. Frequencies are one hash agg per column over a shared scan;

@@ -967,30 +967,39 @@ object LlmQueries {
     *   5_mix      per-language 2000-token budget, md5-priority
     *              (Sampling.mixByTokenBudget, seed 7)
     *
-    * Every stage feeds the next lazily — one Catalyst plan per census,
-    * no materialization between stages; the funnel proves the operators
-    * COMPOSE (each is oracle-checked alone elsewhere; here the chain is
-    * checked end-to-end against one DuckDB CTE pipeline). */
+    * Each stage output is MATERIALIZED once (localCheckpoint) before
+    * the next stage and its census read it — the funnel is a five-
+    * consumer diamond otherwise (every census branch of the union would
+    * re-run the whole upstream chain; first cut measured 4.85 s under
+    * Bench for exactly that reason). A production pipeline does the
+    * same thing structurally: each curation stage writes its output
+    * before the next reads it. The operators themselves are oracle-
+    * checked alone elsewhere; here the chain is checked end-to-end
+    * against one DuckDB CTE pipeline. */
   def pipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    // tokenize ONCE at the scan and carry n_tokens through every stage:
+    // the censuses sum a long column instead of re-splitting text
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     def census(df: DataFrame, stage: String): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(TextAnalysis.tokenCount(col("text"))), lit(0L)).as("n_tokens"))
+          coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
         .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
     val dd = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("doc_id", "lang", "text", "n_tokens").localCheckpoint()
     val quality = TextAnalysis.qualityMetrics(dd, "doc_id", "text", Stopwords)
       .select(col("doc_id"), r(col("quality_score"), 6).as("qs"))
     val gated = dd.join(quality, Seq("doc_id"))
       .filter(col("lang").isin("en", "de") &&
-        TextAnalysis.tokenCount(col("text")).between(5, 180) && col("qs") >= 0.5)
-      .select("doc_id", "lang", "text")
+        col("n_tokens").between(5, 180) && col("qs") >= 0.5)
+      .select("doc_id", "lang", "text", "n_tokens").localCheckpoint()
     val keep = Contamination.bloomKeep(gated, benchDocs(docs),
       "doc_id", "text", DecontamN)
     val cleaned = gated.join(keep.select("doc_id"), Seq("doc_id"))
+      .select("doc_id", "lang", "n_tokens").localCheckpoint()
     val mixed = graft.operators.Sampling.mixByTokenBudget(
-      cleaned.select(col("doc_id"), col("lang"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens")),
-      "doc_id", "lang", "n_tokens", budgetPerGroup = 2000L, seed = 7L)
+      cleaned, "doc_id", "lang", "n_tokens", budgetPerGroup = 2000L, seed = 7L)
     val mixedCensus = mixed
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
@@ -2581,6 +2590,26 @@ object LlmQueries {
       |  AND levenshtein(a.s, b.s) <= 1
       |ORDER BY s_a, s_b""".stripMargin
 
+  /** Sorted-neighborhood record linkage over the same customer names
+    * (Fuzzy.sortedNeighborPairs, window 10, distance ≤ 2): the
+    * O(n·window) blocking alternative to symmetric-delete — candidates
+    * are the ≤ 9 successors in name sort order, verified exactly. The
+    * oracle replays rank + window + distance verbatim. */
+  def sortedNeighborNames(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Fuzzy.sortedNeighborPairs(
+        Tables.customer(spark, dir).select(col("c_name")), "c_name",
+        window = 10, maxDist = 2)
+      .orderBy("s_a", "s_b")
+
+  private val sortedNeighborOracle: String =
+    """WITH p AS (SELECT DISTINCT c_name AS s FROM customer WHERE c_name IS NOT NULL),
+      |r AS (SELECT s, row_number() OVER (ORDER BY s) - 1 AS rk FROM p)
+      |SELECT a.s AS s_a, b.s AS s_b, b.rk - a.rk AS sort_gap,
+      | CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 9
+      |WHERE levenshtein(a.s, b.s) BETWEEN 1 AND 2
+      |ORDER BY s_a, s_b""".stripMargin
+
   /** Cross-split LEAKAGE AUDIT — the check a train/test split should
     * always run before training: near-duplicate pairs whose members
     * landed in DIFFERENT splits (document-keyed splitting puts a doc in
@@ -2714,6 +2743,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("fuzzy_name_pairs", fuzzyNamePairs, Some(fuzzyNamePairsOracle)),
+    QueryDef("sorted_neighbor_names", sortedNeighborNames, Some(sortedNeighborOracle)),
     QueryDef("entity_resolution_names", entityResolutionNames, Some(entityResolutionOracle)),
     QueryDef("split_leakage_audit", splitLeakageAudit, Some(splitLeakageOracle)),
     QueryDef("systematic_sample_docs", systematicSampleDocs, Some(systematicSampleOracle)),

@@ -663,6 +663,72 @@ object ProfilingQueries {
        |WHERE value IS NOT NULL AND (value < lo OR value > hi)
        |ORDER BY event_id, value""".stripMargin
 
+  /** Functional-dependency census over three lineitem candidate pairs
+    * (Stats.functionalDependency) — all violated in this schema, with
+    * the violation counts proving the check measures, not assumes. */
+  def fdLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    Seq(("l_partkey", "l_suppkey"), ("l_orderkey", "l_returnflag"),
+        ("l_suppkey", "l_partkey"))
+      .map { case (a, b) => graft.operators.Stats.functionalDependency(li, a, b) }
+      .reduce(_.unionByName(_))
+      .orderBy("det", "dep")
+  }
+
+  private val fdOracle: String = {
+    def one(a: String, b: String) =
+      s"""SELECT '$a' AS det, '$b' AS dep, count(*) AS n_det,
+         | CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         | max(nb) AS max_branch,
+         | sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+         |FROM (SELECT $a, count(DISTINCT $b) AS nb FROM lineitem
+         |      WHERE $a IS NOT NULL GROUP BY $a)""".stripMargin
+    s"""${one("l_partkey", "l_suppkey")}
+       |UNION ALL
+       |${one("l_orderkey", "l_returnflag")}
+       |UNION ALL
+       |${one("l_suppkey", "l_partkey")}
+       |ORDER BY det, dep""".stripMargin
+  }
+
+  /** Candidate-key census across four tables (Stats.keyCandidate):
+    * orders/documents/events single-column keys hold; lineitem's
+    * textbook composite (l_orderkey, l_linenumber) does NOT in this
+    * synthetic data — the discovery that forced total ordering on every
+    * row-level oracle (BASELINE.md sf0.1 notes). */
+  def keyCensus(spark: SparkSession, dir: String): DataFrame =
+    Seq(
+      graft.operators.Stats.keyCandidate(Tables.orders(spark, dir),
+        Seq("o_orderkey"), "orders"),
+      graft.operators.Stats.keyCandidate(Tables.lineitem(spark, dir),
+        Seq("l_orderkey", "l_linenumber"), "lineitem"),
+      graft.operators.Stats.keyCandidate(Tables.documents(spark, dir),
+        Seq("doc_id"), "documents"),
+      graft.operators.Stats.keyCandidate(Tables.events(spark, dir),
+        Seq("event_id"), "events"))
+      .reduce(_.unionByName(_))
+      .orderBy("table_name")
+
+  private val keyCensusOracle: String = {
+    def one(table: String, cols: Seq[String]) = {
+      val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      val tuple = if (cols.size == 1) cols.head else cols.mkString("(", ", ", ")")
+      s"""SELECT '$table' AS table_name, '${cols.mkString(",")}' AS key_cols,
+         | count(*) AS n_rows, count(DISTINCT $tuple) AS n_distinct,
+         | count(*) - count(DISTINCT $tuple) AS n_dup_rows,
+         | count(*) = count(DISTINCT $tuple) AS is_key
+         |FROM $table WHERE $notNull""".stripMargin
+    }
+    s"""${one("orders", Seq("o_orderkey"))}
+       |UNION ALL
+       |${one("lineitem", Seq("l_orderkey", "l_linenumber"))}
+       |UNION ALL
+       |${one("documents", Seq("doc_id"))}
+       |UNION ALL
+       |${one("events", Seq("event_id"))}
+       |ORDER BY table_name""".stripMargin
+  }
+
   /** Per-column stat drift (count, null fraction, mean, std) between the
     * same two ship-date slices, long-form rows. */
   def statDriftLineitem(spark: SparkSession, dir: String): DataFrame = {
@@ -775,6 +841,8 @@ object ProfilingQueries {
     QueryDef("psi_lineitem", psiLineitem, Some(psiOracle)),
     QueryDef("jsd_lineitem", jsdLineitem, Some(jsdOracle)),
     QueryDef("outliers_events", outliersEvents, Some(outliersOracle)),
+    QueryDef("fd_lineitem", fdLineitem, Some(fdOracle)),
+    QueryDef("key_census", keyCensus, Some(keyCensusOracle)),
     QueryDef("assoc_categorical", assocCategorical, Some(assocOracle)),
     QueryDef("benford_lineitem", benfordLineitem, Some(benfordOracle)),
     QueryDef("stat_drift_lineitem", statDriftLineitem, Some(statDriftOracle)),

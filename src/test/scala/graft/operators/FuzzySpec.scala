@@ -69,4 +69,21 @@ class FuzzySpec extends SparkSpec {
     assert(Fuzzy.fuzzyPairs(df, "w", 1).count() === 15)
     assert(Fuzzy.fuzzyPairs(df, "w", 1, maxKeyDf = 5).count() === 0)
   }
+
+  test("sortedNeighborPairs: window bounds candidates, gaps and distances exact") {
+    val s = spark
+    import s.implicits._
+    // sort order: aa, ab, ac, zz — window 2 pairs only adjacent ranks
+    val df = Seq("ab", "zz", "aa", "ac").toDF("w")
+    val w2 = Fuzzy.sortedNeighborPairs(df, "w", window = 2, maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // (ac, zz) is adjacent but distance 2 at most? lev(ac,zz)=2 -> kept
+    assert(w2 === Set(("aa", "ab", 1L, 1L), ("ab", "ac", 1L, 1L), ("ac", "zz", 1L, 2L)))
+    // window 3 adds the gap-2 pair (aa, ac); (ab, zz) stays out at dist 2? lev(ab,zz)=2 kept
+    val w3 = Fuzzy.sortedNeighborPairs(df, "w", window = 3, maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(w3 === Set(("aa", "ab", 1L), ("ab", "ac", 1L), ("aa", "ac", 2L)))
+    // distance cutoff verifies candidates: maxDist 1 drops (ac, zz)
+    assert(!w3.exists(_._2 == "zz"))
+  }
 }

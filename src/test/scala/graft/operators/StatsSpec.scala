@@ -171,6 +171,33 @@ class StatsSpec extends SparkSpec {
     assert(c.isNullAt(6) && c.isNullAt(7))
   }
 
+  test("functionalDependency: holds, violated, and null-det exclusion") {
+    val s = spark
+    import s.implicits._
+    // a -> b holds (each a maps to one b); b -> a is violated by b=1
+    val df = Seq((1, 1), (1, 1), (2, 1), (3, 2)).toDF("a", "b")
+    val ab = Stats.functionalDependency(df, "a", "b").head()
+    assert(ab.getLong(2) === 3L && ab.getLong(3) === 0L && ab.getBoolean(5))
+    val ba = Stats.functionalDependency(df, "b", "a").head()
+    assert(ba.getLong(2) === 2L && ba.getLong(3) === 1L && !ba.getBoolean(5))
+    assert(ba.getLong(4) === 2L) // b=1 fans out to a in {1,2}
+    // null determinants are excluded entirely
+    val withNull = Seq((Option.empty[Int], 1), (Some(1), 2)).toDF("a", "b")
+    assert(Stats.functionalDependency(withNull, "a", "b").head().getLong(2) === 1L)
+  }
+
+  test("keyCandidate: unique, duplicated, and null-part rows dropped") {
+    val s = spark
+    import s.implicits._
+    val unique = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    val u = Stats.keyCandidate(unique, Seq("k"), "t").head()
+    assert(u.getLong(2) === 2L && u.getLong(3) === 2L && u.getBoolean(5))
+    val dup = Seq((1, 1), (1, 1), (1, 2)).toDF("k1", "k2")
+    val d = Stats.keyCandidate(dup, Seq("k1", "k2"), "t").head()
+    assert(d.getLong(2) === 3L && d.getLong(3) === 2L &&
+      d.getLong(4) === 1L && !d.getBoolean(5))
+  }
+
   test("benford digits: string-form first significant digit, exclusions, freqs") {
     val s = spark
     import s.implicits._

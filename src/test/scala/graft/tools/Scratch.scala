@@ -28,10 +28,31 @@ object Scratch {
       val spread = ts.max / ts.min
       println(f"$label%-28s ${ts.map(t => f"$t%.2f").mkString(", ")}  spread=${spread}%.2fx")
     }
-    for (name <- Seq("fuzzy_name_pairs", "cms_freq_check", "cms_join_size",
-        "zorder_pruned_scan")) {
-      passes(name, 3) { q(name)(spark, dir).count() }
+    // cumulative-chain cost of the pipeline funnel (each closure is
+    // self-contained; differences give per-stage costs)
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Contamination, Dedup, TextAnalysis}
+    import graft.sources.Tables
+    def docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    val Stopwords = Seq("the", "a", "of", "and", "to")
+    def ddF = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("doc_id", "lang", "text").localCheckpoint()
+    def gatedF(dd: org.apache.spark.sql.DataFrame) = {
+      val quality = TextAnalysis.qualityMetrics(dd, "doc_id", "text", Stopwords)
+        .select(col("doc_id"),
+          (floor(col("quality_score") * 1e6 + 0.5) / 1e6).as("qs"))
+      dd.join(quality, Seq("doc_id"))
+        .filter(col("lang").isin("en", "de") &&
+          TextAnalysis.tokenCount(col("text")).between(5, 180) && col("qs") >= 0.5)
+        .select("doc_id", "lang", "text").localCheckpoint()
     }
+    passes("A dedup+ckpt", 2) { ddF.count() }
+    passes("B +quality+ckpt", 2) { gatedF(ddF).count() }
+    passes("C +bloomKeep", 2) {
+      val bench = docs.filter(col("doc_id") % 31 === 0).select("doc_id", "text")
+      Contamination.bloomKeep(gatedF(ddF), bench, "doc_id", "text", 8).count()
+    }
+    passes("D full funnel", 3) { q("pipeline_funnel")(spark, dir).count() }
     spark.stop()
   }
 }
