@@ -354,6 +354,38 @@ object Stats {
       .orderBy("digit")
   }
 
+  /** Exponential time-decay aggregation: per-key recency-weighted sum
+    * Σ value·2^(−Δt/halfLife) against the frame's latest timestamp —
+    * the standard engagement/recency feature, computed as ONE hash
+    * aggregation (the decayed sum is a plain weighted sum once the
+    * reference instant is fixed; no sequential recursion, no window).
+    * The reference is the global max timestamp (1-row broadcast), so
+    * scores are comparable across keys and reproducible by any engine.
+    * All time arithmetic stays in integral MICROSECONDS until the one
+    * final multiply by the decay constant — no seconds-vs-micros float
+    * bridge for an oracle to diverge on. Null timestamps/values are
+    * excluded. Returns (keyCol, n_events, decayed_sum, last_seen_us). */
+  def decayedSum(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, halfLifeDays: Double): DataFrame = {
+    require(halfLifeDays > 0, s"half-life must be positive, got $halfLifeDays")
+    val lambdaUs = math.log(2.0) / (halfLifeDays * 86400.0 * 1e6)
+    val ref = df.agg(max(unix_micros(col(tsCol))).as("__ref_us"))
+    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .crossJoin(broadcast(ref))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol) *
+          exp(lit(-lambdaUs) * (col("__ref_us") - unix_micros(col(tsCol)))))
+          .as("decayed_sum"),
+        max(unix_micros(col(tsCol))).as("last_seen_us"))
+  }
+
+  /** SQL-injectable decay constant for [[decayedSum]] oracles: the
+    * EXACT double the Spark plan uses, rendered so an independent
+    * engine parses the identical literal. */
+  def decayLambdaUs(halfLifeDays: Double): String =
+    (math.log(2.0) / (halfLifeDays * 86400.0 * 1e6)).toString
+
   /** Functional-dependency check det → dep: does every value of `det`
     * map to exactly one value of `dep`? The discovery primitive behind
     * "these two columns are redundant" profiler warnings and schema-

@@ -729,6 +729,28 @@ object ProfilingQueries {
        |ORDER BY table_name""".stripMargin
   }
 
+  /** Recency-weighted per-user engagement over events
+    * (Stats.decayedSum, half-life 7 days): the exponential-decay
+    * feature as one hash aggregation — micros-exact time arithmetic,
+    * decay constant injected into the oracle verbatim. */
+  def decayedEngagement(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.decayedSum(
+        Tables.events(spark, dir), "user_id", "ts", "value", halfLifeDays = 7.0)
+      .select(col("user_id"), col("n_events"),
+        r(col("decayed_sum"), 6).as("decayed_sum"), col("last_seen_us"))
+      .orderBy("user_id")
+
+  private val decayedOracle: String = {
+    val lam = graft.operators.Stats.decayLambdaUs(7.0)
+    s"""WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events)
+       |SELECT user_id, count(*) AS n_events,
+       | ${rSql(s"sum(value * exp((-$lam) * (ref_us - epoch_us(ts))))", 6)} AS decayed_sum,
+       | max(epoch_us(ts)) AS last_seen_us
+       |FROM events, ref
+       |WHERE ts IS NOT NULL AND value IS NOT NULL
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   /** Per-column stat drift (count, null fraction, mean, std) between the
     * same two ship-date slices, long-form rows. */
   def statDriftLineitem(spark: SparkSession, dir: String): DataFrame = {
@@ -843,6 +865,7 @@ object ProfilingQueries {
     QueryDef("outliers_events", outliersEvents, Some(outliersOracle)),
     QueryDef("fd_lineitem", fdLineitem, Some(fdOracle)),
     QueryDef("key_census", keyCensus, Some(keyCensusOracle)),
+    QueryDef("decayed_engagement", decayedEngagement, Some(decayedOracle)),
     QueryDef("assoc_categorical", assocCategorical, Some(assocOracle)),
     QueryDef("benford_lineitem", benfordLineitem, Some(benfordOracle)),
     QueryDef("stat_drift_lineitem", statDriftLineitem, Some(statDriftOracle)),

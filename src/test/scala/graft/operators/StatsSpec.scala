@@ -198,6 +198,24 @@ class StatsSpec extends SparkSpec {
       d.getLong(4) === 1L && !d.getBoolean(5))
   }
 
+  test("decayedSum: exact half-life weighting against the frame max ts") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L * 1000000L
+    // user 1: one event AT the reference (weight 1) and one exactly one
+    // half-life (7 days) earlier (weight 0.5); user 2: only the old one
+    val df = Seq(
+      (1L, 7 * day, 10.0), (1L, 0L, 8.0), (2L, 0L, 4.0))
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+    val out = Stats.decayedSum(df, "user_id", "ts", "value", halfLifeDays = 7.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(math.abs(out(1L)._2 - (10.0 + 0.5 * 8.0)) < 1e-9, out.toString)
+    assert(math.abs(out(2L)._2 - 0.5 * 4.0) < 1e-9)
+    assert(out(1L)._1 === 2L && out(1L)._3 === 7 * day)
+  }
+
   test("benford digits: string-form first significant digit, exclusions, freqs") {
     val s = spark
     import s.implicits._
