@@ -28,6 +28,14 @@ case class QuantileUpdate(
 case class TrendingUpdate(
     key: String, processed: Long, terms: Seq[(String, Long)])
 
+/** One emitted engagement update (per key, per micro-batch): the decayed
+  * sum AS OF `last_seen_us` (each key's own latest event). A consumer
+  * comparing keys at instant `now` decays each score once more:
+  * score·2^(−(now − last_seen_us)/halfLife) — the state never needs a
+  * wall clock. */
+case class EngagementUpdate(
+    key: String, n_events: Long, decayed_sum: Double, last_seen_us: Long)
+
 /** Structured-Streaming operators (SURVEY.md §2.C row 14). Each transform
   * is written against the unified DataFrame API, so the same function
   * serves the batch table and the `readStream` source: in streaming mode
@@ -127,6 +135,47 @@ object Streams {
           val bytes = st.serialize()
           state.update(bytes)
           QuantileUpdate(key, st.n, probs.map(st.quantile), bytes)
+      }
+  }
+
+  /** Streaming recency-weighted engagement: the incremental twin of
+    * [[graft.operators.Stats.decayedSum]]. Per-key state is THREE
+    * numbers — (n_events, decayed_sum as of last_seen, last_seen_us) —
+    * folded forward by re-referencing both sides to the later instant:
+    *   ref' = max(last_seen, t);
+    *   s'   = s·e^(−λ(ref'−last_seen)) + v·e^(−λ(ref'−t))
+    * Exponential decay to a common reference composes, so the fold is
+    * ORDER-INVARIANT across events and micro-batches (late events decay
+    * themselves instead of corrupting the running sum) and the final
+    * state equals the batch Σ v·e^(−λ(last_seen−t)) exactly (up to
+    * float association). O(keys) state, no window, no event retention.
+    * Works identically on a batch Dataset. */
+  def engagementMonitor(stream: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, halfLifeDays: Double): Dataset[EngagementUpdate] = {
+    require(halfLifeDays > 0, s"half-life must be positive, got $halfLifeDays")
+    val lambdaUs = math.log(2.0) / (halfLifeDays * 86400.0 * 1e6)
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(keyCol).cast("string").as("_1"),
+        unix_micros(col(tsCol)).as("_2"), col(valueCol).cast("double").as("_3"))
+      .as[(String, Option[Long], Option[Double])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double, Long), EngagementUpdate](
+          GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var (n, s, last) = state.getOption.getOrElse((0L, 0.0, Long.MinValue))
+        rows.foreach {
+          case (_, Some(t), Some(v)) =>
+            val ref = math.max(last, t)
+            s = (if (last == Long.MinValue) 0.0
+                 else s * math.exp(-lambdaUs * (ref - last))) +
+              v * math.exp(-lambdaUs * (ref - t).toDouble)
+            last = ref
+            n += 1
+          case _ => // null ts or value: excluded, matching the batch op
+        }
+        state.update((n, s, last))
+        EngagementUpdate(key, n, s, last)
       }
   }
 

@@ -487,4 +487,39 @@ class StreamingSpec extends SparkSpec {
       .orderBy("session_start").collect()
     assert(out.map(_.getLong(2)).toSeq === Seq(2L, 1L))
   }
+
+  test("engagement monitor folds exact half-life decay across batches; late events self-decay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val t0 = ts("2024-01-02 00:00:00")
+    val t7 = ts("2024-01-09 00:00:00") // exactly one 7-day half-life later
+    val monitor = Streams.engagementMonitor(mem.toDF(), "user_id", "ts", "value", 7.0)
+    val q = monitor.writeStream.format("memory").queryName("engagement")
+      .outputMode("update").start()
+    try {
+      mem.addData(Ev(t0, 1L, 8.0, 1), Ev(t0, 2L, 4.0, 2))
+      q.processAllAvailable()
+      val b1 = spark.table("engagement").collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(math.abs(b1("1") - 8.0) < 1e-9 && math.abs(b1("2") - 4.0) < 1e-9)
+      // batch 2: user 1 advances one half-life (8 -> 4, +10) and then a
+      // LATE event at t0 arrives, decaying itself (2 -> 1)
+      mem.addData(Ev(t7, 1L, 10.0, 3), Ev(t0, 1L, 2.0, 4))
+      q.processAllAvailable()
+      val b2 = spark.table("engagement").collect()
+        .filter(_.getString(0) == "1").maxBy(_.getLong(1))
+      assert(b2.getLong(1) === 3L)
+      assert(math.abs(b2.getDouble(2) - (8.0 * 0.5 + 10.0 + 2.0 * 0.5)) < 1e-9,
+        s"got ${b2.getDouble(2)}")
+      assert(b2.getLong(3) === t7.getTime * 1000L)
+      // the folded state equals the batch operator on the same events
+      // (user 1's last-seen IS the global max ts, so references coincide)
+      val batch = Seq(Ev(t0, 1L, 8.0, 1), Ev(t7, 1L, 10.0, 3), Ev(t0, 1L, 2.0, 4)).toDF()
+      val ref = graft.operators.Stats.decayedSum(batch, "user_id", "ts", "value", 7.0)
+        .head()
+      assert(math.abs(ref.getDouble(2) - b2.getDouble(2)) < 1e-9)
+    } finally q.stop()
+  }
 }
