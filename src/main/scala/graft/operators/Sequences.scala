@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over keyed, timestamped streams (the events
+  * table shape): first-order transition structure and ordered-funnel
+  * conversion. Both are single-pass shapes — the only windows run inside
+  * per-key partitions (bounded by one key's event history, the standard
+  * sessionization partitioning) or over the |states|²-cell transition
+  * frame; nothing sorts the table globally.
+  *
+  * Not in the reference (petk profiles static tables); part of the
+  * pipeline-extension surface (SURVEY.md §2.C) alongside sessionization
+  * ([[graft.streaming.Streams.sessionAgg]]) and the decayed-engagement
+  * feature ([[Stats.decayedSum]]).
+  */
+object Sequences {
+
+  /** First-order Markov transition census: adjacent (from → to) state
+    * pairs per key in event-time order, with transition counts and the
+    * per-source conditional probability p(to | from). The successor
+    * comes from `lead` over (key, ts, tieBreak) — `tieBreakCol` makes
+    * the order TOTAL when timestamps tie, so the result is deterministic
+    * and an independent engine replays it. Rows with a null state or
+    * timestamp are excluded; each key's final event has no successor and
+    * emits nothing. The probability divides by the per-source total via
+    * a window over the transition-cell frame (≤ |states|² rows). */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieBreakCol))
+    val steps = df
+      .filter(col(stateCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(stateCol).as("from_state"),
+        lead(col(stateCol), 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+    steps.groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n") / sum("n").over(Window.partitionBy("from_state")))
+  }
+
+  /** Ordered-funnel conversion: how many keys reached each stage of
+    * `stages` IN ORDER — stage i counts iff the key's FIRST touch of
+    * stage i happened strictly after its first touch of stage i−1 (the
+    * first-touch funnel convention; re-orderings don't convert). One
+    * hash aggregation builds every per-key first-touch instant
+    * (min-when, integral microseconds), the stage flags are a scalar
+    * fold over those, and one closing aggregate emits the funnel — two
+    * aggregations total regardless of stage count, no joins, no
+    * windows. Returns (stage_idx, stage, n_converted, rate) with rate
+    * relative to stage 1 (null when stage 1 converted nobody). */
+  def conversionFunnel(df: DataFrame, keyCol: String, tsCol: String,
+      stageCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "conversionFunnel needs at least one stage")
+    val firstTouch = stages.zipWithIndex.map { case (s, i) =>
+      min(when(col(stageCol) === s, unix_micros(col(tsCol)))).as(s"__t$i")
+    }
+    val perKey = df.groupBy(col(keyCol)).agg(firstTouch.head, firstTouch.tail: _*)
+    val flags = stages.indices.foldLeft(Seq.empty[Column]) { (acc, i) =>
+      val reached =
+        if (i == 0) col(s"__t$i").isNotNull
+        else acc.last && col(s"__t$i").isNotNull && col(s"__t$i") > col(s"__t${i - 1}")
+      acc :+ reached
+    }
+    val counts = perKey.agg(
+      sum(when(flags.head, 1L).otherwise(0L)).as("__c0"),
+      flags.tail.zipWithIndex.map { case (f, i) =>
+        sum(when(f, 1L).otherwise(0L)).as(s"__c${i + 1}") }: _*)
+    val rows = stages.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("stage_idx"), lit(s).as("stage"),
+        col(s"__c$i").as("n_converted"),
+        (col(s"__c$i") / when(col("__c0") > 0, col("__c0"))).as("rate"))
+    }
+    counts.select(explode(array(rows: _*)).as("f")).select("f.*")
+  }
+}

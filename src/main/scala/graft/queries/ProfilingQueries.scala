@@ -751,6 +751,65 @@ object ProfilingQueries {
        |GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** First-order event-type transition matrix per user over events
+    * (Sequences.transitionMatrix): adjacent pairs in (ts, event_id)
+    * order — a total order, so both engines see identical successors. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.transitionMatrix(
+        Tables.events(spark, dir), "user_id", "ts", "event_type", "event_id")
+      .select(col("from_state"), col("to_state"), col("n"), r(col("p"), 6).as("p"))
+      .orderBy("from_state", "to_state")
+
+  private val transitionsOracle: String =
+    s"""WITH steps AS (
+       | SELECT event_type AS from_state,
+       |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+       | FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+       |cells AS (
+       | SELECT from_state, to_state, count(*) AS n
+       | FROM steps WHERE to_state IS NOT NULL GROUP BY 1, 2)
+       |SELECT from_state, to_state, n,
+       | ${rSql("n / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE)", 6)} AS p
+       |FROM cells ORDER BY from_state, to_state""".stripMargin
+
+  /** Ordered view → click → purchase conversion funnel
+    * (Sequences.conversionFunnel): first-touch instants per user, stage
+    * i converts only strictly after stage i−1 — two aggregations total,
+    * no joins, no windows. */
+  def conversionFunnelEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.conversionFunnel(
+        Tables.events(spark, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select(col("stage_idx"), col("stage"), col("n_converted"),
+        r(col("rate"), 6).as("rate"))
+      .orderBy("stage_idx")
+
+  private val funnelOracle: String =
+    s"""WITH ft AS (
+       | SELECT user_id,
+       |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+       |  min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t1,
+       |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
+       | FROM events GROUP BY user_id),
+       |fl AS (
+       | SELECT t0 IS NOT NULL AS f0,
+       |  t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0 AS f1,
+       |  t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+       |   AND t2 IS NOT NULL AND t2 > t1 AS f2
+       | FROM ft),
+       |c AS (
+       | SELECT CAST(sum(CASE WHEN f0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+       |  CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |  CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       | FROM fl)
+       |SELECT stage_idx, stage, n_converted,
+       | ${rSql("n_converted / CAST(CASE WHEN c0 > 0 THEN c0 END AS DOUBLE)", 6)} AS rate
+       |FROM (
+       | SELECT 1 AS stage_idx, 'view' AS stage, c0 AS n_converted, c0 FROM c
+       | UNION ALL SELECT 2, 'click', c1, c0 FROM c
+       | UNION ALL SELECT 3, 'purchase', c2, c0 FROM c)
+       |ORDER BY stage_idx""".stripMargin
+
   /** Per-column stat drift (count, null fraction, mean, std) between the
     * same two ship-date slices, long-form rows. */
   def statDriftLineitem(spark: SparkSession, dir: String): DataFrame = {
@@ -866,6 +925,8 @@ object ProfilingQueries {
     QueryDef("fd_lineitem", fdLineitem, Some(fdOracle)),
     QueryDef("key_census", keyCensus, Some(keyCensusOracle)),
     QueryDef("decayed_engagement", decayedEngagement, Some(decayedOracle)),
+    QueryDef("event_transitions", eventTransitions, Some(transitionsOracle)),
+    QueryDef("conversion_funnel", conversionFunnelEvents, Some(funnelOracle)),
     QueryDef("assoc_categorical", assocCategorical, Some(assocOracle)),
     QueryDef("benford_lineitem", benfordLineitem, Some(benfordOracle)),
     QueryDef("stat_drift_lineitem", statDriftLineitem, Some(statDriftOracle)),
