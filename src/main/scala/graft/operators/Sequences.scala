@@ -40,6 +40,46 @@ object Sequences {
         col("n") / sum("n").over(Window.partitionBy("from_state")))
   }
 
+  /** Cohort RETENTION: keys grouped by their first-active period (the
+    * cohort), then counted per (cohort, period-offset) they came back
+    * in — the classic retention triangle. Periods are
+    * `floor((t − t_min)/periodDays)` against the frame's earliest
+    * timestamp (1-row broadcast), so the binning is engine-replayable
+    * with no wall-clock anchor; the quotient stays far inside double
+    * precision for any real time range (µs offsets < 2^53). Shape: one
+    * distinct over (key, period) — the activity matrix, bounded by
+    * keys × periods, much smaller than the event table — then a per-key
+    * window for the cohort (bounded by one key's periods) and one hash
+    * agg; the retention rate divides by the cohort's offset-0 size via
+    * a window over the (cohort × offset) frame. Returns
+    * (cohort, offset, n_active, retention); offset 0 rows carry
+    * retention 1 by construction. */
+  def retentionCohorts(df: DataFrame, keyCol: String, tsCol: String,
+      periodDays: Int): DataFrame = {
+    require(periodDays > 0, s"period must be positive, got $periodDays")
+    val periodUs = periodDays * 86400L * 1000000L
+    val anchor = df.agg(min(unix_micros(col(tsCol))).as("__t0"))
+    val activity = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .crossJoin(broadcast(anchor))
+      .select(col(keyCol).as("k"),
+        floor((unix_micros(col(tsCol)) - col("__t0")) / periodUs).cast("long")
+          .as("period"))
+      .distinct()
+    val withCohort = activity
+      .withColumn("cohort", min("period").over(Window.partitionBy("k")))
+    val counts = withCohort
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active")) // (k, period) distinct ⇒ count = distinct keys
+    counts
+      .withColumn("__size",
+        max(when(col("offset") === 0, col("n_active")))
+          .over(Window.partitionBy("cohort")))
+      .select(col("cohort"), col("offset"), col("n_active"),
+        (col("n_active") / when(col("__size") > 0, col("__size")))
+          .as("retention"))
+  }
+
   /** Ordered-funnel conversion: how many keys reached each stage of
     * `stages` IN ORDER — stage i counts iff the key's FIRST touch of
     * stage i happened strictly after its first touch of stage i−1 (the

@@ -427,6 +427,41 @@ object Stats {
         (col("n_rows") === col("n_distinct")).as("is_key"))
   }
 
+  /** Basket co-occurrence (market-basket association): unordered item
+    * pairs sharing a basket, with pair counts and LIFT
+    * p(ab)/(p(a)·p(b)) over the basket universe. Pairs meet through a
+    * self-equi-join on the basket key — per-basket fan-out is
+    * |basket|²/2, bounded by basket size (never corpus²), and the two
+    * join sides are the IDENTICAL (basket, item) distinct subtree, so
+    * Spark's ReuseExchange dedupes the build (verified class — see the
+    * shard_profile_merge note in the verify skill: no manual barrier
+    * needed when the shared subplan ends in an exchange). `minCount`
+    * prunes pairs before the per-item-count join, keeping that join
+    * proportional to frequent pairs. Lift is computed in the
+    * probability form (n_ab/N)/((n_a/N)·(n_b/N)) — pure double ops an
+    * oracle replays literally. Returns
+    * (item_a, item_b, n_baskets, lift) with item_a < item_b. */
+  def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
+      minCount: Long): DataFrame = {
+    val items = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val itemCounts = items.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val totals = items.agg(countDistinct("b").as("__N"))
+    val pairs = items.as("a")
+      .join(items.as("c"), col("a.b") === col("c.b") && col("a.i") < col("c.i"))
+      .groupBy(col("a.i").as("item_a"), col("c.i").as("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minCount)
+    pairs
+      .join(itemCounts.select(col("i").as("item_a"), col("n_i").as("n_a")), "item_a")
+      .join(itemCounts.select(col("i").as("item_b"), col("n_i").as("n_b")), "item_b")
+      .crossJoin(broadcast(totals))
+      .select(col("item_a"), col("item_b"), col("n_baskets"),
+        ((col("n_baskets") / col("__N")) /
+          ((col("n_a") / col("__N")) * (col("n_b") / col("__N")))).as("lift"))
+  }
+
   /** Top `k` most frequent values per column, long-form
     * (column, value, cnt, rank), values cast to string for a uniform
     * schema. Frequencies are one hash agg per column over a shared scan;

@@ -810,6 +810,59 @@ object ProfilingQueries {
        | UNION ALL SELECT 3, 'purchase', c2, c0 FROM c)
        |ORDER BY stage_idx""".stripMargin
 
+  /** Weekly retention triangle over events
+    * (Sequences.retentionCohorts, 7-day periods): cohort by first-
+    * active week, activity counted per week offset, rate against the
+    * cohort's own size. */
+  def retentionEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.retentionCohorts(
+        Tables.events(spark, dir), "user_id", "ts", periodDays = 7)
+      .select(col("cohort"), col("offset"), col("n_active"),
+        r(col("retention"), 6).as("retention"))
+      .orderBy("cohort", "offset")
+
+  private val retentionOracle: String = {
+    val periodUs = 7L * 86400L * 1000000L
+    s"""WITH a AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+       |kp AS (
+       | SELECT DISTINCT user_id AS k,
+       |  CAST(floor((epoch_us(ts) - t0) / $periodUs) AS BIGINT) AS period
+       | FROM events, a WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |wc AS (SELECT k, period, min(period) OVER (PARTITION BY k) AS cohort FROM kp),
+       |c AS (
+       | SELECT cohort, period - cohort AS "offset", count(*) AS n_active
+       | FROM wc GROUP BY 1, 2)
+       |SELECT cohort, "offset", n_active,
+       | ${rSql("n_active / CAST(max(CASE WHEN \"offset\" = 0 THEN n_active END) OVER (PARTITION BY cohort) AS DOUBLE)", 6)} AS "offset_r"
+       |FROM c ORDER BY cohort, "offset"""".stripMargin
+      .replace("AS \"offset_r\"", "AS retention")
+  }
+
+  /** Top-lift co-purchased part pairs over lineitem baskets
+    * (Stats.coOccurrence, pair count ≥ 2): the market-basket
+    * association screen; pairs meet only inside an order's basket. */
+  def copurchaseParts(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.coOccurrence(
+        Tables.lineitem(spark, dir), "l_orderkey", "l_partkey", minCount = 2L)
+      .select(col("item_a"), col("item_b"), col("n_baskets"),
+        r(col("lift"), 6).as("lift"))
+      .orderBy("item_a", "item_b")
+
+  private val copurchaseOracle: String =
+    s"""WITH it AS (
+       | SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+       | FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |ic AS (SELECT i, count(*) AS n_i FROM it GROUP BY i),
+       |tot AS (SELECT count(DISTINCT b) AS n FROM it),
+       |p AS (
+       | SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_baskets
+       | FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+       | GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT item_a, item_b, n_baskets,
+       | ${rSql("(n_baskets / CAST(n AS DOUBLE)) / ((x.n_i / CAST(n AS DOUBLE)) * (y.n_i / CAST(n AS DOUBLE)))", 6)} AS lift
+       |FROM p JOIN ic x ON p.item_a = x.i JOIN ic y ON p.item_b = y.i CROSS JOIN tot
+       |ORDER BY item_a, item_b""".stripMargin
+
   /** Per-column stat drift (count, null fraction, mean, std) between the
     * same two ship-date slices, long-form rows. */
   def statDriftLineitem(spark: SparkSession, dir: String): DataFrame = {
@@ -927,6 +980,8 @@ object ProfilingQueries {
     QueryDef("decayed_engagement", decayedEngagement, Some(decayedOracle)),
     QueryDef("event_transitions", eventTransitions, Some(transitionsOracle)),
     QueryDef("conversion_funnel", conversionFunnelEvents, Some(funnelOracle)),
+    QueryDef("retention_weekly", retentionEvents, Some(retentionOracle)),
+    QueryDef("copurchase_parts", copurchaseParts, Some(copurchaseOracle)),
     QueryDef("assoc_categorical", assocCategorical, Some(assocOracle)),
     QueryDef("benford_lineitem", benfordLineitem, Some(benfordOracle)),
     QueryDef("stat_drift_lineitem", statDriftLineitem, Some(statDriftOracle)),

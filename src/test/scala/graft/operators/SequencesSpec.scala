@@ -67,4 +67,26 @@ class SequencesSpec extends SparkSpec {
         Seq("nope", "view")).orderBy("stage_idx").collect()
     assert(none.head.getLong(2) === 0L && none.forall(_.isNullAt(3)))
   }
+
+  test("retentionCohorts: first-period cohorts, offset counts, rates") {
+    val s = spark
+    import s.implicits._
+    // period = 1 day. users 1,2 start day 0; user 1 returns day 1 and 2;
+    // user 3 starts day 1 and returns day 2
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:01")), (1L, ts("2024-01-02 05:00:00")),
+      (1L, ts("2024-01-03 07:00:00")),
+      (2L, ts("2024-01-01 10:00:00")),
+      (3L, ts("2024-01-02 01:00:00")), (3L, ts("2024-01-03 01:00:00")))
+      .toDF("user_id", "ts")
+    val out = Sequences.retentionCohorts(df, "user_id", "ts", periodDays = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // cohort 0 = {1, 2}; day-1 and day-2 returns = {1} -> 0.5
+    assert(out((0L, 0L)) === (2L, 1.0))
+    assert(out((0L, 1L)) === (1L, 0.5) && out((0L, 2L)) === (1L, 0.5))
+    // cohort 1 = {3}, returns at offset 1
+    assert(out((1L, 0L)) === (1L, 1.0) && out((1L, 1L)) === (1L, 1.0))
+    assert(out.size === 5)
+  }
 }

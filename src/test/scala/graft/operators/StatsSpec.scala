@@ -216,6 +216,26 @@ class StatsSpec extends SparkSpec {
     assert(out(1L)._1 === 2L && out(1L)._3 === 7 * day)
   }
 
+  test("coOccurrence: pair counts per shared basket, lift, minCount prune") {
+    val s = spark
+    import s.implicits._
+    // baskets: {x,y}, {x,y,z}, {x} — (x,y) in 2, (x,z) 1, (y,z) 1; N=3,
+    // n_x=3 n_y=2 n_z=1. lift(x,y) = (2/3)/((3/3)(2/3)) = 1.0
+    val df = Seq((1, "x"), (1, "y"), (2, "x"), (2, "y"), (2, "z"), (3, "x"),
+      (2, "x")) // duplicate line: distinct collapses it
+      .toDF("b", "i")
+    val all = Stats.coOccurrence(df, "b", "i", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(all.keySet === Set(("x", "y"), ("x", "z"), ("y", "z")))
+    assert(all(("x", "y"))._1 === 2L)
+    assert(math.abs(all(("x", "y"))._2 - 1.0) < 1e-12)
+    // lift(y,z) = (1/3)/((2/3)(1/3)) = 1.5 — co-occurring more than chance
+    assert(math.abs(all(("y", "z"))._2 - 1.5) < 1e-12)
+    val pruned = Stats.coOccurrence(df, "b", "i", minCount = 2L).collect()
+    assert(pruned.length === 1 && pruned.head.getString(0) === "x")
+  }
+
   test("benford digits: string-form first significant digit, exclusions, freqs") {
     val s = spark
     import s.implicits._
