@@ -431,13 +431,15 @@ object Stats {
     * pairs sharing a basket, with pair counts and LIFT
     * p(ab)/(p(a)·p(b)) over the basket universe. Pairs meet through a
     * self-equi-join on the basket key — per-basket fan-out is
-    * |basket|²/2, bounded by basket size (never corpus²), and the two
-    * join sides are the IDENTICAL (basket, item) distinct subtree, so
-    * Spark's ReuseExchange dedupes the build (verified class — see the
-    * shard_profile_merge note in the verify skill: no manual barrier
-    * needed when the shared subplan ends in an exchange). `minCount`
-    * prunes pairs before the per-item-count join, keeping that join
-    * proportional to frequent pairs. Lift is computed in the
+    * |basket|²/2, bounded by basket size (never corpus²). The distinct
+    * (basket, item) table feeds FOUR consumers (both join sides, the
+    * per-item counts, the basket total), so it is materialized ONCE —
+    * the recompute-diamond rule [[Fuzzy.fuzzyPairs]] documents for its
+    * distinct-string table; without the barrier the plan rebuilds the
+    * scan+distinct per consumer (a broadcast build side does NOT reuse
+    * the streamed side's exchange — verified in the executed plan).
+    * `minCount` prunes pairs before the per-item-count join, keeping
+    * that join proportional to frequent pairs. Lift is computed in the
     * probability form (n_ab/N)/((n_a/N)·(n_b/N)) — pure double ops an
     * oracle replays literally. Returns
     * (item_a, item_b, n_baskets, lift) with item_a < item_b. */
@@ -446,6 +448,7 @@ object Stats {
     val items = df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+      .localCheckpoint()
     val itemCounts = items.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
     val totals = items.agg(countDistinct("b").as("__N"))
     val pairs = items.as("a")

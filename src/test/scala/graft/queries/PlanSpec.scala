@@ -388,6 +388,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("co-occurrence: items table materialized once, equi self-join, no cartesian") {
+    val plan = planOf(ProfilingQueries.copurchaseParts(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the four consumers of the distinct (basket, item) table read the
+    // checkpoint, not four rebuilt scan+distinct lineages: the ONLY
+    // parquet scan in this plan would be a recompute leak
+    assert(!plan.contains("FileScan"), s"items diamond recomputed:\n$plan")
+    assert(plan.contains("ExistingRDD"), plan)
+  }
+
+  test("sorted-neighborhood pairs meet on an equi anchor-rank join, never a range join") {
+    val plan = planOf(LlmQueries.sortedNeighborNames(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the window trick turns rank distance into a plain equi key: the
+    // candidate join must be hash/sort-merge on rk, not a nested loop
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("association: the only windows run over the contingency-cell frame") {
     val plan = planOf(ProfilingQueries.assocCategorical(spark, dir))
     // the full scans are the two groupBy contingency passes; the window
