@@ -40,6 +40,29 @@ object Sequences {
         col("n") / sum("n").over(Window.partitionBy("from_state")))
   }
 
+  /** Top event PATHS: the `length`-step sliding windows of each key's
+    * state sequence as ">"-joined path strings with corpus counts —
+    * [[transitionMatrix]]'s higher-order sibling (first-order
+    * transitions can't see that a→b→c dominates while a→b→d never
+    * happens). Successors come from stacked `lead`s over the same
+    * totally-ordered per-key window; a window is complete iff its LAST
+    * lead is non-null (earlier leads then can't be null — they read
+    * nearer rows of the same filtered partition). `minCount` bounds the
+    * output; rank in the caller. */
+  def topPaths(df: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, tieBreakCol: String, length: Int,
+      minCount: Long): DataFrame = {
+    require(length >= 2, s"path length must be at least 2, got $length")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieBreakCol))
+    val steps = col(stateCol) +:
+      (1 until length).map(i => lead(col(stateCol), i).over(w))
+    df.filter(col(stateCol).isNotNull && col(tsCol).isNotNull)
+      .select(steps.last.as("__last"), concat_ws(">", steps: _*).as("path"))
+      .filter(col("__last").isNotNull)
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Cohort RETENTION: keys grouped by their first-active period (the
     * cohort), then counted per (cohort, period-offset) they came back
     * in — the classic retention triangle. Periods are

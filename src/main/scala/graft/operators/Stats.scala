@@ -465,6 +465,28 @@ object Stats {
           ((col("n_a") / col("__N")) * (col("n_b") / col("__N")))).as("lift"))
   }
 
+  /** Market concentration per group: the Herfindahl–Hirschman index
+    * Σ share² over each group's members (1/n_members for perfect
+    * balance, 1.0 for a monopoly) — the standard skew/dependency screen
+    * for "is this nation's revenue one customer?" questions, which also
+    * flags partition-key hot spots before they become shuffle skew.
+    * Shape: one hash agg to (group, member) totals, member shares via a
+    * per-group window over that aggregated frame (bounded by members
+    * per group, the standard grouped shape), one closing agg. Returns
+    * (groupCol, n_members, total, hhi). */
+  def concentration(df: DataFrame, groupCol: String, memberCol: String,
+      valueCol: String): DataFrame = {
+    val mv = df
+      .filter(col(groupCol).isNotNull && col(memberCol).isNotNull)
+      .groupBy(col(groupCol), col(memberCol))
+      .agg(sum(col(valueCol)).as("__x"))
+    mv.withColumn("__tot", sum("__x").over(Window.partitionBy(groupCol)))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_members"),
+        max("__tot").as("total"),
+        sum((col("__x") / col("__tot")) * (col("__x") / col("__tot"))).as("hhi"))
+  }
+
   /** Top `k` most frequent values per column, long-form
     * (column, value, cnt, rank), values cast to string for a uniform
     * schema. Frequencies are one hash agg per column over a shared scan;

@@ -863,6 +863,58 @@ object ProfilingQueries {
        |FROM p JOIN ic x ON p.item_a = x.i JOIN ic y ON p.item_b = y.i CROSS JOIN tot
        |ORDER BY item_a, item_b""".stripMargin
 
+  /** Top 3-step event paths per user (Sequences.topPaths, count ≥ 5,
+    * top-20): the higher-order transition view; ordering and the cut
+    * are on exact long counts with the path string as tie-break. */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.topPaths(
+        Tables.events(spark, dir), "user_id", "ts", "event_type", "event_id",
+        length = 3, minCount = 5L)
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+
+  private val pathsOracle: String =
+    s"""WITH s AS (
+       | SELECT event_type AS s0,
+       |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s1,
+       |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2
+       | FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL)
+       |SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
+       |FROM s WHERE s2 IS NOT NULL
+       |GROUP BY 1 HAVING count(*) >= 5
+       |ORDER BY n DESC, path LIMIT 20""".stripMargin
+
+  /** Per-nation customer revenue concentration
+    * (Stats.concentration): HHI of each customer's share of the
+    * nation's order value — the dependency/skew screen. */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_nationkey"), col("c_custkey"), col("o_totalprice"))
+    graft.operators.Stats.concentration(joined, "c_nationkey", "c_custkey", "o_totalprice")
+      // total rounds at 2 digits, not the usual 6: a nation's total is a
+      // ~10^4-element double sum, and association noise at sf0.1 (~1e-5
+      // absolute) would sit within a 1e-4 or finer rounding unit
+      .select(col("c_nationkey"), col("n_members"),
+        r(col("total"), 2).as("total"), r(col("hhi"), 6).as("hhi"))
+      .orderBy("c_nationkey")
+  }
+
+  private val concentrationOracle: String =
+    s"""WITH mv AS (
+       | SELECT c_nationkey, c_custkey, sum(o_totalprice) AS x
+       | FROM orders JOIN customer ON o_custkey = c_custkey
+       | GROUP BY 1, 2),
+       |sh AS (
+       | SELECT c_nationkey, x,
+       |  sum(x) OVER (PARTITION BY c_nationkey) AS tot
+       | FROM mv)
+       |SELECT c_nationkey, count(*) AS n_members,
+       | ${rSql("max(tot)", 2)} AS total,
+       | ${rSql("sum((x / tot) * (x / tot))", 6)} AS hhi
+       |FROM sh GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   /** Per-column stat drift (count, null fraction, mean, std) between the
     * same two ship-date slices, long-form rows. */
   def statDriftLineitem(spark: SparkSession, dir: String): DataFrame = {
@@ -982,6 +1034,8 @@ object ProfilingQueries {
     QueryDef("conversion_funnel", conversionFunnelEvents, Some(funnelOracle)),
     QueryDef("retention_weekly", retentionEvents, Some(retentionOracle)),
     QueryDef("copurchase_parts", copurchaseParts, Some(copurchaseOracle)),
+    QueryDef("event_paths", eventPaths, Some(pathsOracle)),
+    QueryDef("revenue_concentration", revenueConcentration, Some(concentrationOracle)),
     QueryDef("assoc_categorical", assocCategorical, Some(assocOracle)),
     QueryDef("benford_lineitem", benfordLineitem, Some(benfordOracle)),
     QueryDef("stat_drift_lineitem", statDriftLineitem, Some(statDriftOracle)),

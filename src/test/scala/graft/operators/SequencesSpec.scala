@@ -68,6 +68,25 @@ class SequencesSpec extends SparkSpec {
     assert(none.head.getLong(2) === 0L && none.forall(_.isNullAt(3)))
   }
 
+  test("topPaths: complete sliding windows only, per-key, counted") {
+    val s = spark
+    import s.implicits._
+    // u1: a b c b c -> paths a>b>c, b>c>b, c>b>c ; u2: a b c -> a>b>c
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "b"), (1L, 5L, "c"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"))
+      .map { case (u, i, st) => (u, ts(f"2024-01-01 00:00:0$i"), st, i) }
+      .toDF("user_id", "ts", "state", "event_id")
+    val out = Sequences.topPaths(df, "user_id", "ts", "state", "event_id",
+        length = 3, minCount = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a>b>c" -> 2L, "b>c>b" -> 1L, "c>b>c" -> 1L))
+    // minCount prunes the singletons; no cross-user windows exist
+    val top = Sequences.topPaths(df, "user_id", "ts", "state", "event_id", 3, 2L)
+      .collect()
+    assert(top.length === 1 && top.head.getString(0) === "a>b>c")
+  }
+
   test("retentionCohorts: first-period cohorts, offset counts, rates") {
     val s = spark
     import s.implicits._

@@ -236,6 +236,21 @@ class StatsSpec extends SparkSpec {
     assert(pruned.length === 1 && pruned.head.getString(0) === "x")
   }
 
+  test("concentration: HHI is 1 for a monopoly, 1/n for perfect balance") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("g1", "m1", 10.0), ("g1", "m1", 10.0),           // monopoly
+      ("g2", "m1", 5.0), ("g2", "m2", 5.0), ("g2", "m3", 5.0), ("g2", "m4", 5.0))
+      .toDF("g", "m", "v")
+    val out = Stats.concentration(df, "g", "m", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out("g1")._1 === 1L && math.abs(out("g1")._3 - 1.0) < 1e-12)
+    assert(out("g2")._1 === 4L && math.abs(out("g2")._3 - 0.25) < 1e-12)
+    assert(math.abs(out("g1")._2 - 20.0) < 1e-12)
+  }
+
   test("benford digits: string-form first significant digit, exclusions, freqs") {
     val s = spark
     import s.implicits._
