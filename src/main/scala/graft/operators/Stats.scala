@@ -487,6 +487,36 @@ object Stats {
         sum((col("__x") / col("__tot")) * (col("__x") / col("__tot"))).as("hhi"))
   }
 
+  /** Per-group GINI coefficient of `valueCol` over members — the
+    * inequality companion to [[concentration]] (HHI weighs the top;
+    * Gini reads the whole curve: 0 = perfect equality, →1 = one member
+    * holds everything). Computed from the rank-sum identity
+    * G = 2·Σ rank·x / (n·Σx) − (n+1)/n with ranks assigned by the
+    * TOTAL order (value, member) — tied values permute freely without
+    * changing Σ rank·x, so the result is deterministic and an oracle
+    * replays it with the same row_number. The rank window runs per
+    * group over the (group, member) aggregate frame (bounded by one
+    * group's members, the standard grouped shape). Negative values are
+    * the caller's concern (Gini is defined for non-negative x).
+    * Returns (groupCol, n_members, gini); a single-member group reads
+    * 0 by the identity. */
+  def gini(df: DataFrame, groupCol: String, memberCol: String,
+      valueCol: String): DataFrame = {
+    val mv = df
+      .filter(col(groupCol).isNotNull && col(memberCol).isNotNull)
+      .groupBy(col(groupCol), col(memberCol))
+      .agg(sum(col(valueCol)).as("__x"))
+    val w = Window.partitionBy(groupCol).orderBy(col("__x"), col(memberCol))
+    mv.withColumn("__rk", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_members"),
+        sum("__x").as("__sx"),
+        sum(col("__rk") * col("__x")).as("__srx"))
+      .select(col(groupCol), col("n_members"),
+        ((lit(2) * col("__srx")) / (col("n_members") * col("__sx")) -
+          (col("n_members") + 1) / col("n_members")).as("gini"))
+  }
+
   /** Top `k` most frequent values per column, long-form
     * (column, value, cnt, rank), values cast to string for a uniform
     * schema. Frequencies are one hash agg per column over a shared scan;

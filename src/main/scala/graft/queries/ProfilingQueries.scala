@@ -915,6 +915,33 @@ object ProfilingQueries {
        | ${rSql("sum((x / tot) * (x / tot))", 6)} AS hhi
        |FROM sh GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** Per-nation Gini of customer order revenue (Stats.gini): the
+    * inequality reading of the same (nation, customer, revenue) frame
+    * the HHI screen aggregates — both engines assign ranks by the
+    * identical (revenue, custkey) total order. */
+  def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_nationkey"), col("c_custkey"), col("o_totalprice"))
+    graft.operators.Stats.gini(joined, "c_nationkey", "c_custkey", "o_totalprice")
+      .select(col("c_nationkey"), col("n_members"), r(col("gini"), 6).as("gini"))
+      .orderBy("c_nationkey")
+  }
+
+  private val giniOracle: String =
+    s"""WITH mv AS (
+       | SELECT c_nationkey, c_custkey, sum(o_totalprice) AS x
+       | FROM orders JOIN customer ON o_custkey = c_custkey
+       | GROUP BY 1, 2),
+       |rk AS (
+       | SELECT c_nationkey, x,
+       |  row_number() OVER (PARTITION BY c_nationkey ORDER BY x, c_custkey) AS r
+       | FROM mv)
+       |SELECT c_nationkey, count(*) AS n_members,
+       | ${rSql("2 * sum(r * x) / (count(*) * sum(x)) - (count(*) + 1) / count(*)", 6)} AS gini
+       |FROM rk GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   /** Per-column stat drift (count, null fraction, mean, std) between the
     * same two ship-date slices, long-form rows. */
   def statDriftLineitem(spark: SparkSession, dir: String): DataFrame = {
@@ -1036,6 +1063,7 @@ object ProfilingQueries {
     QueryDef("copurchase_parts", copurchaseParts, Some(copurchaseOracle)),
     QueryDef("event_paths", eventPaths, Some(pathsOracle)),
     QueryDef("revenue_concentration", revenueConcentration, Some(concentrationOracle)),
+    QueryDef("gini_revenue", giniRevenue, Some(giniOracle)),
     QueryDef("assoc_categorical", assocCategorical, Some(assocOracle)),
     QueryDef("benford_lineitem", benfordLineitem, Some(benfordOracle)),
     QueryDef("stat_drift_lineitem", statDriftLineitem, Some(statDriftOracle)),

@@ -251,6 +251,25 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(out("g1")._2 - 20.0) < 1e-12)
   }
 
+  test("gini: 0 for equality, (n-1)/n for a monopoly, tie-order invariant") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("eq", "a", 5.0), ("eq", "b", 5.0), ("eq", "c", 5.0), ("eq", "d", 5.0),
+      ("mono", "a", 0.0), ("mono", "b", 0.0), ("mono", "c", 0.0), ("mono", "d", 12.0))
+      .toDF("g", "m", "v")
+    val out = Stats.gini(df, "g", "m", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(math.abs(out("eq")._2) < 1e-12, out.toString)
+    // monopoly with n=4: G = (n-1)/n = 0.75
+    assert(math.abs(out("mono")._2 - 0.75) < 1e-12, out.toString)
+    // hand case: x = (1, 2, 3, 4) -> G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    val hand = Seq(("h", "a", 1.0), ("h", "b", 2.0), ("h", "c", 3.0), ("h", "d", 4.0))
+      .toDF("g", "m", "v")
+    val g = Stats.gini(hand, "g", "m", "v").head().getDouble(2)
+    assert(math.abs(g - 0.25) < 1e-12, g.toString)
+  }
+
   test("benford digits: string-form first significant digit, exclusions, freqs") {
     val s = spark
     import s.implicits._
