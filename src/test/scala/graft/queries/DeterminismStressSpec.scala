@@ -107,7 +107,13 @@ class DeterminismStressSpec extends SparkSpec {
   }
 
   for (q <- Seq("mix_corpus", "shuffle_order", "pack_sequences",
-                "spearman_lineitem", "chunk_docs", "quality_regression")) {
+                "spearman_lineitem", "chunk_docs", "quality_regression",
+                // round-9 third-session order-sensitive shapes: the
+                // prefix-sum rank join, lead-window paths, cohort
+                // windows, and the rank-sum Gini must all survive
+                // partitioning changes
+                "sorted_neighbor_names", "event_paths",
+                "retention_weekly", "gini_revenue")) {
     test(s"$q is bit-identical across $Runs same-session runs with caches dropped") {
       val first = canonical(q)
       dropCaches()
