@@ -96,10 +96,16 @@ object Fuzzy {
     val collisionCand = strs.groupBy("sid").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .select(col("sid").as("sid_a"), col("sid").as("sid_b"))
+    // The distinct-string table grows with the corpus: broadcast the
+    // resolution side only while its MEASURED count fits (cheap — strs
+    // is checkpointed above); past the bound the resolutions become
+    // shuffled equi-joins on the 60-bit sid, the 100 TB path.
+    val strsFit = SizeGuard.fits(strings.sparkSession, strs.count())
+    def dim(d: DataFrame): DataFrame = if (strsFit) broadcast(d) else d
     def resolve(c: DataFrame): DataFrame = c
-      .join(broadcast(strs.withColumnRenamed("s", "ra")), col("sid_a") === col("sid"))
+      .join(dim(strs.withColumnRenamed("s", "ra")), col("sid_a") === col("sid"))
       .drop("sid")
-      .join(broadcast(strs.withColumnRenamed("s", "rb")), col("sid_b") === col("sid"))
+      .join(dim(strs.withColumnRenamed("s", "rb")), col("sid_b") === col("sid"))
       .select(least(col("ra"), col("rb")).as("s_a"),
         greatest(col("ra"), col("rb")).as("s_b"))
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))

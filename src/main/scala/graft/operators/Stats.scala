@@ -480,11 +480,14 @@ object Stats {
       .filter(col(groupCol).isNotNull && col(memberCol).isNotNull)
       .groupBy(col(groupCol), col(memberCol))
       .agg(sum(col(valueCol)).as("__x"))
+    // ANSI guard: a group whose member values sum to exactly 0 (possible
+    // with signed values) must yield null hhi, not DIVIDE_BY_ZERO.
+    val tot0 = when(col("__tot") =!= 0, col("__tot"))
     mv.withColumn("__tot", sum("__x").over(Window.partitionBy(groupCol)))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_members"),
         max("__tot").as("total"),
-        sum((col("__x") / col("__tot")) * (col("__x") / col("__tot"))).as("hhi"))
+        sum((col("__x") / tot0) * (col("__x") / tot0)).as("hhi"))
   }
 
   /** Per-group GINI coefficient of `valueCol` over members — the
@@ -513,7 +516,10 @@ object Stats {
         sum("__x").as("__sx"),
         sum(col("__rk") * col("__x")).as("__srx"))
       .select(col(groupCol), col("n_members"),
-        ((lit(2) * col("__srx")) / (col("n_members") * col("__sx")) -
+        // ANSI guard: an all-zero (or canceling) group has Σx = 0; the
+        // identity is undefined there, so emit null instead of aborting.
+        ((lit(2) * col("__srx")) /
+            when(col("__sx") =!= 0, col("n_members") * col("__sx")) -
           (col("n_members") + 1) / col("n_members")).as("gini"))
   }
 

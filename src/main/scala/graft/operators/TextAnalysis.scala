@@ -512,6 +512,7 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("double").as("__tf"))
     val dfreq = tf.groupBy("__term")
       .agg(count(lit(1)).cast("double").as("__df"))
+    // dfreq ≤ |query| rows (tf only holds query-set terms) — bounded
     val scored = tf.join(broadcast(dfreq), "__term")
       .crossJoin(broadcast(consts))
       .withColumn("__s",
@@ -557,12 +558,17 @@ object TextAnalysis {
       count(lit(1)).as("__call"))
     val totals = counts.agg(sum(col("__ct")).as("__tt"),
       sum(col("__call")).as("__ta"), count(lit(1)).as("__v"))
-    val lam = counts.crossJoin(broadcast(totals))
+    val lam = counts.crossJoin(broadcast(totals)) // totals: 1 row, bounded
       .select(col("__term"),
         (floor(log(((col("__ct") + lit(1L)).cast("double") / (col("__tt") + col("__v"))) /
           ((col("__call") + lit(1L)).cast("double") / (col("__ta") + col("__v")))) * 1e6 + 0.5) / 1e6)
           .as("__lam"))
-    toks.join(broadcast(lam), "__term")
+      .localCheckpoint()
+    // λ is VOCABULARY-sized — it grows with the corpus (noise tokens,
+    // typos), so the importance join broadcasts it only while its
+    // measured count fits; past the bound the join shuffles on __term
+    // (the token explode already pays that shuffle class).
+    toks.join(SizeGuard.broadcastIfSmall(lam), "__term")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
         (floor(sum(col("__lam")) * 1e6 + 0.5) / 1e6).as("dsir_score"))

@@ -2627,7 +2627,9 @@ object LlmQueries {
     val split = Sampling.assignSplits(
       nearDupCorpus(Tables.documents(spark, dir)).select("doc_id"), "doc_id",
       Seq(("train", 0.9), ("test", 0.1)))
-    broadcast(pairs)
+    // the pair graph grows with the corpus — broadcast only while its
+    // measured count fits (cheap: minhashPairs is the memoized artifact)
+    graft.operators.SizeGuard.broadcastIfSmall(pairs)
       .join(split.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
       .join(split.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
       .filter(col("split_a") =!= col("split_b"))
@@ -2674,18 +2676,24 @@ object LlmQueries {
     val cust = Tables.customer(spark, dir)
       .filter(pmod(col("c_custkey"), lit(7L)) === 0L)
       .select(col("c_custkey"), col("c_name"))
+    // the name-id table grows with the corpus AND feeds four consumers —
+    // materialize it once, then broadcast the three resolution sides only
+    // while the measured count fits (past the bound they shuffle-join)
     val ids = cust.groupBy(col("c_name").as("s"))
       .agg(min("c_custkey").as("id"))
+      .localCheckpoint()
+    val idsFit = graft.operators.SizeGuard.fits(spark, ids.count())
+    def dim(d: DataFrame): DataFrame = if (idsFit) broadcast(d) else d
     val pairs = Fuzzy.fuzzyPairs(cust.select(col("c_name")), "c_name", maxDist = 1)
     val edges = pairs
-      .join(broadcast(ids.select(col("s").as("s_a"), col("id").as("id_a"))), "s_a")
-      .join(broadcast(ids.select(col("s").as("s_b"), col("id").as("id_b"))), "s_b")
+      .join(dim(ids.select(col("s").as("s_a"), col("id").as("id_a"))), "s_a")
+      .join(dim(ids.select(col("s").as("s_b"), col("id").as("id_b"))), "s_b")
       .select("id_a", "id_b")
     val comp = Dedup.connectedComponents(edges, "id_a", "id_b")
     val ent = ids.join(comp, Seq("id"), "left")
       .select(col("id").as("c_custkey"), col("s").as("c_name"),
         coalesce(col("component"), col("id")).as("entity_id"))
-    ent.join(broadcast(ids.select(col("id").as("entity_id"), col("s").as("canonical"))),
+    ent.join(dim(ids.select(col("id").as("entity_id"), col("s").as("canonical"))),
         "entity_id")
       .select(col("c_custkey"), col("c_name"), col("entity_id"), col("canonical"))
       .orderBy("c_custkey")

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Running per-key numeric profile state: Welford-merged moments +
   * extrema. The streaming counterpart of the describe() numeric kernel's
@@ -161,8 +161,8 @@ object Streams {
         unix_micros(col(tsCol)).as("_2"), col(valueCol).cast("double").as("_3"))
       .as[(String, Option[Long], Option[Double])]
       .groupByKey(_._1)
-      .mapGroupsWithState[(Long, Double, Long), EngagementUpdate](
-          GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+      .flatMapGroupsWithState[(Long, Double, Long), EngagementUpdate](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout) { (key, rows, state) =>
         var (n, s, last) = state.getOption.getOrElse((0L, 0.0, Long.MinValue))
         rows.foreach {
           case (_, Some(t), Some(v)) =>
@@ -174,8 +174,12 @@ object Streams {
             n += 1
           case _ => // null ts or value: excluded, matching the batch op
         }
-        state.update((n, s, last))
-        EngagementUpdate(key, n, s, last)
+        // A key whose every event so far was null-ts/null-value has never
+        // folded anything: emitting would leak the Long.MinValue last_seen
+        // sentinel (and n=0, s=0) to consumers who'd compute a garbage
+        // now−last_seen decay delta. Keep it silent until a real event.
+        if (last == Long.MinValue) Iterator.empty
+        else { state.update((n, s, last)); Iterator(EngagementUpdate(key, n, s, last)) }
       }
   }
 

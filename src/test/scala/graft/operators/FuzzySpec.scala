@@ -60,6 +60,34 @@ class FuzzySpec extends SparkSpec {
     }
   }
 
+  test("size guard: over-threshold string tables resolve via shuffle join, same pairs") {
+    val s = spark
+    import s.implicits._
+    val df = words.toDF("w")
+    val want = Fuzzy.fuzzyPairs(df, "w", maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // drop the guard bound to 0 AND disable Catalyst's stats-based auto
+    // broadcast (at real scale the stats themselves rule it out; the tiny
+    // fixture would otherwise re-broadcast on size)
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("graft.broadcast.maxRows", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val guarded = Fuzzy.fuzzyPairs(df, "w", maxDist = 1)
+      val plan = guarded.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"over-threshold resolution must not broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"over-threshold resolution must shuffle equi-join:\n$plan")
+      val got = guarded
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === want)
+    } finally {
+      spark.conf.unset("graft.broadcast.maxRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
   test("maxKeyDf guard drops pairs that only meet in hot variant keys") {
     val s = spark
     import s.implicits._

@@ -270,6 +270,21 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(g - 0.25) < 1e-12, g.toString)
   }
 
+  test("concentration/gini: zero-sum groups yield null, not DIVIDE_BY_ZERO") {
+    val s = spark
+    import s.implicits._
+    // signed values canceling to exactly 0 per group — the ANSI trap
+    val df = Seq(
+      ("z", "a", 3.0), ("z", "b", -3.0),
+      ("ok", "a", 2.0), ("ok", "b", 2.0)).toDF("g", "m", "v")
+    val hhi = Stats.concentration(df, "g", "m", "v")
+      .collect().map(r => r.getString(0) -> Option(r.get(3))).toMap
+    assert(hhi("z").isEmpty && hhi("ok").nonEmpty)
+    val gin = Stats.gini(df, "g", "m", "v")
+      .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(gin("z").isEmpty && gin("ok").nonEmpty)
+  }
+
   test("benford digits: string-form first significant digit, exclusions, freqs") {
     val s = spark
     import s.implicits._

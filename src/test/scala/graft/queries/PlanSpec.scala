@@ -238,10 +238,29 @@ class PlanSpec extends SparkSpec {
   test("dsir scoring broadcasts the ratio table; only the 1-row totals NLJ") {
     val plan = planOf(LlmQueries.dsirWeights(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),
-      s"λ join must broadcast the vocabulary table:\n$plan")
+      s"λ join must broadcast the vocabulary table below the size bound:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
-      s"vocabulary-sized sides must never sort-merge:\n$plan")
+      s"under-bound vocabulary must not sort-merge:\n$plan")
+  }
+
+  test("dsir λ join falls back to a shuffle equi-join past the size bound") {
+    // bound → 0 and stats-based auto-broadcast off: at real scale the
+    // stats themselves rule broadcast out; the tiny fixture needs the knob
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("graft.broadcast.maxRows", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf(LlmQueries.dsirWeights(spark, dir))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"over-bound λ join must shuffle on the term:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"over-bound vocabulary must not broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    } finally {
+      spark.conf.unset("graft.broadcast.maxRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
   }
 
   test("repeated spans: per-document windows only, gram join is an equi join") {
@@ -354,7 +373,26 @@ class PlanSpec extends SparkSpec {
     // the only nested-loop join permitted is none: candidate generation,
     // collision branch and both resolutions are hash joins
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"))
+    // below the size bound the string resolutions broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("fuzzy pairs resolution falls back to shuffle equi-joins past the size bound") {
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("graft.broadcast.maxRows", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf(LlmQueries.fuzzyNamePairs(spark, dir))
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"over-bound string table must not broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"over-bound resolution must shuffle equi-join:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally {
+      spark.conf.unset("graft.broadcast.maxRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
   }
 
   test("cms sketch aggregates partially before the bounded-cell exchange") {

@@ -522,4 +522,34 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(ref.getDouble(2) - b2.getDouble(2)) < 1e-9)
     } finally q.stop()
   }
+
+  test("engagement monitor stays silent for keys that have only null events") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Row-typed stream so ts can actually be null per event.
+    val mem = MemoryStream[(String, Option[Timestamp], Option[Double])]
+    val t0 = ts("2024-01-02 00:00:00")
+    val monitor = Streams.engagementMonitor(
+      mem.toDF().toDF("user_id", "ts", "value"), "user_id", "ts", "value", 7.0)
+    val q = monitor.writeStream.format("memory").queryName("engagement_null")
+      .outputMode("update").start()
+    try {
+      // key "n" never folds a valid event — no update may leak the
+      // Long.MinValue last_seen sentinel; key "1" emits normally.
+      mem.addData(("n", None, Some(1.0)), ("n", Some(t0), None),
+        ("1", Some(t0), Some(8.0)))
+      q.processAllAvailable()
+      val rows = spark.table("engagement_null").collect()
+      assert(rows.map(_.getString(0)).toSet === Set("1"))
+      // once a real event arrives, the key surfaces with n counting only
+      // the valid folds
+      mem.addData(("n", Some(t0), Some(2.0)))
+      q.processAllAvailable()
+      val n = spark.table("engagement_null").collect()
+        .filter(_.getString(0) == "n")
+      assert(n.length === 1 && n.head.getLong(1) === 1L &&
+        n.head.getLong(3) === t0.getTime * 1000L)
+    } finally q.stop()
+  }
 }
