@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.plans.KllSketchAgg
+import graft.plans.{FreqItemsAgg, KllSketchAgg}
 
 /** Mergeable per-shard profiles — the incremental 100 TB describe story.
   *
@@ -74,8 +74,114 @@ object Profiles {
   /** Long-form melt: (shard, col, v as double) — the narrow projection
     * both the profile pass and its verification pass scan. */
   def melt(df: DataFrame, shardCol: Column, cols: Seq[String]): DataFrame =
+    meltTyped(df, shardCol, cols, "double")
+
+  /** Melt with an explicit target type (string/date/boolean melts for the
+    * typed profile ladders below and their verification passes). */
+  def meltTyped(df: DataFrame, shardCol: Column, cols: Seq[String],
+      dt: String): DataFrame =
     df.select(shardCol.as("shard"),
         explode(array(cols.map(c =>
-          struct(lit(c).as("col"), col(c).cast("double").as("v"))): _*)).as("x"))
+          struct(lit(c).as("col"), col(c).cast(dt).as("v"))): _*)).as("x"))
       .select(col("shard"), col("x.col").as("col"), col("x.v").as("v"))
+
+  // ---- typed modality ladders ------------------------------------------
+  // The reference's describe ladder covers bool/date/string columns, not
+  // just numerics (reference petk/tools.py:27-48); the shard-profile
+  // union story does too. Each modality keeps the same contract: every
+  // field of a profile row merges exactly (add / min / max / sketch
+  // union), so the corpus-wide profile is a union of |shards| × |cols|
+  // rows, never a rescan.
+
+  /** One STRING profile row per (shard, column): exact length ladder
+    * (count/null/empty/min/max/sum of lengths) + an HLL distinct sketch +
+    * a Misra–Gries top-values sketch of `mgCapacity` counters. MG
+    * counters are LOWER bounds in general, and EXACT counts whenever a
+    * column's per-shard distinct count stays ≤ mgCapacity (no decrement
+    * ever fires) — low-cardinality categorical columns get exact top
+    * values out of the sketch for free. */
+  def stringShardProfiles(df: DataFrame, shardCol: Column, cols: Seq[String],
+      mgCapacity: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "stringShardProfiles requires at least one column")
+    meltTyped(df, shardCol, cols, "string").groupBy("shard", "col").agg(
+      count(col("v")).as("n"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when(length(col("v")) === 0, 1L).otherwise(0L)).as("n_empty"),
+      min(length(col("v"))).as("len_min"),
+      max(length(col("v"))).as("len_max"),
+      sum(length(col("v")).cast("long")).as("len_sum"),
+      hll_sketch_agg(col("v")).as("hll"),
+      FreqItemsAgg.freqItems(col("v"), mgCapacity).as("mg"))
+  }
+
+  /** Merge string profiles into one row per column (exact length ladder +
+    * HLL-union distinct estimate). Top values merge separately via
+    * [[mergeTopValues]] — they are per-value rows, not per-column. */
+  def mergeStringProfiles(profiles: DataFrame): DataFrame = {
+    val nTot = sum("n")
+    profiles.groupBy("col").agg(
+      nTot.as("n"),
+      sum("n_null").as("n_null"),
+      sum("n_empty").as("n_empty"),
+      min("len_min").as("len_min"),
+      max("len_max").as("len_max"),
+      sum("len_sum").as("len_sum"),
+      (sum("len_sum").cast("double") / when(nTot =!= 0, nTot)).as("avg_len"),
+      hll_sketch_estimate(hll_union_agg(col("hll"))).as("distinct_est"))
+  }
+
+  /** Union the per-shard Misra–Gries counters and rank the top `k` values
+    * per column. The merge is the mergeable-summaries rule minus the
+    * final compression: counters sum per (col, value) — missing keys
+    * contribute 0 — so merged counts stay lower bounds with summed error,
+    * and are exact whenever each shard's sketch was exact. Input is
+    * |shards| × capacity rows per column — bounded; ranking rides
+    * [[GroupTopK]], never a single-task global sort. */
+  def mergeTopValues(profiles: DataFrame, k: Int): DataFrame =
+    GroupTopK.topK(
+      profiles.select(col("col"), explode(col("mg")).as("e"))
+        .select(col("col"), col("e.item").as("value"), col("e.est").as("est"))
+        .groupBy("col", "value").agg(sum("est").as("cnt")),
+      Seq("col"), Seq(col("cnt").desc, col("value").asc), k, rankCol = "rank")
+      .select(col("col"), col("value"), col("cnt"),
+        col("rank").cast("int").as("rank"))
+
+  /** One DATE profile row per (shard, column): count/null/min/max — all
+    * exactly mergeable. */
+  def dateShardProfiles(df: DataFrame, shardCol: Column, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "dateShardProfiles requires at least one column")
+    meltTyped(df, shardCol, cols, "date").groupBy("shard", "col").agg(
+      count(col("v")).as("n"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      min("v").as("min"),
+      max("v").as("max"))
+  }
+
+  /** Merge date profiles: add counts, min of mins, max of maxes. */
+  def mergeDateProfiles(profiles: DataFrame): DataFrame =
+    profiles.groupBy("col").agg(
+      sum("n").as("n"),
+      sum("n_null").as("n_null"),
+      min("min").as("min"),
+      max("max").as("max"))
+
+  /** One BOOLEAN profile row per (shard, column): count/null/true-count. */
+  def boolShardProfiles(df: DataFrame, shardCol: Column, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "boolShardProfiles requires at least one column")
+    meltTyped(df, shardCol, cols, "boolean").groupBy("shard", "col").agg(
+      count(col("v")).as("n"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when(col("v"), 1L).otherwise(0L)).as("n_true"))
+  }
+
+  /** Merge boolean profiles: add counts; true_rate over non-null rows
+    * (null for an all-null column — ANSI-safe). */
+  def mergeBoolProfiles(profiles: DataFrame): DataFrame = {
+    val nTot = sum("n")
+    profiles.groupBy("col").agg(
+      nTot.as("n"),
+      sum("n_null").as("n_null"),
+      sum("n_true").as("n_true"),
+      (sum("n_true").cast("double") / when(nTot =!= 0, nTot)).as("true_rate"))
+  }
 }

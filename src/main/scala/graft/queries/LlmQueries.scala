@@ -2370,6 +2370,50 @@ object LlmQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** REAL binary decode end to end — the multimodal flagship: build a
+    * spec-valid 8-bit BMP per document (magic + little-endian header +
+    * width·height pixel bytes from md5 blocks of the text), then parse
+    * format / width / height / bpp / size-consistency and a pixel-mean
+    * statistic back OUT of the raw bytes with codegen'd binary
+    * expressions ([[graft.operators.Multimodal.decodeBmpHeader]]). The
+    * oracle replays the construction formula as ground truth — the
+    * engine's numbers come from the bytes, DuckDB's from the formula, so
+    * any header-layout or endianness bug breaks the match. */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    val width = (pmod(col("doc_id"), lit(8L)) + 1L) * lit(4L) // stride-aligned
+    val height = pmod(col("doc_id"), lit(5L)) + 1L
+    // 10 md5 blocks = 160 deterministic pixel bytes ≥ max width·height
+    val pixels = concat((0 until 10).map(j =>
+      unhex(md5(concat(col("text"), lit(j.toString)).cast("binary")))): _*)
+    val withP = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Multimodal.encodeBmp(width, height, pixels).as("payload"))
+      .withColumn("h", Multimodal.decodeBmpHeader(col("payload")))
+    withP.select(col("doc_id"),
+      col("h.format").as("format"),
+      col("h.width").as("width"),
+      col("h.height").as("height"),
+      col("h.bpp").as("bpp"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      col("h.data_ok").as("data_ok"),
+      r(Multimodal.meanPixel(col("payload"), 16), 6).as("mean_pixel"))
+      .orderBy("doc_id")
+  }
+
+  private val multimodalDecodeOracle: String =
+    s"""WITH d AS (
+       | SELECT doc_id, text,
+       |  CAST(4 * ((doc_id % 8) + 1) AS BIGINT) AS w,
+       |  CAST((doc_id % 5) + 1 AS BIGINT) AS h
+       | FROM documents)
+       |SELECT doc_id, 'bmp' AS format, w AS width, h AS height,
+       | CAST(8 AS BIGINT) AS bpp, w * h + 54 AS n_bytes, true AS data_ok,
+       | ${rSql(
+      "list_sum(list_transform(range(1, CAST(least(w * h, 16) AS INT) + 1), " +
+        "i -> ('0x' || substring(md5(text || '0'), 2 * i - 1, 2))::BIGINT))::DOUBLE " +
+        "/ least(w * h, 16)", 6)} AS mean_pixel
+       |FROM d ORDER BY doc_id""".stripMargin
+
   /** Lexical near-dup pairs by TF-IDF cosine over an inverted index —
     * candidates meet only on shared terms with df <= 50 (the posting-
     * list guard), dot products as one hash agg over joined postings.
@@ -2797,6 +2841,7 @@ object LlmQueries {
     QueryDef("vector_profile", vectorProfile, Some(vectorProfileOracle)),
     QueryDef("multimodal_meta", multimodalMeta, Some(multimodalMetaOracle)),
     QueryDef("multimodal_features", multimodalFeatures, Some(multimodalFeaturesOracle)),
+    QueryDef("multimodal_decode", multimodalDecode, Some(multimodalDecodeOracle)),
     QueryDef("decontaminate_docs", decontaminateDocs, Some(decontaminateOracle)),
     QueryDef("contamination_pairs", contaminationPairs, Some(contaminationPairsOracle)),
     QueryDef("bloom_decon_keep", bloomDeconKeep, Some(bloomDeconKeepOracle)),

@@ -341,6 +341,109 @@ object SketchQueries {
        |       (SELECT min(dot) FROM dots) >=
        |         CAST((SELECT sum(cnt * cnt) FROM keys) AS BIGINT) AS overcounts""".stripMargin
 
+  private val StrCols = Seq("l_linestatus", "l_returnflag")
+
+  private def liShard = pmod(conv(substring(md5(col("l_orderkey").cast("string")), 1, 4), 16, 10)
+    .cast("long"), lit(8L))
+
+  /** STRING-modality shard profiles over lineitem's categorical columns in
+    * 8 md5 shards, merged to one row per column: the exact length ladder
+    * (count/null/empty/min/max/sum/avg of lengths — shard-invariance of
+    * the string merge against single-pass DuckDB) plus the HLL-union
+    * distinct estimate as a measured error-bound boolean, the
+    * [[shardProfileMerge]] pattern applied to the string ladder. */
+  def shardProfileStrings(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val merged = Profiles.mergeStringProfiles(
+      Profiles.stringShardProfiles(li, liShard, StrCols, 64))
+    val checks = Profiles.meltTyped(li, lit(0L), StrCols, "string")
+      .groupBy("col")
+      .agg(countDistinct(col("v")).as("nd"))
+      .join(merged.select("col", "distinct_est"), "col")
+      .select(col("col"),
+        (abs(col("distinct_est") / col("nd") - 1.0) <= 0.1).as("distinct_ok"))
+    merged
+      .select(col("col"), col("n"), col("n_null"), col("n_empty"),
+        col("len_min").cast("long").as("len_min"),
+        col("len_max").cast("long").as("len_max"),
+        col("len_sum"), r(col("avg_len"), 6).as("avg_len"))
+      .join(checks, "col")
+      .orderBy("col")
+  }
+
+  private val shardProfileStringsOracle: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col, count($c) AS n, count(*) - count($c) AS n_null,
+         | CAST(sum(CASE WHEN length($c) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+         | CAST(min(length($c)) AS BIGINT) AS len_min,
+         | CAST(max(length($c)) AS BIGINT) AS len_max,
+         | CAST(sum(length($c)) AS BIGINT) AS len_sum,
+         | ${rSql(s"avg(CAST(length($c) AS DOUBLE))", 6)} AS avg_len,
+         | true AS distinct_ok
+         |FROM lineitem""".stripMargin
+    StrCols.map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col")
+  }
+
+  /** Top-3 values per string column from the MERGED per-shard Misra–Gries
+    * counters. The profiled columns' per-shard cardinality (≤ 7) sits far
+    * under the 64-counter capacity, so no MG decrement ever fires, the
+    * merged counts are EXACT, and DuckDB verifies them with a plain
+    * recount — the sketch path itself is value-checked, not just
+    * bound-checked. */
+  def shardProfileTopValues(spark: SparkSession, dir: String): DataFrame =
+    Profiles.mergeTopValues(
+        Profiles.stringShardProfiles(Tables.lineitem(spark, dir), liShard, StrCols, 64), 3)
+      .orderBy("col", "rank")
+
+  private val shardProfileTopValuesOracle: String = {
+    val stacked = StrCols.map(c => s"SELECT '$c' AS col, $c AS value FROM lineitem")
+      .mkString("\nUNION ALL\n")
+    s"""WITH s AS ($stacked),
+       |f AS (SELECT col, value, CAST(count(*) AS BIGINT) AS cnt
+       |      FROM s GROUP BY col, value),
+       |rk AS (SELECT col, value, cnt,
+       |        row_number() OVER (PARTITION BY col ORDER BY cnt DESC, value ASC) AS rank
+       |       FROM f)
+       |SELECT col, value, cnt, CAST(rank AS INT) AS rank
+       |FROM rk WHERE rank <= 3 ORDER BY col, rank""".stripMargin
+  }
+
+  /** DATE-modality shard profiles ACROSS TABLES: lineitem's l_shipdate
+    * and orders' o_orderdate, each profiled in its own 8 md5 shards,
+    * then merged from the UNION of the two profile frames —
+    * count/null/min/max per column, every field exact and exactly
+    * mergeable. The cross-table union is the point: profile rows from
+    * different ingest pipelines merge like any other shards. */
+  def shardProfileDates(spark: SparkSession, dir: String): DataFrame = {
+    val liProf = Profiles.dateShardProfiles(
+      Tables.lineitem(spark, dir), liShard, Seq("l_shipdate"))
+    val oShard = pmod(conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+      .cast("long"), lit(8L))
+    val oProf = Profiles.dateShardProfiles(
+      Tables.orders(spark, dir), oShard, Seq("o_orderdate"))
+    Profiles.mergeDateProfiles(liProf.unionByName(oProf))
+      // ISO-render for the compare: raw DATE columns serialize date-vs-
+      // timestamp ambiguously between the engines (repo date-output rule)
+      .select(col("col"), col("n"), col("n_null"),
+        date_format(col("min"), "yyyy-MM-dd").as("min"),
+        date_format(col("max"), "yyyy-MM-dd").as("max"))
+      .orderBy("col")
+  }
+
+  private val shardProfileDatesOracle: String =
+    """SELECT 'l_shipdate' AS col, count(l_shipdate) AS n,
+      | count(*) - count(l_shipdate) AS n_null,
+      | strftime(CAST(min(l_shipdate) AS DATE), '%Y-%m-%d') AS min,
+      | strftime(CAST(max(l_shipdate) AS DATE), '%Y-%m-%d') AS max
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'o_orderdate' AS col, count(o_orderdate) AS n,
+      | count(*) - count(o_orderdate) AS n_null,
+      | strftime(CAST(min(o_orderdate) AS DATE), '%Y-%m-%d') AS min,
+      | strftime(CAST(max(o_orderdate) AS DATE), '%Y-%m-%d') AS max
+      |FROM orders
+      |ORDER BY col""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("cms_freq_check", cmsFreqCheck, Some(cmsFreqCheckOracle)),
     QueryDef("cms_join_size", cmsJoinSize, Some(cmsJoinSizeOracle)),
@@ -348,5 +451,8 @@ object SketchQueries {
     QueryDef("heavy_hitters_terms", heavyHittersTerms, Some(heavyHittersOracle)),
     QueryDef("shard_profile_merge", shardProfileMerge, Some(shardProfileMergeOracle)),
     QueryDef("kmv_overlap_docs", kmvOverlapDocs, Some(kmvOverlapOracle)),
-    QueryDef("kll_weighted_check", kllWeightedCheck, Some(kllWeightedCheckOracle)))
+    QueryDef("kll_weighted_check", kllWeightedCheck, Some(kllWeightedCheckOracle)),
+    QueryDef("shard_profile_strings", shardProfileStrings, Some(shardProfileStringsOracle)),
+    QueryDef("shard_profile_topvalues", shardProfileTopValues, Some(shardProfileTopValuesOracle)),
+    QueryDef("shard_profile_dates", shardProfileDates, Some(shardProfileDatesOracle)))
 }

@@ -68,4 +68,73 @@ class ProfilesSpec extends SparkSpec {
     val merged = Profiles.mergeProfiles(prof, Seq(0.5))
     assert(merged.count() === cols.length.toLong)
   }
+
+  // typed modality fixture: a categorical string (8 values, so MG with
+  // capacity ≥ 8 is exact), an empty-able string with nulls, a date with
+  // nulls, and two booleans (one all-null)
+  private lazy val typed = Seq.tabulate(5000) { i =>
+    (i.toLong,
+      s"cat_${i % 8}",
+      if (i % 13 == 0) null else if (i % 7 == 0) "" else s"v$i",
+      if (i % 11 == 0) Option.empty[java.sql.Date]
+      else Some(java.sql.Date.valueOf(s"2024-01-${i % 28 + 1}")),
+      i % 3 == 0,
+      Option.empty[Boolean])
+  }.toDF("id", "cat", "txt", "d", "flag", "nob")
+
+  test("string profiles: shard merge equals global ladder; MG top values exact under capacity") {
+    for (shards <- Seq(1, 4, 16)) {
+      val prof = Profiles.stringShardProfiles(typed, pmod(col("id"), lit(shards.toLong)),
+        Seq("cat", "txt"), mgCapacity = 16)
+      val m = Profiles.mergeStringProfiles(prof).collect()
+        .map(r => r.getString(0) -> r).toMap
+      // global ladder, computed directly
+      assert(m("cat").getAs[Long]("n") === 5000L && m("cat").getAs[Long]("n_null") === 0L)
+      assert(m("cat").getAs[Long]("n_empty") === 0L)
+      assert(m("cat").getAs[Int]("len_min") === 5 && m("cat").getAs[Int]("len_max") === 5)
+      assert(m("cat").getAs[Long]("len_sum") === 25000L)
+      assert(math.abs(m("cat").getAs[Double]("avg_len") - 5.0) < 1e-12)
+      assert(m("cat").getAs[Long]("distinct_est") === 8L) // sparse HLL is exact here
+      val nNull = (0 until 5000).count(_ % 13 == 0)
+      val nEmpty = (0 until 5000).count(i => i % 13 != 0 && i % 7 == 0)
+      assert(m("txt").getAs[Long]("n") === (5000L - nNull))
+      assert(m("txt").getAs[Long]("n_null") === nNull.toLong)
+      assert(m("txt").getAs[Long]("n_empty") === nEmpty.toLong)
+      assert(m("txt").getAs[Int]("len_min") === 0)
+      // MG exact under capacity: merged top values are exact counts
+      val top = Profiles.mergeTopValues(prof, 2).collect()
+        .filter(_.getString(0) === "cat")
+        .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+      // 5000 rows over 8 categories: cat_0..cat_7 get 625 each; ties break
+      // by value asc
+      assert(top.toSeq === Seq(("cat_0", 625L, 1), ("cat_1", 625L, 2)))
+    }
+  }
+
+  test("date profiles: shard merge equals global count/null/min/max") {
+    for (shards <- Seq(1, 4, 16)) {
+      val m = Profiles.mergeDateProfiles(
+          Profiles.dateShardProfiles(typed, pmod(col("id"), lit(shards.toLong)), Seq("d")))
+        .collect().head
+      val nNull = (0 until 5000).count(_ % 11 == 0)
+      assert(m.getAs[Long]("n") === (5000L - nNull))
+      assert(m.getAs[Long]("n_null") === nNull.toLong)
+      assert(m.getAs[java.sql.Date]("min") === java.sql.Date.valueOf("2024-01-01"))
+      assert(m.getAs[java.sql.Date]("max") === java.sql.Date.valueOf("2024-01-28"))
+    }
+  }
+
+  test("bool profiles: shard merge equals global true-count; all-null column rates null") {
+    for (shards <- Seq(1, 4, 16)) {
+      val m = Profiles.mergeBoolProfiles(
+          Profiles.boolShardProfiles(typed, pmod(col("id"), lit(shards.toLong)),
+            Seq("flag", "nob")))
+        .collect().map(r => r.getString(0) -> r).toMap
+      val nTrue = (0 until 5000).count(_ % 3 == 0)
+      assert(m("flag").getAs[Long]("n") === 5000L)
+      assert(m("flag").getAs[Long]("n_true") === nTrue.toLong)
+      assert(math.abs(m("flag").getAs[Double]("true_rate") - nTrue / 5000.0) < 1e-12)
+      assert(m("nob").getAs[Long]("n") === 0L && m("nob").isNullAt(m("nob").fieldIndex("true_rate")))
+    }
+  }
 }

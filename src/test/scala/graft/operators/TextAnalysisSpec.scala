@@ -76,6 +76,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(batched === expr) // JVM codec == codegen expression, bit for bit
   }
 
+  test("bmp round trip: encode, header decode, pixel mean; codec parity; foreign bytes safe") {
+    val s = spark
+    import s.implicits._
+    // width multiple of 4 (stride-aligned), known pixels
+    val px = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+    val df = Seq((1L, px)).toDF("id", "px")
+      .select(col("id"),
+        Multimodal.encodeBmp(lit(8L), lit(5L), col("px")).as("payload"))
+    val h = df.select(col("id"), Multimodal.decodeBmpHeader(col("payload")).as("h"),
+        octet_length(col("payload")).as("len"),
+        Multimodal.meanPixel(col("payload"), 16).as("mp"))
+      .head()
+    val hd = h.getStruct(1)
+    assert(hd.getString(0) === "bmp")
+    assert(hd.getLong(1) === 8L && hd.getLong(2) === 5L && hd.getLong(3) === 8L)
+    assert(hd.getBoolean(4)) // declared size == actual == 54 + w*h
+    assert(h.getInt(2) === 54 + 40)
+    // mean of first 16 pixel bytes: (0+3+...+45)/16
+    val wantMean = (0 until 16).map(_ * 3).sum / 16.0
+    assert(math.abs(h.getDouble(3) - wantMean) < 1e-12)
+    // JVM codec parses the same bytes to the same numbers
+    val codec = Multimodal.bmpCodec(16)
+    val feats = Multimodal.decodeBatched(df, "payload", codec)
+      .select("features").head().getSeq[Float](0)
+    assert(feats === Seq(8f, 5f, wantMean.toFloat))
+    // foreign bytes: no throw, format unknown, null dims, codec sentinel
+    val junk = Seq((2L, "not a bitmap")).toDF("id", "s")
+      .select(col("id"), col("s").cast("binary").as("payload"))
+    val jh = junk.select(Multimodal.decodeBmpHeader(col("payload")).as("h")).head().getStruct(0)
+    assert(jh.getString(0) === "unknown" && jh.isNullAt(1) && !jh.getBoolean(4))
+    val jf = Multimodal.decodeBatched(junk, "payload", codec)
+      .select("features").head().getSeq[Float](0)
+    assert(jf === Seq(-1f, -1f, -1f))
+  }
+
   test("top terms ranks by count desc with lexicographic tiebreak") {
     val out = TextAnalysis.topTerms(docs((1L, "b a b c a b")), "text", 2).collect()
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("b", 3L), ("a", 2L)))
