@@ -562,6 +562,89 @@ object RelationalQueries {
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q3 shipping-priority shape (public spec, restated over the
+    * synthetic corpus): customer-segment filter → orders-before-pivot →
+    * lineitems-shipped-after-pivot, revenue per order, global top-10.
+    * The join-order workout: both fact-side filters are pushed to the
+    * scans, the selective customer side is AQE's call (broadcastable at
+    * gate scale, shuffle at 100 TB — exactly the side you don't hint),
+    * and the top-10 must plan TakeOrderedAndProject, never a global
+    * sort. (revenue, l_orderkey) is a total order — deterministic under
+    * any partitioning. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val pivot = to_timestamp_ntz(lit("1997-06-01"))
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < pivot)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > pivot)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+  }
+
+  private val q3ShippingPriorityOracle: String =
+    s"""SELECT l_orderkey,
+       | strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+       | o_orderpriority,
+       | ${rSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       | AND o_orderdate < TIMESTAMP '1997-06-01'
+       | AND l_shipdate > TIMESTAMP '1997-06-01'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** TPC-H Q9 product-profit shape (public spec), adapted: the corpus
+    * ships no partsupp table, so supply cost is proxied at 60% of
+    * p_retailprice per unit — the JOIN TOPOLOGY (lineitem against four
+    * dimensions, two of them corpus-scale, aggregated by nation × year)
+    * is the point, not the cost constant. nation broadcasts explicitly
+    * (25 rows at any SF); part and supplier are left to AQE — both grow
+    * with SF, the borderline sides a hint would pin wrongly at 100 TB. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_name").contains("red")).select("p_partkey", "p_retailprice")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(r(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity")), 2).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val q9ProductProfitOracle: String =
+    s"""SELECT n_name AS nation,
+       | CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       | ${rSql("sum(l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity)", 2)} AS profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY 1, 2
+       |ORDER BY nation, o_year DESC""".stripMargin
+
   /** The bucketing lever under the t2 gate: both join sides are written
     * as bucketed+sorted external tables on the join key (same bucket
     * count), re-read through the catalog, and joined — Spark elides the
@@ -1007,6 +1090,8 @@ object RelationalQueries {
     QueryDef("asof_tolerance_events", asofToleranceEvents, Some(asofToleranceOracle)),
     QueryDef("events_hourly", eventsHourly, Some(eventsHourlyOracle)),
     QueryDef("q5_region_revenue", q5RegionRevenue, Some(q5RegionRevenueOracle)),
+    QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPriorityOracle)),
+    QueryDef("q9_product_profit", q9ProductProfit, Some(q9ProductProfitOracle)),
     QueryDef("merge_upsert_orders", mergeUpsertOrders, Some(mergeUpsertOracle)),
     QueryDef("zorder_events", zorderEvents, Some(zorderEventsOracle)),
     QueryDef("zorder_pruned_scan", zorderPrunedScan, Some(zorderPrunedScanOracle)),

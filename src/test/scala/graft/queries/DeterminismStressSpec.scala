@@ -113,7 +113,10 @@ class DeterminismStressSpec extends SparkSpec {
                 // windows, and the rank-sum Gini must all survive
                 // partitioning changes
                 "sorted_neighbor_names", "event_paths",
-                "retention_weekly", "gini_revenue")) {
+                "retention_weekly", "gini_revenue",
+                // round-10 order-sensitive shapes: the Q3 top-10 (total
+                // order by (revenue, orderkey)) and the merged-MG rank
+                "q3_shipping_priority", "shard_profile_topvalues")) {
     test(s"$q is bit-identical across $Runs same-session runs with caches dropped") {
       val first = canonical(q)
       dropCaches()

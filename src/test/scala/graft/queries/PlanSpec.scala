@@ -39,6 +39,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("q3 shipping priority: pushed filters, hash joins only, distributed top-10") {
+    val plan = planOf(RelationalQueries.q3ShippingPriority(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must be distributed top-k, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"equi-joins only:\n$plan")
+    // the segment and both date filters reach the scans
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || plan.contains("EqualTo(c_mktsegment,BUILDING)"), s"segment filter must push:\n$plan")
+  }
+
+  test("q9 product profit: nation broadcasts, no nested-loop join anywhere") {
+    val plan = planOf(RelationalQueries.q9ProductProfit(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"nation must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"equi-joins only:\n$plan")
+    // the part-name filter reaches the part scan
+    assert(plan.contains("StringContains(p_name,red)"),
+      s"part filter must push:\n$plan")
+  }
+
   test("q1 aggregation is partial+final hash agg (map-side combine)") {
     val plan = planOf(RelationalQueries.q1Agg(spark, dir))
     // partial aggregation: two HashAggregate nodes around the exchange
