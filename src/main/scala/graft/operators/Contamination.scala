@@ -170,6 +170,51 @@ object Contamination {
     kept.select(col("id").as(idCol), col("n_grams"))
   }
 
+  /** A STANDING eval-gram filter: the distinct bench gram table
+    * (checkpointed — built once, probed many times) plus the OR-merged
+    * Bloom bits over it. This is the reusable half of [[bloomKeep]],
+    * split out for consumers that probe the SAME eval set repeatedly —
+    * the streaming decontamination sink probes it every micro-batch.
+    * `bloom` is None when the bench set is empty (nothing can be
+    * contaminated). */
+  final case class EvalGramIndex(grams: DataFrame, bloom: Option[Array[Byte]], n: Int)
+
+  /** Build an [[EvalGramIndex]] once. Bench-sized work: one shingle
+    * pass, one distinct, one distributed Bloom build (partial blooms
+    * per partition, bitwise-OR merge — deterministic bits). */
+  def evalGramIndex(bench: DataFrame, idCol: String, textCol: String, n: Int,
+      expectedGrams: Long = 1L << 17, fpp: Double = 0.03): EvalGramIndex = {
+    require(expectedGrams > 0 && fpp > 0 && fpp < 1)
+    val bg = Dedup.shingleRows(bench, idCol, textCol, n)
+      .select("s").distinct().localCheckpoint()
+    val numBits = BloomFilter.optimalNumOfBits(expectedGrams, fpp)
+    val bloomAgg = new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col("s"))),
+      Literal(expectedGrams), Literal(numBits)).toAggregateExpression()
+    val bytes = bg.select(Bridge.column(bloomAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    EvalGramIndex(bg, Option(bytes), n)
+  }
+
+  /** EXACT contaminated-id set of `df` against a standing index: ids of
+    * documents sharing at least one distinct word n-gram with the eval
+    * set. The Bloom bits prune the document grams MAP-SIDE (codegen'd
+    * might-contain — the full gram table never shuffles); the equi-join
+    * against the stored gram table kills false positives, so the result
+    * is exact regardless of fpp. */
+  def contaminatedIds(df: DataFrame, idCol: String, textCol: String,
+      index: EvalGramIndex): DataFrame = index.bloom match {
+    case None => df.select(col(idCol)).limit(0)
+    case Some(bytes) =>
+      val might = Bridge.column(BloomFilterMightContain(
+        Literal.create(bytes, BinaryType),
+        Bridge.expression(xxhash64(col("s")))))
+      Dedup.shingleRows(df, idCol, textCol, index.n)
+        .filter(might)
+        .join(index.grams, Seq("s"))
+        .select(col("id").as(idCol)).distinct()
+  }
+
   /** CORPUS-OVERLAP TRIAGE by KMV sketches ([[graft.plans.KmvSketchAgg]]):
     * estimate |A|, |B|, |A∪B|, |A∩B| and Jaccard of two distinct-hash
     * sets (n-gram sets of two corpora) WITHOUT a distinct-join — each

@@ -401,6 +401,42 @@ object Streams {
         }
     }
 
+  /** Streaming DECONTAMINATION — the eval-gram-set filter at ingest
+    * time, the streaming twin of [[graft.operators.Contamination.bloomKeep]]:
+    * every micro-batch's documents are probed against a STANDING
+    * benchmark/eval gram index and any document sharing at least one
+    * distinct word n-gram with the eval set is dropped BEFORE the batch
+    * lands in the corpus. The index
+    * ([[graft.operators.Contamination.evalGramIndex]]) is built ONCE at
+    * sink construction — the eval set is fixed for the life of the sink
+    * — so per-batch work is one shingle pass over the batch, a map-side
+    * Bloom probe (the batch's gram table never shuffles), and the exact
+    * verify join that kills Bloom false positives: the drop set is
+    * EXACT per batch.
+    *
+    * Replay safety mirrors [[dedupIngestSink]]'s layout: survivors land
+    * in `targetDir/docs/batch=<batchId>` and a recovering batch
+    * OVERWRITES its own subdirectory — idempotent. (The filter itself is
+    * stateless across batches — the eval set, unlike the dedup index,
+    * never grows — so replay safety is just the per-batch dir.) A
+    * contaminated document is dropped in WHICHEVER batch it arrives,
+    * including re-arrivals in later batches. */
+  def deconIngestSink(stream: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      targetDir: String, n: Int = 3,
+      expectedGrams: Long = 1L << 17, fpp: Double = 0.03)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Contamination
+    val index = Contamination.evalGramIndex(
+      bench, benchIdCol, benchTextCol, n, expectedGrams, fpp)
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val bad = Contamination.contaminatedIds(batch.toDF(), idCol, textCol, index)
+        batch.join(bad, Seq(idCol), "left_anti")
+          .write.mode("overwrite").parquet(s"$targetDir/docs/batch=$id")
+    }
+  }
+
   /** Streaming DRIFT MONITOR: every micro-batch is scored with
     * [[graft.operators.Drift.psi]] against a STATIC reference frame
     * (yesterday's corpus, the training distribution) and the one-row

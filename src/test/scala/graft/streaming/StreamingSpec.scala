@@ -422,6 +422,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deconIngestSink drops planted contaminated docs across batch boundaries") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def body(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    // the eval set: one benchmark document whose 3-grams are the poison
+    val bench = Seq((100L, body("eval"))).toDF("doc_id", "text")
+    val mem = MemoryStream[Doc]
+    val out = java.nio.file.Files.createTempDirectory("stream_decon").toString
+    val q = Streams.deconIngestSink(mem.toDF(), "doc_id", "text",
+      bench, "doc_id", "text", out).start()
+    try {
+      def corpus() = spark.read.parquet(s"$out/docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // batch 0: clean doc + a doc quoting an eval 3-gram mid-text
+      mem.addData(Doc(1L, body("a")),
+        Doc(2L, "prefix words eval3 eval4 eval5 suffix here"))
+      q.processAllAvailable()
+      assert(corpus() === Set(1L), s"batch-0 contaminated doc must drop: ${corpus()}")
+      // batch 1 (across the boundary): another contaminated doc — the
+      // standing eval index, not per-batch state, must catch it — plus a
+      // clean doc sharing no gram
+      mem.addData(Doc(10L, body("eval")), Doc(11L, body("c")))
+      q.processAllAvailable()
+      assert(corpus() === Set(1L, 11L), s"batch-1 contaminated doc must drop: ${corpus()}")
+      // sub-n overlap is NOT contamination: 2 shared words, no shared 3-gram
+      mem.addData(Doc(20L, "eval1 eval2 unrelated tail words padding four"))
+      q.processAllAvailable()
+      assert(corpus() === Set(1L, 11L, 20L), s"2-word overlap must survive: ${corpus()}")
+    } finally q.stop()
+  }
+
   test("noveltyMonitor: novelty collapses on replayed content, index is first-seen-only") {
     val s = spark
     import s.implicits._
