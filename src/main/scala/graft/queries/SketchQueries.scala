@@ -444,6 +444,45 @@ object SketchQueries {
       |FROM orders
       |ORDER BY col""".stripMargin
 
+  /** BOOL-modality shard profiles: orders with two derived flags (the
+    * corpus ships no native boolean column — the flags are deterministic
+    * expressions both engines replay), profiled in 8 md5 shards and
+    * merged: count/null/true-count/true-rate, all exact. `nullable_flag`
+    * exercises the null path (null when acctbal-less customers would —
+    * here: priority-less rows — can't vote). */
+  def shardProfileBools(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("is_filled", col("o_orderstatus") === "F")
+      .withColumn("big_order",
+        when(col("o_totalprice").isNotNull, col("o_totalprice") > 150000.0))
+    val oShard = pmod(conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+      .cast("long"), lit(8L))
+    Profiles.mergeBoolProfiles(
+        Profiles.boolShardProfiles(o, oShard, Seq("big_order", "is_filled")))
+      .select(col("col"), col("n"), col("n_null"), col("n_true"),
+        r(col("true_rate"), 6).as("true_rate"))
+      .orderBy("col")
+  }
+
+  private val shardProfileBoolsOracle: String =
+    s"""WITH f AS (
+       | SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_filled,
+       |  CASE WHEN o_totalprice IS NULL THEN NULL
+       |       WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS big_order
+       | FROM orders)
+       |SELECT 'big_order' AS col, count(big_order) AS n,
+       | count(*) - count(big_order) AS n_null,
+       | CAST(sum(big_order) AS BIGINT) AS n_true,
+       | ${rSql("CAST(sum(big_order) AS DOUBLE) / count(big_order)", 6)} AS true_rate
+       |FROM f
+       |UNION ALL
+       |SELECT 'is_filled' AS col, count(is_filled) AS n,
+       | count(*) - count(is_filled) AS n_null,
+       | CAST(sum(is_filled) AS BIGINT) AS n_true,
+       | ${rSql("CAST(sum(is_filled) AS DOUBLE) / count(is_filled)", 6)} AS true_rate
+       |FROM f
+       |ORDER BY col""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("cms_freq_check", cmsFreqCheck, Some(cmsFreqCheckOracle)),
     QueryDef("cms_join_size", cmsJoinSize, Some(cmsJoinSizeOracle)),
@@ -454,5 +493,6 @@ object SketchQueries {
     QueryDef("kll_weighted_check", kllWeightedCheck, Some(kllWeightedCheckOracle)),
     QueryDef("shard_profile_strings", shardProfileStrings, Some(shardProfileStringsOracle)),
     QueryDef("shard_profile_topvalues", shardProfileTopValues, Some(shardProfileTopValuesOracle)),
-    QueryDef("shard_profile_dates", shardProfileDates, Some(shardProfileDatesOracle)))
+    QueryDef("shard_profile_dates", shardProfileDates, Some(shardProfileDatesOracle)),
+    QueryDef("shard_profile_bools", shardProfileBools, Some(shardProfileBoolsOracle)))
 }
