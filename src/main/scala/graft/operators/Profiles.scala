@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.plans.{FreqItemsAgg, KllSketchAgg}
@@ -183,5 +184,27 @@ object Profiles {
       sum("n_null").as("n_null"),
       sum("n_true").as("n_true"),
       (sum("n_true").cast("double") / when(nTot =!= 0, nTot)).as("true_rate"))
+  }
+
+  /** Shard ANOMALY SCREEN from the profile frame alone — the "which
+    * ingest shard is broken?" question answered WITHOUT rescanning the
+    * corpus: each shard's mean is z-scored against the cross-shard
+    * distribution of shard means, per column. A shard whose upstream
+    * silently switched units, dropped a field, or truncated values
+    * shows up as |z| > threshold here, on |shards| × |cols| rows of
+    * input — driver-trivial at any corpus size, which is exactly why
+    * the profiles are stored next to the data. Windows run over the
+    * bounded per-column shard frame. Null z for a degenerate (≤1 shard
+    * or zero-spread) column — ANSI-safe, nothing to compare against. */
+  def shardDriftScreen(profiles: DataFrame, zThreshold: Double = 3.0): DataFrame = {
+    val m = profiles.select(col("shard"), col("col"), col("n"),
+      (col("sum") / when(col("n") =!= 0, col("n"))).as("shard_mean"))
+    val w = Window.partitionBy("col")
+    m.withColumn("mu", avg("shard_mean").over(w))
+      .withColumn("sd", stddev_samp("shard_mean").over(w))
+      .select(col("col"), col("shard"), col("n"), col("shard_mean"),
+        col("mu"),
+        when(col("sd") =!= 0, (col("shard_mean") - col("mu")) / col("sd")).as("z"))
+      .withColumn("flagged", abs(col("z")) > zThreshold)
   }
 }

@@ -483,6 +483,45 @@ object SketchQueries {
        |FROM f
        |ORDER BY col""".stripMargin
 
+  /** Shard anomaly screen over the lineitem profile frame: each md5
+    * shard's per-column mean z-scored against the cross-shard spread —
+    * the bad-shard detector that reads |shards| × |cols| profile rows,
+    * never the corpus ([[Profiles.shardDriftScreen]]). Healthy md5
+    * shards sit well inside ±2σ, so the flags are a stable all-false
+    * at any SF; the planted-drift unit proves the flag fires. The
+    * verdict column compares ROUNDED z on both engines so ULP drift in
+    * the double ladder cannot flip a boundary case. */
+  def shardDriftScreenLineitem(spark: SparkSession, dir: String): DataFrame =
+    Profiles.shardDriftScreen(
+        Profiles.shardProfiles(Tables.lineitem(spark, dir), liShard,
+          Seq("l_discount", "l_extendedprice"), 200), 2.0)
+      .select(col("col"), col("shard"), col("n"),
+        r(col("shard_mean"), 6).as("shard_mean"), r(col("mu"), 6).as("mu"),
+        r(col("z"), 6).as("z"))
+      .withColumn("flagged", abs(col("z")) > 2.0)
+      .orderBy("col", "shard")
+
+  private val shardDriftScreenOracle: String = {
+    val shard = "('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 4))::BIGINT % 8"
+    s"""WITH stacked AS (
+       | SELECT 'l_discount' AS col, $shard AS shard, CAST(l_discount AS DOUBLE) AS v FROM lineitem
+       | UNION ALL
+       | SELECT 'l_extendedprice' AS col, $shard AS shard, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+       |m AS (
+       | SELECT col, shard, count(v) AS n, sum(v) / count(v) AS shard_mean
+       | FROM stacked GROUP BY col, shard),
+       |s AS (
+       | SELECT col, shard, n, shard_mean,
+       |  avg(shard_mean) OVER (PARTITION BY col) AS mu,
+       |  stddev_samp(shard_mean) OVER (PARTITION BY col) AS sd
+       | FROM m)
+       |SELECT col, shard, n,
+       | ${rSql("shard_mean", 6)} AS shard_mean, ${rSql("mu", 6)} AS mu,
+       | ${rSql("(shard_mean - mu) / sd", 6)} AS z,
+       | abs(${rSql("(shard_mean - mu) / sd", 6)}) > 2.0 AS flagged
+       |FROM s ORDER BY col, shard""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("cms_freq_check", cmsFreqCheck, Some(cmsFreqCheckOracle)),
     QueryDef("cms_join_size", cmsJoinSize, Some(cmsJoinSizeOracle)),
@@ -494,5 +533,6 @@ object SketchQueries {
     QueryDef("shard_profile_strings", shardProfileStrings, Some(shardProfileStringsOracle)),
     QueryDef("shard_profile_topvalues", shardProfileTopValues, Some(shardProfileTopValuesOracle)),
     QueryDef("shard_profile_dates", shardProfileDates, Some(shardProfileDatesOracle)),
-    QueryDef("shard_profile_bools", shardProfileBools, Some(shardProfileBoolsOracle)))
+    QueryDef("shard_profile_bools", shardProfileBools, Some(shardProfileBoolsOracle)),
+    QueryDef("shard_drift_screen", shardDriftScreenLineitem, Some(shardDriftScreenOracle)))
 }

@@ -124,6 +124,28 @@ class ProfilesSpec extends SparkSpec {
     }
   }
 
+  test("shard drift screen flags a planted unit-switched shard from profiles alone") {
+    val s = spark
+    import s.implicits._
+    // 8 shards of N(~const) values; shard 5's upstream "switched units"
+    val rnd = new scala.util.Random(7)
+    val drifted = Seq.tabulate(8000) { i =>
+      val shard = i % 8
+      val base = 50.0 + rnd.nextGaussian()
+      (i.toLong, if (shard == 5) base * 100.0 else base)
+    }.toDF("id", "v")
+    val prof = Profiles.shardProfiles(drifted, pmod(col("id"), lit(8L)), Seq("v"))
+    val out = Profiles.shardDriftScreen(prof, zThreshold = 2.0).collect()
+      .map(r => r.getLong(1) -> r.getBoolean(6)).toMap
+    assert(out(5L) && out.filterKeys(_ != 5L).values.forall(!_),
+      s"only the planted shard flags: $out")
+    // degenerate single-shard frame: z and flagged stay null-safe
+    val one = Profiles.shardProfiles(drifted.filter(col("id") % 8 === 0),
+      lit(0L), Seq("v"))
+    val row = Profiles.shardDriftScreen(one, 2.0).collect().head
+    assert(row.isNullAt(row.fieldIndex("z")))
+  }
+
   test("bool profiles: shard merge equals global true-count; all-null column rates null") {
     for (shards <- Seq(1, 4, 16)) {
       val m = Profiles.mergeBoolProfiles(
