@@ -47,6 +47,51 @@ object Drift {
         sum("no").cast("long").as("n_other"))
   }
 
+  /** PSI over a CATEGORICAL column — the drift check for string/enum
+    * columns the equal-width binning above cannot serve (language codes,
+    * priorities, sources). Per-value frequencies of the base slice vs
+    * its complement, same clamped PSI reduction as [[psi]].
+    *
+    * Scale guard: the category frame is the column's distinct-value set,
+    * which on a 100 TB corpus can be unbounded (URLs, user ids) — every
+    * category at or below a 1/`maxShareDenom` share of the combined
+    * count is pooled into '__other' BEFORE the reduction, a pure filter
+    * on counts (no ranking pass, no window), so at most `maxShareDenom`
+    * named categories survive regardless of input cardinality. Pooling
+    * is share-based and therefore replayable by any engine. Null values
+    * are excluded (as in [[psi]]); an empty slice yields null psi.
+    * Returns one row: (psi, n_base, n_other, n_categories). */
+  def categoricalPsi(df: DataFrame, valueCol: String, isBase: Column,
+      eps: Double = 1e-6, maxShareDenom: Long = 1000): DataFrame = {
+    require(maxShareDenom > 0, s"maxShareDenom must be positive, got $maxShareDenom")
+    val freq = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("string").as("cat"))
+      .agg(sum(when(isBase, 1L).otherwise(0L)).as("nb"),
+        sum(when(isBase, 0L).otherwise(1L)).as("nc"))
+    val t = freq.agg(sum("nb").as("tb"), sum("nc").as("tc"))
+    val share = (col("nb") + col("nc")).cast("double") /
+      when(col("tb") + col("tc") =!= 0, (col("tb") + col("tc")).cast("double"))
+    val pooled = freq.crossJoin(broadcast(t)) // 1-row totals side
+      .withColumn("catp",
+        when(share > 1.0 / maxShareDenom, col("cat")).otherwise(lit("__other")))
+      .groupBy("catp")
+      .agg(sum("nb").as("nb"), sum("nc").as("nc"))
+      .crossJoin(broadcast(t)) // re-attach the 1-row totals after pooling
+    val p = greatest(col("nb").cast("double") /
+      when(col("tb") =!= 0, col("tb")), lit(eps))
+    val q = greatest(col("nc").cast("double") /
+      when(col("tc") =!= 0, col("tc")), lit(eps))
+    pooled
+      .select(((p - q) * log(p / q)).as("term"),
+        col("nb"), col("nc"), col("tb"), col("tc"))
+      .agg(
+        when(max(col("tb")) === 0 || max(col("tc")) === 0, lit(null))
+          .otherwise(sum(col("term"))).as("psi"),
+        max("tb").cast("long").as("n_base"),
+        max("tc").cast("long").as("n_other"),
+        count(lit(1)).as("n_categories"))
+  }
+
   /** Shared two-slice histogram: `bins` equal-width bins over the
     * combined [min, max] with per-bin slice counts (nb, no) and slice
     * totals (tb, to). The totals ride a window over the `bins`-sized

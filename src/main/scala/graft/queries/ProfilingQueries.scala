@@ -604,6 +604,38 @@ object ProfilingQueries {
        | CAST(sum(no) AS BIGINT) AS n_other
        |FROM hist, totals""".stripMargin
 
+  /** CATEGORICAL PSI ([[graft.operators.Drift.categoricalPsi]]): the
+    * drift check for enum-shaped columns — order priorities before vs
+    * after a pivot date. The category frame is share-pooled (≤1/1000
+    * share → '__other', a pure filter, no ranking pass) so the operator
+    * is cardinality-safe; at 5 priorities nothing pools and the oracle
+    * replays frequencies, clamp and reduction verbatim. */
+  def catDriftPriority(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.categoricalPsi(
+        Tables.orders(spark, dir), "o_orderpriority",
+        col("o_orderdate") < to_timestamp_ntz(lit("1998-04-01")))
+      .select(r(col("psi"), 6).as("psi"), col("n_base"), col("n_other"),
+        col("n_categories"))
+
+  private val catDriftOracle: String =
+    s"""WITH f AS (
+       | SELECT o_orderpriority AS cat,
+       |  CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-04-01' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |  CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-04-01' THEN 0 ELSE 1 END) AS BIGINT) AS nc
+       | FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+       |t AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM f),
+       |pooled AS (
+       | SELECT CASE WHEN CAST(nb + nc AS DOUBLE) / (t.tb + t.tc) > 0.001
+       |   THEN cat ELSE '__other' END AS catp,
+       |  nb, nc FROM f, t),
+       |g AS (SELECT catp, sum(nb) AS nb, sum(nc) AS nc FROM pooled GROUP BY catp)
+       |SELECT
+       | ${rSql("sum((greatest(nb / t.tb, 1e-6) - greatest(nc / t.tc, 1e-6)) * ln(greatest(nb / t.tb, 1e-6) / greatest(nc / t.tc, 1e-6)))", 6)} AS psi,
+       | CAST(max(t.tb) AS BIGINT) AS n_base,
+       | CAST(max(t.tc) AS BIGINT) AS n_other,
+       | count(*) AS n_categories
+       |FROM g, t""".stripMargin
+
   /** Jensen–Shannon divergence over the SAME slices and binning as
     * [[psiLineitem]] (Drift.jsDivergence) — the bounded, symmetric
     * companion metric, one scan per side. */
@@ -1053,6 +1085,7 @@ object ProfilingQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("psi_lineitem", psiLineitem, Some(psiOracle)),
     QueryDef("jsd_lineitem", jsdLineitem, Some(jsdOracle)),
+    QueryDef("cat_drift_priority", catDriftPriority, Some(catDriftOracle)),
     QueryDef("outliers_events", outliersEvents, Some(outliersOracle)),
     QueryDef("fd_lineitem", fdLineitem, Some(fdOracle)),
     QueryDef("key_census", keyCensus, Some(keyCensusOracle)),

@@ -68,4 +68,32 @@ class DriftSpec extends SparkSpec {
     val e = Drift.jsDivergence(same, "v", lit(true)).head
     assert(e.isNullAt(0) && e.getLong(1) === 100L && e.getLong(2) === 0L)
   }
+
+  test("categorical psi: identical = 0, shifted > 0, tail pools, empty slice = null") {
+    val s2 = spark
+    import s2.implicits._
+    // identical category mix on both sides of the split
+    val same = (1 to 200).map(i => (i.toLong, s"c${i % 4}")).toDF("id", "cat")
+    val z = Drift.categoricalPsi(same, "cat", col("id") <= 100).head
+    assert(math.abs(z.getDouble(0)) < 1e-12)
+    assert(z.getLong(1) === 100L && z.getLong(2) === 100L && z.getLong(3) === 4L)
+    // a category present only in the base slice drives psi up
+    val shifted = ((1 to 100).map(i => (i.toLong, "only_base")) ++
+      (101 to 200).map(i => (i.toLong, "only_other"))).toDF("id", "cat")
+    val d = Drift.categoricalPsi(shifted, "cat", col("id") <= 100).head
+    assert(d.getDouble(0) > 10.0, s"disjoint categories must scream: ${d.getDouble(0)}")
+    // tail pooling: 2000 singleton categories + one head category; with
+    // maxShareDenom=100 every singleton (share 1/4000 < 1/100) pools,
+    // leaving head + __other
+    val longTail = ((1 to 2000).map(i => (i.toLong, s"u$i")) ++
+      (2001 to 4000).map(i => (i.toLong, "head"))).toDF("id", "cat")
+    val pooledRow = Drift.categoricalPsi(longTail, "cat", col("id") % 2 === 0,
+      maxShareDenom = 100).head
+    assert(pooledRow.getLong(3) === 2L, s"expected head + __other: $pooledRow")
+    // empty base slice: null psi, counts intact; nulls excluded
+    val withNull = (1 to 10).map(i =>
+      (i.toLong, if (i == 1) null else "x")).toDF("id", "cat")
+    val e = Drift.categoricalPsi(withNull, "cat", lit(false)).head
+    assert(e.isNullAt(0) && e.getLong(1) === 0L && e.getLong(2) === 9L)
+  }
 }
