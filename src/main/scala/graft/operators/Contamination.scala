@@ -47,9 +47,12 @@ object Contamination {
   def contaminatedSpans(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     val cg = Dedup.positionalGramRows(corpus, idCol, textCol, n)
+    // eval sets are usually MBs but CAN reach millions of grams
+    // (stacked benchmark suites) — size-guard like every corpus-growing
+    // frame; checkpoint first so the guard's count is paid once
     val bg = Dedup.shingleRows(bench, idCol, textCol, n)
-      .select(col("s").as("__g")).distinct()
-    val hits = cg.join(broadcast(bg), Seq("__g"))
+      .select(col("s").as("__g")).distinct().localCheckpoint()
+    val hits = cg.join(SizeGuard.broadcastIfSmall(bg), Seq("__g"))
       .select(col(idCol), col("__pos"))
     Dedup.mergeSpans(hits, idCol, n)
       .select(col(idCol), col("span_start"), col("span_end"),
@@ -64,8 +67,9 @@ object Contamination {
       textCol: String, n: Int): DataFrame = {
     val cg = Dedup.shingleRows(corpus, idCol, textCol, n)
     val bg = Dedup.shingleRows(bench, idCol, textCol, n)
+      .select(col("id").as("bench_id"), col("s")).localCheckpoint()
     cg.select(col("id").as("corpus_id"), col("s"))
-      .join(broadcast(bg.select(col("id").as("bench_id"), col("s"))), Seq("s"))
+      .join(SizeGuard.broadcastIfSmall(bg), Seq("s"))
       .groupBy("corpus_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
   }
@@ -79,8 +83,8 @@ object Contamination {
       textCol: String, n: Int): DataFrame = {
     val cg = Dedup.shingleRows(corpus, idCol, textCol, n)
     val bset = Dedup.shingleRows(bench, idCol, textCol, n)
-      .select("s").distinct().withColumn("hit", lit(1L))
-    cg.join(broadcast(bset), Seq("s"), "left")
+      .select("s").distinct().withColumn("hit", lit(1L)).localCheckpoint()
+    cg.join(SizeGuard.broadcastIfSmall(bset), Seq("s"), "left")
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
