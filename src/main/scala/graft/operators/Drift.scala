@@ -92,6 +92,47 @@ object Drift {
         count(lit(1)).as("n_categories"))
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov statistic between the `isBase`
+    * slice and its complement: sup over x of |F_base(x) − F_other(x)| —
+    * the binning-free drift test (PSI/JSD depend on a bin grid; KS sees
+    * every jump). The supremum of a two-ECDF gap is attained at an
+    * observed value, so evaluating the inclusive CDFs at every DISTINCT
+    * value is exact.
+    *
+    * Scale shape: one hash aggregation to (value, n_base, n_other)
+    * frequency rows; per-side cumulative counts ride
+    * [[Packing.packContiguous]]'s two-phase prefix sum over the
+    * distinct-value frame in value order — shuffles carry one row per
+    * distinct value, and the only global window runs over one row per
+    * slice (the spearman rank machinery, reused). No corpus-sized
+    * single-task sort anywhere. The frequency frame feeds three
+    * consumers (two prefix sums + totals) and is checkpointed once.
+    * Cumulative counts are exact longs; the final gaps divide identical
+    * integers in both engines, so the statistic replays bit-for-bit.
+    * Returns one row (ks, n_base, n_other); null ks when a slice is
+    * empty. */
+  def ksDrift(df: DataFrame, valueCol: String, isBase: Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val freq = df.filter(v.isNotNull)
+      .groupBy(v.as("_v"))
+      .agg(sum(when(isBase, 1L).otherwise(0L)).as("_nb"),
+        sum(when(isBase, 0L).otherwise(1L)).as("_nc"))
+      .localCheckpoint()
+    val cumB = Packing.packContiguous(freq, "_v", "_nb", Int.MaxValue)
+      .select(col("_v"), (col("start_offset") + col("_nb")).as("_cb"))
+    val cumC = Packing.packContiguous(freq, "_v", "_nc", Int.MaxValue)
+      .select(col("_v"), (col("start_offset") + col("_nc")).as("_cc"))
+    val t = freq.agg(sum("_nb").as("tb"), sum("_nc").as("tc"))
+    cumB.join(cumC, "_v")
+      .crossJoin(broadcast(t)) // 1-row totals side
+      .select(abs(col("_cb").cast("double") / when(col("tb") =!= 0, col("tb")) -
+          col("_cc").cast("double") / when(col("tc") =!= 0, col("tc"))).as("gap"),
+        col("tb"), col("tc"))
+      .agg(max("gap").as("ks"),
+        max("tb").cast("long").as("n_base"),
+        max("tc").cast("long").as("n_other"))
+  }
+
   /** Shared two-slice histogram: `bins` equal-width bins over the
     * combined [min, max] with per-bin slice counts (nb, no) and slice
     * totals (tb, to). The totals ride a window over the `bins`-sized

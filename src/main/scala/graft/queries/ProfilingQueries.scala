@@ -636,6 +636,34 @@ object ProfilingQueries {
        | count(*) AS n_categories
        |FROM g, t""".stripMargin
 
+  /** Exact two-sample Kolmogorov–Smirnov drift over the SAME slices as
+    * [[psiLineitem]] — the binning-free companion: cumulative counts are
+    * exact longs from the two-phase prefix sum, so DuckDB's windowed
+    * cumulative replay matches bit-for-bit. */
+  def ksDriftLineitem(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.ksDrift(
+        Tables.lineitem(spark, dir), "l_extendedprice",
+        col("l_shipdate") < lit("1998-01-01").cast("date"))
+      .select(r(col("ks"), 6).as("ks"), col("n_base"), col("n_other"))
+
+  private val ksDriftOracle: String =
+    s"""WITH f AS (
+       | SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+       |  CASE WHEN l_shipdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS b
+       | FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       |g AS (
+       | SELECT v, CAST(sum(b) AS BIGINT) AS nb, CAST(sum(1 - b) AS BIGINT) AS nc
+       | FROM f GROUP BY v),
+       |c AS (
+       | SELECT v, sum(nb) OVER (ORDER BY v) AS cb, sum(nc) OVER (ORDER BY v) AS cc
+       | FROM g),
+       |t AS (SELECT CAST(sum(nb) AS BIGINT) AS tb, CAST(sum(nc) AS BIGINT) AS tc FROM g)
+       |SELECT
+       | ${rSql("max(abs(CAST(cb AS DOUBLE) / t.tb - CAST(cc AS DOUBLE) / t.tc))", 6)} AS ks,
+       | CAST(max(t.tb) AS BIGINT) AS n_base,
+       | CAST(max(t.tc) AS BIGINT) AS n_other
+       |FROM c, t""".stripMargin
+
   /** Jensen–Shannon divergence over the SAME slices and binning as
     * [[psiLineitem]] (Drift.jsDivergence) — the bounded, symmetric
     * companion metric, one scan per side. */
@@ -1086,6 +1114,7 @@ object ProfilingQueries {
     QueryDef("psi_lineitem", psiLineitem, Some(psiOracle)),
     QueryDef("jsd_lineitem", jsdLineitem, Some(jsdOracle)),
     QueryDef("cat_drift_priority", catDriftPriority, Some(catDriftOracle)),
+    QueryDef("ks_drift_lineitem", ksDriftLineitem, Some(ksDriftOracle)),
     QueryDef("outliers_events", outliersEvents, Some(outliersOracle)),
     QueryDef("fd_lineitem", fdLineitem, Some(fdOracle)),
     QueryDef("key_census", keyCensus, Some(keyCensusOracle)),

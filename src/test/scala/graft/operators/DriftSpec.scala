@@ -96,4 +96,27 @@ class DriftSpec extends SparkSpec {
     val e = Drift.categoricalPsi(withNull, "cat", lit(false)).head
     assert(e.isNullAt(0) && e.getLong(1) === 0L && e.getLong(2) === 9L)
   }
+
+  test("ks: identical = 0, disjoint = 1, hand case exact, empty slice = null") {
+    val s2 = spark
+    import s2.implicits._
+    val same = (1 to 100).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
+    val z = Drift.ksDrift(same, "v", col("id") <= 50).head
+    assert(math.abs(z.getDouble(0)) < 1e-15)
+    assert(z.getLong(1) === 50L && z.getLong(2) === 50L)
+    // fully separated supports: the gap reaches 1 at the base max
+    val disjoint = ((1 to 50).map(i => (i.toLong, i.toDouble)) ++
+      (51 to 100).map(i => (i.toLong, 1000.0 + i))).toDF("id", "v")
+    val d = Drift.ksDrift(disjoint, "v", col("id") <= 50).head
+    assert(math.abs(d.getDouble(0) - 1.0) < 1e-15)
+    // hand case: base {1,2,3,4}, other {3,4,5,6} -> sup gap = 1/2 at x=2
+    val hand = (Seq(1.0, 2.0, 3.0, 4.0).map(("b", _)) ++
+      Seq(3.0, 4.0, 5.0, 6.0).map(("o", _))).zipWithIndex
+      .map { case ((side, v), i) => (i.toLong, side, v) }.toDF("id", "side", "v")
+    val h = Drift.ksDrift(hand, "v", col("side") === "b").head
+    assert(math.abs(h.getDouble(0) - 0.5) < 1e-15, s"got ${h.getDouble(0)}")
+    // empty other slice: null ks, counts intact
+    val e = Drift.ksDrift(same, "v", lit(true)).head
+    assert(e.isNullAt(0) && e.getLong(1) === 100L && e.getLong(2) === 0L)
+  }
 }

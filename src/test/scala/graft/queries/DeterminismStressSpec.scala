@@ -77,7 +77,10 @@ class DeterminismStressSpec extends SparkSpec {
       // its CC composition must be partition/conf-invariant sets; the
       // CMS cells are order-invariant sums of a pure key function
       "systematic_sample_docs", "fuzzy_name_pairs",
-      "entity_resolution_names", "cms_freq_check")
+      "entity_resolution_names", "cms_freq_check",
+      // round-10: the exact KS statistic rides the same two-phase
+      // prefix sum over the distinct-value frame
+      "ks_drift_lineitem")
     val defaults = queries.map(q => q -> canonical(q)).toMap
     dropCaches()
     val sweeps: Seq[(String, Seq[(String, String)])] = Seq(
