@@ -133,6 +133,45 @@ object Drift {
         max("tc").cast("long").as("n_other"))
   }
 
+  /** Per-GROUP exact two-sample KS — "WHICH segment drifted?": the
+    * [[ksDrift]] statistic computed independently for every value of
+    * `groupCol` (language, source, shard) in ONE pass. Cumulative
+    * counts ride [[Packing.groupedPrefixSum]] (two chained passes, one
+    * per slice side) over the (group, distinct value) frequency frame —
+    * per-group windows only ever see one slice's rows of one group, no
+    * corpus-sized single-task window. The per-group totals frame is
+    * |groups| rows and goes through [[SizeGuard.broadcastIfSmall]] —
+    * bounded for enum-shaped groups, shuffle-joined past the bound
+    * (user-id-shaped groups). Returns (groupCol, ks, n_base, n_other);
+    * null ks for a group with an empty slice. */
+  def ksDriftByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      isBase: Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val freq = df.filter(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), v.as("_v"))
+      .agg(sum(when(isBase, 1L).otherwise(0L)).as("_nb"),
+        sum(when(isBase, 0L).otherwise(1L)).as("_nc"))
+      .localCheckpoint()
+    // chained grouped prefix sums: cum-before per side, then inclusive
+    val both = Packing.groupedPrefixSum(
+        Packing.groupedPrefixSum(freq, "_g", "_v", "_nb", "_cb0"),
+        "_g", "_v", "_nc", "_cc0")
+      .select(col("_g"), col("_v"),
+        (col("_cb0") + col("_nb")).as("_cb"),
+        (col("_cc0") + col("_nc")).as("_cc"))
+    val t = freq.groupBy("_g").agg(sum("_nb").as("_tb"), sum("_nc").as("_tc"))
+      .localCheckpoint()
+    both.join(SizeGuard.broadcastIfSmall(t), Seq("_g"))
+      .select(col("_g"),
+        abs(col("_cb").cast("double") / when(col("_tb") =!= 0, col("_tb")) -
+          col("_cc").cast("double") / when(col("_tc") =!= 0, col("_tc"))).as("_gap"),
+        col("_cb"), col("_cc"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(max("_gap").as("ks"),
+        max("_cb").cast("long").as("n_base"),
+        max("_cc").cast("long").as("n_other"))
+  }
+
   /** Shared two-slice histogram: `bins` equal-width bins over the
     * combined [min, max] with per-bin slice counts (nb, no) and slice
     * totals (tb, to). The totals ride a window over the `bins`-sized

@@ -664,6 +664,41 @@ object ProfilingQueries {
        | CAST(max(t.tc) AS BIGINT) AS n_other
        |FROM c, t""".stripMargin
 
+  /** Per-priority exact KS drift ([[graft.operators.Drift.ksDriftByGroup]]):
+    * order totals before vs after the pivot, one KS statistic per order
+    * priority — the "which segment drifted?" readout; DuckDB replays the
+    * per-group windowed cumulative ladder bit-for-bit. */
+  def ksDriftByPriority(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.ksDriftByGroup(
+        Tables.orders(spark, dir), "o_orderpriority", "o_totalprice",
+        col("o_orderdate") < to_timestamp_ntz(lit("1998-04-01")))
+      .select(col("o_orderpriority"), r(col("ks"), 6).as("ks"),
+        col("n_base"), col("n_other"))
+      .orderBy("o_orderpriority")
+
+  private val ksDriftByPriorityOracle: String =
+    s"""WITH f AS (
+       | SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v,
+       |  CASE WHEN o_orderdate < TIMESTAMP '1998-04-01' THEN 1 ELSE 0 END AS b
+       | FROM orders WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+       |grp AS (
+       | SELECT g, v, CAST(sum(b) AS BIGINT) AS nb, CAST(sum(1 - b) AS BIGINT) AS nc
+       | FROM f GROUP BY g, v),
+       |c AS (
+       | SELECT g, v,
+       |  sum(nb) OVER (PARTITION BY g ORDER BY v) AS cb,
+       |  sum(nc) OVER (PARTITION BY g ORDER BY v) AS cc
+       | FROM grp),
+       |t AS (SELECT g, CAST(sum(nb) AS BIGINT) AS tb, CAST(sum(nc) AS BIGINT) AS tc
+       |      FROM grp GROUP BY g)
+       |SELECT c.g AS o_orderpriority,
+       | ${rSql("max(abs(CAST(cb AS DOUBLE) / t.tb - CAST(cc AS DOUBLE) / t.tc))", 6)} AS ks,
+       | CAST(max(t.tb) AS BIGINT) AS n_base,
+       | CAST(max(t.tc) AS BIGINT) AS n_other
+       |FROM c JOIN t ON c.g = t.g
+       |GROUP BY c.g
+       |ORDER BY o_orderpriority""".stripMargin
+
   /** Jensen–Shannon divergence over the SAME slices and binning as
     * [[psiLineitem]] (Drift.jsDivergence) — the bounded, symmetric
     * companion metric, one scan per side. */
@@ -1115,6 +1150,7 @@ object ProfilingQueries {
     QueryDef("jsd_lineitem", jsdLineitem, Some(jsdOracle)),
     QueryDef("cat_drift_priority", catDriftPriority, Some(catDriftOracle)),
     QueryDef("ks_drift_lineitem", ksDriftLineitem, Some(ksDriftOracle)),
+    QueryDef("ks_drift_by_priority", ksDriftByPriority, Some(ksDriftByPriorityOracle)),
     QueryDef("outliers_events", outliersEvents, Some(outliersOracle)),
     QueryDef("fd_lineitem", fdLineitem, Some(fdOracle)),
     QueryDef("key_census", keyCensus, Some(keyCensusOracle)),

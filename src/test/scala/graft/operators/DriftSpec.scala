@@ -119,4 +119,28 @@ class DriftSpec extends SparkSpec {
     val e = Drift.ksDrift(same, "v", lit(true)).head
     assert(e.isNullAt(0) && e.getLong(1) === 100L && e.getLong(2) === 0L)
   }
+
+  test("ks by group: per-group statistics independent, empty-side group null") {
+    val s2 = spark
+    import s2.implicits._
+    // group A: hand case with KS 1/2; group B: identical slices (KS 0);
+    // group C: only base rows (null ks)
+    val rows =
+      (Seq(1.0, 2.0, 3.0, 4.0).map(("A", "b", _)) ++
+        Seq(3.0, 4.0, 5.0, 6.0).map(("A", "o", _)) ++
+        (1 to 10).flatMap(i => Seq(("B", "b", i.toDouble), ("B", "o", i.toDouble))) ++
+        Seq(("C", "b", 1.0), ("C", "b", 2.0)))
+        .zipWithIndex.map { case ((g, side, v), i) => (i.toLong, g, side, v) }
+        .toDF("id", "g", "side", "v")
+    val out = Drift.ksDriftByGroup(rows, "g", "v", col("side") === "b")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2), r.getLong(3))).toMap
+    assert(math.abs(out("A")._1.get - 0.5) < 1e-15, out.toString)
+    assert(math.abs(out("B")._1.get) < 1e-15)
+    assert(out("C")._1.isEmpty && out("C")._2 === 2L && out("C")._3 === 0L)
+    // agrees with the global operator when restricted to one group
+    val only = Drift.ksDrift(rows.filter(col("g") === "A"), "v",
+      col("side") === "b").head.getDouble(0)
+    assert(math.abs(only - out("A")._1.get) < 1e-15)
+  }
 }

@@ -78,9 +78,9 @@ class DeterminismStressSpec extends SparkSpec {
       // CMS cells are order-invariant sums of a pure key function
       "systematic_sample_docs", "fuzzy_name_pairs",
       "entity_resolution_names", "cms_freq_check",
-      // round-10: the exact KS statistic rides the same two-phase
-      // prefix sum over the distinct-value frame
-      "ks_drift_lineitem")
+      // round-10: the exact KS statistics ride the same two-phase
+      // prefix sums over the distinct-value frames
+      "ks_drift_lineitem", "ks_drift_by_priority")
     val defaults = queries.map(q => q -> canonical(q)).toMap
     dropCaches()
     val sweeps: Seq[(String, Seq[(String, String)])] = Seq(
