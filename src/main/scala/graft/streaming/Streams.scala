@@ -457,6 +457,29 @@ object Streams {
           .write.mode("append").parquet(logDir)
     }
 
+  /** Streaming CATEGORICAL drift monitor — [[psiMonitor]]'s twin for
+    * enum-shaped columns (language codes, sources, priorities): every
+    * micro-batch is scored with
+    * [[graft.operators.Drift.categoricalPsi]] against the STATIC
+    * reference and the one-row verdict (psi, counts, category count,
+    * batch id) is appended to a parquet log. The share-based tail
+    * pooling inside the operator keeps each batch's category frame
+    * bounded no matter the column's cardinality. The reference is
+    * re-resolved per batch (cache it outside when hot), same as
+    * [[psiMonitor]]. */
+  def categoricalPsiMonitor(stream: DataFrame, reference: DataFrame,
+      valueCol: String, logDir: String, maxShareDenom: Long = 1000)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val tagged = reference.select(col(valueCol), lit(true).as("__base"))
+          .unionByName(batch.select(col(valueCol), lit(false).as("__base")))
+        graft.operators.Drift.categoricalPsi(tagged, valueCol, col("__base"),
+            maxShareDenom = maxShareDenom)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(logDir)
+    }
+
   /** Streaming NOVELTY monitor — the ingestion-time counterpart of
     * [[graft.operators.TextAnalysis.novelty]]: every micro-batch reports
     * what fraction of its distinct word n-grams the standing corpus has

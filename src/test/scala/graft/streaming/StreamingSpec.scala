@@ -508,6 +508,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("categoricalPsiMonitor flags a category-mix break vs a static reference") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val log = java.nio.file.Files.createTempDirectory("catpsi_log").toString
+    // reference: four languages in equal shares (text plays the category)
+    val ref = (0 until 100).map(i => s"lang_${i % 4}").toDF("text")
+    val q = Streams.categoricalPsiMonitor(mem.toDF(), ref, "text", log).start()
+    try {
+      // batch 0 matches the reference mix; batch 1 collapses to one value
+      mem.addData((0 until 100).map(i => Doc(i.toLong, s"lang_${i % 4}")): _*)
+      q.processAllAvailable()
+      mem.addData((0 until 100).map(i => Doc(i.toLong, "lang_0")): _*)
+      q.processAllAvailable()
+      val logged = spark.read.parquet(log)
+        .select("batch_id", "psi", "n_categories").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      assert(logged.size === 2)
+      assert(logged(0L)._1 < 0.01, s"matching mix must be stable: ${logged(0L)}")
+      assert(logged(1L)._1 > 0.25, s"collapsed mix must flag a break: ${logged(1L)}")
+      assert(logged(0L)._2 === 4L)
+    } finally q.stop()
+  }
+
   test("batch and streaming session windows agree on the same data") {
     val s = spark
     import s.implicits._
