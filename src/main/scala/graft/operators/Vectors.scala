@@ -275,6 +275,45 @@ object Vectors {
       .select(col("rank"), col(idCol), col(labelCol), col("sq_dist"))
   }
 
+  /** EMBEDDING drift between the `isBase` slice and its complement —
+    * the semantic-space counterpart of [[Drift.psi]]: has a new crawl
+    * batch's embedding distribution MOVED? One row:
+    * (n_base, n_other, centroid_cosine, avg_norm_base, avg_norm_other).
+    * centroid_cosine near 1 = same region of space; drops as the new
+    * slice's mass shifts.
+    *
+    * Scale shape: per-slice per-dimension means come from ONE hash
+    * aggregation over the posexploded coordinates (2·dim output rows);
+    * the cosine is array arithmetic on that bounded frame; norm stats
+    * are conditional aggregates in one corpus pass. Centroid
+    * coordinates are rounded to 1e-6 BEFORE the cosine (the
+    * fitted-parameter rule) so both engines compose the final number
+    * from identical literals. Zero-norm centroids and empty slices
+    * yield null cosine — ANSI-safe. */
+  def embeddingDrift(df: DataFrame, vecCol: String, isBase: Column): DataFrame = {
+    val valid = df.filter(col(vecCol).isNotNull)
+    val ex = valid.select(isBase.as("__b"),
+      posexplode(toDoubleArray(col(vecCol))).as(Seq("pos", "x")))
+    val cent = ex.groupBy("__b", "pos")
+      .agg((floor(avg(col("x")) * 1e6 + 0.5) / 1e6).as("m"))
+    val dots = cent.filter(col("__b")).select(col("pos"), col("m").as("ma"))
+      .join(cent.filter(!col("__b")).select(col("pos"), col("m").as("mb")), "pos")
+      .agg(sum(col("ma") * col("mb")).as("dot"),
+        sum(col("ma") * col("ma")).as("na2"),
+        sum(col("mb") * col("mb")).as("nb2"))
+    val nrm = VectorFunctions.norm(col(vecCol))
+    val denom = sqrt(col("na2")) * sqrt(col("nb2"))
+    valid.agg(
+        sum(when(isBase, 1L).otherwise(0L)).as("n_base"),
+        sum(when(isBase, 0L).otherwise(1L)).as("n_other"),
+        avg(when(isBase, nrm)).as("avg_norm_base"),
+        avg(when(!isBase, nrm)).as("avg_norm_other"))
+      .crossJoin(broadcast(dots)) // 1-row centroid-dot side
+      .select(col("n_base"), col("n_other"),
+        (col("dot") / when(denom =!= 0, denom)).as("centroid_cosine"),
+        col("avg_norm_base"), col("avg_norm_other"))
+  }
+
   /** One-row profile: count, nulls, dimension range, norm stats. */
   def profile(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol)

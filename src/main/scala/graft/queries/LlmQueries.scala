@@ -1741,6 +1741,44 @@ object LlmQueries {
        | ${rSql("sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))", 6)} AS norm
        |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** Embedding drift between the even- and odd-id halves of the vector
+    * table ([[graft.operators.Vectors.embeddingDrift]]): centroid cosine
+    * + per-slice norm means. Centroid coordinates are rounded before the
+    * cosine (fitted-parameter rule), so DuckDB composes the identical
+    * number from the identical 2·dim literals. */
+  def embeddingDriftHalves(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Vectors.embeddingDrift(
+        Tables.embeddings(spark, dir), "embedding", pmod(col("vec_id"), lit(2L)) === 0L)
+      .select(col("n_base"), col("n_other"),
+        r(col("centroid_cosine"), 6).as("centroid_cosine"),
+        r(col("avg_norm_base"), 6).as("avg_norm_base"),
+        r(col("avg_norm_other"), 6).as("avg_norm_other"))
+
+  private val embeddingDriftOracle: String =
+    s"""WITH ex AS (
+       | SELECT vec_id % 2 = 0 AS b, unnest(range(len(embedding))) AS pos,
+       |        unnest(embedding) AS v
+       | FROM embeddings WHERE embedding IS NOT NULL),
+       |cent AS (
+       | SELECT b, pos, ${rSql("avg(CAST(v AS DOUBLE))", 6)} AS m
+       | FROM ex GROUP BY b, pos),
+       |d AS (
+       | SELECT sum(a.m * o.m) AS dot, sum(a.m * a.m) AS na2, sum(o.m * o.m) AS nb2
+       | FROM cent a JOIN cent o ON a.pos = o.pos AND a.b AND NOT o.b),
+       |nr AS (
+       | SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |  CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_other,
+       |  avg(CASE WHEN vec_id % 2 = 0 THEN nrm END) AS avg_norm_base,
+       |  avg(CASE WHEN vec_id % 2 = 0 THEN NULL ELSE nrm END) AS avg_norm_other
+       | FROM (SELECT vec_id,
+       |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+       |       FROM embeddings WHERE embedding IS NOT NULL))
+       |SELECT n_base, n_other,
+       | ${rSql("dot / (sqrt(na2) * sqrt(nb2))", 6)} AS centroid_cosine,
+       | ${rSql("avg_norm_base", 6)} AS avg_norm_base,
+       | ${rSql("avg_norm_other", 6)} AS avg_norm_other
+       |FROM nr, d""".stripMargin
+
   /** One-row VECTOR-column profile: dimension range + norm statistics. */
   def vectorProfile(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Vectors.profile(Tables.embeddings(spark, dir), "embedding")
@@ -2875,5 +2913,6 @@ object LlmQueries {
     QueryDef("tfidf_cosine_pairs", tfidfCosinePairs, Some(tfidfCosinePairsOracle)),
     QueryDef("semantic_decon", semanticDecon, Some(semanticDeconOracle)),
     QueryDef("embedding_outliers", embeddingOutliers, Some(embeddingOutliersOracle)),
+    QueryDef("embedding_drift", embeddingDriftHalves, Some(embeddingDriftOracle)),
     QueryDef("vocab_growth", vocabGrowthDocs, Some(vocabGrowthOracle)))
 }

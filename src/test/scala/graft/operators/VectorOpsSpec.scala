@@ -96,6 +96,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.length === 3)
   }
 
+  test("embeddingDrift: identical halves cosine 1, orthogonal shift detected, empty slice null") {
+    val s = spark
+    import s.implicits._
+    // identical distributions: both halves are the same two vectors
+    val same = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) Seq(1.0f, 0.0f, 1.0f, 0.0f) else Seq(0.0f, 1.0f, 0.0f, 1.0f)))
+      .toDF("id", "v")
+    val a = Vectors.embeddingDrift(same, "v", col("id") <= 20).head
+    assert(math.abs(a.getDouble(2) - 1.0) < 1e-9, s"same mix must read 1: $a")
+    assert(a.getLong(0) === 20L && a.getLong(1) === 20L)
+    assert(math.abs(a.getDouble(3) - a.getDouble(4)) < 1e-9)
+    // base along e1, other along e2: centroids orthogonal, cosine 0
+    val shifted = ((1L to 10L).map(i => (i, Seq(1.0f, 0.0f))) ++
+      (11L to 20L).map(i => (i, Seq(0.0f, 1.0f)))).toDF("id", "v")
+    val b = Vectors.embeddingDrift(shifted, "v", col("id") <= 10).head
+    assert(math.abs(b.getDouble(2)) < 1e-9, s"orthogonal centroids must read 0: $b")
+    // empty other slice: null cosine and null other-norm, counts intact
+    val e = Vectors.embeddingDrift(shifted, "v", lit(true)).head
+    assert(e.isNullAt(2) && e.isNullAt(4) && e.getLong(0) === 20L && e.getLong(1) === 0L)
+  }
+
   test("crossNearDupCosineLsh finds planted cross-set hits, never same-side pairs") {
     val s = spark
     import s.implicits._
