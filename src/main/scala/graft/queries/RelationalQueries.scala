@@ -645,6 +645,42 @@ object RelationalQueries {
        |GROUP BY 1, 2
        |ORDER BY nation, o_year DESC""".stripMargin
 
+  /** TPC-H Q18 large-volume-customer shape (public spec, threshold tuned
+    * to the synthetic quantity range): the AGGREGATE-AS-FILTER join —
+    * per-order quantity sums gate which orders survive, then the
+    * surviving (small) set joins customer and orders for the top-20 by
+    * total price. The lineitem aggregation is the only corpus-scale
+    * stage; everything after runs on the filtered order set, and the
+    * top-20 is a distributed TakeOrderedAndProject over the TOTAL
+    * (totalprice, orderkey) order. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150.0)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        r(col("o_totalprice"), 2).as("o_totalprice"),
+        r(col("sum_qty"), 2).as("sum_qty"))
+  }
+
+  private val q18LargeOrdersOracle: String =
+    s"""SELECT c_name, c_custkey, o_orderkey,
+       | strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+       | ${rSql("o_totalprice", 2)} AS o_totalprice,
+       | ${rSql("sum_qty", 2)} AS sum_qty
+       |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+       |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150.0) big
+       |JOIN orders ON o_orderkey = big.l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY orders.o_totalprice DESC, o_orderkey
+       |LIMIT 20""".stripMargin
+
   /** The bucketing lever under the t2 gate: both join sides are written
     * as bucketed+sorted external tables on the join key (same bucket
     * count), re-read through the catalog, and joined — Spark elides the
@@ -1092,6 +1128,7 @@ object RelationalQueries {
     QueryDef("q5_region_revenue", q5RegionRevenue, Some(q5RegionRevenueOracle)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPriorityOracle)),
     QueryDef("q9_product_profit", q9ProductProfit, Some(q9ProductProfitOracle)),
+    QueryDef("q18_large_orders", q18LargeOrders, Some(q18LargeOrdersOracle)),
     QueryDef("merge_upsert_orders", mergeUpsertOrders, Some(mergeUpsertOracle)),
     QueryDef("zorder_events", zorderEvents, Some(zorderEventsOracle)),
     QueryDef("zorder_pruned_scan", zorderPrunedScan, Some(zorderPrunedScanOracle)),

@@ -119,7 +119,8 @@ class DeterminismStressSpec extends SparkSpec {
                 "retention_weekly", "gini_revenue",
                 // round-10 order-sensitive shapes: the Q3 top-10 (total
                 // order by (revenue, orderkey)) and the merged-MG rank
-                "q3_shipping_priority", "shard_profile_topvalues")) {
+                "q3_shipping_priority", "shard_profile_topvalues",
+                "q18_large_orders")) {
     test(s"$q is bit-identical across $Runs same-session runs with caches dropped") {
       val first = canonical(q)
       dropCaches()

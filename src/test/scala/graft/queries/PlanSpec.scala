@@ -50,6 +50,14 @@ class PlanSpec extends SparkSpec {
       || plan.contains("EqualTo(c_mktsegment,BUILDING)"), s"segment filter must push:\n$plan")
   }
 
+  test("q18 aggregate-as-filter: distributed top-20, hash joins only") {
+    val plan = planOf(RelationalQueries.q18LargeOrders(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be distributed top-k:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"equi-joins only:\n$plan")
+  }
+
   test("q9 product profit: nation broadcasts, no nested-loop join anywhere") {
     val plan = planOf(RelationalQueries.q9ProductProfit(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), s"nation must broadcast:\n$plan")
