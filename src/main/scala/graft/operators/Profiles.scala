@@ -186,6 +186,49 @@ object Profiles {
       (sum("n_true").cast("double") / when(nTot =!= 0, nTot)).as("true_rate"))
   }
 
+  /** Mergeable CO-MOMENT profile rows for a numeric column PAIR: per
+    * shard (n, means, centered second moments, centered co-moment
+    * Cxy = covar_pop · n). Rows with either side null are excluded
+    * (pairwise-complete, matching `corr` semantics). The co-moment
+    * merges by the same parallel rule as m2 (Bennett, Grove, Pébay
+    * 2009, the two-variable extension of Chan–Golub–LeVeque):
+    * Cxy = Σ cxy_i + Σ n_i·mx_i·my_i − (Σ n_i·mx_i)(Σ n_i·my_i)/N —
+    * algebraically exact, so merged covariance/correlation equal the
+    * whole-corpus values up to float association. */
+  def pairShardProfiles(df: DataFrame, shardCol: Column, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    df.select(shardCol.as("shard"), x.as("_x"), y.as("_y"))
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+      .groupBy("shard").agg(
+        count(lit(1)).as("n"),
+        avg("_x").as("mx"),
+        avg("_y").as("my"),
+        coalesce(var_pop(col("_x")) * count(lit(1)), lit(0.0)).as("m2x"),
+        coalesce(var_pop(col("_y")) * count(lit(1)), lit(0.0)).as("m2y"),
+        coalesce(covar_pop(col("_x"), col("_y")) * count(lit(1)), lit(0.0)).as("cxy"))
+  }
+
+  /** Merge pair profiles into one row: (n, mean_x, mean_y, cov_samp,
+    * corr) — exactly the whole-data `covar_samp`/`corr` up to float
+    * association. Degenerate inputs (n ≤ 1, zero variance on either
+    * side) yield null cov/corr — ANSI-safe. */
+  def mergePairProfiles(profiles: DataFrame): DataFrame = {
+    val n = sum("n")
+    val sx = sum(col("n") * col("mx"))
+    val sy = sum(col("n") * col("my"))
+    val m2x = sum("m2x") + sum(col("n") * col("mx") * col("mx")) - sx * sx / n
+    val m2y = sum("m2y") + sum(col("n") * col("my") * col("my")) - sy * sy / n
+    val cxy = sum("cxy") + sum(col("n") * col("mx") * col("my")) - sx * sy / n
+    profiles.agg(
+      n.as("n"),
+      (sx / when(n =!= 0, n)).as("mean_x"),
+      (sy / when(n =!= 0, n)).as("mean_y"),
+      (cxy / when(n > 1, n - 1)).as("cov_samp"),
+      (cxy / when(sqrt(m2x * m2y) =!= 0, sqrt(m2x * m2y))).as("corr"))
+  }
+
   /** Shard ANOMALY SCREEN from the profile frame alone — the "which
     * ingest shard is broken?" question answered WITHOUT rescanning the
     * corpus: each shard's mean is z-scored against the cross-shard

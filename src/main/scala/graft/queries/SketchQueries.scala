@@ -532,6 +532,28 @@ object SketchQueries {
        |FROM s ORDER BY col, shard""".stripMargin
   }
 
+  /** Pair co-moment profiles over (l_quantity, l_extendedprice) in 8 md5
+    * shards, merged: the shard-merged covariance and correlation must
+    * equal single-pass DuckDB `covar_samp`/`corr` — the mergeable story
+    * extended to BIVARIATE stats (the co-moment merges by the same
+    * parallel rule as m2). */
+  def pairProfileMerge(spark: SparkSession, dir: String): DataFrame =
+    Profiles.mergePairProfiles(
+        Profiles.pairShardProfiles(Tables.lineitem(spark, dir), liShard,
+          "l_quantity", "l_extendedprice"))
+      .select(col("n"), r(col("mean_x"), 7).as("mean_x"),
+        r(col("mean_y"), 4).as("mean_y"),
+        r(col("cov_samp"), 4).as("cov_samp"), r(col("corr"), 6).as("corr"))
+
+  private val pairProfileMergeOracle: String =
+    s"""SELECT count(*) AS n,
+       | ${rSql("avg(CAST(l_quantity AS DOUBLE))", 7)} AS mean_x,
+       | ${rSql("avg(CAST(l_extendedprice AS DOUBLE))", 4)} AS mean_y,
+       | ${rSql("covar_samp(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE))", 4)} AS cov_samp,
+       | ${rSql("corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE))", 6)} AS corr
+       |FROM lineitem
+       |WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("cms_freq_check", cmsFreqCheck, Some(cmsFreqCheckOracle)),
     QueryDef("cms_join_size", cmsJoinSize, Some(cmsJoinSizeOracle)),
@@ -544,5 +566,6 @@ object SketchQueries {
     QueryDef("shard_profile_topvalues", shardProfileTopValues, Some(shardProfileTopValuesOracle)),
     QueryDef("shard_profile_dates", shardProfileDates, Some(shardProfileDatesOracle)),
     QueryDef("shard_profile_bools", shardProfileBools, Some(shardProfileBoolsOracle)),
-    QueryDef("shard_drift_screen", shardDriftScreenLineitem, Some(shardDriftScreenOracle)))
+    QueryDef("shard_drift_screen", shardDriftScreenLineitem, Some(shardDriftScreenOracle)),
+    QueryDef("pair_profile_merge", pairProfileMerge, Some(pairProfileMergeOracle)))
 }

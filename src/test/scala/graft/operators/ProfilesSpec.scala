@@ -124,6 +124,32 @@ class ProfilesSpec extends SparkSpec {
     }
   }
 
+  test("pair profiles: merged covariance/correlation equal whole-data values; planted r=1") {
+    val s = spark
+    import s.implicits._
+    val global = df.agg(covar_samp(col("a"), col("b")).as("cov"),
+      corr(col("a"), col("b")).as("r")).head
+    for (shards <- Seq(1, 4, 16)) {
+      val m = Profiles.mergePairProfiles(
+          Profiles.pairShardProfiles(df, pmod(col("id"), lit(shards.toLong)), "a", "b"))
+        .head
+      assert(m.getLong(0) === 40000L)
+      assert(math.abs(m.getAs[Double]("cov_samp") - global.getDouble(0)) <
+        math.abs(global.getDouble(0)) * 1e-10 + 1e-10, s"shards=$shards")
+      assert(math.abs(m.getAs[Double]("corr") - global.getDouble(1)) < 1e-10)
+    }
+    // planted exact linear relation: merged r = 1 whatever the sharding
+    val lin = (1 to 999).map(i => (i.toLong, i.toDouble, 3.0 * i + 7.0)).toDF("id", "x", "y")
+    val r1 = Profiles.mergePairProfiles(
+      Profiles.pairShardProfiles(lin, pmod(col("id"), lit(7L)), "x", "y")).head
+    assert(math.abs(r1.getAs[Double]("corr") - 1.0) < 1e-12)
+    // degenerate: constant side yields null corr, not DIVIDE_BY_ZERO
+    val const = (1 to 10).map(i => (i.toLong, 5.0, i.toDouble)).toDF("id", "x", "y")
+    val d = Profiles.mergePairProfiles(
+      Profiles.pairShardProfiles(const, lit(0L), "x", "y")).head
+    assert(d.isNullAt(d.fieldIndex("corr")))
+  }
+
   test("shard drift screen flags a planted unit-switched shard from profiles alone") {
     val s = spark
     import s.implicits._
