@@ -938,6 +938,50 @@ object RelationalQueries {
        |GROUP BY 1, 2
        |ORDER BY hour, event_type""".stripMargin
 
+  /** Weekly active-user engagement ladder — the DAU/WAU/stickiness
+    * readout every event pipeline reports: per calendar week, distinct
+    * weekly actives, the average of per-day distinct actives, and their
+    * ratio (stickiness ∈ (0, 1], 1 = every weekly active shows up every
+    * active day). Two hash aggregations over the (user, day) distinct
+    * frame — no windows, no joins beyond the week rollup; the ratio
+    * divides exact longs and rounds at 6. */
+  def weeklyStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(date_trunc("week", col("ts")).cast("timestamp_ntz").as("week"),
+        to_date(col("ts")).as("day"), col("user_id"))
+      .distinct() // (week, day, user): the shared substrate
+      .localCheckpoint() // feeds the DAU and WAU branches once
+    val dau = ud.groupBy("week", "day")
+      .agg(countDistinct("user_id").as("dau"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_days"), avg("dau").as("avg_dau"))
+    val wau = ud.groupBy("week")
+      .agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "week")
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("n_days"), r(col("avg_dau"), 6).as("avg_dau"), col("wau"),
+        r(col("avg_dau") / when(col("wau") =!= 0, col("wau")), 6).as("stickiness"))
+      .orderBy("week")
+  }
+
+  private val weeklyStickinessOracle: String =
+    s"""WITH ud AS (
+       | SELECT DISTINCT date_trunc('week', ts) AS week, CAST(ts AS DATE) AS day, user_id
+       | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |dau AS (
+       | SELECT week, count(*) AS n_days, avg(dau) AS avg_dau
+       | FROM (SELECT week, day, count(DISTINCT user_id) AS dau
+       |       FROM ud GROUP BY week, day)
+       | GROUP BY week),
+       |wau AS (SELECT week, count(DISTINCT user_id) AS wau FROM ud GROUP BY week)
+       |SELECT strftime(CAST(dau.week AS DATE), '%Y-%m-%d') AS week,
+       | dau.n_days, ${rSql("dau.avg_dau", 6)} AS avg_dau,
+       | CAST(wau.wau AS BIGINT) AS wau,
+       | ${rSql("dau.avg_dau / wau.wau", 6)} AS stickiness
+       |FROM dau JOIN wau ON dau.week = wau.week
+       |ORDER BY week""".stripMargin
+
   /** CDC upsert compaction ([[graft.operators.Merge.upsert]]): a
     * deterministic change batch — repriced orders (every 97th key) plus
     * brand-new keys (every 101st, shifted past the key space) — folded
@@ -1129,6 +1173,7 @@ object RelationalQueries {
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPriorityOracle)),
     QueryDef("q9_product_profit", q9ProductProfit, Some(q9ProductProfitOracle)),
     QueryDef("q18_large_orders", q18LargeOrders, Some(q18LargeOrdersOracle)),
+    QueryDef("weekly_stickiness", weeklyStickiness, Some(weeklyStickinessOracle)),
     QueryDef("merge_upsert_orders", mergeUpsertOrders, Some(mergeUpsertOracle)),
     QueryDef("zorder_events", zorderEvents, Some(zorderEventsOracle)),
     QueryDef("zorder_pruned_scan", zorderPrunedScan, Some(zorderPrunedScanOracle)),

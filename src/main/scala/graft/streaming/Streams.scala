@@ -287,6 +287,28 @@ object Streams {
         col(tsCol + "_r") <= col(tsCol) + expr(s"INTERVAL $afterMs MILLISECONDS"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[intervalJoin]] but a
+    * left event with no right match within the interval is EMITTED with
+    * null right columns ONCE the watermark passes its join window —
+    * the "order with no payment within an hour" alert shape. Outer
+    * emission is watermark-driven by the engine: a missing match is only
+    * provable when no qualifying right event can still arrive, so
+    * unmatched rows surface with watermark latency (exactly the
+    * documented Structured Streaming contract), while matches emit as
+    * they meet. State on both sides is bounded by watermark + interval. */
+  def intervalJoinLeftOuter(
+      left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      watermark: String, beforeMs: Long, afterMs: Long): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val r0 = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_r"))
+    val r = r0.withWatermark(tsCol + "_r", watermark)
+    l.join(r,
+      col(key) === col(key + "_r") &&
+        col(tsCol + "_r") >= col(tsCol) - expr(s"INTERVAL $beforeMs MILLISECONDS") &&
+        col(tsCol + "_r") <= col(tsCol) + expr(s"INTERVAL $afterMs MILLISECONDS"),
+      "leftOuter")
+  }
+
   /** Stream-static enrichment: every micro-batch joins the static
     * dimension with an explicit broadcast hint — stateless (nothing to
     * evict; the static side is re-resolved per batch, so a refreshed

@@ -307,6 +307,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched lefts with nulls after the watermark passes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[Ev]
+    val payments = MemoryStream[Ev]
+    // payments join their order within [0, 10 min]; an order with no
+    // payment must still surface (null right) once provably unmatched
+    val joined = Streams.intervalJoinLeftOuter(
+      orders.toDF(), payments.toDF(), "user_id", "ts", "5 minutes",
+      beforeMs = 0L, afterMs = 10 * 60 * 1000L)
+      .select(col("user_id"), col("event_id"), col("event_id_r"))
+    val q = joined.writeStream.format("memory").queryName("ss_left_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      orders.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1L, 1.0, 10), // will be paid in time
+        Ev(ts("2024-01-01 10:00:00"), 2L, 1.0, 20)) // never paid in window
+      payments.addData(
+        Ev(ts("2024-01-01 10:05:00"), 1L, 1.0, 11),
+        Ev(ts("2024-01-01 10:30:00"), 2L, 1.0, 21)) // too late to match
+      q.processAllAvailable()
+      // push both watermarks far past the join window so the engine can
+      // PROVE order 20 is unmatched and emit its null row
+      orders.addData(Ev(ts("2024-01-01 12:00:00"), 9L, 1.0, 90))
+      payments.addData(Ev(ts("2024-01-01 12:00:00"), 9L, 1.0, 91))
+      q.processAllAvailable()
+      val rows = spark.table("ss_left_join")
+        .filter($"user_id" < 9).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))
+      assert(rows.toSet === Set((1L, 10L, 11L), (2L, 20L, -1L)),
+        s"matched pair + null-padded unmatched order: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment joins each micro-batch, keeps unmatched events") {
     val s = spark
     import s.implicits._
