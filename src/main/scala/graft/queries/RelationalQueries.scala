@@ -982,6 +982,212 @@ object RelationalQueries {
        |FROM dau JOIN wau ON dau.week = wau.week
        |ORDER BY week""".stripMargin
 
+  /** TPC-H Q7 volume-shipping shape (public spec, restated over the
+    * synthetic corpus): bilateral trade between two named nations —
+    * supplier nation × customer nation, both directions, revenue by
+    * year. The join-order workout here is the DOUBLE dimension use:
+    * nation joins twice under different roles (supp side, cust side),
+    * each a 25-row broadcast, while the pair predicate must apply
+    * AFTER both joins (it references both roles). The two-year shipdate
+    * band is pushed to the lineitem scan. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp_ntz(lit("1996-01-01"))
+    val hi = to_timestamp_ntz(lit("1998-01-01"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val n1 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+    li.join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("sn_key"))
+      .join(n2, col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val q7VolumeShippingOracle: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       | ${rSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       | AND l_shipdate < TIMESTAMP '1998-01-01'
+       | AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q10 returned-item shape (public spec): customers who
+    * returned goods in a quarter, ranked by lost revenue, top 20. The
+    * selective side is the quarter of orders (time-pruned at the scan);
+    * the returnflag filter prunes lineitem before the join; customer
+    * and nation attach AFTER the aggregate-as-filter pattern would —
+    * here the aggregate keys on the customer, so the corpus-scale
+    * work is one shuffle on o_custkey and the top-20 is
+    * TakeOrderedAndProject over the (revenue, custkey) total order. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp_ntz(lit("1996-01-01"))
+    val hi = to_timestamp_ntz(lit("1996-04-01"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        r(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"), col("c_mktsegment"))
+  }
+
+  private val q10ReturnedItemsOracle: String =
+    s"""SELECT c_custkey, c_name, revenue,
+       | ${rSql("c_acctbal", 2)} AS c_acctbal, n_name, c_mktsegment
+       |FROM (
+       | SELECT o_custkey,
+       |  ${rSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+       | FROM lineitem
+       | JOIN orders ON l_orderkey = o_orderkey
+       | WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1996-04-01'
+       | GROUP BY o_custkey) rev
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** TPC-H Q21 waiting-supplier shape (public spec, restated on
+    * l_shipdate since the corpus carries no commit/receipt dates):
+    * suppliers who were the LAST to ship on a finished multi-supplier
+    * order. The reference formulation is two correlated subqueries
+    * (EXISTS another supplier / NOT EXISTS a later one) — which
+    * Catalyst would decorrelate into two extra corpus-scale joins
+    * against lineitem. The Spark-first rewrite computes ONE grouped
+    * pass per (order, supplier) — max shipdate — then per order the
+    * top-two distinct supplier maxima + supplier count, and joins that
+    * bounded per-order frame back: `other_max` (the latest shipment by
+    * any OTHER supplier) becomes a scalar compare instead of a
+    * correlated probe. Every shuffle keys on l_orderkey, so the three
+    * stages co-locate; the oracle keeps the EXISTS/NOT-EXISTS form.
+    * Ties at the order max qualify BOTH suppliers (strict `>` in the
+    * reference), reproduced here by comparing against the other
+    * suppliers' max, not the global max. */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val fOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .drop("o_orderkey")
+    // one grouped pass: each supplier's latest shipment per order;
+    // checkpointed — it feeds the per-order aggregate AND the
+    // qualification join below
+    val perSupp = li.groupBy("l_orderkey", "l_suppkey")
+      .agg(max("l_shipdate").as("s_max"))
+      .localCheckpoint()
+    // per order: supplier count, the max, how many suppliers hit it,
+    // and the runner-up — enough to derive every supplier's other_max
+    val agg1 = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), max("s_max").as("m1"))
+    val agg2 = perSupp.join(agg1, "l_orderkey")
+      .groupBy("l_orderkey", "n_supp", "m1")
+      .agg(sum(when(col("s_max") === col("m1"), 1L).otherwise(0L)).as("cnt1"),
+        max(when(col("s_max") < col("m1"), col("s_max"))).as("m2"))
+    val withOtherMax = perSupp.join(agg2, "l_orderkey")
+      .filter(col("n_supp") > 1)
+      .withColumn("other_max",
+        when(col("s_max") === col("m1") && col("cnt1") === 1, col("m2"))
+          .otherwise(col("m1")))
+      .select("l_orderkey", "l_suppkey", "other_max")
+    // a lineitem row qualifies iff NO other supplier shipped strictly
+    // later — i.e. its shipdate >= the other suppliers' max — the exact
+    // per-l1-row count of the reference's NOT EXISTS form
+    val waiting = li.join(withOtherMax, Seq("l_orderkey", "l_suppkey"))
+      .filter(col("l_shipdate") >= col("other_max"))
+    waiting.join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(25)
+  }
+
+  private val q21WaitingSuppliersOracle: String =
+    s"""SELECT s_name, count(*) AS numwait
+       |FROM lineitem l1
+       |JOIN orders ON l1.l_orderkey = o_orderkey
+       |JOIN supplier ON l1.l_suppkey = s_suppkey
+       |WHERE o_orderstatus = 'F'
+       | AND EXISTS (SELECT 1 FROM lineitem l2
+       |             WHERE l2.l_orderkey = l1.l_orderkey
+       |               AND l2.l_suppkey <> l1.l_suppkey)
+       | AND NOT EXISTS (SELECT 1 FROM lineitem l3
+       |                 WHERE l3.l_orderkey = l1.l_orderkey
+       |                   AND l3.l_suppkey <> l1.l_suppkey
+       |                   AND l3.l_shipdate > l1.l_shipdate)
+       |GROUP BY s_name
+       |ORDER BY numwait DESC, s_name
+       |LIMIT 25""".stripMargin
+
+  /** TPC-H Q15 top-supplier shape (public spec): quarterly revenue per
+    * supplier, keep the supplier(s) achieving the maximum. The scalar
+    * max is a 1-row broadcast crossed back against the |suppliers|
+    * aggregate — no second corpus pass; equality is taken on the
+    * ROUNDED revenue on both engines so the compare can't split on
+    * sum-order ULPs. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp_ntz(lit("1996-01-01"))
+    val hi = to_timestamp_ntz(lit("1996-04-01"))
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_suppkey"))
+      .agg(r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+      .localCheckpoint() // one aggregate feeds both the max and the filter
+    val mx = rev.agg(max("total_revenue").as("max_revenue"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q15TopSupplierOracle: String =
+    s"""WITH rev AS (
+       | SELECT l_suppkey,
+       |  ${rSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS total_revenue
+       | FROM lineitem
+       | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1996-04-01'
+       | GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
   /** CDC upsert compaction ([[graft.operators.Merge.upsert]]): a
     * deterministic change batch — repriced orders (every 97th key) plus
     * brand-new keys (every 101st, shifted past the key space) — folded
@@ -1084,6 +1290,50 @@ object RelationalQueries {
        |WHERE user_id % 1024 BETWEEN 20 AND 60
        |  AND (epoch_ns(ts) // 3600000000000) % 1024 BETWEEN 300 AND 400""".stripMargin
 
+  /** Dynamic partition pruning over a hive-partitioned layout
+    * ([[graft.sources.Sinks.writePartitioned]] on event_type, memoized
+    * per (session, dir)): the fact scan is joined to a SELECTIVE
+    * dimension (event types of name length 5 — 2 of the 5 partitions)
+    * whose predicate is NOT statically pushable to the partition
+    * column, so Spark must inject the runtime `dynamicpruning`
+    * subquery filter into the scan — at 100 TB the difference between
+    * reading 2/5ths of the table and all of it. The pruning is
+    * asserted in PlanSpec; the oracle replays the semantic join over
+    * the raw table. Writing the layout is setup (Memo, warmup-charged),
+    * mirroring the bucketed-join economics. */
+  def partitionPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = partitionedEvents(spark, dir)
+    val dim = Tables.events(spark, dir)
+      .select("event_type").distinct()
+      .filter(length(col("event_type")) === 5)
+    fact.join(dim, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), r(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** The memoized hive-partitioned events layout (directory per
+    * event_type), shared by the query and PlanSpec's pruning assert. */
+  def partitionedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_events_parted_$tag"
+    graft.sources.Memo.onceFor(spark, dir, "events-partitioned") {
+      graft.sources.Sinks.writePartitioned(
+        Tables.events(spark, dir), path, Seq("event_type"))
+    }
+    spark.read.parquet(path)
+  }
+
+  private val partitionPrunedJoinOracle: String =
+    s"""SELECT event_type, count(*) AS n, ${rSql("sum(value)", 4)} AS sum_value
+       |FROM events
+       |WHERE event_type IN (
+       |  SELECT DISTINCT event_type FROM events WHERE length(event_type) = 5)
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   /** Correlated LATERAL join — per-customer top-2 orders by price as a
     * lateral subquery (the modern SQL shape for per-row subselects,
     * supported by Spark 4 and DuckDB alike). Catalyst decorrelates the
@@ -1173,9 +1423,14 @@ object RelationalQueries {
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPriorityOracle)),
     QueryDef("q9_product_profit", q9ProductProfit, Some(q9ProductProfitOracle)),
     QueryDef("q18_large_orders", q18LargeOrders, Some(q18LargeOrdersOracle)),
+    QueryDef("q7_volume_shipping", q7VolumeShipping, Some(q7VolumeShippingOracle)),
+    QueryDef("q10_returned_items", q10ReturnedItems, Some(q10ReturnedItemsOracle)),
+    QueryDef("q21_waiting_suppliers", q21WaitingSuppliers, Some(q21WaitingSuppliersOracle)),
+    QueryDef("q15_top_supplier", q15TopSupplier, Some(q15TopSupplierOracle)),
     QueryDef("weekly_stickiness", weeklyStickiness, Some(weeklyStickinessOracle)),
     QueryDef("merge_upsert_orders", mergeUpsertOrders, Some(mergeUpsertOracle)),
     QueryDef("zorder_events", zorderEvents, Some(zorderEventsOracle)),
     QueryDef("zorder_pruned_scan", zorderPrunedScan, Some(zorderPrunedScanOracle)),
+    QueryDef("partition_pruned_join", partitionPrunedJoin, Some(partitionPrunedJoinOracle)),
     QueryDef("lateral_top_orders", lateralTopOrders, Some(lateralTopOrdersOracle)))
 }

@@ -45,6 +45,19 @@ object Sinks {
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Hive-style partitioned parquet layout — directory-per-value on the
+    * partition columns. The physical design for low-cardinality scan
+    * predicates at 100 TB: equality/IN filters on a partition column
+    * become DIRECTORY skips (static pruning, no footer reads at all),
+    * and a selective dimension join on the partition column becomes a
+    * runtime skip via dynamic partition pruning (the subquery-built
+    * filter Spark injects into the scan; asserted in PlanSpec).
+    * Partition columns must be low-cardinality — one directory (and at
+    * least one file) per value; a high-cardinality partition key is the
+    * small-files anti-pattern [[writeCompacted]] exists to fix. */
+  def writePartitioned(df: DataFrame, path: String, parts: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(parts: _*).parquet(path)
+
   /** Write a managed table bucketed (and sorted) by `key` for co-located
     * joins; read back with `spark.table(name)`. */
   def writeBucketed(df: DataFrame, name: String, key: String, buckets: Int): Unit =

@@ -50,6 +50,15 @@ class PlanSpec extends SparkSpec {
       || plan.contains("EqualTo(c_mktsegment,BUILDING)"), s"segment filter must push:\n$plan")
   }
 
+  test("partition_pruned_join injects a dynamic partition pruning filter into the scan") {
+    val plan = planOf(RelationalQueries.partitionPrunedJoin(spark, dir))
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"the selective dim join must prune fact partitions at runtime:\n$plan")
+    // and the fact scan is the partitioned layout (event_type is a
+    // partition column, not a data column)
+    assert(plan.contains("PartitionFilters"), s"expected partition filters:\n$plan")
+  }
+
   test("q18 aggregate-as-filter: distributed top-20, hash joins only") {
     val plan = planOf(RelationalQueries.q18LargeOrders(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"),
