@@ -137,4 +137,28 @@ object Sequences {
     }
     counts.select(explode(array(rows: _*)).as("f")).select("f.*")
   }
+
+  /** Longest consecutive-day activity streak per key — the classic
+    * gaps-and-islands shape: reduce to distinct (key, day), island id =
+    * day − row_number days (consecutive days collapse to one constant),
+    * longest island per key. The distinct() is the only corpus-scale
+    * shuffle; the window partitions PER KEY over that key's distinct
+    * days (bounded by the calendar, not the corpus), and the final
+    * longest-per-key cut rides [[GroupTopK]] rather than a global sort.
+    * Ties on length resolve to the LATEST streak start —
+    * (len desc, start desc) is a total order within a key. Returns
+    * (k, streak_len, streak_start). */
+  def activityStreaks(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val days = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"), to_date(col(tsCol)).as("day")).distinct()
+    val w = Window.partitionBy("k").orderBy("day")
+    val islands = days
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy("k", "grp")
+      .agg(count(lit(1)).as("streak_len"), min("day").as("streak_start"))
+    GroupTopK.topK(islands, Seq("k"),
+        Seq(col("streak_len").desc, col("streak_start").desc), 1, rankCol = "__rk")
+      .select(col("k"), col("streak_len"), col("streak_start"))
+  }
 }

@@ -120,6 +120,24 @@ object Stats {
     df.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Median absolute deviation per group — the robust dispersion twin
+    * of [[groupedQuantiles]]: per-group median, joined back on the
+    * group key, then the median of |x − med|. Two grouped percentile
+    * passes and one equi-join, all keyed on the group column, so the
+    * shuffles co-locate; AQE broadcasts the |groups|-row median frame
+    * when the key is enum-like. Null groups and null values are
+    * excluded (the reference's describe convention). */
+  def groupedMad(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val clean = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+    val med = clean.groupBy(groupCol)
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    clean.join(med, groupCol)
+      .groupBy(groupCol)
+      .agg(count(col(valueCol)).as("n"),
+        max(col("med")).as("median"), // constant within the group
+        percentile(abs(col(valueCol) - col("med")), lit(0.5)).as("mad"))
+  }
+
   /** Exact type-7 interpolated quantiles (pandas / quantile_cont
     * semantics) computed DISTRIBUTED — the whole-table replacement for
     * Spark's `percentile` aggregate, whose value→count map buffers every
@@ -521,6 +539,72 @@ object Stats {
         ((lit(2) * col("__srx")) /
             when(col("__sx") =!= 0, col("n_members") * col("__sx")) -
           (col("n_members") + 1) / col("n_members")).as("gini"))
+  }
+
+  /** Frequent 3-itemsets with one Apriori candidate-pruning step
+    * (Agrawal & Srikant 1994, downward closure): a triple can reach
+    * `minCount` support only if all three of its pairs do, so
+    * candidates extend FREQUENT pairs only — (a,b) frequent, extended
+    * by basket-mates c > b, kept when (a,c) and (b,c) are frequent
+    * too, then support-counted. At 100 TB the prune is the difference
+    * between |frequent pairs|·width and |baskets|·width³ candidate
+    * rows; every join keys on the basket id (co-located with the pair
+    * pass) or on the bounded frequent-pair set (left-semi). The
+    * unpruned ground truth is what the oracle computes — downward
+    * closure guarantees the pruned plan reproduces it exactly. */
+  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
+      minCount: Long): DataFrame = {
+    val items = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+      .localCheckpoint() // feeds the pair pass and both extension joins
+    val fp = items.as("x")
+      .join(items.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("pa"), col("y.i").as("pb"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select("pa", "pb")
+      .localCheckpoint() // the bounded frequent-pair set, used 3 times
+    // occurrences of frequent pairs, with their basket retained
+    val occ = items.as("x")
+      .join(items.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .select(col("x.b").as("b"), col("x.i").as("ia"), col("y.i").as("ib"))
+      .join(fp, col("ia") === col("pa") && col("ib") === col("pb"), "left_semi")
+    // extend by a third basket-mate, prune via the other two pairs
+    val cand = occ.as("o")
+      .join(items.as("z"), col("o.b") === col("z.b") && col("z.i") > col("o.ib"))
+      .select(col("o.b").as("b"), col("o.ia").as("ia"),
+        col("o.ib").as("ib"), col("z.i").as("ic"))
+      .join(fp, col("ia") === col("pa") && col("ic") === col("pb"), "left_semi")
+      .join(fp, col("ib") === col("pa") && col("ic") === col("pb"), "left_semi")
+    cand.groupBy(col("ia").as("item_a"), col("ib").as("item_b"),
+        col("ic").as("item_c"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minCount)
+  }
+
+  /** Structural pattern census (the classic profiler "mask" view,
+    * cf. pandas-profiling/Deequ pattern detection): every string is
+    * reduced to its shape — digits→`9`, upper→`A`, lower→`a`, other
+    * characters kept — and the masks are counted per column. Three
+    * chained `regexp_replace` calls, fully codegen'd; the census is one
+    * hash agg per column over a shared scan (same stacked-long-form
+    * idiom as [[topValues]]), so adding columns adds no scans. At
+    * 100 TB the mask space is tiny (shapes, not values) — the agg
+    * output is bounded by distinct FORMATS, making this the cheap
+    * first-pass format-drift screen. */
+  def patternCensus(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    def mask(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(
+        c.cast("string"), "[0-9]", "9"), "[A-Z]", "A"), "[a-z]", "a")
+    val stacked = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column"), mask(col(c)).as("mask"))): _*)).as("cm"))
+      .select("cm.*")
+      .filter(col("mask").isNotNull)
+    val freq = stacked.groupBy("column", "mask").agg(count(lit(1)).as("cnt"))
+    GroupTopK.topK(freq, Seq("column"),
+        Seq(col("cnt").desc, col("mask").asc), k, rankCol = "rank")
+      .select(col("column"), col("mask"), col("cnt"), col("rank").cast("int").as("rank"))
   }
 
   /** Top `k` most frequent values per column, long-form

@@ -958,6 +958,165 @@ object ProfilingQueries {
        |FROM p JOIN ic x ON p.item_a = x.i JOIN ic y ON p.item_b = y.i CROSS JOIN tot
        |ORDER BY item_a, item_b""".stripMargin
 
+  /** Structural pattern-mask census over customer names, part brands
+    * and order priorities ([[graft.operators.Stats.patternCensus]],
+    * top-5 masks per column): digits→9, upper→A, lower→a. The
+    * profiler's format screen — output is bounded by distinct FORMATS
+    * (a handful of masks), so the census costs one stacked scan + one
+    * hash agg at any corpus size. */
+  def patternCensusTables(spark: SparkSession, dir: String): DataFrame = {
+    // independent per-table censuses, one stacked frame each, unioned
+    val cust = graft.operators.Stats.patternCensus(
+      Tables.customer(spark, dir), Seq("c_name", "c_mktsegment"), 5)
+    val part = graft.operators.Stats.patternCensus(
+      Tables.part(spark, dir), Seq("p_brand", "p_type"), 5)
+    cust.unionByName(part).orderBy("column", "rank")
+  }
+
+  private val patternCensusOracle: String = {
+    def maskSql(c: String) =
+      s"regexp_replace(regexp_replace(regexp_replace(CAST($c AS VARCHAR), '[0-9]', '9', 'g'), '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g')"
+    def census(table: String, cols: Seq[String]) = cols.map { c =>
+      s"""SELECT '$c' AS "column", ${maskSql(c)} AS mask FROM $table WHERE $c IS NOT NULL"""
+    }.mkString(" UNION ALL ")
+    s"""WITH stacked AS (${census("customer", Seq("c_name", "c_mktsegment"))}
+       | UNION ALL ${census("part", Seq("p_brand", "p_type"))}),
+       |freq AS (
+       | SELECT "column", mask, count(*) AS cnt FROM stacked GROUP BY 1, 2),
+       |ranked AS (
+       | SELECT "column", mask, cnt,
+       |  CAST(row_number() OVER (PARTITION BY "column" ORDER BY cnt DESC, mask) AS INTEGER) AS rank
+       | FROM freq)
+       |SELECT "column", mask, cnt, rank FROM ranked WHERE rank <= 5
+       |ORDER BY "column", rank""".stripMargin
+  }
+
+  /** Longest consecutive-day activity streak per user over events
+    * ([[graft.operators.Sequences.activityStreaks]]), top-20 by streak
+    * length: the gaps-and-islands workout — distinct days, the
+    * day−row_number island trick inside per-user windows, longest
+    * island via the salted GroupTopK path, global top-20 as
+    * TakeOrderedAndProject. */
+  def userStreaks(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.activityStreaks(
+        Tables.events(spark, dir), "user_id", "ts")
+      .select(col("k").as("user_id"), col("streak_len"),
+        date_format(col("streak_start"), "yyyy-MM-dd").as("streak_start"))
+      .orderBy(col("streak_len").desc, col("user_id"))
+      .limit(20)
+
+  private val streaksOracle: String =
+    s"""WITH d AS (
+       | SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS day
+       | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |g AS (
+       | SELECT k, day,
+       |  day - CAST(row_number() OVER (PARTITION BY k ORDER BY day) AS INTEGER) AS grp
+       | FROM d),
+       |s AS (
+       | SELECT k, grp, count(*) AS streak_len, min(day) AS streak_start
+       | FROM g GROUP BY 1, 2),
+       |b AS (
+       | SELECT k, streak_len, streak_start,
+       |  row_number() OVER (PARTITION BY k ORDER BY streak_len DESC, streak_start DESC) AS rn
+       | FROM s)
+       |SELECT k AS user_id, streak_len,
+       | strftime(streak_start, '%Y-%m-%d') AS streak_start
+       |FROM b WHERE rn = 1
+       |ORDER BY streak_len DESC, user_id
+       |LIMIT 20""".stripMargin
+
+  /** Per-language robust dispersion of document length
+    * ([[graft.operators.Stats.groupedMad]] on n_chars by lang): median
+    * + median-absolute-deviation per group — the outlier-insensitive
+    * spread the mean/std ladder can't give on heavy-tailed length
+    * distributions. Interpolation parity between Spark `percentile`
+    * and DuckDB `quantile_cont` is already hash-proven by the
+    * grouped-quantiles query; this composes it twice. */
+  def groupedMadDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.groupedMad(
+        Tables.documents(spark, dir), "lang", "n_chars")
+      .select(col("lang"), col("n"), r(col("median"), 6).as("median"),
+        r(col("mad"), 6).as("mad"))
+      .orderBy("lang")
+
+  private val groupedMadOracle: String =
+    s"""WITH c AS (
+       | SELECT lang, n_chars FROM documents
+       | WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+       |m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM c GROUP BY lang)
+       |SELECT c.lang, count(*) AS n,
+       | ${rSql("max(m.med)", 6)} AS median,
+       | ${rSql("quantile_cont(abs(n_chars - m.med), 0.5)", 6)} AS mad
+       |FROM c JOIN m USING (lang)
+       |GROUP BY c.lang ORDER BY lang""".stripMargin
+
+  /** Frequent co-purchased part TRIPLES over lineitem baskets
+    * ([[graft.operators.Stats.frequentTriples]], support ≥ 2): the
+    * Apriori candidate-pruning demonstration — triples extend frequent
+    * pairs only, pruned by downward closure. The oracle computes the
+    * UNPRUNED ground truth (all basket triples, thresholded); the
+    * pruned plan must reproduce it exactly. */
+  def frequentTriplesParts(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.frequentTriples(
+        Tables.lineitem(spark, dir), "l_orderkey", "l_partkey", minCount = 2L)
+      .orderBy("item_a", "item_b", "item_c")
+
+  private val frequentTriplesOracle: String =
+    """WITH it AS (
+      | SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+      | FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
+      |SELECT a.i AS item_a, x.i AS item_b, c.i AS item_c, count(*) AS n_baskets
+      |FROM it a
+      |JOIN it x ON a.b = x.b AND a.i < x.i
+      |JOIN it c ON x.b = c.b AND x.i < c.i
+      |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+      |ORDER BY item_a, item_b, item_c""".stripMargin
+
+  /** Fixed-point PageRank centrality over the co-purchase part graph
+    * ([[graft.operators.Graph.pageRank]]: 5 iterations, damping 85%,
+    * ranks in BIGINT micro-units): the iterative-graph shape — each
+    * round one co-partitioned equi-join + one grouped long sum, plans
+    * truncated per round. Integer fixed-point makes the iteration
+    * partition-invariant AND lets the oracle unroll the 5 rounds as
+    * chained CTEs in exact integer arithmetic — the compare is on
+    * BIGINTs, no float tolerance anywhere in an iterative numeric
+    * computation. */
+  def pagerankParts(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Stats.coOccurrence(
+        Tables.lineitem(spark, dir), "l_orderkey", "l_partkey", minCount = 2L)
+      .select("item_a", "item_b")
+    val edges = pairs.unionAll(
+      pairs.select(col("item_b").as("item_a"), col("item_a").as("item_b")))
+    graft.operators.Graph.pageRank(edges, "item_a", "item_b", iters = 5)
+      .select(col("node").as("part"), col("rank").as("rank_fp"))
+      .orderBy("part")
+  }
+
+  private val pagerankOracle: String = {
+    def step(i: Int): String =
+      s"""r$i AS (
+         | SELECT n.node, CAST(150000 + (coalesce(s.csum, 0) * 85) // 100 AS BIGINT) AS rank
+         | FROM nodes n LEFT JOIN (
+         |   SELECT pe.dst AS node, sum(pr.rank // pe.outdeg) AS csum
+         |   FROM pe JOIN r${i - 1} pr ON pe.src = pr.node
+         |   GROUP BY 1) s ON n.node = s.node)"""
+    s"""WITH it AS (
+       | SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+       | FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |p AS (
+       | SELECT a.i AS src, c.i AS dst
+       | FROM it a JOIN it c ON a.b = c.b AND a.i <> c.i
+       | GROUP BY 1, 2 HAVING count(*) >= 2),
+       |deg AS (SELECT src, count(*) AS outdeg FROM p GROUP BY 1),
+       |pe AS (SELECT p.src, p.dst, d.outdeg FROM p JOIN deg d ON p.src = d.src),
+       |nodes AS (SELECT DISTINCT src AS node FROM p),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       |${(1 to 5).map(step).mkString(",\n")}
+       |SELECT node AS part, CAST(rank AS BIGINT) AS rank_fp
+       |FROM r5 ORDER BY part""".stripMargin
+  }
+
   /** Top 3-step event paths per user (Sequences.topPaths, count ≥ 5,
     * top-20): the higher-order transition view; ordering and the cut
     * are on exact long counts with the path string as tie-break. */
@@ -1159,6 +1318,11 @@ object ProfilingQueries {
     QueryDef("conversion_funnel", conversionFunnelEvents, Some(funnelOracle)),
     QueryDef("retention_weekly", retentionEvents, Some(retentionOracle)),
     QueryDef("copurchase_parts", copurchaseParts, Some(copurchaseOracle)),
+    QueryDef("pagerank_parts", pagerankParts, Some(pagerankOracle)),
+    QueryDef("pattern_census", patternCensusTables, Some(patternCensusOracle)),
+    QueryDef("frequent_triples", frequentTriplesParts, Some(frequentTriplesOracle)),
+    QueryDef("grouped_mad_docs", groupedMadDocs, Some(groupedMadOracle)),
+    QueryDef("user_streaks", userStreaks, Some(streaksOracle)),
     QueryDef("event_paths", eventPaths, Some(pathsOracle)),
     QueryDef("revenue_concentration", revenueConcentration, Some(concentrationOracle)),
     QueryDef("gini_revenue", giniRevenue, Some(giniOracle)),
