@@ -216,7 +216,31 @@ object Fuzzy {
     * verify the bounded candidate set; output is
     * (s_a, s_b, sort_gap, dist) with s_a the sort-order predecessor. */
   def sortedNeighborPairs(strings: DataFrame, strCol: String,
-      window: Int, maxDist: Int): DataFrame = {
+      window: Int, maxDist: Int): DataFrame =
+    neighborCandidates(strings, strCol, window)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist").between(1, maxDist))
+
+  /** Sorted-neighborhood candidates scored with the native
+    * [[graft.plans.JaroWinklerExpr]] instead of an edit-distance bound —
+    * the linkage variant for name data, where a similarity RATIO (and
+    * Winkler's shared-prefix boost) ranks matches better than an
+    * absolute edit budget. Same O(n·window) candidate topology; the
+    * scorer is a codegen'd expression, so the verify filter stays
+    * inside the candidate join's fused stage. */
+  def sortedNeighborJaroWinkler(strings: DataFrame, strCol: String,
+      window: Int, minSim: Double): DataFrame =
+    neighborCandidates(strings, strCol, window)
+      .withColumn("jw",
+        graft.plans.JaroWinklerExpr.jaroWinkler(col("s_a"), col("s_b")))
+      .filter(col("jw") >= minSim && col("s_a") =!= col("s_b"))
+
+  /** Shared sorted-neighborhood candidate generator: every string meets
+    * its `window − 1` successors in sort order exactly once, via the
+    * prefix-sum rank + anchored equi-join described on
+    * [[sortedNeighborPairs]]. Returns (s_a, s_b, sort_gap). */
+  private def neighborCandidates(strings: DataFrame, strCol: String,
+      window: Int): DataFrame = {
     require(window >= 2, s"window must be at least 2, got $window")
     val strs = strings
       .select(col(strCol).as("s")).filter(col("s").isNotNull).distinct()
@@ -230,8 +254,6 @@ object Fuzzy {
     ranked.as("a")
       .join(anchored, Seq("rk"))
       .select(col("s").as("s_a"), col("sb").as("s_b"),
-        (col("rk_b") - col("rk")).as("sort_gap"),
-        levenshtein(col("s"), col("sb")).cast("long").as("dist"))
-      .filter(col("dist").between(1, maxDist))
+        (col("rk_b") - col("rk")).as("sort_gap"))
   }
 }

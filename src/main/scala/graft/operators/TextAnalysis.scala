@@ -151,6 +151,78 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(n)
 
+  /** Inverted-index postings: one (doc, pos, term) row per token
+    * occurrence — the substrate search engines build once and query
+    * many times. Callers filter to the query terms BEFORE joining, so
+    * a phrase probe touches |phrase| posting lists, not the corpus. */
+  def postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+
+  /** Exact phrase search over [[postings]] via position-chain joins:
+    * term i must appear at `pos + i`, expressed by normalizing every
+    * term's position back to the phrase start and equi-joining on
+    * (doc, pos) — the classic positional-postings AND-merge. The
+    * postings frame is checkpointed once and each phrase term probes
+    * it with a pushed term filter; all |phrase|−1 joins key on
+    * (doc, pos), so on a cluster the posting lists co-partition and
+    * the merge never reshuffles the corpus. Returns per-document
+    * (doc, n_hits, first_pos). */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val p = postings(df, idCol, textCol).localCheckpoint()
+    val first = p.filter(col("term") === phrase.head).select(col("doc"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>
+      acc.join(
+        p.filter(col("term") === w)
+          .select(col("doc"), (col("pos") - i).as("pos")),
+        Seq("doc", "pos"))
+    }
+    matched.groupBy("doc")
+      .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+  }
+
+  /** Zipf's-law fit over the corpus term-frequency head: OLS of ln(cnt)
+    * on ln(rank) across the top `topN` terms. Natural-language corpora
+    * fit slope ≈ −1; templated/boilerplate-heavy corpora flatten the
+    * head and spammy ones sharpen it, so the slope (with r² as fit
+    * quality) is a one-number corpus-health screen.
+    *
+    * Shape: term frequency is one map-side-combinable hash agg; the
+    * top-`topN` cut is a distributed top-k; the rank window and the
+    * closed-form normal equations then run over the `topN`-row frame
+    * only (bounded by the parameter, not the corpus — the same
+    * phase-2-window contract as the histogram/bracket operators). No
+    * driver round-trip. Returns one row
+    * (n_terms, slope, intercept, r2). */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val freq = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(topN)
+    val w = Window.orderBy(col("cnt").desc, col("term").asc)
+    val xy = freq.withColumn("rk", row_number().over(w))
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    xy.agg(count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").cast("long").as("n_terms"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
+            col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"), col("n"))
+      .select(col("n_terms"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
+        (pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+          when((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")) =!= 0,
+            (col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
+
   /** Collocation mining: adjacent-bigram pointwise mutual information,
     * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over the bigram
     * stream and p(·) over the unigram stream — the standard screen for

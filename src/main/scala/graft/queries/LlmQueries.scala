@@ -756,6 +756,62 @@ object LlmQueries {
       |      FROM documents)
       |GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""".stripMargin
 
+  /** Exact 3-term phrase search over the inverted index
+    * ([[TextAnalysis.phraseSearch]], "fast table scan"): positional
+    * postings AND-merged by (doc, pos) equi-joins. The oracle rebuilds
+    * the postings with list indexing and replays the same
+    * position-chain join. */
+  def phraseSearchDocs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.phraseSearch(Tables.documents(spark, dir), "doc_id", "text",
+        Seq("fast", "table", "scan"))
+      .select(col("doc").as("doc_id"), col("n_hits"), col("first_pos"))
+      .orderBy("doc_id")
+
+  private val phraseSearchOracle: String =
+    s"""WITH d AS (
+       | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+       | FROM documents),
+       |p AS (
+       | SELECT doc AS doc, l[i + 1] AS term, i AS pos
+       | FROM (SELECT doc_id AS doc, l, unnest(range(len(l))) AS i FROM d)),
+       |p0 AS (SELECT doc, pos FROM p WHERE term = 'fast'),
+       |p1 AS (SELECT doc, pos - 1 AS pos FROM p WHERE term = 'table'),
+       |p2 AS (SELECT doc, pos - 2 AS pos FROM p WHERE term = 'scan')
+       |SELECT doc AS doc_id, count(*) AS n_hits,
+       | CAST(min(pos) AS INTEGER) AS first_pos
+       |FROM p0 JOIN p1 USING (doc, pos) JOIN p2 USING (doc, pos)
+       |GROUP BY doc ORDER BY doc_id""".stripMargin
+
+  /** Zipf's-law fit over the document corpus' term-frequency head
+    * ([[TextAnalysis.zipfFit]], top-500 terms): slope/intercept/r² of
+    * ln(cnt) on ln(rank) — the one-number corpus-health screen. The
+    * regression runs in-engine over the 500-row head; the oracle
+    * replays rank, logs and the closed-form normal equations. */
+  def zipfFitDocs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(Tables.documents(spark, dir), "text", topN = 500)
+      .select(col("n_terms"), r(col("slope"), 6).as("slope"),
+        r(col("intercept"), 6).as("intercept"), r(col("r2"), 6).as("r2"))
+
+  private val zipfOracle: String =
+    s"""WITH f AS (
+       | SELECT term, count(*) AS cnt
+       | FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |       FROM documents)
+       | GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 500),
+       |xy AS (
+       | SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS DOUBLE)) AS x,
+       |        ln(CAST(cnt AS DOUBLE)) AS y
+       | FROM f),
+       |s AS (
+       | SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+       |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+       | FROM xy)
+       |SELECT CAST(n AS BIGINT) AS n_terms,
+       | ${rSql("(n*sxy - sx*sy) / (n*sxx - sx*sx)", 6)} AS slope,
+       | ${rSql("(sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n", 6)} AS intercept,
+       | ${rSql("((n*sxy - sx*sy)*(n*sxy - sx*sy)) / ((n*sxx - sx*sx)*(n*syy - sy*sy))", 6)} AS r2
+       |FROM s""".stripMargin
+
   /** Top-20 adjacent-bigram collocations by PMI (min pair count 5);
     * ordering and the top-k cut are applied to the ROUNDED score so the
     * oracle's selection is identical (ties broken by the pair itself). */
@@ -2692,6 +2748,35 @@ object LlmQueries {
       |WHERE levenshtein(a.s, b.s) BETWEEN 1 AND 2
       |ORDER BY s_a, s_b""".stripMargin
 
+  /** Jaro–Winkler linkage over the same sorted-neighborhood candidate
+    * topology ([[graft.operators.Fuzzy.sortedNeighborJaroWinkler]],
+    * window 10): candidates scored by the native codegen'd
+    * [[graft.plans.JaroWinklerExpr]] — the similarity-RATIO verifier
+    * for name data, vs. the absolute edit budget of
+    * sorted_neighbor_names. DuckDB implements the IDENTICAL variant
+    * (0.7 boost threshold, prefix cap 4, p=0.1 — verified empirically
+    * on adversarial pairs), so the oracle replays the scorer itself,
+    * not just the topology; the keep-threshold compares ROUNDED scores
+    * on both sides so the cut can't split on ULPs. */
+  def jwLinkageNames(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Fuzzy.sortedNeighborJaroWinkler(
+        Tables.customer(spark, dir).select(col("c_name")), "c_name",
+        window = 10, minSim = 0.5)
+      .select(col("s_a"), col("s_b"), col("sort_gap"), r(col("jw"), 6).as("jw"))
+      .filter(col("jw") >= 0.97)
+      .orderBy("s_a", "s_b")
+
+  private val jwLinkageOracle: String =
+    s"""WITH p AS (SELECT DISTINCT c_name AS s FROM customer WHERE c_name IS NOT NULL),
+       |r AS (SELECT s, row_number() OVER (ORDER BY s) - 1 AS rk FROM p),
+       |c AS (
+       | SELECT a.s AS s_a, b.s AS s_b, b.rk - a.rk AS sort_gap,
+       |  ${rSql("jaro_winkler_similarity(a.s, b.s)", 6)} AS jw
+       | FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 9)
+       |SELECT s_a, s_b, sort_gap, jw FROM c
+       |WHERE jw >= 0.97
+       |ORDER BY s_a, s_b""".stripMargin
+
   /** Cross-split LEAKAGE AUDIT — the check a train/test split should
     * always run before training: near-duplicate pairs whose members
     * landed in DIFFERENT splits (document-keyed splitting puts a doc in
@@ -2834,6 +2919,7 @@ object LlmQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("fuzzy_name_pairs", fuzzyNamePairs, Some(fuzzyNamePairsOracle)),
     QueryDef("sorted_neighbor_names", sortedNeighborNames, Some(sortedNeighborOracle)),
+    QueryDef("jw_linkage_names", jwLinkageNames, Some(jwLinkageOracle)),
     QueryDef("entity_resolution_names", entityResolutionNames, Some(entityResolutionOracle)),
     QueryDef("split_leakage_audit", splitLeakageAudit, Some(splitLeakageOracle)),
     QueryDef("systematic_sample_docs", systematicSampleDocs, Some(systematicSampleOracle)),
@@ -2860,6 +2946,8 @@ object LlmQueries {
     QueryDef("tokenizer_fertility", tokenizerFertilityLang, Some(tokenizerFertilityOracle)),
     QueryDef("top_terms", topTerms, Some(topTermsOracle)),
     QueryDef("pmi_collocations", pmiCollocations, Some(pmiOracle)),
+    QueryDef("zipf_fit_docs", zipfFitDocs, Some(zipfOracle)),
+    QueryDef("phrase_search_docs", phraseSearchDocs, Some(phraseSearchOracle)),
     QueryDef("tfidf_top_terms", tfidfTopTerms, Some(tfidfOracle)),
     QueryDef("bm25_topk", bm25TopDocs, Some(bm25Oracle)),
     QueryDef("stratified_sample_docs", stratifiedSampleDocs, Some(stratifiedSampleOracle)),
