@@ -120,7 +120,15 @@ class DeterminismStressSpec extends SparkSpec {
                 // round-10 order-sensitive shapes: the Q3 top-10 (total
                 // order by (revenue, orderkey)) and the merged-MG rank
                 "q3_shipping_priority", "shard_profile_topvalues",
-                "q18_large_orders")) {
+                "q18_large_orders",
+                // round-10 second batch: fixed-point pagerank (iterative
+                // integer fan-in sums), the sorted-neighborhood JW rank
+                // join, the streak islands (per-key row_number), the
+                // mask-census rank, the Zipf head rank window, and the
+                // Q21 per-row qualification over grouped maxima
+                "pagerank_parts", "jw_linkage_names", "user_streaks",
+                "pattern_census", "zipf_fit_docs",
+                "q21_waiting_suppliers")) {
     test(s"$q is bit-identical across $Runs same-session runs with caches dropped") {
       val first = canonical(q)
       dropCaches()

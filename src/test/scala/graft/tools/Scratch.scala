@@ -28,31 +28,12 @@ object Scratch {
       val spread = ts.max / ts.min
       println(f"$label%-28s ${ts.map(t => f"$t%.2f").mkString(", ")}  spread=${spread}%.2fx")
     }
-    // cumulative-chain cost of the pipeline funnel (each closure is
-    // self-contained; differences give per-stage costs)
-    import org.apache.spark.sql.functions._
-    import graft.operators.{Contamination, Dedup, TextAnalysis}
-    import graft.sources.Tables
-    def docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
-    val Stopwords = Seq("the", "a", "of", "and", "to")
-    def ddF = Dedup.exact(docs, Seq("text"), "doc_id")
-      .select("doc_id", "lang", "text").localCheckpoint()
-    def gatedF(dd: org.apache.spark.sql.DataFrame) = {
-      val quality = TextAnalysis.qualityMetrics(dd, "doc_id", "text", Stopwords)
-        .select(col("doc_id"),
-          (floor(col("quality_score") * 1e6 + 0.5) / 1e6).as("qs"))
-      dd.join(quality, Seq("doc_id"))
-        .filter(col("lang").isin("en", "de") &&
-          TextAnalysis.tokenCount(col("text")).between(5, 180) && col("qs") >= 0.5)
-        .select("doc_id", "lang", "text").localCheckpoint()
-    }
-    passes("A dedup+ckpt", 2) { ddF.count() }
-    passes("B +quality+ckpt", 2) { gatedF(ddF).count() }
-    passes("C +bloomKeep", 2) {
-      val bench = docs.filter(col("doc_id") % 31 === 0).select("doc_id", "text")
-      Contamination.bloomKeep(gatedF(ddF), bench, "doc_id", "text", 8).count()
-    }
-    passes("D full funnel", 3) { q("pipeline_funnel")(spark, dir).count() }
+    // round-10b additions: time each at sf0.1
+    for (name <- Seq("q7_volume_shipping", "q10_returned_items",
+        "q21_waiting_suppliers", "q15_top_supplier", "pagerank_parts",
+        "pattern_census", "user_streaks", "jw_linkage_names",
+        "partition_pruned_join", "zipf_fit_docs", "frequent_triples"))
+      passes(name, 2) { q(name)(spark, dir).count() }
     spark.stop()
   }
 }
