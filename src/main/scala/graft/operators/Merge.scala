@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CDC-style table maintenance — the compaction step every long-lived
@@ -36,4 +37,24 @@ object Merge {
       keys: Seq[String]): DataFrame =
     upsert(base, updates, keys)
       .join(deletes.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** SCD-type-2 history build: `history` holds every version of every
+    * key with its version timestamp; each row gets
+    * `valid_from = versionCol`, `valid_to` = the NEXT version's
+    * timestamp (null for the current version) and an `is_current`
+    * flag — the warehouse pattern that turns a CDC change stream into
+    * an as-of-queryable dimension (pairs with [[graft.operators
+    * .AsofJoin]] for point-in-time lookups). One lead() window PER KEY
+    * (bounded by a key's version count, never corpus-wide); ties on
+    * the version timestamp within a key must be pre-deduped by the
+    * caller — this operator requires the (keys, versionCol) pair to be
+    * unique and makes no pick among duplicates. */
+  def scd2(history: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
+    require(keys.nonEmpty, "scd2 needs at least one key column")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol))
+    history
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -138,6 +138,74 @@ object Sequences {
     counts.select(explode(array(rows: _*)).as("f")).select("f.*")
   }
 
+  /** Debounce: keep only the FIRST event per key per tumbling bucket —
+    * the standard event-stream thinning (dedup of retry storms,
+    * double-clicks, at-least-once replays) in batch form. One window
+    * per (keys, bucket) partition ordered by (ts, tieCol) — bounded by
+    * a key's events inside one bucket; the bucket id is a pure
+    * function of the timestamp, so the result is partition-invariant
+    * and append-stable. `tieCol` must make the order total within a
+    * bucket. */
+  def debounce(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    // exact integer division — no float-floor boundary cases
+    val bucket = expr(s"unix_micros(`$tsCol`) div ${bucketSeconds * 1000000L}L")
+    val w = Window.partitionBy(keyCols.map(col) :+ bucket: _*)
+      .orderBy(col(tsCol), col(tieCol))
+    df.filter(col(tsCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Hourly event-rate anomaly screen: counts per (type, hour), each
+    * hour z-scored against its type's TRAILING window (RANGE frame on
+    * epoch seconds, so calendar gaps don't shift the baseline the way a
+    * ROWS frame would). Window partitions are per type over the HOURLY
+    * frame — bounded by elapsed wall-clock, not corpus size; the only
+    * corpus-scale operation is the first hash aggregation. Hours with a
+    * degenerate baseline (fewer than 2 trailing points, or zero
+    * variance) emit null z — ANSI-safe, and a null never flags.
+    * Returns (typeCol, hour, cnt, base_mean, base_std, z). */
+  def rateAnomalies(df: DataFrame, tsCol: String, typeCol: String,
+      trailingHours: Int = 24): DataFrame = {
+    val hourly = df
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol),
+        date_trunc("hour", col(tsCol)).cast("timestamp_ntz").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__e", unix_timestamp(col("hour").cast("timestamp")))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("__e"))
+      .rangeBetween(-trailingHours.toLong * 3600L, -1L)
+    hourly
+      .withColumn("base_mean", avg(col("cnt")).over(w))
+      .withColumn("base_std", stddev_samp(col("cnt")).over(w))
+      .withColumn("z",
+        (col("cnt") - col("base_mean")) /
+          when(col("base_std") > 0, col("base_std")))
+      .drop("__e")
+  }
+
+  /** Stage-to-stage conversion latency: per-key FIRST-touch instants of
+    * the two stages (one hash aggregation, the [[conversionFunnel]]
+    * substrate), deltas only for keys whose `to` touch strictly follows
+    * their `from` touch, reduced to count / mean / exact median
+    * seconds. The quantile runs over the |converted keys| frame. */
+  def funnelLatency(df: DataFrame, keyCol: String, tsCol: String,
+      stageCol: String, from: String, to: String): DataFrame = {
+    val perKey = df.groupBy(col(keyCol)).agg(
+      min(when(col(stageCol) === from, unix_micros(col(tsCol)))).as("__tf"),
+      min(when(col(stageCol) === to, unix_micros(col(tsCol)))).as("__tt"))
+    perKey
+      .filter(col("__tf").isNotNull && col("__tt").isNotNull &&
+        col("__tt") > col("__tf"))
+      .select(((col("__tt") - col("__tf")) / 1000000.0).as("delta_s"))
+      .agg(count(lit(1)).as("n_converted"),
+        avg("delta_s").as("mean_s"),
+        percentile(col("delta_s"), lit(0.5)).as("median_s"))
+  }
+
   /** Longest consecutive-day activity streak per key — the classic
     * gaps-and-islands shape: reduce to distinct (key, day), island id =
     * day − row_number days (consecutive days collapse to one constant),

@@ -1209,6 +1209,93 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Share-of-parent analytics (the ratio_to_report shape): national
+    * revenue as a share of its REGION's total plus the within-region
+    * rank, via windows over the 25-row nation aggregate — corpus-scale
+    * work is one grouped aggregation; the share/rank windows run on
+    * the |nations| frame (phase-2 window contract). Shares divide
+    * ROUNDED revenue by the window-sum of ROUNDED revenue, so both
+    * engines compose identical numbers. */
+  def revenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val byNation = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+    val w = Window.partitionBy("r_name")
+    byNation
+      .withColumn("share", r(col("revenue") / sum("revenue").over(w), 6))
+      .withColumn("rk", rank().over(
+        Window.partitionBy("r_name").orderBy(col("revenue").desc, col("n_name"))))
+      .orderBy("r_name", "rk", "n_name")
+  }
+
+  private val revenueShareOracle: String =
+    s"""WITH bn AS (
+       | SELECT r_name, n_name,
+       |  ${rSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+       | FROM lineitem
+       | JOIN orders ON l_orderkey = o_orderkey
+       | JOIN customer ON o_custkey = c_custkey
+       | JOIN nation ON c_nationkey = n_nationkey
+       | JOIN region ON n_regionkey = r_regionkey
+       | GROUP BY 1, 2)
+       |SELECT r_name, n_name, revenue,
+       | ${rSql("revenue / sum(revenue) OVER (PARTITION BY r_name)", 6)} AS share,
+       | CAST(rank() OVER (PARTITION BY r_name ORDER BY revenue DESC, n_name) AS INTEGER) AS rk
+       |FROM bn
+       |ORDER BY r_name, rk, n_name""".stripMargin
+
+  /** SCD-type-2 dimension build ([[graft.operators.Merge.scd2]]): a
+    * deterministic two-version history — every order's base version at
+    * o_orderdate, plus a repriced version 30 days later for every 97th
+    * key — folded into the valid_from/valid_to/is_current layout via
+    * one lead() window per key. The as-of-queryable shape that pairs
+    * with the engine's as-of join for point-in-time lookups; the
+    * oracle replays the history construction and the lead window. */
+  def scd2Orders(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate").as("version_ts"))
+    val repriced = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      .select(col("o_orderkey"), lit("R").as("o_orderstatus"),
+        (col("o_totalprice") * 1.1).as("o_totalprice"),
+        (col("version_ts") + expr("INTERVAL 30 DAYS")).as("version_ts"))
+    graft.operators.Merge.scd2(
+        base.unionByName(repriced), Seq("o_orderkey"), "version_ts")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        r(col("o_totalprice"), 2).as("o_totalprice"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+        col("is_current"))
+      .orderBy("o_orderkey", "valid_from")
+  }
+
+  private val scd2Oracle: String =
+    s"""WITH h AS (
+       | SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate AS version_ts
+       | FROM orders
+       | UNION ALL
+       | SELECT o_orderkey, 'R', o_totalprice * 1.1, o_orderdate + INTERVAL 30 DAY
+       | FROM orders WHERE o_orderkey % 97 = 0),
+       |s AS (
+       | SELECT *, lead(version_ts) OVER (PARTITION BY o_orderkey ORDER BY version_ts) AS valid_to
+       | FROM h)
+       |SELECT o_orderkey, o_orderstatus,
+       | ${rSql("o_totalprice", 2)} AS o_totalprice,
+       | strftime(version_ts, '%Y-%m-%d') AS valid_from,
+       | strftime(valid_to, '%Y-%m-%d') AS valid_to,
+       | valid_to IS NULL AS is_current
+       |FROM s
+       |ORDER BY o_orderkey, valid_from""".stripMargin
+
   private val mergeUpsertOracle: String =
     s"""WITH upd AS (
        | SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
@@ -1429,6 +1516,8 @@ object RelationalQueries {
     QueryDef("q15_top_supplier", q15TopSupplier, Some(q15TopSupplierOracle)),
     QueryDef("weekly_stickiness", weeklyStickiness, Some(weeklyStickinessOracle)),
     QueryDef("merge_upsert_orders", mergeUpsertOrders, Some(mergeUpsertOracle)),
+    QueryDef("scd2_orders", scd2Orders, Some(scd2Oracle)),
+    QueryDef("revenue_share", revenueShare, Some(revenueShareOracle)),
     QueryDef("zorder_events", zorderEvents, Some(zorderEventsOracle)),
     QueryDef("zorder_pruned_scan", zorderPrunedScan, Some(zorderPrunedScanOracle)),
     QueryDef("partition_pruned_join", partitionPrunedJoin, Some(partitionPrunedJoinOracle)),

@@ -156,6 +156,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 9.0), (3L, 3.0)))
   }
 
+  test("scd2 chains versions into valid_from/valid_to with one open current row per key") {
+    val s = spark
+    import s.implicits._
+    val h = Seq((1L, "a", 100L), (1L, "b", 200L), (1L, "c", 300L), (2L, "x", 150L))
+      .toDF("k", "v", "ts")
+    val out = Merge.scd2(h, Seq("k"), "ts").orderBy("k", "valid_from")
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1L, "a", 100L, 200L, false),
+      (1L, "b", 200L, 300L, false),
+      (1L, "c", 300L, -1L, true),
+      (2L, "x", 150L, -1L, true)))
+  }
+
   test("upsert rejects a missing key column with a clear error") {
     val s = spark
     import s.implicits._
