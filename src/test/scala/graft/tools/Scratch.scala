@@ -28,11 +28,8 @@ object Scratch {
       val spread = ts.max / ts.min
       println(f"$label%-28s ${ts.map(t => f"$t%.2f").mkString(", ")}  spread=${spread}%.2fx")
     }
-    // round-10b additions: time each at sf0.1
-    for (name <- Seq("q7_volume_shipping", "q10_returned_items",
-        "q21_waiting_suppliers", "q15_top_supplier", "pagerank_parts",
-        "pattern_census", "user_streaks", "jw_linkage_names",
-        "partition_pruned_join", "zipf_fit_docs", "frequent_triples"))
+    for (name <- Seq("pagerank_parts", "scd2_orders", "hourly_anomalies",
+        "funnel_latency", "grouped_mad_docs", "phrase_search_docs"))
       passes(name, 2) { q(name)(spark, dir).count() }
     spark.stop()
   }
