@@ -1209,6 +1209,124 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** TPC-H Q6 forecasting-revenue-change shape: the pure scan-side
+    * aggregate — every predicate (year band, discount band, quantity
+    * cap) pushes to the parquet scan, no join, one codegen'd agg. The
+    * floor for any engine; also the clearest pushdown readout in
+    * `.explain`. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp_ntz(lit("1997-01-01"))
+    val hi = to_timestamp_ntz(lit("1998-01-01"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(r(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q6Oracle: String =
+    s"""SELECT ${rSql("sum(l_extendedprice * l_discount)", 2)} AS revenue,
+       | count(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       | AND l_shipdate < TIMESTAMP '1998-01-01'
+       | AND l_discount BETWEEN 0.05 AND 0.07
+       | AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q14 promotion-effect shape: conditional-aggregation ratio —
+    * promo revenue as a share of total revenue in one month, one
+    * join + one agg with a CASE inside the numerator sum. The
+    * denominator is ANSI-guarded (a month with no revenue yields null,
+    * not an abort). */
+  def q14PromoEffect(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp_ntz(lit("1997-03-01"))
+    val hi = to_timestamp_ntz(lit("1997-04-01"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(Tables.part(spark, dir).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))).as("__p"),
+        sum(rev).as("__t"))
+      .select(r(lit(100.0) * col("__p") /
+        when(col("__t") =!= 0, col("__t")), 6).as("promo_share_pct"))
+  }
+
+  private val q14Oracle: String =
+    s"""SELECT ${rSql(
+         "100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) / sum(l_extendedprice * (1 - l_discount))",
+         6)} AS promo_share_pct
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+       | AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin
+
+  /** TPC-H Q19 discounted-revenue shape: the DISJUNCTIVE mixed
+    * predicate — three (brand, size-band, quantity-band) conjunctions
+    * OR'd together, where brand/size live on part and quantity on
+    * lineitem. The part-only disjunction (brand ∈ {…} AND size ≥ 1)
+    * prunes the build side; the full OR evaluates post-join; the join
+    * itself stays a plain partkey equi-join (never a nested loop over
+    * the disjunction). */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#21" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q19Oracle: String =
+    s"""SELECT ${rSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue,
+       | count(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q4 order-priority shape (restated: the corpus has no
+    * commit/receipt dates, so "late" = a lineitem shipped more than 60
+    * days after the order date): a LEFT SEMI join whose condition
+    * spans both sides (orderkey equality + the cross-table date
+    * comparison) — Catalyst keeps the equi-key in the hash join and
+    * evaluates the date predicate as the join residual; order counts
+    * by priority for one quarter. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp_ntz(lit("1997-01-01"))
+    val hi = to_timestamp_ntz(lit("1997-04-01"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q4Oracle: String =
+    s"""SELECT o_orderpriority, count(*) AS order_count
+       |FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+       | AND o_orderdate < TIMESTAMP '1997-04-01'
+       | AND EXISTS (SELECT 1 FROM lineitem
+       |             WHERE l_orderkey = o_orderkey
+       |               AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   /** Share-of-parent analytics (the ratio_to_report shape): national
     * revenue as a share of its REGION's total plus the within-region
     * rank, via windows over the 25-row nation aggregate — corpus-scale
@@ -1518,6 +1636,10 @@ object RelationalQueries {
     QueryDef("merge_upsert_orders", mergeUpsertOrders, Some(mergeUpsertOracle)),
     QueryDef("scd2_orders", scd2Orders, Some(scd2Oracle)),
     QueryDef("revenue_share", revenueShare, Some(revenueShareOracle)),
+    QueryDef("q6_forecast_revenue", q6ForecastRevenue, Some(q6Oracle)),
+    QueryDef("q14_promo_effect", q14PromoEffect, Some(q14Oracle)),
+    QueryDef("q19_discounted_revenue", q19DiscountedRevenue, Some(q19Oracle)),
+    QueryDef("q4_order_priority", q4OrderPriority, Some(q4Oracle)),
     QueryDef("zorder_events", zorderEvents, Some(zorderEventsOracle)),
     QueryDef("zorder_pruned_scan", zorderPrunedScan, Some(zorderPrunedScanOracle)),
     QueryDef("partition_pruned_join", partitionPrunedJoin, Some(partitionPrunedJoinOracle)),

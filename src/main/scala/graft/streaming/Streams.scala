@@ -36,6 +36,13 @@ case class TrendingUpdate(
 case class EngagementUpdate(
     key: String, n_events: Long, decayed_sum: Double, last_seen_us: Long)
 
+/** One emitted rate verdict (per key × touched hour, per micro-batch):
+  * the hour's running count, the trailing-baseline size, and the
+  * z-score against that baseline (None while the baseline is degenerate
+  * — fewer than 2 trailing hours or zero variance). */
+case class RateUpdate(
+    key: String, hour_us: Long, cnt: Long, n_baseline: Long, z: Option[Double])
+
 /** Structured-Streaming operators (SURVEY.md §2.C row 14). Each transform
   * is written against the unified DataFrame API, so the same function
   * serves the batch table and the `readStream` source: in streaming mode
@@ -180,6 +187,63 @@ object Streams {
         // now−last_seen decay delta. Keep it silent until a real event.
         if (last == Long.MinValue) Iterator.empty
         else { state.update((n, s, last)); Iterator(EngagementUpdate(key, n, s, last)) }
+      }
+  }
+
+  /** Streaming event-rate anomaly monitor: the incremental twin of
+    * [[graft.operators.Sequences.rateAnomalies]]. Per-key state is the
+    * map hourBucket → running count, bounded to the trailing
+    * `trailingHours` + 1 buckets behind the key's LATEST hour (older
+    * buckets evict each batch) — O(keys · trailingHours), independent
+    * of stream length. Each micro-batch folds its per-hour increments,
+    * then re-scores every TOUCHED hour against the trailing buckets
+    * present in state (same mean/stddev_samp/z as the batch operator;
+    * z = None on a degenerate baseline). Late events within the
+    * retained span fold into their own hour exactly; events older than
+    * the span are dropped (the state's watermark, mirroring the batch
+    * RANGE frame's horizon). Works identically on a batch Dataset. */
+  def rateMonitor(stream: DataFrame, keyCol: String, tsCol: String,
+      trailingHours: Int = 24): Dataset[RateUpdate] = {
+    require(trailingHours > 0, s"trailingHours must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(keyCol).cast("string").as("_1"),
+        expr(s"unix_micros(`$tsCol`) div 3600000000L").as("_2"))
+      .as[(String, Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], RateUpdate](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var counts = state.getOption.getOrElse(Map.empty[Long, Long])
+        val touched = scala.collection.mutable.Set[Long]()
+        rows.foreach {
+          case (_, Some(h)) =>
+            val newest = counts.keysIterator.foldLeft(h)(math.max)
+            if (h >= newest - trailingHours) {
+              counts = counts.updated(h, counts.getOrElse(h, 0L) + 1L)
+              touched += h
+            }
+          case _ => // null ts: excluded, matching the batch op
+        }
+        if (touched.isEmpty) Iterator.empty
+        else {
+          val newest = counts.keysIterator.max
+          counts = counts.filter { case (h, _) => h >= newest - trailingHours }
+          state.update(counts)
+          touched.iterator.filter(counts.contains).map { h =>
+            val base = counts.collect {
+              case (b, c) if b >= h - trailingHours && b < h => c.toDouble
+            }.toSeq
+            val z =
+              if (base.size < 2) None
+              else {
+                val m = base.sum / base.size
+                val v = base.map(x => (x - m) * (x - m)).sum / (base.size - 1)
+                if (v > 0) Some((counts(h) - m) / math.sqrt(v)) else None
+              }
+            RateUpdate(key, h * 3600000000L, counts(h), base.size, z)
+          }.toList.sortBy(_.hour_us).iterator
+        }
       }
   }
 

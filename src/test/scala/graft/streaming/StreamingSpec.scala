@@ -171,6 +171,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate monitor z-scores a spike against its trailing hours across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val monitor = Streams.rateMonitor(mem.toDF(), "user_id", "ts", trailingHours = 24)
+    val q = monitor.writeStream.format("memory").queryName("rate_monitor")
+      .outputMode("update").start()
+    try {
+      // batch 1: a flat baseline — hours 10:00..13:00 at 5 events each
+      val base = for {
+        h <- 10 to 13; i <- 1 to 5
+      } yield Ev(ts(f"2024-01-01 $h%02d:15:00"), 1L, 1.0, (h * 100 + i).toLong)
+      mem.addData(base: _*)
+      q.processAllAvailable()
+      // batch 2: a 25-event spike at 14:00 — z vs {5,5,5,5} (std 0) is
+      // None... so vary the baseline slightly first
+      mem.addData(Ev(ts("2024-01-01 13:40:00"), 1L, 1.0, 9000L))
+      q.processAllAvailable()
+      val spike = (1 to 25).map(i => Ev(ts("2024-01-01 14:05:00"), 1L, 1.0, 9100L + i))
+      mem.addData(spike: _*)
+      q.processAllAvailable()
+      val rows = spark.table("rate_monitor").collect()
+        .map(r => (r.getAs[Long]("hour_us"), r.getAs[Long]("cnt"),
+          r.getAs[Long]("n_baseline"), Option(r.getAs[java.lang.Double]("z"))))
+      val hour14 = ts("2024-01-01 14:00:00").getTime * 1000L
+      val spikeRow = rows.filter(_._1 == hour14).last
+      assert(spikeRow._2 === 25L, "spike hour count")
+      assert(spikeRow._3 === 4L, "baseline = the 4 trailing hours in state")
+      // baseline {5,5,5,6}: mean 5.25, std 0.5 → z = (25 − 5.25)/0.5 = 39.5
+      assert(spikeRow._4.exists(z => math.abs(z - 39.5) < 1e-9), s"z was ${spikeRow._4}")
+      // the flat-baseline emission for hour 13 (batch 2) had std 0 → z None
+      val hour13 = ts("2024-01-01 13:00:00").getTime * 1000L
+      val h13 = rows.filter(_._1 == hour13).last
+      assert(h13._2 === 6L && h13._4.isEmpty, "flat baseline yields no z")
+    } finally q.stop()
+  }
+
+  test("rate monitor evicts hours beyond the trailing span (bounded state)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val monitor = Streams.rateMonitor(mem.toDF(), "user_id", "ts", trailingHours = 2)
+    val q = monitor.writeStream.format("memory").queryName("rate_monitor_evict")
+      .outputMode("update").start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 00:30:00"), 1L, 1.0, 1L),
+        Ev(ts("2024-01-01 01:30:00"), 1L, 1.0, 2L))
+      q.processAllAvailable()
+      // jump far ahead: hour 10 — hours 0 and 1 must evict, so its
+      // baseline is empty; and a LATE event for hour 0 is now dropped
+      mem.addData(Ev(ts("2024-01-01 10:00:00"), 1L, 1.0, 3L))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 00:45:00"), 1L, 1.0, 4L)) // too old
+      q.processAllAvailable()
+      val rows = spark.table("rate_monitor_evict").collect()
+        .map(r => (r.getAs[Long]("hour_us"), r.getAs[Long]("cnt"), r.getAs[Long]("n_baseline")))
+      val hour10 = ts("2024-01-01 10:00:00").getTime * 1000L
+      assert(rows.filter(_._1 == hour10).last._3 === 0L, "evicted baseline")
+      val hour0 = ts("2024-01-01 00:00:00").getTime * 1000L
+      // the late event beyond the span emitted nothing new for hour 0
+      assert(!rows.exists(r => r._1 == hour0 && r._2 == 2L), "late drop")
+    } finally q.stop()
+  }
+
   test("trending monitor keeps MG guarantees across micro-batches with bounded state") {
     val s = spark
     import s.implicits._
