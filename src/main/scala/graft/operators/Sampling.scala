@@ -117,6 +117,26 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** Balanced class downsampling: cap every label at
+    * ⌈minorityCount · maxRatio⌉ rows, keeping the deterministic
+    * md5-priority prefix per label ([[capPerGroup]]'s machinery, so
+    * the ranking runs the salted GroupTopK plan) — the label-balancing
+    * step before training classifier heads on skewed data. The count
+    * pass reduces to ONE scalar (the minority count — a bounded driver
+    * value, same class as the quantile brackets); the cap is then a
+    * plan literal. Deterministic and append-stable for a fixed seed. */
+  def balanceClasses(df: DataFrame, keyCol: String, labelCol: String,
+      maxRatio: Double, seed: Long = 0L): DataFrame = {
+    require(maxRatio >= 1.0, s"maxRatio must be >= 1, got $maxRatio")
+    val clean = df.filter(col(labelCol).isNotNull)
+    val minRow = clean.groupBy(col(labelCol)).agg(count(lit(1)).as("__n"))
+      .agg(min("__n").as("__m")).collect().headOption
+    val minN = minRow.filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
+    val cap = math.max(1L, math.ceil(minN * maxRatio).toLong)
+      .min(Int.MaxValue.toLong).toInt
+    capPerGroup(clean, keyCol, labelCol, cap, seed)
+  }
+
   /** Corpus MIXING by per-group token budget — the data-mixing step of a
     * pretraining pipeline: each group (source, domain, language) keeps
     * documents in deterministic md5-priority order until its cumulative

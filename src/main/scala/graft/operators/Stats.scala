@@ -64,6 +64,18 @@ object Stats {
     * plan's shuffles carry per-distinct-value rows and its only global
     * window runs over one row per partition. Constant factors at toy
     * scale lose to a plan that survives the scale-up. */
+  /** Nullity correlation (the missingno-style missing-data co-pattern
+    * screen): Pearson correlation between the NULL-indicator flags of
+    * column pairs — +1 means two columns go missing together, −1 they
+    * alternate, 0 independent gaps. The profiling question behind it:
+    * is missingness structural (an upstream join or source dropped a
+    * whole record section) or independent noise? Same one-scan
+    * codegen'd shape as [[correlationMatrix]] — the flags are just
+    * projected expressions. */
+  def nullityCorrelation(df: DataFrame, cols: Seq[String]): DataFrame =
+    correlationMatrix(
+      df.select(cols.map(c => col(c).isNull.cast("double").as(c)): _*), cols)
+
   def spearman(df: DataFrame, a: String, b: String): DataFrame = {
     val pairs = df.select(col(a), col(b))
       .filter(col(a).isNotNull && col(b).isNotNull)

@@ -1523,6 +1523,32 @@ object LlmQueries {
       |WHERE rn <= 10
       |ORDER BY source, cap_rank""".stripMargin
 
+  /** Balanced language downsampling
+    * ([[graft.operators.Sampling.balanceClasses]], ratio 1.2, seed
+    * 11): every language capped at ⌈minorityCount · 1.2⌉ docs by
+    * deterministic md5 priority — the label-balancing step the oracle
+    * replays including the scalar cap computation. */
+  def balanceLangs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.balanceClasses(
+        Tables.documents(spark, dir), "doc_id", "lang",
+        maxRatio = 1.2, seed = 11L)
+      .select(col("lang"), col("cap_rank"), col("doc_id"))
+      .orderBy("lang", "cap_rank")
+
+  private val balanceLangsOracle: String =
+    """WITH c AS (
+      | SELECT CAST(ceil(min(n) * 1.2) AS BIGINT) AS cap
+      | FROM (SELECT count(*) AS n FROM documents
+      |       WHERE lang IS NOT NULL GROUP BY lang)),
+      |r AS (
+      | SELECT lang, doc_id,
+      |  row_number() OVER (PARTITION BY lang
+      |    ORDER BY md5('11#' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      | FROM documents WHERE lang IS NOT NULL)
+      |SELECT lang, CAST(rn AS INT) AS cap_rank, doc_id
+      |FROM r, c WHERE rn <= cap
+      |ORDER BY lang, cap_rank""".stripMargin
+
   /** Per-document TF-IDF top-3 terms over a bounded doc range (keeps the
     * oracle row set reviewable; the operator itself is corpus-wide hash
     * aggs). idf uses the classic ln(N/df) over the FULL corpus. */
@@ -2991,6 +3017,7 @@ object LlmQueries {
     QueryDef("shard_layout", shardLayoutDocs, Some(shardLayoutOracle)),
     QueryDef("cross_dedup_batch", crossDedupBatch, Some(crossDedupOracle)),
     QueryDef("cap_per_group", capPerGroupDocs, Some(capPerGroupOracle)),
+    QueryDef("balance_langs", balanceLangs, Some(balanceLangsOracle)),
     QueryDef("mix_corpus", mixCorpus, Some(mixCorpusOracle)),
     QueryDef("mix_corpus_check", mixCorpusCheck, Some(mixCorpusCheckOracle)),
     QueryDef("mix_temperature", mixTemperature, Some(mixTemperatureOracle)),

@@ -1059,6 +1059,109 @@ object ProfilingQueries {
        |WHERE s > 0 AND ${rSql("(cnt - m) / s", 6)} >= 2
        |ORDER BY event_type, hour""".stripMargin
 
+  /** Nullity correlation over a deterministic PLANTED missing-data
+    * population ([[graft.operators.Stats.nullityCorrelation]]): the
+    * raw tables carry no nulls, so the query nulls three event columns
+    * by arithmetic rules with known structure — `props` missing is a
+    * strict subset of `value` missing (strong positive), `user_gap`
+    * independent (near zero) — and the matrix must recover it. Same
+    * planted-population pattern as geo_validate_keys. */
+  def nullityEvents(spark: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("event_id"), lit(10))
+    val planted = Tables.events(spark, dir).select(
+      when(m < 3, lit(null).cast("double")).otherwise(col("value")).as("value"),
+      when(m < 2, lit(null).cast("string")).otherwise(col("props")).as("props"),
+      when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("long"))
+        .otherwise(col("user_id")).as("user_gap"))
+    graft.operators.Stats.nullityCorrelation(
+        planted, Seq("value", "props", "user_gap"))
+      .select(col("col_a"), col("col_b"), r(col("corr"), 6).as("corr"))
+      .orderBy("col_a", "col_b")
+  }
+
+  private val nullityOracle: String = {
+    val flags = Seq(
+      "value" -> "CASE WHEN event_id % 10 < 3 THEN 1.0 ELSE 0.0 END",
+      "props" -> "CASE WHEN event_id % 10 < 2 THEN 1.0 ELSE 0.0 END",
+      "user_gap" -> "CASE WHEN event_id % 7 = 0 THEN 1.0 ELSE 0.0 END")
+    val pairs = for {
+      i <- flags.indices; j <- (i + 1) until flags.size
+    } yield (flags(i), flags(j))
+    pairs.map { case ((a, fa), (b, fb)) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, ${rSql(s"corr($fa, $fb)", 6)} AS corr FROM events"""
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+  }
+
+  /** Daily new-user and CUMULATIVE-distinct-user counts — the classic
+    * "running count distinct" rewrite: a running distinct is not
+    * incrementally aggregable, but first-seen-day per user IS (one
+    * hash agg), daily news are a count over that, and the cumulative
+    * curve is a running sum over the |days| frame (bounded by the
+    * calendar — phase-2 window contract). */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+    val daily = firstDay.groupBy("day").agg(count(lit(1)).as("new_users"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(Long.MinValue, 0L)
+    daily
+      .withColumn("cumulative_users", sum("new_users").over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("cumulative_users"))
+      .orderBy("day")
+  }
+
+  private val cumulativeUsersOracle: String =
+    s"""WITH f AS (
+       | SELECT user_id, min(CAST(ts AS DATE)) AS day
+       | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       | GROUP BY user_id),
+       |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+       |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+       | CAST(sum(new_users) OVER (ORDER BY day
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
+       |FROM d ORDER BY day""".stripMargin
+
+  /** Daily session bounce rate over the 10-minute-gap session windows
+    * (the session_windows substrate aggregated one level up): sessions
+    * with exactly one event / all sessions, per session-start day. */
+  def bounceRate(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.sessionAgg(
+        Tables.events(spark, dir), "ts", "10 minutes", "user_id")
+      .select(to_date(col("session_start")).as("day"), col("n_events"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_sessions"), col("n_bounces"),
+        r(col("n_bounces") /
+          when(col("n_sessions") > 0, col("n_sessions")), 6).as("bounce_rate"))
+      .orderBy("day")
+
+  private val bounceRateOracle: String =
+    s"""WITH flagged AS (
+       | SELECT user_id, ts,
+       |  CASE WHEN lag(ts) OVER w IS NULL
+       |        OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+       |       THEN 1 ELSE 0 END AS new_session
+       | FROM events
+       | WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |numbered AS (
+       | SELECT user_id, ts,
+       |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       | FROM flagged),
+       |sess AS (
+       | SELECT user_id, sid, CAST(min(ts) AS DATE) AS day, count(*) AS n_events
+       | FROM numbered GROUP BY user_id, sid)
+       |SELECT strftime(day, '%Y-%m-%d') AS day,
+       | count(*) AS n_sessions,
+       | CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       | ${rSql("sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 6)} AS bounce_rate
+       |FROM sess GROUP BY day ORDER BY day""".stripMargin
+
   /** Event debounce ([[graft.operators.Sequences.debounce]]): first
     * event per (user, type) per 5-minute bucket — retry-storm /
     * double-fire thinning. Bucket id is a pure function of the
@@ -1414,6 +1517,9 @@ object ProfilingQueries {
     QueryDef("hourly_anomalies", hourlyAnomalies, Some(anomaliesOracle)),
     QueryDef("funnel_latency", funnelLatencyEvents, Some(funnelLatencyOracle)),
     QueryDef("event_debounce", eventDebounce, Some(debounceOracle)),
+    QueryDef("cumulative_users", cumulativeUsers, Some(cumulativeUsersOracle)),
+    QueryDef("bounce_rate", bounceRate, Some(bounceRateOracle)),
+    QueryDef("nullity_events", nullityEvents, Some(nullityOracle)),
     QueryDef("user_streaks", userStreaks, Some(streaksOracle)),
     QueryDef("event_paths", eventPaths, Some(pathsOracle)),
     QueryDef("revenue_concentration", revenueConcentration, Some(concentrationOracle)),

@@ -1327,6 +1327,82 @@ object RelationalQueries {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q8 national-market-share shape: of the revenue ASIA
+    * customers generated per year, the share supplied by NATION_3
+    * suppliers — conditional aggregation over a 5-way join, share =
+    * CASE-sum / sum within one grouped pass (no second scan, no
+    * self-join). Both nation roles broadcast; the ANSI guard nulls a
+    * year with zero denominator. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+        col("c_nationkey") === col("cn_key"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0.0))).as("__n"),
+        sum(rev).as("__d"))
+      .select(col("o_year"),
+        r(col("__n") / when(col("__d") =!= 0, col("__d")), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  private val q8Oracle: String =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       | ${rSql(
+         "sum(CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) / sum(l_extendedprice * (1 - l_discount))",
+         6)} AS mkt_share
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |JOIN region ON n1.n_regionkey = r_regionkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  /** Per-part cheapest observed supplier — the ARGMIN-per-group shape
+    * via `min(struct(price, supplier))`: lexicographic struct ordering
+    * makes the pick deterministic under ties (lowest supplier key
+    * wins), and the price is ROUNDED before the argmin so both engines
+    * rank candidates identically. One hash aggregation over lineitem —
+    * the per-group argmin never sorts within groups. */
+  def cheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val unitPrice = r(col("l_extendedprice") / col("l_quantity"), 6)
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        struct(unitPrice.as("price"), col("l_suppkey").as("supp")).as("c"))
+      .groupBy("l_partkey")
+      .agg(min("c").as("m"))
+      .select(col("l_partkey"), col("m.supp").as("supplier"),
+        col("m.price").as("unit_price"))
+      .orderBy("l_partkey")
+  }
+
+  private val cheapestSupplierOracle: String =
+    s"""SELECT l_partkey, supplier, unit_price
+       |FROM (
+       | SELECT l_partkey, l_suppkey AS supplier,
+       |  ${rSql("l_extendedprice / l_quantity", 6)} AS unit_price,
+       |  row_number() OVER (PARTITION BY l_partkey
+       |    ORDER BY ${rSql("l_extendedprice / l_quantity", 6)}, l_suppkey) AS rn
+       | FROM lineitem)
+       |WHERE rn = 1
+       |ORDER BY l_partkey""".stripMargin
+
   /** Share-of-parent analytics (the ratio_to_report shape): national
     * revenue as a share of its REGION's total plus the within-region
     * rank, via windows over the 25-row nation aggregate — corpus-scale
@@ -1640,6 +1716,8 @@ object RelationalQueries {
     QueryDef("q14_promo_effect", q14PromoEffect, Some(q14Oracle)),
     QueryDef("q19_discounted_revenue", q19DiscountedRevenue, Some(q19Oracle)),
     QueryDef("q4_order_priority", q4OrderPriority, Some(q4Oracle)),
+    QueryDef("q8_market_share", q8MarketShare, Some(q8Oracle)),
+    QueryDef("cheapest_supplier", cheapestSupplier, Some(cheapestSupplierOracle)),
     QueryDef("zorder_events", zorderEvents, Some(zorderEventsOracle)),
     QueryDef("zorder_pruned_scan", zorderPrunedScan, Some(zorderPrunedScanOracle)),
     QueryDef("partition_pruned_join", partitionPrunedJoin, Some(partitionPrunedJoinOracle)),
