@@ -73,4 +73,63 @@ object Graph {
     pairs.select(col(a).as("node"))
       .unionAll(pairs.select(col(b).as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
+
+  /** Weighted fixed-point PageRank: [[pageRank]] with per-edge LONG
+    * weights — each neighbor receives rank·w ÷ Σw (exact integer
+    * arithmetic, same partition-invariance argument). The natural form
+    * for co-occurrence graphs, where edge multiplicity (shared
+    * baskets, co-citation counts) should steer the mass. */
+  def pageRankWeighted(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      weightCol: String,
+      iters: Int = 5,
+      dampingPct: Int = 85,
+      scale: Long = 1000000L): DataFrame = {
+    require(dampingPct > 0 && dampingPct < 100, "dampingPct in (0,100)")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"),
+      col(weightCol).cast("long").as("w"))
+    val sw = e.groupBy("src").agg(sum("w").as("sw"))
+    val ed = e.join(sw, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    val base = scale * (100L - dampingPct) / 100L
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 1 to iters) {
+      val contribs = ed.join(ranks, col("src") === col("node"))
+        .select(col("dst").as("node"), expr("(rank * w) div sw").as("c"))
+        .groupBy("node").agg(sum("c").as("csum"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"(coalesce(csum, 0L) * $dampingPct) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Exact triangle census over a ONE-direction pair list (a < b per
+    * row): ordered-triple enumeration — two edges sharing the lowest
+    * vertex give the candidate (a, b, c), closed by a left-semi probe
+    * for (b, c) — so every triangle is counted exactly once and the
+    * join never materializes a direction-doubled edge set. Wedge count
+    * comes from the degree frame (Σ d·(d−1)/2, exact longs); global
+    * clustering coefficient = 3·triangles / wedges (null when the
+    * graph has no wedges). All three frames are 1-row or |nodes|-row;
+    * the only corpus-scale joins key on vertex ids. */
+  def triangleCensus(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val e = pairs.select(col(a).as("pa"), col(b).as("pb")).distinct()
+      .localCheckpoint() // three consumers: two join roles + the closer
+    val cand = e.as("e1")
+      .join(e.as("e2"), col("e1.pa") === col("e2.pa") && col("e1.pb") < col("e2.pb"))
+      .select(col("e1.pb").as("pa"), col("e2.pb").as("pb"))
+    val tri = cand.join(e, Seq("pa", "pb"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = degrees(e, "pa", "pb")
+      .agg(sum(expr("degree * (degree - 1) div 2")).as("n_wedges"))
+    tri.crossJoin(wedges)
+      .select(col("n_triangles"), col("n_wedges"),
+        (lit(3.0) * col("n_triangles") /
+          when(col("n_wedges") > 0, col("n_wedges"))).as("clustering_coeff"))
+  }
 }

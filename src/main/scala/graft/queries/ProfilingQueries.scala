@@ -1285,6 +1285,89 @@ object ProfilingQueries {
       .orderBy("part")
   }
 
+  /** WEIGHTED fixed-point PageRank over the same co-purchase graph
+    * ([[graft.operators.Graph.pageRankWeighted]]): mass flows in
+    * proportion to shared-basket counts — rank·w ÷ Σw per edge, exact
+    * integer arithmetic, BIGINT oracle like the unweighted twin. */
+  def pagerankWeightedParts(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.sources.Memo.tableFor(spark, dir, "copurchase-edges-w") {
+      val pairs = graft.operators.Stats.coOccurrence(
+          Tables.lineitem(spark, dir), "l_orderkey", "l_partkey", minCount = 2L)
+        .select("item_a", "item_b", "n_baskets")
+      pairs.unionAll(pairs.select(col("item_b").as("item_a"),
+        col("item_a").as("item_b"), col("n_baskets")))
+    }
+    graft.operators.Graph.pageRankWeighted(
+        edges, "item_a", "item_b", "n_baskets", iters = 5)
+      .select(col("node").as("part"), col("rank").as("rank_fp"))
+      .orderBy("part")
+  }
+
+  private val pagerankWeightedOracle: String = {
+    def step(i: Int): String =
+      s"""r$i AS (
+         | SELECT n.node, CAST(150000 + (coalesce(s.csum, 0) * 85) // 100 AS BIGINT) AS rank
+         | FROM nodes n LEFT JOIN (
+         |   SELECT pe.dst AS node, sum((pr.rank * pe.w) // pe.sw) AS csum
+         |   FROM pe JOIN r${i - 1} pr ON pe.src = pr.node
+         |   GROUP BY 1) s ON n.node = s.node)"""
+    s"""WITH it AS (
+       | SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+       | FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |p AS (
+       | SELECT a.i AS src, c.i AS dst, CAST(count(*) AS BIGINT) AS w
+       | FROM it a JOIN it c ON a.b = c.b AND a.i <> c.i
+       | GROUP BY 1, 2 HAVING count(*) >= 2),
+       |d AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM p GROUP BY 1),
+       |pe AS (SELECT p.src, p.dst, p.w, d.sw FROM p JOIN d ON p.src = d.src),
+       |nodes AS (SELECT DISTINCT src AS node FROM p),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       |${(1 to 5).map(step).mkString(",\n")}
+       |SELECT node AS part, CAST(rank AS BIGINT) AS rank_fp
+       |FROM r5 ORDER BY part""".stripMargin
+  }
+
+  /** Exact triangle census + global clustering coefficient over the
+    * co-purchase pair list ([[graft.operators.Graph.triangleCensus]]):
+    * ordered-triple enumeration closed by a left-semi probe, wedges
+    * from the degree frame in exact longs. Rides the memoized
+    * symmetric edge artifact, filtered back to one direction. */
+  def triangleParts(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.sources.Memo.tableFor(spark, dir, "copurchase-edges") {
+      val pairs = graft.operators.Stats.coOccurrence(
+          Tables.lineitem(spark, dir), "l_orderkey", "l_partkey", minCount = 2L)
+        .select("item_a", "item_b")
+      pairs.unionAll(
+        pairs.select(col("item_b").as("item_a"), col("item_a").as("item_b")))
+    }
+    graft.operators.Graph.triangleCensus(
+        edges.filter(col("item_a") < col("item_b")), "item_a", "item_b")
+      .select(col("n_triangles"), col("n_wedges"),
+        r(col("clustering_coeff"), 6).as("clustering_coeff"))
+  }
+
+  private val triangleOracle: String =
+    s"""WITH it AS (
+       | SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+       | FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |p AS (
+       | SELECT a.i AS pa, c.i AS pb
+       | FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+       | GROUP BY 1, 2 HAVING count(*) >= 2),
+       |t AS (
+       | SELECT count(*) AS n_triangles
+       | FROM p e1
+       | JOIN p e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+       | JOIN p e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+       |d AS (
+       | SELECT node, count(*) AS deg
+       | FROM (SELECT pa AS node FROM p UNION ALL SELECT pb FROM p)
+       | GROUP BY 1),
+       |w AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM d)
+       |SELECT n_triangles, n_wedges,
+       | ${rSql("3.0 * n_triangles / n_wedges", 6)} AS clustering_coeff
+       |FROM t, w""".stripMargin
+
   private val pagerankOracle: String = {
     def step(i: Int): String =
       s"""r$i AS (
@@ -1511,6 +1594,8 @@ object ProfilingQueries {
     QueryDef("retention_weekly", retentionEvents, Some(retentionOracle)),
     QueryDef("copurchase_parts", copurchaseParts, Some(copurchaseOracle)),
     QueryDef("pagerank_parts", pagerankParts, Some(pagerankOracle)),
+    QueryDef("pagerank_weighted_parts", pagerankWeightedParts, Some(pagerankWeightedOracle)),
+    QueryDef("triangle_census_parts", triangleParts, Some(triangleOracle)),
     QueryDef("pattern_census", patternCensusTables, Some(patternCensusOracle)),
     QueryDef("frequent_triples", frequentTriplesParts, Some(frequentTriplesOracle)),
     QueryDef("grouped_mad_docs", groupedMadDocs, Some(groupedMadOracle)),

@@ -56,6 +56,41 @@ class GraphSpec extends SparkSpec {
     assert(got === Map("x" -> 150000L))
   }
 
+  test("pageRankWeighted splits mass by edge weight exactly") {
+    // a -> b (w 3), a -> c (w 1): after 1 iter b gets rank*3 div 4,
+    // c gets rank div 4; b/c have no out-edges so only 'a' (base) and
+    // the two targets... but targets never appear as src -> dropped.
+    // Use a symmetric pair instead: a <-> b with w 2 and a <-> c w 1.
+    val e = Seq(("a", "b", 2L), ("b", "a", 2L), ("a", "c", 1L), ("c", "a", 1L))
+      .toDF("s", "d", "w")
+    val got = Graph.pageRankWeighted(e, "s", "d", "w", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a receives full rank of b (2/2) and c (1/1): 150000 + 85% of 2_000_000
+    // b receives 1_000_000*2 div 3; c receives 1_000_000 div 3
+    assert(got("a") === 150000L + 2000000L * 85L / 100L)
+    assert(got("b") === 150000L + (2000000L / 3L) * 85L / 100L)
+    assert(got("c") === 150000L + (1000000L / 3L) * 85L / 100L)
+  }
+
+  test("triangleCensus counts the one triangle and its wedges on the pendant graph") {
+    // triangle a-b-c plus pendant a-d: triangles = 1;
+    // degrees a=3,b=2,c=2,d=1 -> wedges = 3+1+1+0 = 5; coeff = 3/5
+    val pairs = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")).toDF("x", "y")
+    val row = Graph.triangleCensus(pairs, "x", "y").collect().head
+    assert(row.getLong(0) === 1L)
+    assert(row.getLong(1) === 5L)
+    assert(math.abs(row.getDouble(2) - 0.6) < 1e-12)
+  }
+
+  test("triangleCensus: triangle-free graph has zero triangles, null coeff when no wedges") {
+    val path = Seq(("a", "b"), ("b", "c")).toDF("x", "y") // one wedge, no triangle
+    val r1 = Graph.triangleCensus(path, "x", "y").collect().head
+    assert(r1.getLong(0) === 0L && r1.getLong(1) === 1L)
+    val single = Seq(("a", "b")).toDF("x", "y") // no wedges at all
+    val r2 = Graph.triangleCensus(single, "x", "y").collect().head
+    assert(r2.getLong(0) === 0L && r2.getLong(1) === 0L && r2.isNullAt(2))
+  }
+
   test("degrees counts both endpoints of a one-direction pair list") {
     val pairs = Seq(("a", "b"), ("a", "c")).toDF("x", "y")
     val got = Graph.degrees(pairs, "x", "y")
