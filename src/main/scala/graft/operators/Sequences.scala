@@ -138,6 +138,28 @@ object Sequences {
     counts.select(explode(array(rows: _*)).as("f")).select("f.*")
   }
 
+  /** CUSUM change-point screen over the daily count series: cumulative
+    * sum of deviations from the global daily mean — a level shift in
+    * the rate bends the cumulative path, and the |CUSUM| peak marks
+    * the most likely change day (Page 1954's classic chart, reduced to
+    * its batch screen). Corpus-scale work is one hash agg to the daily
+    * frame; the running sum and the peak flag run over the
+    * calendar-bounded day frame. Returns
+    * (day, cnt, cusum, is_peak). */
+  def cusumChangePoint(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = df.filter(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val mean = daily.agg(avg("cnt").as("__mean"))
+    val w = Window.orderBy("day").rowsBetween(Long.MinValue, 0L)
+    val withCusum = daily.crossJoin(broadcast(mean))
+      .withColumn("cusum", sum(col("cnt") - col("__mean")).over(w))
+    val peak = withCusum.agg(max(abs(col("cusum"))).as("__peak"))
+    withCusum.crossJoin(broadcast(peak))
+      .select(col("day"), col("cnt"), col("cusum"),
+        (abs(col("cusum")) === col("__peak")).as("is_peak"))
+  }
+
   /** Debounce: keep only the FIRST event per key per tumbling bucket —
     * the standard event-stream thinning (dedup of retry storms,
     * double-clicks, at-least-once replays) in batch form. One window

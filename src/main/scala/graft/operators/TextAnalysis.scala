@@ -151,6 +151,32 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(n)
 
+  /** Term burstiness — the variance-to-mean ratio (dispersion index)
+    * of per-document term counts, ZEROS INCLUDED: bursty topical terms
+    * concentrate in few documents (VMR ≫ 1); evenly-spread function
+    * words sit near the Poisson baseline (VMR ≈ 1). The
+    * corpus-linguistics screen for topical vs structural vocabulary.
+    *
+    * Shape: one per-(doc, term) tf aggregation → per-term moments
+    * (df, Σtf, Σtf²) — the zero docs enter only through the N scalar
+    * (broadcast 1-row), never as rows. `minDf` cuts the unstable
+    * low-frequency tail before any ranking. */
+  def termBurstiness(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long): DataFrame = {
+    val tf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val n = df.select(countDistinct(col(idCol)).cast("double").as("__N"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"),
+        sum(col("tf") * col("tf")).as("__tf2"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(n))
+      .withColumn("__mean", col("tf_total") / col("__N"))
+      .select(col("term"), col("df"), col("tf_total"),
+        ((col("__tf2") / col("__N") - col("__mean") * col("__mean")) /
+          col("__mean")).as("vmr"))
+  }
+
   /** Inverted-index postings: one (doc, pos, term) row per token
     * occurrence — the substrate search engines build once and query
     * many times. Callers filter to the query terms BEFORE joining, so

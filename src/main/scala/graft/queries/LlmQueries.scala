@@ -1523,6 +1523,34 @@ object LlmQueries {
       |WHERE rn <= 10
       |ORDER BY source, cap_rank""".stripMargin
 
+  /** Top-20 burstiest terms ([[TextAnalysis.termBurstiness]], df ≥ 50):
+    * variance-to-mean ratio of per-doc counts with zero docs entering
+    * through the N scalar; ordering and the cut on the ROUNDED ratio
+    * with the term as tie-break. */
+  def termBurstinessDocs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.termBurstiness(Tables.documents(spark, dir), "doc_id", "text",
+        minDf = 50L)
+      .select(col("term"), col("df"), col("tf_total"), r(col("vmr"), 6).as("vmr"))
+      .orderBy(col("vmr").desc, col("term"))
+      .limit(20)
+
+  private val burstinessOracle: String =
+    s"""WITH tf AS (
+       | SELECT doc_id, term, count(*) AS tf
+       | FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |       FROM documents)
+       | GROUP BY 1, 2),
+       |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM documents),
+       |m AS (
+       | SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+       |  CAST(sum(tf * tf) AS BIGINT) AS tf2
+       | FROM tf GROUP BY term HAVING count(*) >= 50)
+       |SELECT term, df, tf_total,
+       | ${rSql("(tf2 / nd - (tf_total / nd) * (tf_total / nd)) / (tf_total / nd)", 6)} AS vmr
+       |FROM m, n
+       |ORDER BY vmr DESC, term
+       |LIMIT 20""".stripMargin
+
   /** Balanced language downsampling
     * ([[graft.operators.Sampling.balanceClasses]], ratio 1.2, seed
     * 11): every language capped at ⌈minorityCount · 1.2⌉ docs by
@@ -3018,6 +3046,7 @@ object LlmQueries {
     QueryDef("cross_dedup_batch", crossDedupBatch, Some(crossDedupOracle)),
     QueryDef("cap_per_group", capPerGroupDocs, Some(capPerGroupOracle)),
     QueryDef("balance_langs", balanceLangs, Some(balanceLangsOracle)),
+    QueryDef("term_burstiness", termBurstinessDocs, Some(burstinessOracle)),
     QueryDef("mix_corpus", mixCorpus, Some(mixCorpusOracle)),
     QueryDef("mix_corpus_check", mixCorpusCheck, Some(mixCorpusCheckOracle)),
     QueryDef("mix_temperature", mixTemperature, Some(mixTemperatureOracle)),

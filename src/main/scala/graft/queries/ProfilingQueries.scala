@@ -1059,6 +1059,31 @@ object ProfilingQueries {
        |WHERE s > 0 AND ${rSql("(cnt - m) / s", 6)} >= 2
        |ORDER BY event_type, hour""".stripMargin
 
+  /** CUSUM change-point screen over daily event counts
+    * ([[graft.operators.Sequences.cusumChangePoint]]): the cumulative
+    * deviation path plus the |CUSUM|-peak flag — the "which day did
+    * the rate shift?" readout. */
+  def cusumEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.cusumChangePoint(Tables.events(spark, dir), "ts")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("cnt"),
+        r(col("cusum"), 6).as("cusum"), col("is_peak"))
+      .orderBy("day")
+
+  private val cusumOracle: String =
+    s"""WITH d AS (
+       | SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+       | FROM events WHERE ts IS NOT NULL GROUP BY 1),
+       |m AS (SELECT avg(cnt) AS mean FROM d),
+       |c AS (
+       | SELECT day, cnt,
+       |  sum(cnt - mean) OVER (ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+       | FROM d, m),
+       |p AS (SELECT max(abs(cusum)) AS peak FROM c)
+       |SELECT strftime(day, '%Y-%m-%d') AS day, cnt,
+       | ${rSql("cusum", 6)} AS cusum, abs(cusum) = peak AS is_peak
+       |FROM c, p ORDER BY day""".stripMargin
+
   /** Nullity correlation over a deterministic PLANTED missing-data
     * population ([[graft.operators.Stats.nullityCorrelation]]): the
     * raw tables carry no nulls, so the query nulls three event columns
@@ -1605,6 +1630,7 @@ object ProfilingQueries {
     QueryDef("cumulative_users", cumulativeUsers, Some(cumulativeUsersOracle)),
     QueryDef("bounce_rate", bounceRate, Some(bounceRateOracle)),
     QueryDef("nullity_events", nullityEvents, Some(nullityOracle)),
+    QueryDef("cusum_events", cusumEvents, Some(cusumOracle)),
     QueryDef("user_streaks", userStreaks, Some(streaksOracle)),
     QueryDef("event_paths", eventPaths, Some(pathsOracle)),
     QueryDef("revenue_concentration", revenueConcentration, Some(concentrationOracle)),
