@@ -64,6 +64,49 @@ object Stats {
     * plan's shuffles carry per-distinct-value rows and its only global
     * window runs over one row per partition. Constant factors at toy
     * scale lose to a plan that survives the scale-up. */
+  /** Lorenz curve — the distributional companion of [[gini]]: at each
+    * of `points` equal population quantiles (ascending by value), the
+    * cumulative share of the total value held by that poorest
+    * fraction. The classic inequality readout ("the bottom 50% of
+    * customers carry 9% of revenue").
+    *
+    * Scale shape: the member values reduce to the DISTINCT-value
+    * frame (one hash agg), whose per-value counts and value-sums ride
+    * [[Packing.groupedPrefixSum]]'s two-phase plan — the same
+    * machinery as the Spearman/KS statistics, so no single-task global
+    * window ever sees a corpus-sized frame. Quantile boundary
+    * positions are exact integers (ceil by integer division); within a
+    * tie run the share interpolates linearly, which equals any
+    * tie-ordering's cumulative sum. The `points`-row boundary frame
+    * broadcasts against the distinct frame. */
+  def lorenzCurve(df: DataFrame, valueCol: String, points: Int = 10): DataFrame = {
+    require(points >= 1, s"points must be >= 1, got $points")
+    val clean = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("v"))
+    val distinctV = clean.groupBy("v").agg(count(lit(1)).as("n_at"))
+      .withColumn("rev_at", col("v") * col("n_at"))
+      .withColumn("__g", lit(1))
+      .localCheckpoint() // feeds both prefix passes + the join
+    val withN = Packing.groupedPrefixSum(distinctV, "__g", "v", "n_at", "cum_n_before")
+      .select(col("v"), col("n_at"), col("cum_n_before"))
+    val withR = Packing.groupedPrefixSum(distinctV, "__g", "v", "rev_at", "cum_rev_before")
+      .select(col("v").as("__v2"), col("cum_rev_before"))
+    val brackets = withN.join(withR, col("v") === col("__v2")).drop("__v2")
+    val tot = clean.agg(count(lit(1)).as("__n"), sum("v").as("__tot"))
+    val bounds = df.sparkSession.range(1, points + 1)
+      .select(col("id").cast("int").as("point"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__p", expr(s"(__n * point + ${points - 1}) div $points"))
+    brackets.join(broadcast(bounds),
+        col("__p") > col("cum_n_before") &&
+          col("__p") <= col("cum_n_before") + col("n_at"))
+      .select(col("point"),
+        (col("point") / lit(points.toDouble)).as("pop_share"),
+        ((col("cum_rev_before") +
+            (col("__p") - col("cum_n_before")) * col("v")) /
+          when(col("__tot") =!= 0, col("__tot"))).as("value_share"))
+  }
+
   /** Nullity correlation (the missingno-style missing-data co-pattern
     * screen): Pearson correlation between the NULL-indicator flags of
     * column pairs — +1 means two columns go missing together, −1 they

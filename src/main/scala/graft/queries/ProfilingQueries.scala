@@ -1059,6 +1059,38 @@ object ProfilingQueries {
        |WHERE s > 0 AND ${rSql("(cnt - m) / s", 6)} >= 2
        |ORDER BY event_type, hour""".stripMargin
 
+  /** Lorenz curve of per-customer order revenue
+    * ([[graft.operators.Stats.lorenzCurve]], 10 deciles): cumulative
+    * revenue share of the poorest population fraction — the
+    * distributional companion of gini_revenue, computed through the
+    * two-phase prefix sum over the distinct-value frame. The oracle
+    * replays the ranked cumulative sum directly. */
+  def lorenzRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(sum("o_totalprice").as("rev"))
+    graft.operators.Stats.lorenzCurve(perCust, "rev", points = 10)
+      .select(col("point"), r(col("pop_share"), 6).as("pop_share"),
+        r(col("value_share"), 6).as("value_share"))
+      .orderBy("point")
+  }
+
+  private val lorenzOracle: String =
+    s"""WITH pc AS (
+       | SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY 1),
+       |c AS (
+       | SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS rn,
+       |  sum(rev) OVER (ORDER BY rev, o_custkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       | FROM pc),
+       |t AS (SELECT count(*) AS n, sum(rev) AS tot FROM pc),
+       |d AS (SELECT unnest(range(1, 11)) AS point)
+       |SELECT CAST(point AS INT) AS point,
+       | ${rSql("point / 10.0", 6)} AS pop_share,
+       | ${rSql("c.cum / t.tot", 6)} AS value_share
+       |FROM d CROSS JOIN t
+       |JOIN c ON c.rn = (t.n * point + 9) // 10
+       |ORDER BY point""".stripMargin
+
   /** CUSUM change-point screen over daily event counts
     * ([[graft.operators.Sequences.cusumChangePoint]]): the cumulative
     * deviation path plus the |CUSUM|-peak flag — the "which day did
@@ -1631,6 +1663,7 @@ object ProfilingQueries {
     QueryDef("bounce_rate", bounceRate, Some(bounceRateOracle)),
     QueryDef("nullity_events", nullityEvents, Some(nullityOracle)),
     QueryDef("cusum_events", cusumEvents, Some(cusumOracle)),
+    QueryDef("lorenz_revenue", lorenzRevenue, Some(lorenzOracle)),
     QueryDef("user_streaks", userStreaks, Some(streaksOracle)),
     QueryDef("event_paths", eventPaths, Some(pathsOracle)),
     QueryDef("revenue_concentration", revenueConcentration, Some(concentrationOracle)),

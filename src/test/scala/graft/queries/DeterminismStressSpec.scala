@@ -80,7 +80,10 @@ class DeterminismStressSpec extends SparkSpec {
       "entity_resolution_names", "cms_freq_check",
       // round-10: the exact KS statistics ride the same two-phase
       // prefix sums over the distinct-value frames
-      "ks_drift_lineitem", "ks_drift_by_priority")
+      "ks_drift_lineitem", "ks_drift_by_priority",
+      // round-10 second batch: the Lorenz brackets ride the same
+      // two-phase prefix sums over the distinct-value frame
+      "lorenz_revenue")
     val defaults = queries.map(q => q -> canonical(q)).toMap
     dropCaches()
     val sweeps: Seq[(String, Seq[(String, String)])] = Seq(
