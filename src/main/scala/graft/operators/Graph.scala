@@ -108,6 +108,37 @@ object Graph {
     ranks
   }
 
+  /** Semi-synchronous LABEL PROPAGATION community detection (Raghavan
+    * et al. 2007) with a fully deterministic argmax: labels start as
+    * node ids; each round every node adopts the most frequent label
+    * among its neighbors, ties to the SMALLEST label — expressed as
+    * `max(struct(cnt, −label))`, one grouped count + one grouped max
+    * per round, both keyed on node ids. Fixed iteration count (no
+    * convergence test), exact long counts and total-order tie-breaks,
+    * so the result is partition-invariant and a pure function of the
+    * edge set — the same reproducibility contract as [[pageRank]].
+    * `edges` must carry both directions. Per-round localCheckpoint
+    * keeps the plan O(1) per iteration. */
+  def labelPropagation(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      iters: Int = 3): DataFrame = {
+    val ed = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .localCheckpoint()
+    val nodes = ed.select(col("src").as("node")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val hist = ed.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+      val next = hist.groupBy(col("src"))
+        .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))
+      labels = next.localCheckpoint()
+    }
+    labels
+  }
+
   /** Exact triangle census over a ONE-direction pair list (a < b per
     * row): ordered-triple enumeration — two edges sharing the lowest
     * vertex give the candidate (a, b, c), closed by a left-semi probe

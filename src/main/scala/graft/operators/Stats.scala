@@ -193,6 +193,23 @@ object Stats {
         percentile(abs(col(valueCol) - col("med")), lit(0.5)).as("mad"))
   }
 
+  /** Modified z-score (Iglewicz–Hoaglin): 0.6745·(x − median)/MAD per
+    * group — the robust outlier score that survives the heavy tails
+    * that wreck mean/std z-scores (a single spike inflates std enough
+    * to hide itself; the median/MAD baseline doesn't move). Rides
+    * [[groupedMad]]; groups with zero MAD (constant columns) yield
+    * null scores. Returns every row with (median, mad, mz) attached —
+    * callers threshold (|mz| ≥ 3.5 is the published cut). */
+  def modifiedZ(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val m = groupedMad(df, groupCol, valueCol).select(
+      col(groupCol), col("median"), col("mad"))
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .join(m, groupCol)
+      .withColumn("mz",
+        lit(0.6745) * (col(valueCol) - col("median")) /
+          when(col("mad") =!= 0, col("mad")))
+  }
+
   /** Exact type-7 interpolated quantiles (pandas / quantile_cont
     * semantics) computed DISTRIBUTED — the whole-table replacement for
     * Spark's `percentile` aggregate, whose value→count map buffers every

@@ -1425,6 +1425,88 @@ object ProfilingQueries {
        | ${rSql("3.0 * n_triangles / n_wedges", 6)} AS clustering_coeff
        |FROM t, w""".stripMargin
 
+  /** Label-propagation communities over the co-purchase graph
+    * ([[graft.operators.Graph.labelPropagation]], 3 rounds):
+    * deterministic LPA — most-frequent neighbor label, ties to the
+    * smallest — unrolled by the oracle as three grouped-count +
+    * window-argmax CTEs. Exact longs and total-order tie-breaks end to
+    * end. */
+  def communitiesParts(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.sources.Memo.tableFor(spark, dir, "copurchase-edges") {
+      val pairs = graft.operators.Stats.coOccurrence(
+          Tables.lineitem(spark, dir), "l_orderkey", "l_partkey", minCount = 2L)
+        .select("item_a", "item_b")
+      pairs.unionAll(
+        pairs.select(col("item_b").as("item_a"), col("item_a").as("item_b")))
+    }
+    graft.operators.Graph.labelPropagation(edges, "item_a", "item_b", iters = 3)
+      .select(col("node").as("part"), col("label").as("community"))
+      .orderBy("part")
+  }
+
+  private val communitiesOracle: String = {
+    def step(i: Int): String =
+      s"""l$i AS (
+         | SELECT node, label FROM (
+         |  SELECT src AS node, label,
+         |   row_number() OVER (PARTITION BY src ORDER BY cnt DESC, label ASC) AS rn
+         |  FROM (SELECT p.src, l.label, count(*) AS cnt
+         |        FROM p JOIN l${i - 1} l ON p.dst = l.node
+         |        GROUP BY 1, 2))
+         | WHERE rn = 1)"""
+    s"""WITH it AS (
+       | SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+       | FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |p AS (
+       | SELECT a.i AS src, c.i AS dst
+       | FROM it a JOIN it c ON a.b = c.b AND a.i <> c.i
+       | GROUP BY 1, 2 HAVING count(*) >= 2),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM p),
+       |${(1 to 3).map(step).mkString(",\n")}
+       |SELECT node AS part, label AS community
+       |FROM l3 ORDER BY part""".stripMargin
+  }
+
+  /** Iglewicz–Hoaglin modified-z outlier flags over a deterministic
+    * PLANTED spike population ([[graft.operators.Stats.modifiedZ]]):
+    * every 997th order's total price is scaled ×20, and the robust
+    * score must flag exactly that population — the |mz| ≥ 3.5
+    * published cut applied to the ROUNDED score on both engines. The
+    * median/MAD baseline barely moves under the plant, which is the
+    * point: a mean/std z would inflate std and hide the spikes. */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      when(pmod(col("o_orderkey"), lit(997)) === 0, col("o_totalprice") * 20.0)
+        .otherwise(col("o_totalprice")).as("price"))
+    graft.operators.Stats.modifiedZ(planted, "o_orderpriority", "price")
+      .withColumn("mz", r(col("mz"), 6))
+      .filter(abs(col("mz")) >= 3.5)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        r(col("price"), 2).as("price"), col("mz"))
+      .orderBy("o_orderkey")
+  }
+
+  private val robustOutliersOracle: String =
+    s"""WITH pl AS (
+       | SELECT o_orderkey, o_orderpriority,
+       |  CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice * 20.0
+       |       ELSE o_totalprice END AS price
+       | FROM orders),
+       |m AS (SELECT o_orderpriority AS g, quantile_cont(price, 0.5) AS med
+       |      FROM pl GROUP BY 1),
+       |mad AS (SELECT pl.o_orderpriority AS g,
+       |         quantile_cont(abs(price - m.med), 0.5) AS mad
+       |        FROM pl JOIN m ON pl.o_orderpriority = m.g GROUP BY 1),
+       |z AS (
+       | SELECT o_orderkey, pl.o_orderpriority, price,
+       |  ${rSql("0.6745 * (price - m.med) / NULLIF(mad.mad, 0)", 6)} AS mz
+       | FROM pl JOIN m ON pl.o_orderpriority = m.g
+       | JOIN mad ON pl.o_orderpriority = mad.g)
+       |SELECT o_orderkey, o_orderpriority, ${rSql("price", 2)} AS price, mz
+       |FROM z WHERE abs(mz) >= 3.5
+       |ORDER BY o_orderkey""".stripMargin
+
   private val pagerankOracle: String = {
     def step(i: Int): String =
       s"""r$i AS (
@@ -1653,6 +1735,8 @@ object ProfilingQueries {
     QueryDef("pagerank_parts", pagerankParts, Some(pagerankOracle)),
     QueryDef("pagerank_weighted_parts", pagerankWeightedParts, Some(pagerankWeightedOracle)),
     QueryDef("triangle_census_parts", triangleParts, Some(triangleOracle)),
+    QueryDef("communities_parts", communitiesParts, Some(communitiesOracle)),
+    QueryDef("robust_outliers", robustOutliers, Some(robustOutliersOracle)),
     QueryDef("pattern_census", patternCensusTables, Some(patternCensusOracle)),
     QueryDef("frequent_triples", frequentTriplesParts, Some(frequentTriplesOracle)),
     QueryDef("grouped_mad_docs", groupedMadDocs, Some(groupedMadOracle)),

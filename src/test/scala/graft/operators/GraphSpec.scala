@@ -91,6 +91,26 @@ class GraphSpec extends SparkSpec {
     assert(r2.getLong(0) === 0L && r2.getLong(1) === 0L && r2.isNullAt(2))
   }
 
+  test("labelPropagation converges two disjoint triangles to their min labels") {
+    def tri(a: Long, b: Long, c: Long) =
+      Seq((a, b), (b, a), (b, c), (c, b), (a, c), (c, a))
+    val e = (tri(1L, 2L, 3L) ++ tri(10L, 11L, 12L)).toDF("s", "d")
+    val got = Graph.labelPropagation(e, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation is partition-invariant") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+      .toDF("s", "d")
+    val r1 = Graph.labelPropagation(e.repartition(1), "s", "d", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r7 = Graph.labelPropagation(e.repartition(7), "s", "d", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === r7)
+  }
+
   test("degrees counts both endpoints of a one-direction pair list") {
     val pairs = Seq(("a", "b"), ("a", "c")).toDF("x", "y")
     val got = Graph.degrees(pairs, "x", "y")
