@@ -138,6 +138,31 @@ object Sequences {
     counts.select(explode(array(rows: _*)).as("f")).select("f.*")
   }
 
+  /** User survival curve: for each horizon day d, the fraction of keys
+    * whose observed LIFETIME (last active day − first active day)
+    * reaches d — the churn/retention readout by engagement span.
+    * One corpus-scale hash agg to per-key lifetimes; the distinct
+    * lifetime values collapse to a bounded frame (≤ elapsed days),
+    * against which the `horizonDays`+1-row horizon frame broadcasts.
+    * Returns (d, n_surviving, survival). */
+  def survivalCurve(df: DataFrame, keyCol: String, tsCol: String,
+      horizonDays: Int): DataFrame = {
+    val lt = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol))))
+        .as("lifetime"))
+    val lc = lt.groupBy("lifetime").agg(count(lit(1)).as("n_at"))
+    val tot = lt.agg(count(lit(1)).as("__n"))
+    df.sparkSession.range(0, horizonDays + 1L)
+      .select(col("id").cast("int").as("d"))
+      .join(broadcast(lc), col("lifetime") >= col("d"), "left")
+      .groupBy("d")
+      .agg(coalesce(sum("n_at"), lit(0L)).as("n_surviving"))
+      .crossJoin(broadcast(tot))
+      .select(col("d"), col("n_surviving"),
+        (col("n_surviving") / when(col("__n") > 0, col("__n"))).as("survival"))
+  }
+
   /** CUSUM change-point screen over the daily count series: cumulative
     * sum of deviations from the global daily mean — a level shift in
     * the rate bends the cumulative path, and the |CUSUM| peak marks

@@ -613,6 +613,43 @@ object Stats {
           (col("n_members") + 1) / col("n_members")).as("gini"))
   }
 
+  /** Association RULES over basket co-occurrence — [[coOccurrence]]'s
+    * directional completion: every frequent pair emits BOTH rules
+    * a→b and b→a with support n_ab/N, confidence n_ab/n_antecedent and
+    * the (symmetric) lift. The standard market-basket readout; rules
+    * are what recommenders and cross-sell screens consume, and
+    * confidence is direction-sensitive where lift is not. Same
+    * scale shape as the pair pass — pairs meet only inside baskets,
+    * item counts broadcast-join back. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minCount: Long): DataFrame = {
+    val items = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+      .localCheckpoint()
+    val itemCounts = items.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val totals = items.agg(countDistinct("b").as("__N"))
+    val pairs = items.as("x")
+      .join(items.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("ia"), col("y.i").as("ib"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val directed = pairs.select(col("ia").as("antecedent"),
+        col("ib").as("consequent"), col("n_ab"))
+      .unionAll(pairs.select(col("ib"), col("ia"), col("n_ab")))
+    directed
+      .join(itemCounts.select(col("i"), col("n_i").as("n_ante")),
+        col("antecedent") === col("i")).drop("i")
+      .join(itemCounts.select(col("i"), col("n_i").as("n_cons")),
+        col("consequent") === col("i")).drop("i")
+      .crossJoin(broadcast(totals))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        (col("n_ab") / col("__N").cast("double")).as("support"),
+        (col("n_ab") / col("n_ante").cast("double")).as("confidence"),
+        ((col("n_ab") * col("__N").cast("double")) /
+          (col("n_ante") * col("n_cons"))).as("lift"))
+  }
+
   /** Frequent 3-itemsets with one Apriori candidate-pruning step
     * (Agrawal & Srikant 1994, downward closure): a triple can reach
     * `minCount` support only if all three of its pairs do, so

@@ -1059,6 +1059,70 @@ object ProfilingQueries {
        |WHERE s > 0 AND ${rSql("(cnt - m) / s", 6)} >= 2
        |ORDER BY event_type, hour""".stripMargin
 
+  /** User survival curve over events
+    * ([[graft.operators.Sequences.survivalCurve]], 30-day horizon):
+    * fraction of users whose active lifetime reaches each day d. */
+  def survivalEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.survivalCurve(
+        Tables.events(spark, dir), "user_id", "ts", horizonDays = 30)
+      .select(col("d"), col("n_surviving"), r(col("survival"), 6).as("survival"))
+      .orderBy("d")
+
+  private val survivalOracle: String =
+    s"""WITH lt AS (
+       | SELECT user_id,
+       |  date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS lifetime
+       | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       | GROUP BY user_id),
+       |t AS (SELECT count(*) AS n FROM lt),
+       |d AS (SELECT unnest(range(0, 31)) AS d),
+       |s AS (
+       | SELECT d.d, CAST(count(lt.user_id) AS BIGINT) AS n_surviving
+       | FROM d LEFT JOIN lt ON lt.lifetime >= d.d
+       | GROUP BY d.d)
+       |SELECT CAST(s.d AS INT) AS d, s.n_surviving,
+       | ${rSql("s.n_surviving / CAST(t.n AS DOUBLE)", 6)} AS survival
+       |FROM s CROSS JOIN t
+       |ORDER BY d""".stripMargin
+
+  /** Top-20 association rules by confidence over lineitem baskets
+    * ([[graft.operators.Stats.associationRules]], pair support ≥ 3):
+    * both rule directions with support/confidence/lift; ordering and
+    * the cut on the ROUNDED confidence with the rule as tie-break. */
+  def assocRulesParts(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.associationRules(
+        Tables.lineitem(spark, dir), "l_orderkey", "l_partkey", minCount = 3L)
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        r(col("support"), 6).as("support"),
+        r(col("confidence"), 6).as("confidence"),
+        r(col("lift"), 6).as("lift"))
+      .orderBy(col("confidence").desc, col("antecedent"), col("consequent"))
+      .limit(20)
+
+  private val assocRulesOracle: String =
+    s"""WITH it AS (
+       | SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+       | FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |ic AS (SELECT i, count(*) AS n_i FROM it GROUP BY i),
+       |tot AS (SELECT count(DISTINCT b) AS n FROM it),
+       |p AS (
+       | SELECT a.i AS ia, c.i AS ib, count(*) AS n_ab
+       | FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+       | GROUP BY 1, 2 HAVING count(*) >= 3),
+       |r AS (
+       | SELECT ia AS antecedent, ib AS consequent, n_ab FROM p
+       | UNION ALL SELECT ib, ia, n_ab FROM p)
+       |SELECT antecedent, consequent, n_ab,
+       | ${rSql("n_ab / CAST(n AS DOUBLE)", 6)} AS support,
+       | ${rSql("n_ab / CAST(a.n_i AS DOUBLE)", 6)} AS confidence,
+       | ${rSql("(n_ab * CAST(n AS DOUBLE)) / (a.n_i * c.n_i)", 6)} AS lift
+       |FROM r
+       |JOIN ic a ON antecedent = a.i
+       |JOIN ic c ON consequent = c.i
+       |CROSS JOIN tot
+       |ORDER BY confidence DESC, antecedent, consequent
+       |LIMIT 20""".stripMargin
+
   /** Lorenz curve of per-customer order revenue
     * ([[graft.operators.Stats.lorenzCurve]], 10 deciles): cumulative
     * revenue share of the poorest population fraction — the
@@ -1748,6 +1812,8 @@ object ProfilingQueries {
     QueryDef("nullity_events", nullityEvents, Some(nullityOracle)),
     QueryDef("cusum_events", cusumEvents, Some(cusumOracle)),
     QueryDef("lorenz_revenue", lorenzRevenue, Some(lorenzOracle)),
+    QueryDef("survival_curve", survivalEvents, Some(survivalOracle)),
+    QueryDef("assoc_rules_parts", assocRulesParts, Some(assocRulesOracle)),
     QueryDef("user_streaks", userStreaks, Some(streaksOracle)),
     QueryDef("event_paths", eventPaths, Some(pathsOracle)),
     QueryDef("revenue_concentration", revenueConcentration, Some(concentrationOracle)),
