@@ -1403,6 +1403,98 @@ object RelationalQueries {
        |WHERE rn = 1
        |ORDER BY l_partkey""".stripMargin
 
+  /** TPC-H Q13 customer-distribution shape: orders per customer
+    * INCLUDING zero-order customers (the left outer join whose
+    * unmatched side must survive), then the histogram of those counts
+    * — a double aggregation where losing the NULL-preserving join
+    * silently drops the largest bucket. */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.customer(spark, dir).select("c_custkey")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13Oracle: String =
+    s"""SELECT c_count, count(*) AS custdist
+       |FROM (
+       | SELECT c_custkey, count(o_orderkey) AS c_count
+       | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       | GROUP BY c_custkey)
+       |GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q17 small-quantity-order shape: revenue from lineitems of
+    * one brand whose quantity is below 20% of that PART's average
+    * quantity — the per-group-aggregate-as-threshold pattern. The
+    * correlated scalar avg becomes one grouped pass joined back on
+    * partkey (co-located); the threshold compares against the ROUNDED
+    * per-part average on both engines. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#13").select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+    val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
+      .agg(r(avg("l_quantity"), 6).as("avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("ap_key"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(r(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q17Oracle: String =
+    s"""WITH bl AS (
+       | SELECT l_partkey, l_quantity, l_extendedprice
+       | FROM lineitem JOIN part ON l_partkey = p_partkey
+       | WHERE p_brand = 'Brand#13'),
+       |aq AS (
+       | SELECT l_partkey AS k, ${rSql("avg(l_quantity)", 6)} AS avg_qty
+       | FROM bl GROUP BY 1)
+       |SELECT ${rSql("sum(l_extendedprice) / 7.0", 2)} AS avg_yearly,
+       | count(*) AS n_items
+       |FROM bl JOIN aq ON l_partkey = k
+       |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
+  /** TPC-H Q22 global-sales-opportunity shape (restated without the
+    * phone-prefix filter the corpus lacks): customers with an
+    * above-average positive balance and NO orders — a scalar-subquery
+    * threshold plus an ANTI join, counted per nation. The scalar avg
+    * broadcasts; the anti join is the only corpus-scale operation. */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(r(avg("c_acctbal"), 6).as("avg_bal"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, dir).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"), r(sum("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("n_name")
+  }
+
+  private val q22Oracle: String =
+    s"""WITH ab AS (
+       | SELECT ${rSql("avg(c_acctbal)", 6)} AS avg_bal
+       | FROM customer WHERE c_acctbal > 0)
+       |SELECT n_name, count(*) AS numcust,
+       | ${rSql("sum(c_acctbal)", 2)} AS totacctbal
+       |FROM customer CROSS JOIN ab
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE c_acctbal > avg_bal
+       | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
   /** Share-of-parent analytics (the ratio_to_report shape): national
     * revenue as a share of its REGION's total plus the within-region
     * rank, via windows over the 25-row nation aggregate — corpus-scale
@@ -1718,6 +1810,9 @@ object RelationalQueries {
     QueryDef("q4_order_priority", q4OrderPriority, Some(q4Oracle)),
     QueryDef("q8_market_share", q8MarketShare, Some(q8Oracle)),
     QueryDef("cheapest_supplier", cheapestSupplier, Some(cheapestSupplierOracle)),
+    QueryDef("q13_custdist", q13CustDist, Some(q13Oracle)),
+    QueryDef("q17_small_quantity", q17SmallQuantity, Some(q17Oracle)),
+    QueryDef("q22_idle_customers", q22IdleCustomers, Some(q22Oracle)),
     QueryDef("zorder_events", zorderEvents, Some(zorderEventsOracle)),
     QueryDef("zorder_pruned_scan", zorderPrunedScan, Some(zorderPrunedScanOracle)),
     QueryDef("partition_pruned_join", partitionPrunedJoin, Some(partitionPrunedJoinOracle)),
