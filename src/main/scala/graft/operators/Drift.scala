@@ -262,4 +262,43 @@ object Drift {
     summarize(base, "base").join(summarize(other, "other"), Seq("column", "metric"))
       .withColumn("delta", col("other") - col("base"))
   }
+
+  /** Pairwise similarity between per-slice unigram DISTRIBUTIONS — the
+    * corpus-mixing diagnostic ("how alike are my sources?"): restrict
+    * to the global top-`topN` terms (the bounded comparison
+    * vocabulary), normalize each slice's counts over that vocabulary,
+    * then for every slice pair the weighted Jaccard Σmin/Σmax and the
+    * total-variation distance ½Σ|p−q|. Terms a slice lacks enter as 0
+    * through the slices × vocabulary grid (|slices|·topN rows — both
+    * factors bounded, so the grid and every pair join are phase-2
+    * frames; the only corpus-scale work is the one token-count pass).
+    * Returns (slice_a, slice_b, wjaccard, tv_dist). */
+  def sliceUnigramSimilarity(df: DataFrame, sliceCol: String,
+      textCol: String, topN: Int): DataFrame = {
+    val toks = df
+      .filter(col(sliceCol).isNotNull)
+      .select(col(sliceCol).as("slice"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val counts = toks.groupBy("slice", "term").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the vocabulary cut and the grid join
+    val vocab = counts.groupBy("term").agg(sum("cnt").as("g"))
+      .orderBy(col("g").desc, col("term")).limit(topN).select("term")
+    val restricted = counts.join(vocab, "term")
+    val totals = restricted.groupBy("slice").agg(sum("cnt").as("tot"))
+    val p = restricted.join(totals, "slice")
+      .select(col("slice"), col("term"),
+        (col("cnt") / col("tot").cast("double")).as("p"))
+    val grid = totals.select("slice").crossJoin(vocab)
+      .join(p, Seq("slice", "term"), "left")
+      .withColumn("p", coalesce(col("p"), lit(0.0)))
+    grid.as("a")
+      .join(grid.as("b"),
+        col("a.term") === col("b.term") && col("a.slice") < col("b.slice"))
+      .groupBy(col("a.slice").as("slice_a"), col("b.slice").as("slice_b"))
+      .agg(
+        (sum(least(col("a.p"), col("b.p"))) /
+          when(sum(greatest(col("a.p"), col("b.p"))) =!= 0,
+            sum(greatest(col("a.p"), col("b.p"))))).as("wjaccard"),
+        (lit(0.5) * sum(abs(col("a.p") - col("b.p")))).as("tv_dist"))
+  }
 }

@@ -1523,6 +1523,44 @@ object LlmQueries {
       |WHERE rn <= 10
       |ORDER BY source, cap_rank""".stripMargin
 
+  /** Pairwise source-distribution similarity
+    * ([[graft.operators.Drift.sliceUnigramSimilarity]], top-200
+    * vocabulary): weighted Jaccard + total-variation distance between
+    * every pair of sources' unigram distributions — the corpus-mixing
+    * diagnostic. The oracle rebuilds the vocabulary cut, the zero-fill
+    * grid and both reductions. */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.sliceUnigramSimilarity(
+        Tables.documents(spark, dir), "source", "text", topN = 200)
+      .select(col("slice_a"), col("slice_b"),
+        r(col("wjaccard"), 6).as("wjaccard"), r(col("tv_dist"), 6).as("tv_dist"))
+      .orderBy("slice_a", "slice_b")
+
+  private val sourceSimilarityOracle: String =
+    s"""WITH toks AS (
+       | SELECT source AS slice,
+       |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       | FROM documents WHERE source IS NOT NULL),
+       |counts AS (SELECT slice, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |vocab AS (
+       | SELECT term FROM (
+       |  SELECT term, sum(cnt) AS g FROM counts GROUP BY 1
+       |  ORDER BY g DESC, term LIMIT 200)),
+       |rr AS (SELECT c.slice, c.term, c.cnt FROM counts c JOIN vocab USING (term)),
+       |t AS (SELECT slice, CAST(sum(cnt) AS BIGINT) AS tot FROM rr GROUP BY 1),
+       |p AS (
+       | SELECT rr.slice, rr.term, rr.cnt / CAST(t.tot AS DOUBLE) AS p
+       | FROM rr JOIN t USING (slice)),
+       |grid AS (
+       | SELECT t.slice, v.term, coalesce(p.p, 0.0) AS p
+       | FROM t CROSS JOIN vocab v
+       | LEFT JOIN p ON p.slice = t.slice AND p.term = v.term)
+       |SELECT a.slice AS slice_a, b.slice AS slice_b,
+       | ${rSql("sum(least(a.p, b.p)) / sum(greatest(a.p, b.p))", 6)} AS wjaccard,
+       | ${rSql("0.5 * sum(abs(a.p - b.p))", 6)} AS tv_dist
+       |FROM grid a JOIN grid b ON a.term = b.term AND a.slice < b.slice
+       |GROUP BY 1, 2 ORDER BY slice_a, slice_b""".stripMargin
+
   /** Top-20 burstiest terms ([[TextAnalysis.termBurstiness]], df ≥ 50):
     * variance-to-mean ratio of per-doc counts with zero docs entering
     * through the N scalar; ordering and the cut on the ROUNDED ratio
@@ -3047,6 +3085,7 @@ object LlmQueries {
     QueryDef("cap_per_group", capPerGroupDocs, Some(capPerGroupOracle)),
     QueryDef("balance_langs", balanceLangs, Some(balanceLangsOracle)),
     QueryDef("term_burstiness", termBurstinessDocs, Some(burstinessOracle)),
+    QueryDef("source_similarity", sourceSimilarity, Some(sourceSimilarityOracle)),
     QueryDef("mix_corpus", mixCorpus, Some(mixCorpusOracle)),
     QueryDef("mix_corpus_check", mixCorpusCheck, Some(mixCorpusCheckOracle)),
     QueryDef("mix_temperature", mixTemperature, Some(mixTemperatureOracle)),
