@@ -16,7 +16,11 @@ object SparkEntry {
     ProfilingQueries.all ++ RelationalQueries.all ++ LlmQueries.all ++
       StreamShapeQueries.all ++ GeoQueries.all ++ SketchQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Since round 11 the customer dimension inside rides
+    * [[graft.operators.SizeGuard.broadcastIfSmall]]: at smoke scale the
+    * plan is the same broadcast star join (rows > 0 unchanged); past
+    * `graft.broadcast.maxRows` it becomes a shuffled equi-join. */
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.joinBroadcastRevenue(spark, "/root/testdata/sf0.001")
 

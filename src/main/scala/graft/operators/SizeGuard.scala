@@ -23,11 +23,11 @@ import org.apache.spark.sql.functions.broadcast
   *    group budgets, per-slice bases (Packing, Sampling, CountMin,
   *    LlmQueries threshold tables): bounded by the domain, not the
   *    corpus; documented at each site.
-  *  - TPC-H dimension tables (nation/region/customer/part in
-  *    RelationalQueries): the TPC-H spec fixes nation=25/region=5;
-  *    customer/part scale with SF and would be guarded in a general
-  *    engine, but these queries model the published TPC-H plan shapes
-  *    where dimension broadcast IS the reference plan.
+  *  - TPC-H dimension tables: nation/region are spec-bounded (25/5
+  *    rows) and stay forced broadcasts; customer/part scale with SF and
+  *    ride [[broadcastIfSmall]] (joinBroadcastRevenue/joinPartRevenue) —
+  *    the gate-scale plan shape (BroadcastHashJoin) is unchanged, the
+  *    100 TB path shuffles.
   *  - corpus-growing frames (distinct strings, λ vocabulary, pair
   *    graphs): MUST come through [[broadcastIfSmall]] / [[fits]].
   */

@@ -66,12 +66,17 @@ object RelationalQueries {
       |WHERE l_quantity >= 45 AND l_discount > 0.05
       |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin
 
-  /** Star join: fact orders → customer → nation → region, dims broadcast.
-    * At 100 TB: orders shuffles only for the final groupBy; the dimension
-    * joins are map-side via broadcast. */
+  /** Star join: fact orders → customer → nation → region. nation/region
+    * are spec-bounded (25/5 rows) and always broadcast; customer SCALES
+    * WITH SF (billions of rows at 100 TB), so it rides
+    * [[graft.operators.SizeGuard.broadcastIfSmall]] — map-side broadcast
+    * below `graft.broadcast.maxRows`, shuffled equi-join above. At gate
+    * scale the plan shape (BroadcastHashJoin) is unchanged; at 100 TB
+    * the guard is what keeps executors alive. */
   def joinBroadcastRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(graft.operators.SizeGuard.broadcastIfSmall(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -497,11 +502,14 @@ object RelationalQueries {
       | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 2 MINUTE
       |ORDER BY click_id, purchase_id""".stripMargin
 
-  /** Fact-to-part join: lineitem against the broadcast part dimension,
-    * revenue per brand. */
+  /** Fact-to-part join: lineitem against the part dimension, revenue per
+    * brand. part scales with SF, so the broadcast is size-guarded
+    * ([[graft.operators.SizeGuard.broadcastIfSmall]]): map-side broadcast
+    * at gate scale, shuffled equi-join past `graft.broadcast.maxRows`. */
   def joinPartRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(graft.operators.SizeGuard.broadcastIfSmall(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))

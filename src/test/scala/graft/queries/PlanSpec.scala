@@ -34,6 +34,45 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("star join customer falls back to shuffle past the size bound") {
+    // customer scales with SF; above graft.broadcast.maxRows the SizeGuard
+    // must yield a shuffled equi-join (the 100 TB path). nation/region stay
+    // broadcast — they are spec-bounded, so BroadcastHashJoin may appear;
+    // the assert is that a shuffle join carries the o_custkey = c_custkey key.
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("graft.broadcast.maxRows", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf(RelationalQueries.joinBroadcastRevenue(spark, dir))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"over-bound customer join must shuffle:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally {
+      spark.conf.unset("graft.broadcast.maxRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
+  test("part revenue join: broadcast below the bound, shuffle above it") {
+    val below = planOf(RelationalQueries.joinPartRevenue(spark, dir))
+    assert(below.contains("BroadcastHashJoin"),
+      s"gate-scale part dim must broadcast:\n$below")
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("graft.broadcast.maxRows", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val above = planOf(RelationalQueries.joinPartRevenue(spark, dir))
+      assert(above.contains("SortMergeJoin") || above.contains("ShuffledHashJoin"),
+        s"over-bound part join must shuffle:\n$above")
+      assert(!above.contains("BroadcastHashJoin"),
+        s"over-bound part must not broadcast:\n$above")
+    } finally {
+      spark.conf.unset("graft.broadcast.maxRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
   test("global top-k plans TakeOrderedAndProject, not a full sort") {
     val plan = planOf(RelationalQueries.topkOrders(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"))
