@@ -62,6 +62,51 @@ object GeoFunctions {
   val stHasZ: UserDefinedFunction = udf((wkt: String) =>
     g1(g => !java.lang.Double.isNaN(g.getCoordinate.getZ))(wkt))
 
+  /** One-pass per-row geometry profile — everything `introduceGeo` needs
+    * from a single WKT parse (the naive per-metric UDFs parse the same
+    * string 4–5 times per row; at 100 TB the parse IS the cost). Fields
+    * are Options so one degenerate aspect (e.g. an EMPTY geometry's
+    * centroid) nulls that field alone, preserving the per-metric UDFs'
+    * independent-failure semantics. */
+  case class GeoProfile(cx: Option[Double], cy: Option[Double],
+      minx: Option[Double], miny: Option[Double],
+      maxx: Option[Double], maxy: Option[Double],
+      has_z: Option[Boolean], gtype: String)
+
+  private def opt[T](f: => T): Option[T] =
+    try Option(f) catch { case _: Exception => None }
+
+  val stProfile: UserDefinedFunction = udf((wkt: String) =>
+    if (wkt == null) None
+    else try {
+      val g = parse(wkt)
+      val env = if (g.isEmpty) None else Some(g.getEnvelopeInternal)
+      val cen = opt(g.getCentroid)
+      Some(GeoProfile(
+        cen.flatMap(c => opt(c.getX)), cen.flatMap(c => opt(c.getY)),
+        env.map(_.getMinX), env.map(_.getMinY),
+        env.map(_.getMaxX), env.map(_.getMaxY),
+        opt(!java.lang.Double.isNaN(g.getCoordinate.getZ)),
+        g.getGeometryType))
+    } catch { case _: Exception => None })
+
+  /** One-pass validity check: null when the input WKT is null, otherwise
+    * (valid, reason) from a single parse — `reason` is the JTS validation
+    * error for invalid geometries, "Valid Geometry" for valid ones, and
+    * null when the WKT does not parse (matching the independent
+    * stIsValid/stIsValidReason pair the validation rule used to call,
+    * which each returned null on a parse failure). */
+  case class GeoValidity(valid: Option[Boolean], reason: Option[String])
+
+  val stValidity: UserDefinedFunction = udf((wkt: String) =>
+    if (wkt == null) None
+    else try {
+      val g = parse(wkt)
+      val err = new IsValidOp(g).getValidationError
+      Some(GeoValidity(Some(err == null),
+        Some(if (err == null) "Valid Geometry" else err.toString)))
+    } catch { case _: Exception => Some(GeoValidity(None, None)) })
+
   /** Multi-part explode (petk/validation.py:54 `.explode()`): component
     * WKTs of a (multi-)geometry. */
   val stDump: UserDefinedFunction = udf((wkt: String) =>

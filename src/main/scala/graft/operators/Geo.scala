@@ -37,23 +37,32 @@ object Geo {
     import spark.implicits._
     val effectiveCrs = graft.core.SemanticType.crsOf(df, geomCol).getOrElse(crs)
     val g = col(geomCol)
-    // evaluate each UDF once per row in a projection — aggregate expression
-    // lists get no common-subexpression elimination across UDF calls
-    val pre = df.select(
-      stCentroidX(g).as("cx0"), stCentroidY(g).as("cy0"),
-      stEnvelope(g).as("e"), stHasZ(g).as("z"))
-    val e = col("e")
-    val row = pre.agg(
-      avg(col("cx0")).as("cx"), avg(col("cy0")).as("cy"),
-      min(element_at(e, 1)).as("minx"), min(element_at(e, 2)).as("miny"),
-      max(element_at(e, 3)).as("maxx"), max(element_at(e, 4)).as("maxy"),
-      sum(when(col("z"), 1L).otherwise(0L)).as("zs")).head()
+    // ONE WKT parse per row (stProfile), ONE job: per-geometry-type partial
+    // aggregates (a handful of rows — the geometry-type domain) combined on
+    // the driver give the global centroid/bounds/3d metrics AND the type
+    // census without a second pass over the data.
+    val perType = df.select(stProfile(g).as("p"))
+      .groupBy(col("p.gtype").as("t"))
+      .agg(
+        sum("p.cx").as("sx"), sum("p.cy").as("sy"), count("p.cx").as("n"),
+        min("p.minx").as("minx"), min("p.miny").as("miny"),
+        max("p.maxx").as("maxx"), max("p.maxy").as("maxy"),
+        sum(when(col("p.has_z"), 1L).otherwise(0L)).as("zs"),
+        count(lit(1)).as("cnt"))
+      .collect()
+    def cmb(f: org.apache.spark.sql.Row => Option[Double],
+        red: (Double, Double) => Double): Double =
+      perType.flatMap(r => f(r)).reduceOption(red).getOrElse(Double.NaN)
+    def d(r: org.apache.spark.sql.Row, c: String): Option[Double] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Double](c))
+    val nTot = perType.map(_.getAs[Long]("n")).sum
+    val cx = cmb(d(_, "sx"), _ + _) / nTot
+    val cy = cmb(d(_, "sy"), _ + _) / nTot
+    val zs = perType.map(_.getAs[Long]("zs")).sum
     // geometry-type census, pluralized lowercase (petk/exploration.py:64-66)
-    val census = df.groupBy(stGeometryType(g).as("t")).count()
-      .collect().filter(_.get(0) != null)
-      .map(r => (r.getString(0).toLowerCase + "s", r.getLong(1)))
+    val census = perType.filter(_.get(0) != null)
+      .map(r => (r.getString(0).toLowerCase + "s", r.getAs[Long]("cnt")))
       .sortBy(_._1)
-    val cx = row.getAs[Double]("cx"); val cy = row.getAs[Double]("cy")
     val location = geocode.flatMap(f =>
       try Option(f(cx, cy)) catch { case _: Exception => None })
       .getOrElse(s"$cx, $cy")
@@ -61,9 +70,9 @@ object Geo {
       ("geospatial", "crs", effectiveCrs),
       ("geospatial", "centroid_location", location),
       ("geospatial", "bounds",
-        s"[${row.getAs[Double]("minx")}, ${row.getAs[Double]("miny")}, " +
-          s"${row.getAs[Double]("maxx")}, ${row.getAs[Double]("maxy")}]"),
-      ("geospatial", "3d_shapes", row.getAs[Long]("zs").toString)) ++
+        s"[${cmb(d(_, "minx"), math.min)}, ${cmb(d(_, "miny"), math.min)}, " +
+          s"${cmb(d(_, "maxx"), math.max)}, ${cmb(d(_, "maxy"), math.max)}]"),
+      ("geospatial", "3d_shapes", zs.toString)) ++
       census.map { case (t, n) => ("geospatial", t, n.toString) }
     rows.toDF("section", "metric", "value")
   }
@@ -83,13 +92,16 @@ object Geo {
     * geometries -> JTS validity explanation; nulls -> "Null geometry". */
   def geospatial(df: DataFrame, keyCol: String, column: String): DataFrame = {
     val g = col(column)
-    df.filter(g.isNull || !coalesce(stIsValid(g), lit(false)))
+    // single WKT parse per row: stValidity carries (valid, reason) in one
+    // struct, so failing rows don't re-parse for the explanation
+    df.select(col(keyCol), g, stValidity(g).as("_v"))
+      .filter(g.isNull || !coalesce(col("_v.valid"), lit(false)))
       .select(
         lit(column).as("column"),
         col(keyCol).as("index"),
         lit("geospatial").as("function"),
         when(g.isNull, lit("Null geometry"))
-          .otherwise(stIsValidReason(g)).as("notes"))
+          .otherwise(col("_v.reason")).as("notes"))
   }
 
   /** `bounding_box` rule (petk/validation.py:11-19): rows whose geometry

@@ -12,8 +12,9 @@ import graft.sources.Tables
   * ships no geometry table, so geometries are constructed as WKT from
   * customer columns — deterministically on BOTH sides, which makes the
   * JTS-backed bounds/census oracle-checkable against plain arithmetic.
-  * Rules whose notes carry JTS-specific text (validity reasons) are
-  * rows-only + unit-tested. */
+  * Validity reasons come from CONSTANT planted geometries, so the JTS
+  * reason strings are golden constants the oracle pins verbatim —
+  * geo_validate and the reason census are fully oracle-checked. */
 object GeoQueries {
 
   /** POINT(c_acctbal/1000, c_custkey % 90); every 10th customer gets a
@@ -64,8 +65,10 @@ object GeoQueries {
       |ORDER BY gtype""".stripMargin
 
   /** Validity audit with planted self-intersecting bowties (every 25th
-    * customer). Notes carry the JTS validity reason — rows-only, message
-    * text pinned in GeoSpec. */
+    * customer). The planted bowtie is one CONSTANT geometry, so its JTS
+    * validity reason is one constant string — pinned in the oracle as a
+    * golden value (and unit-pinned in GeoSpec), which makes the full
+    * (column, index, function, notes) row oracle-checkable. */
   def geoValidate(spark: SparkSession, dir: String): DataFrame = {
     val bowtie = "POLYGON ((0 0, 2 2, 0 2, 2 0, 0 0))"
     val df = geomCustomers(spark, dir)
@@ -74,6 +77,55 @@ object GeoQueries {
     Report(df, schema = Map("geometry" -> ColumnRules()), key = Some("c_custkey"))
       .validate()
   }
+
+  private val geoValidateOracle: String =
+    """SELECT 'geometry' AS "column", c_custkey AS "index",
+      | 'geospatial' AS "function",
+      | 'Self-intersection at or near point (1.0, 1.0, NaN)' AS notes
+      |FROM customer WHERE c_custkey % 25 = 0
+      |ORDER BY "index"""".stripMargin
+
+  /** Reason-string census over a planted mix of invalidity classes —
+    * the A48 reason-path coverage a no-geometry corpus can't give for
+    * free: a self-intersecting bowtie, a hole-outside-shell polygon, a
+    * null geometry and a multipolygon with overlapping components, each
+    * a CONSTANT whose JTS explanation is a constant string, so the
+    * (reason, count) census is exact arithmetic on c_custkey mod 25. */
+  def geoValidityCensus(spark: SparkSession, dir: String): DataFrame = {
+    val bowtie = "POLYGON ((0 0, 2 2, 0 2, 2 0, 0 0))"
+    val holeOut = "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0), (4 4, 5 4, 5 5, 4 5, 4 4))"
+    val overlap = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), " +
+      "((0.5 0.5, 2 0.5, 2 2, 0.5 2, 0.5 0.5)))"
+    val m = col("c_custkey") % 25
+    val df = geomCustomers(spark, dir)
+      .withColumn("geometry",
+        when(m === 0, lit(bowtie))
+          .when(m === 7, lit(holeOut))
+          .when(m === 13, lit(null).cast("string"))
+          .when(m === 19, lit(overlap))
+          .otherwise(col("geometry")))
+    Report(df, schema = Map("geometry" -> ColumnRules()), key = Some("c_custkey"))
+      .validate()
+      .groupBy("function", "notes")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("notes")
+  }
+
+  private val geoValidityCensusOracle: String =
+    """WITH m AS (SELECT c_custkey % 25 AS k FROM customer)
+      |SELECT 'geospatial' AS "function", notes, n FROM (
+      | SELECT 'Self-intersection at or near point (1.0, 1.0, NaN)' AS notes,
+      |   count(*) AS n FROM m WHERE k = 0
+      | UNION ALL
+      | SELECT 'Hole lies outside shell at or near point (4.0, 4.0, NaN)',
+      |   count(*) FROM m WHERE k = 7
+      | UNION ALL
+      | SELECT 'Null geometry', count(*) FROM m WHERE k = 13
+      | UNION ALL
+      | SELECT 'Self-intersection at or near point (1.0, 0.5, NaN)',
+      |   count(*) FROM m WHERE k = 19
+      |)
+      |ORDER BY notes""".stripMargin
 
   /** Notes-free projection of [[geoValidate]]: the planted-bowtie
     * population (c_custkey % 25 = 0) is pure arithmetic, so the
@@ -151,7 +203,8 @@ object GeoQueries {
     QueryDef("geo_bounds", geoBounds, Some(geoBoundsOracle)),
     QueryDef("geo_bbox", geoBbox, Some(geoBboxOracle)),
     QueryDef("geo_census", geoCensus, Some(geoCensusOracle)),
-    QueryDef("geo_validate", geoValidate, None),
+    QueryDef("geo_validate", geoValidate, Some(geoValidateOracle)),
     QueryDef("geo_validate_keys", geoValidateKeys, Some(geoValidateKeysOracle)),
+    QueryDef("geo_validity_census", geoValidityCensus, Some(geoValidityCensusOracle)),
     QueryDef("geo_sliver", geoSliver, Some(geoSliverOracle)))
 }
