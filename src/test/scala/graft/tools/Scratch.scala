@@ -28,8 +28,7 @@ object Scratch {
       val spread = ts.max / ts.min
       println(f"$label%-28s ${ts.map(t => f"$t%.2f").mkString(", ")}  spread=${spread}%.2fx")
     }
-    for (name <- Seq("pagerank_parts", "scd2_orders", "hourly_anomalies",
-        "funnel_latency", "grouped_mad_docs", "phrase_search_docs"))
+    for (name <- Seq("q21_waiting_suppliers", "fuzzy_name_pairs"))
       passes(name, 2) { q(name)(spark, dir).count() }
     spark.stop()
   }
