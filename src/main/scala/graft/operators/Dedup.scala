@@ -80,11 +80,12 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** Distinct character n-grams. */
+  /** Distinct character n-grams, first-occurrence order — a native
+    * one-pass expression ([[graft.plans.CharNgramsExpr]]; the previous
+    * HOF composition paid interpreted per-character dispatch, which was
+    * ~the whole language-ID fit cost at scale). */
   def charNgrams(text: Column, n: Int): Column =
-    array_distinct(
-      transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
-        i => substring(text, i, lit(n))))
+    graft.plans.CharNgramsExpr.charNgrams(text, n)
 
   /** Exact Jaccard similarity of two pre-distinct arrays. */
   def jaccard(a: Column, b: Column): Column =

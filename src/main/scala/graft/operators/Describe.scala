@@ -121,6 +121,14 @@ object Describe {
       approximate: Boolean = false,
       exactQuantileMaxDistinct: Long = DefaultExactQuantileMaxDistinct,
       percentileBufferMaxDistinct: Long = PercentileBufferMaxDistinct): Seq[ColumnProfile] = {
+    // NOT widened via Parallelize.cpuBound: the wide agg carries
+    // FP-accumulating stats (mean/std/mad) whose rounded values sit on
+    // documented boundary rationals (l_discount's mean is EXACTLY
+    // 0.0499185 — the rd6 bridge class in the verify notes), and an
+    // extra exchange changes the FP merge order. Measured: widening at
+    // sf0.01 flipped describe_long's rounded mean by one ulp while
+    // buying ~nothing (the pass is not partition-bound — its local cost
+    // is plan/launch latency, not per-row compute).
     val fields = df.schema.fields.map(f => f.name -> f).toMap
     val static = columns.map(c => c -> SemanticType.ofField(fields(c))).toMap
 

@@ -496,8 +496,10 @@ object TextAnalysis {
     * A heuristic, not a model — mechanics over accuracy. */
   def fitLanguageProfiles(labeled: DataFrame, textCol: String, langCol: String,
       topK: Int = 50): Map[String, Seq[String]] = {
-    val grams = labeled
-      .select(col(langCol).as("lang"), explode(Dedup.charNgrams(col(textCol), 3)).as("g"))
+    // trigram explosion is CPU-bound per row; widen a narrow (few-file)
+    // source so the fit uses every core — no-op at cluster scale
+    val grams = Parallelize.cpuBound(labeled.select(col(langCol).as("lang"), col(textCol)))
+      .select(col("lang"), explode(Dedup.charNgrams(col(textCol), 3)).as("g"))
       .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
     // per-language top-k via the salted two-phase operator: languages are
     // a LOW-cardinality partition key, exactly the single-task-sort shape
@@ -511,21 +513,20 @@ object TextAnalysis {
   }
 
   /** Classify with fitted profiles: per-language overlap score of the
-    * document's trigram set with the profile, argmax by (score, lang). */
+    * document's trigram set with the profile, argmax by (score, lang) —
+    * ties go to the lexicographically first language. One native
+    * single-pass expression per row ([[graft.plans.LangArgmaxExpr]]):
+    * the previous composed form ran |langs| array_intersect scans per
+    * document, a per-row constant that IS the job at corpus scale; the
+    * expression does one hash-lookup pass over the gram array instead.
+    * Zero-shuffle map-side classification either way — the scale shape
+    * is unchanged, only the constant drops. */
   def classifyLanguage(df: DataFrame, idCol: String, textCol: String,
       profiles: Map[String, Seq[String]]): DataFrame = {
     val grams = Dedup.charNgrams(col(textCol), 3)
-    // array_max on a struct is lexicographic over its fields in order:
-    // highest score first, then highest SECOND field — so ties are broken
-    // by a rank that DESCENDS through the lang-sorted profile list, making
-    // the lexicographically first language win an equal score
     val langs = profiles.toSeq.sortBy(_._1)
-    val scored = langs.zipWithIndex.map { case ((lang, profile), i) =>
-      struct(size(array_intersect(grams, typedLit(profile))).as("score"),
-        lit(langs.size - i).as("tie"), lit(lang).as("lang"))
-    }
     df.select(col(idCol),
-      array_max(array(scored: _*)).getField("lang").as("predicted_lang"))
+      graft.plans.LangArgmaxExpr.langArgmax(grams, langs).as("predicted_lang"))
   }
 
   /** Bigram language-model scoring with Stupid Backoff (Brants et al.

@@ -13,6 +13,8 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.Bench.quietAuditedWindowWarn()
+    graft.Bench.quietAuditedCheckpointWarn()
     val dir = "/root/testdata/sf0.1"
 
     def dropCaches(): Unit = {
@@ -25,10 +27,11 @@ object Scratch {
       val ts = (1 to n).map { _ =>
         val t0 = System.nanoTime(); f; dropCaches(); (System.nanoTime() - t0) / 1e9
       }
-      val spread = ts.max / ts.min
-      println(f"$label%-28s ${ts.map(t => f"$t%.2f").mkString(", ")}  spread=${spread}%.2fx")
+      println(f"$label%-28s ${ts.map(t => f"$t%.2f").mkString(", ")}")
     }
-    for (name <- Seq("q21_waiting_suppliers", "fuzzy_name_pairs"))
+    for (name <- Seq("describe_numeric_lineitem", "describe_long_lineitem",
+        "describe_approx_lineitem", "describe_approx_moments", "langid_docs",
+        "lang_census_docs", "describe_string_orders", "doclen_describe"))
       passes(name, 2) { q(name)(spark, dir).count() }
     spark.stop()
   }
