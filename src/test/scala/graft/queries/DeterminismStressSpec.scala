@@ -131,7 +131,13 @@ class DeterminismStressSpec extends SparkSpec {
                 // Q21 per-row qualification over grouped maxima
                 "pagerank_parts", "jw_linkage_names", "user_streaks",
                 "pattern_census", "zipf_fit_docs",
-                "q21_waiting_suppliers")) {
+                "q21_waiting_suppliers",
+                // round 11: the language-ID fit rides Parallelize.cpuBound
+                // (an extra round-robin exchange before the trigram
+                // explode) — its doc-frequency counts and top-50 rank must
+                // be invariant to the redistribution, per the Parallelize
+                // integer/set safety contract
+                "langid_docs")) {
     test(s"$q is bit-identical across $Runs same-session runs with caches dropped") {
       val first = canonical(q)
       dropCaches()
