@@ -598,7 +598,13 @@ object Dedup {
     // interpreted CASE trees — see [[graft.plans.SimhashVotesAgg]] for
     // the parity argument (null votes −1 on every bit, bit set iff vote
     // sum strictly positive, merge is elementwise addition)
-    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+    // the per-token hash projection (md5 + conv in the oracle-replayable
+    // variant) fuses into the SCAN stage — widen a narrow (few-file)
+    // source first or it runs one core per split (Parallelize; safe
+    // here: the signature is integer vote sums + bit assembly, fully
+    // order-insensitive)
+    Parallelize.cpuBound(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(tokens(col(textCol))).as("t"))
       .select(col("id"), tokenHash(col("t")).as("h"))
       .groupBy("id")
       .agg(graft.plans.SimhashVotesAgg.simhashSig(col("h"), bits).as("sig"))

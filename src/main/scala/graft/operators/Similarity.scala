@@ -46,7 +46,11 @@ object Similarity {
       k: Int, maxQueries: Int = 1000): DataFrame = {
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv")).limit(maxQueries)
     val cos = cosineFor(corpus, vecCol) _
-    val sim = corpus
+    // the broadcast join + per-pair cosine fuse into the corpus SCAN
+    // stage; widen a narrow (few-file) source or |queries| x dim flops
+    // per corpus row run one core per split (Parallelize; safe: cosines
+    // are row-local sequential folds, ranks tie-break on neighbor_id)
+    val sim = Parallelize.cpuBound(corpus.select(col(idCol), col(vecCol)))
       .join(broadcast(q), col(idCol) =!= col("query_id"))
       .select(
         col("query_id"), col(idCol).as("neighbor_id"),
@@ -134,8 +138,13 @@ object Similarity {
     def centScores(v: Column): Column = array(cents.map { case (cid, cv) =>
       struct(cos(v, typedLit(cv)).as("s"), lit(cid).as("cell"))
     }: _*)
-    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      array_max(centScores(col(vecCol))).getField("cell").as("__cell"))
+    // cells x dim flops per corpus row fuse into the scan stage — widen a
+    // narrow source (Parallelize; the cell id is a row-local
+    // deterministic argmax, and the probe-join cosine downstream is
+    // row-local too)
+    val assigned = Parallelize.cpuBound(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        array_max(centScores(col(vecCol))).getField("cell").as("__cell"))
     val probes = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
       explode(transform(
         slice(reverse(array_sort(centScores(col(qVecCol)))), 1, nprobe),
@@ -241,8 +250,12 @@ object Similarity {
     def guarded(v: Column): Column = when(size(v) === d, v).otherwise(
       raise_error(concat(lit("annTopK: vector length "), size(v).cast("string"),
         lit(s" != plane dim $d"))))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      signature(guarded(col(vecCol)), planesLit, planes).as("__bucket"))
+    // planes x dim interpreted-HOF flops per corpus row fuse into the
+    // scan stage — widen a narrow source (Parallelize; sign bits are
+    // row-local deterministic folds)
+    val c = Parallelize.cpuBound(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        signature(guarded(col(vecCol)), planesLit, planes).as("__bucket"))
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
       signature(guarded(col(qVecCol)), planesLit, planes).as("__bucket"))
     val w = Window.partitionBy("query_id")

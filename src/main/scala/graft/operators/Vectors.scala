@@ -27,32 +27,27 @@ object Vectors {
     * IEEE double, which is what lets an independent engine reproduce
     * similarity scores bit-for-bit. Zero vectors quantize to zeros.
     *
-    * The per-element map is an interpreted HOF — fine for an O(dim)
-    * transform per row (dim is 64 here, not corpus-sized); the bulk
-    * statistics over quantized components should use posexplode + hash
-    * aggregation (see the quantize_vectors query), not array HOFs.
-    *
-    * `scale` is materialized as a bound column in a FIRST projection and
-    * only then referenced inside the lambda: embedding the scale
-    * expression tree (which itself contains an O(dim) array_max) in the
-    * per-element lambda re-evaluates it for every element — O(dim²)
-    * interpreted work per row. CollapseProject keeps the two projections
-    * apart because the alias is non-cheap and referenced twice.
-    *
-    * Caveat for callers: do NOT posexplode the returned qvec —
-    * InferFiltersFromGenerate infers `size(qvec)>0 AND isnotnull(qvec)`
-    * and pushes it below this projection with the scale tree re-inlined,
-    * bringing the O(dim²) work back (measured 8.45 s vs 0.55 s at sf0.1
-    * for the quantize_vectors stats query). For bulk component stats,
-    * explode the RAW vector and apply ⌊x·scale+0.5⌋ post-explode as a
-    * scalar codegen'd expression (see LlmQueries.quantizeVectors). */
-  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
-    val scale = when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
-    df.select(col(idCol), col(vecCol), scale.as("scale"))
-      .select(col(idCol), col("scale"),
-        transform(col(vecCol), x => floor(x.cast("double") * col("scale") + 0.5)).as("qvec"))
-  }
+    * Since round 11 the scale and the codes are native one-pass codegen
+    * expressions ([[graft.plans.Quantize8Expr]]), which RETIRES the
+    * CollapseProject hazard this operator used to carry: the earlier
+    * two-projection HOF form kept its non-cheap `scale` alias apart, but
+    * any downstream projection (a consumer's select, or
+    * InferFiltersFromGenerate under a posexplode) could collapse the
+    * alias back into the per-element lambda and re-evaluate the O(dim)
+    * array_max per ELEMENT — O(dim²) interpreted work per row (measured
+    * 8.45 s vs 0.55 s at sf0.1 for quantize_vectors, 11.6 s vs 0.9 s at
+    * sf≈1 for quantized_topk). The native expressions are O(dim) by
+    * construction regardless of what Catalyst collapses around them. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    // native one-pass expressions (graft.plans.Quantize8Expr): the
+    // previous two-step projection kept `scale` aliased apart, but any
+    // DOWNSTREAM projection could still CollapseProject the non-cheap
+    // alias back into a per-element lambda — O(dim²) interpreted work
+    // per row (measured 11.6 s vs 0.9 s at sf≈1 for quantized_topk).
+    // The native form is O(dim) by construction and codegen'd.
+    df.select(col(idCol),
+      graft.plans.Quantize8Expr.scale8(col(vecCol)).as("scale"),
+      graft.plans.Quantize8Expr.codes8(col(vecCol)).as("qvec"))
 
   /** Johnson–Lindenstrauss random projection: dim → outDim via a
     * seed-pinned Gaussian matrix R (outDim × dim, the same generator as
