@@ -94,14 +94,22 @@ object Packing {
     *
     * Scale shape: identical to [[chunkTokens]] — tokenize → per-position
     * boundary predicate → span assembly, all array expressions in one
-    * narrow projection; chunks never leave the partition that read the
-    * document. */
+    * narrow projection; chunks never leave the partition that holds the
+    * document. A narrow (few-split) source is first widened once by
+    * [[Parallelize.cpuBound]] (no-op at cluster scale where the input is
+    * already thousands of splits); the cut rule itself is a row-local
+    * deterministic hash predicate, so the safety contract holds. */
   def chunkContentDefined(df: DataFrame, idCol: String, textCol: String,
       gramWords: Int = 4, zeroHexDigits: Int = 1): DataFrame = {
     require(gramWords > 0 && zeroHexDigits > 0)
     val zeros = "0" * zeroHexDigits
     val toks = TextAnalysis.tokens(col(textCol))
-    df.select(col(idCol), toks.as("_t"))
+    // the per-position md5 boundary probe is an interpreted HOF over
+    // every token window — CPU-bound per row and fused into the scan
+    // stage, so widen a narrow source (Parallelize; boundaries are
+    // row-local deterministic hash predicates)
+    Parallelize.cpuBound(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), toks.as("_t"))
       .withColumn("_n", org.apache.spark.sql.functions.size(col("_t")))
       .filter(col("_n") > 0)
       // sequence(a, b) descends when a > b — guard short docs to an

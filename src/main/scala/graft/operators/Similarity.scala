@@ -203,8 +203,12 @@ object Similarity {
     def guarded(v: Column): Column = when(size(v) === d, v).otherwise(
       raise_error(concat(lit("nearDupPairsCosineLsh: vector length "), size(v).cast("string"),
         lit(s" != plane dim $d"))))
-    val sig = df.select(col(idCol), col(vecCol),
-      signature(guarded(col(vecCol)), planesLit, planes).as("__bucket"))
+    // planes x dim interpreted-HOF flops per row fuse into the scan
+    // stage — widen a narrow source (Parallelize; sign bits are
+    // row-local deterministic folds)
+    val sig = Parallelize.cpuBound(df.select(col(idCol), col(vecCol)))
+      .select(col(idCol), col(vecCol),
+        signature(guarded(col(vecCol)), planesLit, planes).as("__bucket"))
     sig.select(col("__bucket"), col(idCol).as("a"), col(vecCol).as("__va"))
       .join(sig.select(col("__bucket"), col(idCol).as("b"), col(vecCol).as("__vb")),
         Seq("__bucket"))

@@ -393,13 +393,29 @@ class PlanSpec extends SparkSpec {
       s"size join must be an equi join:\n$plan")
   }
 
-  test("content-defined chunking is one narrow stage: no exchange at all") {
+  test("content-defined chunking: per-row only, plus at most the widening exchange") {
     // the OPERATOR, not the registered query — the driver contract's
-    // deterministic output orderBy adds one legitimate range exchange
+    // deterministic output orderBy adds one legitimate range exchange.
+    // Since round 11 a narrow (few-file) source is widened ONCE by
+    // Parallelize.cpuBound before the per-position md5 probe (one
+    // round-robin exchange of the raw rows); past that the chunking must
+    // stay per-row — no aggregation, no join, no second exchange.
     val plan = planOf(graft.operators.Packing.chunkContentDefined(
       graft.sources.Tables.documents(spark, dir), "doc_id", "text", 4, 1))
-    assert(!plan.contains("Exchange"),
-      s"chunks must never leave the reading partition:\n$plan")
+    // formatted plans print each node twice (tree + detail header); count
+    // the detail headers "(n) Exchange"
+    def nExchanges(p: String) = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(nExchanges(plan) <= 1, s"at most the one widening exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"),
+      s"chunking must stay per-row:\n$plan")
+
+    // a source already at session parallelism is NOT re-exchanged
+    val wide = graft.sources.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val widePlan = planOf(graft.operators.Packing.chunkContentDefined(
+      wide, "doc_id", "text", 4, 1))
+    assert(nExchanges(widePlan) <= 1,
+      s"cpuBound must no-op on an already-wide source:\n$widePlan")
   }
 
   test("winnowing resolves the argmin through an equi join, never a nested loop") {

@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev-only scratch main for ad-hoc plan inspection. Not part of the
   * engine; edit freely (see .claude/skills/verify/SKILL.md). */
@@ -14,26 +13,25 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.Bench.quietAuditedWindowWarn()
+    graft.Bench.quietAuditedCheckpointWarn()
     val dir = "/tmp/graft_sf1"
-    val emb = graft.sources.Tables.embeddings(spark, dir)
-    emb.count() // warm
 
-    def time(label: String)(f: => Any): Unit = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"$label%-30s ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
+    def dropCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    val qz = graft.operators.Vectors.quantizeInt8(emb, "vec_id", "embedding")
-    time("quantize count") { qz.count() }
-    val qf = qz.select(col("vec_id"), transform(col("qvec"), _.cast("float")).as("qvec"))
-    time("quantize+cast count") { qf.count() }
-    time("full quantized_topk") {
-      graft.SparkEntry.queries("quantized_topk")(spark, dir).count()
+    val q = graft.SparkEntry.queries
+    def passes(label: String, n: Int)(f: => Unit): Unit = {
+      f; dropCaches() // warmup (memoized writes + codegen)
+      val ts = (1 to n).map { _ =>
+        val t0 = System.nanoTime(); f; dropCaches(); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label%-28s ${ts.map(t => f"$t%.2f").mkString(", ")}")
     }
-    val qckpt = qf.localCheckpoint()
-    time("topk on checkpointed quant") {
-      graft.operators.Similarity.cosineTopK(qckpt, "vec_id", "qvec",
-        qckpt.filter(col("vec_id") < 5), "vec_id", "qvec", k = 5).count()
-    }
+    for (name <- Seq("semantic_dedup_keep", "semantic_decon", "cdc_chunk_docs",
+        "cosine_neardup_pairs"))
+      passes(name, 2) { q(name)(spark, dir).count() }
     spark.stop()
   }
 }
