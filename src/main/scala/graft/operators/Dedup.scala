@@ -696,8 +696,14 @@ object Dedup {
     * posexplode + lead substrate shared by span detection. */
   private[operators] def positionalGramRows(df: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val raw = df.select(col(idCol),
-      posexplode(split(col(textCol), " ")).as(Seq("__rp", "__t")))
+    // the split + posexplode fuse into the scan stage — widen a narrow
+    // (few-file) source first (Parallelize; safe: the per-id window
+    // right below re-shuffles by id and is deterministic per id, and
+    // both consumers — contamination span probe, repeated-span report —
+    // aggregate integers/sets)
+    val raw = Parallelize.cpuBound(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("__rp", "__t")))
       .filter(col("__t") =!= "")
     val byP = Window.partitionBy(idCol).orderBy("__rp")
     val gramParts = col("__t") +: (1 until n).map(i => lead(col("__t"), i).over(byP))

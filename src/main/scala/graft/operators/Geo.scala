@@ -93,8 +93,12 @@ object Geo {
   def geospatial(df: DataFrame, keyCol: String, column: String): DataFrame = {
     val g = col(column)
     // single WKT parse per row: stValidity carries (valid, reason) in one
-    // struct, so failing rows don't re-parse for the explanation
-    df.select(col(keyCol), g, stValidity(g).as("_v"))
+    // struct, so failing rows don't re-parse for the explanation. The
+    // JTS parse is the expensive per-row step and fuses into the scan —
+    // widen a narrow (few-file) source first (Parallelize; safe: the
+    // rule is a row-local flag, no FP aggregation downstream)
+    Parallelize.cpuBound(df.select(col(keyCol), g))
+      .select(col(keyCol), g, stValidity(g).as("_v"))
       .filter(g.isNull || !coalesce(col("_v.valid"), lit(false)))
       .select(
         lit(column).as("column"),
@@ -136,7 +140,11 @@ object Geo {
       when(tpe.contains("polygon"), stAreaIn(part, epsg) < params.threshold)
         .when(tpe.contains("linestring"), stLengthIn(part, epsg) < params.threshold)
         .otherwise(lit(false)) // points are never slivers (tools.py:117-118)
-    df.select(col(keyCol), explode(stDump(col(column))).as("part"))
+    // the parse + reprojection are the expensive per-row steps and fuse
+    // into the scan — widen a narrow source first (Parallelize; safe:
+    // row-local flags + an integer count per key)
+    Parallelize.cpuBound(df.select(col(keyCol), col(column)))
+      .select(col(keyCol), explode(stDump(col(column))).as("part"))
       .filter(isSliver)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))

@@ -107,7 +107,12 @@ object TextAnalysis {
     * emit no rows (no grams survive the explode). */
   def novelty(df: DataFrame, idCol: String, textCol: String, n: Int,
       seed: Long = 0L): DataFrame = {
-    val grams = Dedup.shingleRows(df, idCol, textCol, n)
+    // gram explode + md5 priority fuse into the scan stage — widen a
+    // narrow (few-file) source first (Parallelize; safe here: the
+    // aggregates are integer counts and a string MIN, order-insensitive)
+    val grams = Dedup.shingleRows(
+      Parallelize.cpuBound(df.select(col(idCol), col(textCol))),
+      idCol, textCol, n)
       .withColumn("__ord",
         concat(md5(concat_ws("#", lit(seed), col("id").cast("string"))),
           lit("#"), col("id").cast("string")))
@@ -163,7 +168,11 @@ object TextAnalysis {
     * low-frequency tail before any ranking. */
   def termBurstiness(df: DataFrame, idCol: String, textCol: String,
       minDf: Long): DataFrame = {
-    val tf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    // token explode fuses into the scan stage — widen a narrow source
+    // first (Parallelize; safe: every aggregate here is an integer
+    // count/sum, order-insensitive)
+    val tf = Parallelize.cpuBound(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val n = df.select(countDistinct(col(idCol)).cast("double").as("__N"))
     tf.groupBy("term")
@@ -423,13 +432,13 @@ object TextAnalysis {
   def langCensus(df: DataFrame, langCol: String): DataFrame =
     df.groupBy(col(langCol).as("lang")).agg(count(lit(1)).as("n"))
 
-  /** Quality metrics per document: alpha ratio, whitespace ratio,
-    * stopword ratio, mean token length, and a blended score in [0, 1].
-    * Pure arithmetic over codegen'd string functions — the same formula is
-    * expressible in the SQL oracle. */
-  def qualityMetrics(df: DataFrame, idCol: String, textCol: String,
-      stopwords: Seq[String]): DataFrame = {
-    val t = col(textCol)
+  /** The [[qualityMetrics]] column expressions keyed by output name —
+    * row-local codegen'd arithmetic, exposed so a consumer that also
+    * needs OTHER columns of the same row (label, extra features) can
+    * compute everything in ONE scan-stage projection instead of
+    * self-joining the table back on the id (a whole shuffle join saved;
+    * measured on quality_filter_by_lang / quality_regression at sf≈1). */
+  def qualityColumns(t: Column, stopwords: Seq[String]): Map[String, Column] = {
     val toks = tokens(t)
     val nToks = size(toks)
     val alphaRatio = (length(t) - length(regexp_replace(t, "[a-zA-Z]", ""))).cast("double") /
@@ -445,12 +454,27 @@ object TextAnalysis {
         alphaRatio * 0.4 +
         (lit(1.0) - abs(avgTokLen - 5.0) / 5.0) * 0.2 +
         (lit(1.0) - stopRatio) * 0.1
+    Map(
+      "alpha_ratio" -> alphaRatio,
+      "space_ratio" -> spaceRatio,
+      "stopword_ratio" -> stopRatio,
+      "avg_token_len" -> avgTokLen,
+      "quality_score" -> score)
+  }
+
+  /** Quality metrics per document: alpha ratio, whitespace ratio,
+    * stopword ratio, mean token length, and a blended score in [0, 1].
+    * Pure arithmetic over codegen'd string functions — the same formula is
+    * expressible in the SQL oracle. */
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String]): DataFrame = {
+    val m = qualityColumns(col(textCol), stopwords)
     df.select(col(idCol),
-      alphaRatio.as("alpha_ratio"),
-      spaceRatio.as("space_ratio"),
-      stopRatio.as("stopword_ratio"),
-      avgTokLen.as("avg_token_len"),
-      score.as("quality_score"))
+      m("alpha_ratio").as("alpha_ratio"),
+      m("space_ratio").as("space_ratio"),
+      m("stopword_ratio").as("stopword_ratio"),
+      m("avg_token_len").as("avg_token_len"),
+      m("quality_score").as("quality_score"))
   }
 
   /** Ingest-side text cleaning (the first stage of any training-data

@@ -890,10 +890,19 @@ object LlmQueries {
     * percentile ≍ quantile_cont bridge), rounded again before the
     * comparison, and joined back as a 5-row broadcast. */
   def qualityFilterByLang(spark: SparkSession, dir: String): DataFrame = {
+    // ONE scan-stage projection computes (lang, score) per row — the
+    // metric expressions are row-local ([[TextAnalysis.qualityColumns]]),
+    // so self-joining qualityMetrics back on doc_id for the label would
+    // buy a whole shuffle join for nothing. The narrow-source widening
+    // is safe here by the Parallelize contract: scoring is per-row and
+    // the only aggregate downstream is an exact percentile over the
+    // ROUNDED 1e-6 scores — rank-based, partial-merge-order-free.
     val docs = Tables.documents(spark, dir)
-    val q = TextAnalysis.qualityMetrics(docs, "doc_id", "text", Stopwords)
-      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), r(col("quality_score"), 6).as("qs"))
+    val score = TextAnalysis.qualityColumns(col("text"), Stopwords)("quality_score")
+    val q = graft.operators.Parallelize.cpuBound(
+        docs.select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("lang"), r(score, 6).as("qs"))
+      .localCheckpoint() // feeds the threshold agg AND the join back — score once
     val thr = q.groupBy("lang")
       .agg(r(percentile(col("qs"), lit(0.6)), 6).as("thr"))
     q.join(broadcast(thr), Seq("lang"))
@@ -927,13 +936,20 @@ object LlmQueries {
     * pivoted elimination land on identical weight literals and the
     * per-document predictions are computed bit-for-bit the same way. */
   def qualityRegression(spark: SparkSession, dir: String): DataFrame = {
+    // Features and target are all row-local expressions over the same
+    // row ([[TextAnalysis.qualityColumns]] + tokenCount), so ONE
+    // scan-stage projection replaces the former qualityMetrics ⋈ docs
+    // self-join (a shuffle join saved), and the localCheckpoint
+    // materializes the expensive string arithmetic once for BOTH the
+    // Gram-sums fit scan and the predict scan. The Gram sums stay on
+    // the source partitioning (no cpuBound here): they are FP
+    // accumulations, the Parallelize contract's excluded class.
     val docs = Tables.documents(spark, dir)
-    val q = TextAnalysis.qualityMetrics(docs, "doc_id", "text", Stopwords)
-      .select(col("doc_id"), col("alpha_ratio").as("x2"),
-        col("quality_score").as("y"))
-    val feat = q.join(docs.select(col("doc_id"),
-      (TextAnalysis.tokenCount(col("text")).cast("double") / lit(100.0)).as("x1")),
-      Seq("doc_id"))
+    val m = TextAnalysis.qualityColumns(col("text"), Stopwords)
+    val feat = docs.select(col("doc_id"),
+        (TextAnalysis.tokenCount(col("text")).cast("double") / lit(100.0)).as("x1"),
+        m("alpha_ratio").as("x2"), m("quality_score").as("y"))
+      .localCheckpoint()
     val w = graft.operators.Regression.fitOls(feat, Seq(col("x1"), col("x2")), col("y"))
     val wr = w.map(x => math.floor(x * 1e6 + 0.5) / 1e6)
     graft.operators.Regression.predict(feat, Seq(col("x1"), col("x2")), wr, "yhat")
@@ -979,11 +995,13 @@ object LlmQueries {
     * (rounding on both sides keeps the float boundary engine-stable).
     * Every stage reuses the standalone operator it demonstrates. */
   def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    // the quality score is row-local ([[TextAnalysis.qualityColumns]]) —
+    // compute it in the same projection as the gate instead of scanning
+    // the dedup output twice and joining it back on doc_id
     val dd = Dedup.exact(Tables.documents(spark, dir), Seq("text"), "doc_id")
-    val quality = TextAnalysis.qualityMetrics(dd, "doc_id", "text", Stopwords)
-      .select(col("doc_id"), r(col("quality_score"), 6).as("quality_score"))
-    dd.select(col("doc_id"), col("lang"), col("text"))
-      .join(quality, Seq("doc_id"))
+    val score = TextAnalysis.qualityColumns(col("text"), Stopwords)("quality_score")
+    dd.select(col("doc_id"), col("lang"), col("text"),
+        r(score, 6).as("quality_score"))
       .filter(col("lang").isin("en", "de") &&
         TextAnalysis.tokenCount(col("text")).between(5, 180) &&
         col("quality_score") >= 0.5)
@@ -1044,11 +1062,12 @@ object LlmQueries {
         .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
     val dd = Dedup.exact(docs, Seq("text"), "doc_id")
       .select("doc_id", "lang", "text", "n_tokens").localCheckpoint()
-    val quality = TextAnalysis.qualityMetrics(dd, "doc_id", "text", Stopwords)
-      .select(col("doc_id"), r(col("quality_score"), 6).as("qs"))
-    val gated = dd.join(quality, Seq("doc_id"))
+    // the score is row-local — compute it inside the gate projection
+    // rather than scanning dd twice and joining the score back on doc_id
+    val qs = r(TextAnalysis.qualityColumns(col("text"), Stopwords)("quality_score"), 6)
+    val gated = dd
       .filter(col("lang").isin("en", "de") &&
-        col("n_tokens").between(5, 180) && col("qs") >= 0.5)
+        col("n_tokens").between(5, 180) && qs >= 0.5)
       .select("doc_id", "lang", "text", "n_tokens").localCheckpoint()
     val keep = Contamination.bloomKeep(gated, benchDocs(docs),
       "doc_id", "text", DecontamN)

@@ -29,8 +29,10 @@ object Scratch {
       }
       println(f"$label%-28s ${ts.map(t => f"$t%.2f").mkString(", ")}")
     }
-    for (name <- Seq("semantic_dedup_keep", "semantic_decon", "cdc_chunk_docs",
-        "cosine_neardup_pairs"))
+    for (name <- Seq("quality_filter_by_lang", "quality_regression",
+        "corpus_filter", "pipeline_funnel", "novelty_docs", "term_burstiness",
+        "repeated_spans_docs", "contamination_pairs", "decon_spans",
+        "geo_sliver", "text_quality"))
       passes(name, 2) { q(name)(spark, dir).count() }
     spark.stop()
   }
