@@ -137,7 +137,14 @@ class DeterminismStressSpec extends SparkSpec {
                 // explode) — its doc-frequency counts and top-50 rank must
                 // be invariant to the redistribution, per the Parallelize
                 // integer/set safety contract
-                "langid_docs")) {
+                "langid_docs",
+                // round-11 second batch: the single-scan quality gates
+                // (qualityColumns projection, no self-join) and the widened
+                // gram/token extractions — the per-lang exact percentile,
+                // the per-gram min-priority, and the integer tf moments
+                // must all be invariant to the cpuBound redistribution
+                "quality_filter_by_lang", "novelty_docs",
+                "term_burstiness", "corpus_filter")) {
     test(s"$q is bit-identical across $Runs same-session runs with caches dropped") {
       val first = canonical(q)
       dropCaches()

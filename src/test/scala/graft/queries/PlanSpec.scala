@@ -546,4 +546,22 @@ class PlanSpec extends SparkSpec {
     assert(hashAggs >= 4, s"expected partial+final contingency aggs:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("quality gates compute the score in one scan — no self-join back on the id") {
+    // round 11: qualityColumns lets the gated queries project the
+    // row-local score next to the other columns of the SAME row; the
+    // former qualityMetrics ⋈ docs shuffle join must stay gone
+    val qfPlan = planOf(LlmQueries.qualityFilterByLang(spark, dir))
+    // the only join left is the 5-row per-language threshold broadcast
+    assert(!qfPlan.contains("SortMergeJoin"),
+      s"threshold join must be broadcast, score join must not exist:\n$qfPlan")
+    assert(qfPlan.contains("BroadcastHashJoin"), qfPlan)
+
+    // regression + filter have NO join at all once the score is inline
+    for (q <- Seq(LlmQueries.qualityRegression(spark, dir),
+        LlmQueries.corpusFilter(spark, dir))) {
+      val plan = planOf(q)
+      assert(!plan.contains("Join"), s"score must ride the scan projection:\n$plan")
+    }
+  }
 }
