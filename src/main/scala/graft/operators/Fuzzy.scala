@@ -108,7 +108,11 @@ object Fuzzy {
       .join(dim(strs.withColumnRenamed("s", "rb")), col("sid_b") === col("sid"))
       .select(least(col("ra"), col("rb")).as("s_a"),
         greatest(col("ra"), col("rb")).as("s_b"))
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      // thresholded levenshtein = banded DP + early length-gap exit,
+      // returning -1 past maxDist — the between() keeps identical rows
+      // with identical distances, at a fraction of the DP cells
+      .withColumn("dist",
+        levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
       .filter(col("dist").between(1, maxDist))
     resolve(cand)
       .unionByName(resolve(collisionCand).dropDuplicates("s_a", "s_b"))
@@ -218,7 +222,11 @@ object Fuzzy {
   def sortedNeighborPairs(strings: DataFrame, strCol: String,
       window: Int, maxDist: Int): DataFrame =
     neighborCandidates(strings, strCol, window)
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      // thresholded levenshtein runs the BANDED DP (O(maxDist·n) cells,
+      // early length-gap exit) and returns -1 past the bound — identical
+      // dist for every row the between() keeps, ~3x fewer cells at k=2
+      .withColumn("dist",
+        levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
       .filter(col("dist").between(1, maxDist))
 
   /** Sorted-neighborhood candidates scored with the native
