@@ -639,6 +639,20 @@ object Dedup {
     nearDupPairsFromSigs(simhashSignatures(df, idCol, textCol, seed),
       maxHamming, chunks, bits = 64)
 
+  /** [[nearDupPairsSimhash]] with a caller-supplied token-hash expression
+    * and signature width — the whole operator (vote aggregation, signature
+    * assembly, pigeonhole blocking, Hamming verify) parameterized on its
+    * hash substrate. With an md5-derived hash the full pipeline is
+    * replayable digit-for-digit by an independent SQL engine; xxhash64
+    * ([[nearDupPairsSimhash]]) stays the production default. */
+  def nearDupPairsSimhashWith(
+      df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column, bits: Int,
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame =
+    nearDupPairsFromSigs(
+      simhashSignaturesWith(df, idCol, textCol, tokenHash, bits),
+      maxHamming, chunks, bits)
+
   /** Pigeonhole blocking + Hamming verify over precomputed (id, sig)
     * signatures of `bits` significant bits — the blocking half of
     * [[nearDupPairsSimhash]], reusable for any signature family. */

@@ -468,17 +468,27 @@ object LlmQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** SimHash signatures + near-dup pairs (hash family not expressible in
-    * the oracle — rows-only check; semantics unit-tested).
+  /** SimHash near-dup pairs through the production operator entry point
+    * ([[Dedup.nearDupPairsSimhashWith]]), run on the md5-derived signature
+    * substrate so the WHOLE pipeline — vote aggregation, signature
+    * assembly, pigeonhole blocking, Hamming verify — is oracle-checked
+    * end to end (the oracle replays the signatures blocking-free and
+    * brute-forces all-pairs Hamming, so both recall and precision of the
+    * blocking are asserted, not assumed). xxhash64 remains the documented
+    * production default ([[Dedup.nearDupPairsSimhash]]), covered by the
+    * exact-recall units in DedupSimilaritySpec.
     *
-    * maxHamming = 3, the standard radius for 64-bit SimHash (Manku et al.):
-    * the 4-block pigeonhole only guarantees recall up to chunks - 1
-    * differing blocks. The previous maxHamming = 8 exceeded that bound and
-    * silently missed pairs differing in all 4 blocks — the blocking now
-    * rejects unsound combinations outright. */
+    * maxHamming = 3, the standard radius for SimHash (Manku et al.);
+    * chunks = 5 here (12-bit blocks, m = 2 → 24-bit keys, C(5,2) = 10
+    * blocking tables) vs the C(4,1) geometry of simhash_md5_pairs — the
+    * two green rows together pin the pigeonhole argument across two
+    * different block decompositions of the same signature space. */
   def simhashNeardupDocs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupPairsSimhash(
-      nearDupCorpus(Tables.documents(spark, dir)), "doc_id", "text", maxHamming = 3)
+    Dedup.nearDupPairsSimhashWith(
+      nearDupCorpus(Tables.documents(spark, dir)), "doc_id", "text",
+      t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast(LongType),
+      bits = 60, maxHamming = 3, chunks = 5)
+      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
       .orderBy("a", "b")
 
   /** All-pairs character-3-gram Jaccard for a bounded id range —
@@ -2489,10 +2499,11 @@ object LlmQueries {
   /** 60-bit SimHash whose token hash is md5-derived (conv of the first 15
     * hex chars) — arithmetic DuckDB reproduces digit-for-digit, so the
     * whole pipeline (vote aggregation, signature assembly, pigeonhole
-    * blocking, Hamming verify) is oracle-checked end to end. The xxhash64
-    * variant (simhash_neardup_docs) stays the production default; this
-    * query exists so the algorithm family has an independent-engine
-    * verification. */
+    * blocking, Hamming verify) is oracle-checked end to end. This query
+    * composes the low-level pieces with the default C(4,1) blocking;
+    * [[simhashNeardupDocs]] runs the same substrate through the production
+    * operator entry point with the C(5,2) geometry — two independent
+    * block decompositions against one blocking-free oracle. */
   def simhashMd5Pairs(spark: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupCorpus(Tables.documents(spark, dir))
     val sigs = Dedup.simhashSignaturesWith(corpus, "doc_id", "text",
@@ -3043,7 +3054,7 @@ object LlmQueries {
     QueryDef("minhash_keep_longest", minhashKeepLongest, Some(minhashKeepLongestOracle)),
     QueryDef("dup_weight_docs", dupWeightDocs, Some(dupWeightOracle)),
     QueryDef("soft_dedup_sample", softDedupSample, Some(softDedupSampleOracle)),
-    QueryDef("simhash_neardup_docs", simhashNeardupDocs, None),
+    QueryDef("simhash_neardup_docs", simhashNeardupDocs, Some(simhashMd5Oracle)),
     QueryDef("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardOracle)),
     QueryDef("containment_dup_pairs", containmentPairs, Some(containmentOracle)),
     QueryDef("cosine_neardup_pairs", cosineNeardupPairs, Some(cosineNeardupOracle)),

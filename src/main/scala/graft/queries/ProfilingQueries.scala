@@ -300,21 +300,44 @@ object ProfilingQueries {
        |ORDER BY "column", "index", "function", notes""".stripMargin
 
   /** The 100 TB mode: single-pass describe with HLL++ distinct and
-    * t-digest quantiles. The SKETCH fields (distinct_count, q50) are
-    * approximate by design — rows-only check here, accuracy vs the exact
-    * kernel unit-tested; the exact-by-definition fields of the same pass
-    * are oracle-checked by [[describeApproxMoments]]. */
+    * KLL quantiles. The SKETCH fields (distinct_count, q50) are
+    * approximate by contract, so an independent engine cannot reproduce
+    * them value-for-value; like `kll_quantile_check`, the engine instead
+    * measures each estimate's error against the EXACT answer on the gate
+    * data and emits bound-satisfaction booleans the oracle asserts — the
+    * distinct estimate within ±10% of the exact cardinality (HLL++ at
+    * rsd 0.05 expects ~1.6%), the median estimate's rank within ±0.05
+    * (KLL k=1024 expects ~0.4%), so the booleans are stable, not flaky.
+    * The verification pass exists only for the gate; the exact fields of
+    * the same describe pass keep their value oracle here and in
+    * [[describeApproxMoments]]. */
   def describeApproxLineitem(spark: SparkSession, dir: String): DataFrame = {
     val rep = Report(Tables.lineitem(spark, dir), key = Some("l_orderkey"),
       approximate = true)
-    val p = rep.describe(Seq("l_extendedprice")).head
-    val s = p.stats
-    oneRow(spark, Seq(
-      ("count", LongType, s("count")),
-      ("distinct_count", LongType, s("distinct_count")),
-      ("q50", DoubleType, s("50%")),
-      ("mean", DoubleType, s("mean")),
-      ("std", DoubleType, s("std"))))
+    val s = rep.describe(Seq("l_extendedprice")).head.stats
+    val q50Est = s("50%").asInstanceOf[Double]
+    val distinctEst = s("distinct_count").asInstanceOf[Long].toDouble
+    val v = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").cast("double").as("v"))
+    v.agg(count(col("v")).as("n"), countDistinct(col("v")).as("nd"),
+        count(when(col("v") < lit(q50Est), 1)).as("lt"),
+        count(when(col("v") <= lit(q50Est), 1)).as("le"))
+      .select(
+        lit(s("count").asInstanceOf[Long]).as("count"),
+        lit(rd(s("mean").asInstanceOf[Double], 6)).as("mean"),
+        lit(rd(s("std").asInstanceOf[Double], 6)).as("std"),
+        (abs(lit(distinctEst) / col("nd") - 1.0) <= 0.1).as("distinct_ok"),
+        ((col("lt") / col("n") - 0.05 <= 0.5) &&
+          (col("le") / col("n") + 0.05 >= 0.5)).as("q50_within_eps"))
+  }
+
+  private val describeApproxLineitemOracle: String = {
+    val c = "l_extendedprice"
+    s"""SELECT count($c) AS "count",
+       | ${rSql(s"avg($c)", 6)} AS mean,
+       | ${rSql(s"stddev_samp($c)", 6)} AS std,
+       | true AS distinct_ok, true AS q50_within_eps
+       |FROM lineitem""".stripMargin
   }
 
   /** Exact-by-definition statistics of the approximate (single-pass) mode:
@@ -1830,7 +1853,7 @@ object ProfilingQueries {
     QueryDef("grouped_quantiles_docs", groupedQuantilesDocs, Some(groupedQuantilesOracle)),
     QueryDef("zscore_lineitem", zscoreLineitem, Some(zscoreOracle)),
     QueryDef("describe_numeric_lineitem", describeNumericLineitem, Some(describeNumericOracle)),
-    QueryDef("describe_approx_lineitem", describeApproxLineitem, None),
+    QueryDef("describe_approx_lineitem", describeApproxLineitem, Some(describeApproxLineitemOracle)),
     QueryDef("describe_approx_moments", describeApproxMoments, Some(describeApproxMomentsOracle)),
     QueryDef("describe_long_lineitem", describeLongLineitem, Some(describeLongOracle)),
     QueryDef("describe_string_orders", describeStringOrders, Some(describeStringOracle)),

@@ -1715,6 +1715,50 @@ object RelationalQueries {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** The memoized day-sharded events export with its `_profiles` sidecar
+    * — the ingest-time layout a 100 TB events corpus actually arrives in
+    * (a shard per day), written once per (session, dir) and shared by
+    * the query and SinksSpec's files-touched assert. Returns the export
+    * path. Day index from epoch seconds: flooring nanos to micros to
+    * seconds never crosses a day boundary (86400e9 % 1000 == 0), so both
+    * engines bucket identically (same argument as [[zorderEvents]]). */
+  def dayShardedEvents(spark: SparkSession, dir: String): String = {
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_events_dayshard_$tag"
+    graft.sources.Memo.onceFor(spark, dir, "events-dayshard") {
+      val ev = Tables.events(spark, dir)
+        .withColumn("ts_day",
+          floor(unix_timestamp(col("ts")) / 86400).cast("double"))
+      graft.sources.Sinks.writeShardedWithProfiles(
+        ev, path, col("ts_day"), Seq("ts_day", "value"))
+    }
+    path
+  }
+
+  /** Profile-sidecar pruned scan — the reader half of the shard-profile
+    * bargain: a week-long range predicate on the day-sharded events
+    * export consults the `_profiles` min/max rows and reads 7 of the 30
+    * shard directories; Spark never lists the other 23 shards' files
+    * (asserted via inputFiles in SinksSpec). The oracle scans the raw
+    * table with the same predicate: pruning must lose nothing. */
+  def shardPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val pruned = graft.sources.Sinks.readPruned(
+      spark, dayShardedEvents(spark, dir), "ts_day",
+      lower = Some(19730.0), upper = Some(19736.0))
+    pruned.agg(count(lit(1)).as("n"),
+      r(sum("value"), 4).as("sum_value"),
+      sum("user_id").as("sum_user"))
+  }
+
+  private val shardPrunedScanOracle: String =
+    s"""SELECT count(*) AS n,
+       | ${rSql("sum(value)", 4)} AS sum_value,
+       | CAST(sum(user_id) AS BIGINT) AS sum_user
+       |FROM events
+       |WHERE epoch_ns(ts) // 86400000000000 BETWEEN 19730 AND 19736""".stripMargin
+
   /** Correlated LATERAL join — per-customer top-2 orders by price as a
     * lateral subquery (the modern SQL shape for per-row subselects,
     * supported by Spark 4 and DuckDB alike). Catalyst decorrelates the
@@ -1824,5 +1868,6 @@ object RelationalQueries {
     QueryDef("zorder_events", zorderEvents, Some(zorderEventsOracle)),
     QueryDef("zorder_pruned_scan", zorderPrunedScan, Some(zorderPrunedScanOracle)),
     QueryDef("partition_pruned_join", partitionPrunedJoin, Some(partitionPrunedJoinOracle)),
+    QueryDef("shard_pruned_scan", shardPrunedScan, Some(shardPrunedScanOracle)),
     QueryDef("lateral_top_orders", lateralTopOrders, Some(lateralTopOrdersOracle)))
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Result sinks (SURVEY.md §2.C scans/sinks row): columnar parquet as
   * the default, csv/json for interop, and bucketed managed tables for
@@ -149,12 +149,77 @@ object Sinks {
     * corpus never rescans it. Returns the sidecar frame. */
   def writeTrainingShardsWithProfiles(df: DataFrame, path: String, keyCol: String,
       seed: Long, shards: Int, profileCols: Seq[String], k: Int = 200): DataFrame = {
-    import org.apache.spark.sql.functions.col
     writeTrainingShards(df, path, keyCol, seed, shards)
-    val spark = df.sparkSession
+    writeProfileSidecar(df.sparkSession, path, profileCols, k)
+  }
+
+  /** Generic profiled-shard export: rows land in a parquet directory per
+    * `shardCol` value with the `_profiles` sidecar next to them. Unlike
+    * [[writeTrainingShards]] (whose hash order deliberately DECORRELATES
+    * shards from every column, for training reproducibility), the shard
+    * key here is the caller's — typically an ingest-time bucket (day,
+    * source, batch id), the layout a 100 TB corpus actually arrives in —
+    * so the sidecar's per-shard min/max DO separate values and
+    * [[readPruned]] can drop whole shards. */
+  def writeShardedWithProfiles(df: DataFrame, path: String, shardCol: Column,
+      profileCols: Seq[String], k: Int = 200): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("shard", shardCol.cast("int"))
+      .repartition(col("shard"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
+    writeProfileSidecar(df.sparkSession, path, profileCols, k)
+  }
+
+  /** Profile the WRITTEN artifact (a narrow columnar scan of just
+    * `profileCols` + the shard partition column — the profile always
+    * describes exactly what landed on disk) into `path/_profiles`. */
+  private def writeProfileSidecar(spark: SparkSession, path: String,
+      profileCols: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val written = spark.read.parquet(path)
     graft.operators.Profiles.shardProfiles(written, col("shard"), profileCols, k)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_profiles")
     spark.read.parquet(s"$path/_profiles")
+  }
+
+  /** Sidecar-pruned read of a profiled-shard export: the `_profiles`
+    * rows carry EXACT per-(shard, column) min/max, so a range predicate
+    * on a profiled column drops whole shards from the scan before Spark
+    * ever lists their files. This is the zone map ABOVE parquet's
+    * per-file footer stats: footer pruning still pays the file listing
+    * and footer reads — at 100 TB a million-file corpus makes the
+    * listing itself a cost — while the sidecar decision reads
+    * |shards| × |cols| rows (≤ a few thousand) on the driver, the same
+    * economics as a catalog's partition pruning.
+    *
+    * Returns the rows of `path` with `lower ≤ column ≤ upper` (a missing
+    * bound is unbounded): shards whose [min, max] interval cannot
+    * intersect the range — including all-null shards, which a range
+    * predicate excludes anyway — are never read, and the row-level
+    * filter is re-applied inside surviving shards (shard pruning is
+    * necessarily coarse). Pruning hinges on layout: it bites when the
+    * shard key correlates with `column` ([[writeShardedWithProfiles]]'s
+    * ingest-time buckets), and degrades to a full scan — never a wrong
+    * answer — on the decorrelated [[writeTrainingShards]] hash order. */
+  def readPruned(spark: SparkSession, path: String, column: String,
+      lower: Option[Double] = None, upper: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val prof = spark.read.parquet(s"$path/_profiles")
+      .filter(col("col") === column)
+      .select(col("shard").cast("string").as("shard"), col("min"), col("max"))
+    val loOk = lower.map(lit(_) <= col("max")).getOrElse(lit(true))
+    val hiOk = upper.map(lit(_) >= col("min")).getOrElse(lit(true))
+    // driver-side decision over ≤|shards| rows — never grows with the data
+    val live = prof.filter(col("min").isNotNull && loOk && hiOk)
+      .collect().map(_.getString(0)).sorted
+    val src =
+      if (live.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.option("basePath", path)
+        .parquet(live.map(s => s"$path/shard=$s"): _*)
+    val c = col(column)
+    src.filter(lower.map(c >= _).getOrElse(lit(true)) &&
+        upper.map(c <= _).getOrElse(lit(true)))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev-only single-query timer (same methodology as Bench: warmup pass,
   * then best-of-2). Usage:
   *   sbt "runMain graft.tools.TimeOne <query> [sfDir] [passes]"
-  * Not part of the engine (see .claude/skills/verify/SKILL.md). */
+  * Not part of the engine (see the repo verify workflow). */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val name = if (args.nonEmpty) args(0) else "q1_agg"

@@ -197,6 +197,39 @@ class SinksSpec extends SparkSpec {
     assert(back.columns.sorted.toSeq === Seq("a", "b", "id", "shard", "shuffle_hash"))
   }
 
+  test("readPruned drops whole shards via the profile sidecar and loses no rows") {
+    val s = spark
+    import s.implicits._
+    // ingest-time layout: shard key (day) correlates with the profiled
+    // column, so per-shard min/max separate values
+    val df = (0 until 1000).map { i =>
+      val day = i / 100 // 10 "days", 100 rows each
+      (i.toLong, day * 10.0 + (i % 100) / 100.0, s"p$i")
+    }.toDF("id", "ts_day", "payload")
+    val out = tmp("pruned")
+    Sinks.writeShardedWithProfiles(df, out, col("ts_day") / 10.0,
+      profileCols = Seq("ts_day", "id"))
+    val full = spark.read.parquet(out)
+    // range covering days 3..5 → 3 of 10 shards
+    val pruned = Sinks.readPruned(spark, out, "ts_day",
+      lower = Some(30.0), upper = Some(51.0))
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"sidecar pruning must touch fewer files: ${pruned.inputFiles.length} vs ${full.inputFiles.length}")
+    assert(pruned.inputFiles.forall(f =>
+      Seq("shard=3", "shard=4", "shard=5").exists(f.contains)), pruned.inputFiles.mkString("\n"))
+    // pruning loses nothing vs the row-level filter over the full scan
+    val expect = full.filter(col("ts_day").between(30.0, 51.0))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted === expect)
+    assert(expect.length === 300)
+    // the shard partition column survives the basePath read
+    assert(pruned.columns.contains("shard"))
+    // unbounded side + empty-result range both stay correct
+    assert(Sinks.readPruned(spark, out, "ts_day", lower = Some(80.0)).count() === 200)
+    val none = Sinks.readPruned(spark, out, "ts_day", lower = Some(1e9))
+    assert(none.count() === 0 && none.columns.contains("id"))
+  }
+
   test("Memo builds each (session, dir, key) exactly once and reads parquet back") {
     val s = spark
     import s.implicits._

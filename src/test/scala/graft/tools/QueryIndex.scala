@@ -37,7 +37,7 @@ object QueryIndex {
     sb ++= "Every query runs via `SparkEntry.queries(name)(spark, sfDir)` " +
       "over the driver parquet corpus; the driver hash-compares oracle " +
       "queries against DuckDB at sf0.01 (CORRECTNESS gate), and the dev " +
-      "sweep replays them at sf0.001/0.01/0.1 (.claude/skills/verify).\n\n"
+      "sweep replays them at sf0.001/0.01/0.1 (see the repo verify workflow).\n\n"
     sb ++= "| query | registry | correctness check |\n"
     sb ++= "|---|---|---|\n"
     rows.foreach { case (name, group, hasOracle) =>

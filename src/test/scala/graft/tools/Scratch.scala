@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only scratch main for ad-hoc plan inspection. Not part of the
-  * engine; edit freely (see .claude/skills/verify/SKILL.md). */
+  * engine; edit freely (see the repo verify workflow). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
