@@ -148,6 +148,180 @@ class StreamingRecoverySpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  // ---------------------------------------------------------------- sinks
+  //
+  // Mid-batch KILL tests for the parquet-maintaining sinks: a poison row
+  // makes the first attempt of a batch die INSIDE the foreachBatch body
+  // (local mode has task maxFailures=1, so one throw fails the query with
+  // the batch's offsets logged but its commit missing), garbage is then
+  // planted in the batch's output directory to simulate the torn write
+  // the attempt may have left behind, and the query is restarted from the
+  // checkpoint. Structured Streaming re-runs the SAME batch id over the
+  // SAME data; the sinks' contract — derive only from versions/batches
+  // STRICTLY BELOW the replaying id, overwrite your own directory — must
+  // turn that at-least-once replay into exactly-once on-disk state: every
+  // expected row present once, the planted garbage gone.
+
+  /** Arms a file-flag poison: the returned column throws mid-batch for
+    * `badId` while the flag file exists. */
+  private def poisonOn(flagPath: String, badId: Long) = {
+    val f = org.apache.spark.sql.functions.udf { (id: Long) =>
+      if (id == badId && java.nio.file.Files.exists(java.nio.file.Paths.get(flagPath)))
+        throw new RuntimeException("injected mid-batch kill")
+      true
+    }
+    f
+  }
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_kill_$tag").toString
+
+  test("upsertSink: a batch killed mid-write replays into exactly-once versioned state") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = tmpDir("upsert")
+    val ckpt = tmpCkpt("upsert_kill")
+    val flag = s"${tmpDir("upsert_flag")}/armed"
+    val poison = poisonOn(flag, badId = 99L)
+    def start() = Streams.upsertSink(
+        mem.toDF().filter(poison(col("event_id"))), Seq("event_id"), out)
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 10:00:00"), 1L, 1.0, 1),
+        Ev(ts("2024-01-01 10:01:00"), 2L, 2.0, 2))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(s"$out/v=0").count() === 2)
+
+    // batch 1 (update key 2, insert key 99) dies on its first attempt
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(flag))
+    mem.addData(Ev(ts("2024-01-01 10:02:00"), 2L, 99.0, 2),
+      Ev(ts("2024-01-01 10:03:00"), 9L, 9.0, 99))
+    val q2 = start()
+    val err = intercept[Exception] { q2.processAllAvailable() }
+    assert(err.toString.contains("injected") || err.getCause != null)
+    q2.stop()
+    // simulate the torn write the dead attempt may have left: a partial
+    // v=1 holding a STALE row (the exact dir the replay must not read)
+    Seq(Ev(ts("2024-01-01 10:02:00"), 2L, -1.0, 2))
+      .toDF().write.mode("overwrite").parquet(s"$out/v=1")
+
+    java.nio.file.Files.delete(java.nio.file.Paths.get(flag))
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+
+    val latest = Streams.latestVersion(out).get
+    assert(latest.endsWith("v=1"), s"replay must land in its own version dir: $latest")
+    val back = spark.read.parquet(latest)
+      .select("event_id", "value").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(back.toSeq === Seq((1L, 1.0), (2L, 99.0), (99L, 9.0)),
+      s"exactly-once after kill+replay, got ${back.toSeq}")
+    // no duplicate versions appeared and v=0 survived for time travel
+    assert(spark.read.parquet(s"$out/v=0").count() === 2)
+  }
+
+  test("dedupIngestSink: a killed batch replays against the strictly-below index, no dup or loss") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def body(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    val mem = MemoryStream[Doc]
+    val out = tmpDir("ingest")
+    val ckpt = tmpCkpt("ingest_kill")
+    val flag = s"${tmpDir("ingest_flag")}/armed"
+    val poison = poisonOn(flag, badId = 99L)
+    def start() = Streams.dedupIngestSink(
+        mem.toDF().filter(poison(col("doc_id"))), "doc_id", "text", out)
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try {
+      mem.addData(Doc(1L, body("a")), Doc(2L, body("b")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // batch 1: near-dup of corpus doc 2 (must drop), novel 11 and 99
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(flag))
+    mem.addData(Doc(10L, body("b") + " extra"), Doc(11L, body("c")),
+      Doc(99L, body("d")))
+    val q2 = start()
+    intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    // torn write: the dead attempt landed the corpus dir WITH the doc
+    // that dedup should drop, and none of its index rows — the
+    // corpus/index desync the overwrite-replay contract must repair
+    Seq(Doc(10L, body("b") + " extra"), Doc(11L, body("c")))
+      .toDF().write.mode("overwrite").parquet(s"$out/docs/batch=1")
+
+    java.nio.file.Files.delete(java.nio.file.Paths.get(flag))
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+
+    val corpus = spark.read.parquet(s"$out/docs")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(corpus.sorted.toSeq === Seq(1L, 2L, 11L, 99L),
+      s"near-dup dropped, survivors exactly once: ${corpus.toSeq.sorted}")
+    // the standing index tracks exactly the kept docs (no rows for 10,
+    // none missing for 11/99) — corpus and index re-synced by the replay
+    for (idx <- Seq("sh", "bk")) {
+      val ids = spark.read.parquet(s"$out/$idx")
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 11L, 99L), s"$idx index out of sync: $ids")
+    }
+  }
+
+  test("deconIngestSink: a killed batch replays its contamination filter exactly once") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def body(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val bench = Seq((100L, body("eval"))).toDF("doc_id", "text")
+    val mem = MemoryStream[Doc]
+    val out = tmpDir("decon")
+    val ckpt = tmpCkpt("decon_kill")
+    val flag = s"${tmpDir("decon_flag")}/armed"
+    val poison = poisonOn(flag, badId = 99L)
+    def start() = Streams.deconIngestSink(
+        mem.toDF().filter(poison(col("doc_id"))), "doc_id", "text",
+        bench, "doc_id", "text", out)
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try {
+      mem.addData(Doc(1L, body("a")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // batch 1: a contaminated doc (quotes an eval 3-gram), a clean doc,
+    // and the poison doc; first attempt dies
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(flag))
+    mem.addData(Doc(10L, body("eval")), Doc(11L, body("c")), Doc(99L, body("d")))
+    val q2 = start()
+    intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    // torn write: partial batch dir holding one survivor already — the
+    // replay must not double it
+    Seq(Doc(11L, body("c")))
+      .toDF().write.mode("overwrite").parquet(s"$out/docs/batch=1")
+
+    java.nio.file.Files.delete(java.nio.file.Paths.get(flag))
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+
+    val corpus = spark.read.parquet(s"$out/docs")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(corpus.sorted.toSeq === Seq(1L, 11L, 99L),
+      s"contaminated doc dropped, survivors exactly once: ${corpus.toSeq.sorted}")
+  }
+
   test("engagement monitor restores its decay fold from the checkpoint") {
     val s = spark
     import s.implicits._
