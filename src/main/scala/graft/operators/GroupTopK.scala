@@ -8,37 +8,62 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 /** Scale-safe per-group top-k for LOW-CARDINALITY group keys
   * (SURVEY.md §2.C row 5; 100 TB design notes).
   *
-  * The standard ranked-window idiom — `row_number over (partition by key
-  * order by ...)` — shuffles every row of its group to ONE task: with 5
-  * distinct keys, each task sorts 20% of the table, a straggler by
-  * construction at scale. This operator keeps the same semantics with a
-  * salted two-phase plan:
+  * The hazard: `row_number over (partition by key order by ...)` with 5
+  * distinct keys naively shuffles every row of a group to ONE task — a
+  * straggler by construction at scale. Two plans avoid it:
   *
-  *  1. local phase — rank within (key, salt) where salt is a
-  *     deterministic hash of the ordering columns mod `salts`; parallelism
-  *     is #keys x salts, each task sorting ~1/(#keys*salts) of the data;
-  *     survivors per (key, salt) bucket: k.
-  *  2. merge phase — rank the <= salts*k survivors per key; this window
-  *     IS single-task-per-key, but over a bounded, tiny input.
+  *  - [[topK]] (the default): the plain ranked window, BECAUSE Catalyst
+  *    already plans the rank filter as a two-phase `WindowGroupLimit` —
+  *    a Partial group-limit caps every input partition at k rows per
+  *    group BEFORE the exchange, the Final limit + window run over the
+  *    ≤ partitions·k survivors. The straggler never materializes: the
+  *    per-key task sees k·(upstream partitions) rows, not the group.
+  *    Measured head-to-head at 60M rows with a planted 20%-hot group
+  *    (SkewBench, BASELINE.md round 12), this native plan beats the
+  *    hand-salted one ~1.8x — the salting duplicated the pruning the
+  *    optimizer already did and paid an extra exchange for it.
   *
-  * The result is independent of the salt assignment: every global top-k
-  * row ranks <= k inside whatever bucket it lands in (a bucket holds a
-  * subset of its key's rows), so phase 1 never discards a global top-k
-  * row, and phase 2 computes the exact final ranking. Equivalence with
-  * the plain window form is unit-tested; the physical shape (first
-  * exchange on (key, salt), second on the bounded survivor set) is
-  * asserted in PlanSpec.
+  *  - [[topKSalted]]: the explicit salted two-phase plan, kept for rank
+  *    filters an optimizer cannot push into a group limit (non-literal
+  *    k, rank expressions wrapped in non-trivial predicates, engines
+  *    without group-limit pushdown). Semantics identical; equivalence
+  *    is unit- and property-tested, and the salted physical shape is
+  *    pinned in PlanSpec via the window_topk_scaled gate query.
   *
   * The ordering should be a total order (add a unique tie-break column,
-  * e.g. the row id) — same caveat as the window form, which is otherwise
-  * nondeterministic at the rank-k boundary.
+  * e.g. the row id) — the window form is otherwise nondeterministic at
+  * the rank-k boundary.
   */
 object GroupTopK {
 
   /** Top `k` rows per group of `keys`, ranked by `ordering`, with the
-    * rank exposed as `rankCol`. `salts` = local-phase fan-out per key;
-    * size it to (rows per hot key / target rows per task). */
+    * rank exposed as `rankCol`. Plans as a two-phase WindowGroupLimit
+    * (partial map-side pruning before the shuffle — asserted in
+    * PlanSpec); see the object doc for why this beats hand-salting. */
   def topK(
+      df: DataFrame, keys: Seq[String], ordering: Seq[Column], k: Int,
+      rankCol: String = "rn"): DataFrame = {
+    require(k > 0)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** [[topK]] as an EXPLICIT salted two-phase plan — the fallback for
+    * rank filters the optimizer cannot push into a group limit.
+    * `salts` = local-phase fan-out per key; size it to
+    * (rows per hot key / target rows per task).
+    *
+    *  1. local phase — rank within (key, salt) where salt is a
+    *     deterministic hash of the row mod `salts`; parallelism is
+    *     #keys x salts; survivors per (key, salt) bucket: k.
+    *  2. merge phase — rank the <= salts*k survivors per key; this
+    *     window IS single-task-per-key, but over a bounded, tiny input.
+    *
+    * The result is independent of the salt assignment: every global
+    * top-k row ranks <= k inside whatever bucket it lands in (a bucket
+    * holds a subset of its key's rows), so phase 1 never discards a
+    * global top-k row, and phase 2 computes the exact final ranking. */
+  def topKSalted(
       df: DataFrame, keys: Seq[String], ordering: Seq[Column], k: Int,
       rankCol: String = "rn", salts: Int = 32): DataFrame = {
     require(k > 0 && salts > 0)

@@ -36,4 +36,60 @@ object SkewJoin {
     val out = salted.join(replicated, Seq(key, "__salt"), joinType)
     out.drop("__salt")
   }
+
+  /** The hot keys of `df.key`: every non-null key holding more than
+    * `minShare` of the table's rows. At most floor(1/minShare) keys can
+    * exist by construction, so the driver-side collect is bounded
+    * regardless of data size; the histogram is one hash aggregation and
+    * the total a footer-count. */
+  def hotKeys(df: DataFrame, key: String, minShare: Double): Seq[Any] = {
+    require(minShare > 0.0 && minShare <= 1.0,
+      s"minShare must be in (0, 1], got $minShare")
+    val total = df.count()
+    df.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > total * minShare)
+      .select(col(key)).collect().map(_.get(0)).toSeq
+  }
+
+  /** SPLIT-AND-UNION salted join — the production skew pattern: only
+    * rows on a `hotKeys` key take the salted path, and only the hot
+    * rows of `small` are replicated (|hotKeys| × buckets rows, constant
+    * in the dim size); everything else takes the untouched plain
+    * shuffle join. [[saltedJoin]]'s whole-dim replication costs
+    * |small| × buckets rows, which MEASURED slower than the straggler
+    * it removes at both 1.5M- and 15M-row scale (SkewBench, BASELINE.md
+    * round 12) — the split makes the replication term independent of
+    * the dim, so the salted branch is pure win on the hot rows.
+    *
+    * Null keys take the plain branch (they match nothing, but a left
+    * join must keep them); semantics equal
+    * `skewed.join(small, key, joinType)` and are unit-tested. */
+  def saltedJoinHot(
+      skewed: DataFrame, small: DataFrame, key: String,
+      buckets: Int, hotKeys: Seq[Any], joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      "salted join supports inner and left joins")
+    if (hotKeys.isEmpty) skewed.join(small, Seq(key), joinType)
+    else {
+      // null-safe split: isin(null) is NULL, and a predicate-and-its-
+      // negation pair would drop null-key rows from BOTH branches
+      val isHot = col(key).isin(hotKeys: _*) <=> lit(true)
+      val saltedPart = saltedJoin(
+        skewed.filter(isHot), small.filter(isHot), key, buckets, joinType)
+      saltedPart.unionByName(
+        skewed.filter(!isHot).join(small, Seq(key), joinType))
+    }
+  }
+
+  /** Detect-and-split: one histogram pass finds the keys above
+    * `minShare`, [[saltedJoinHot]] salts exactly those. With no hot key
+    * the plan degrades to the plain join — never a wrong answer, never
+    * unneeded replication. */
+  def saltedJoinAuto(
+      skewed: DataFrame, small: DataFrame, key: String,
+      buckets: Int, minShare: Double = 0.05,
+      joinType: String = "inner"): DataFrame =
+    saltedJoinHot(skewed, small, key, buckets,
+      hotKeys(skewed, key, minShare), joinType)
 }

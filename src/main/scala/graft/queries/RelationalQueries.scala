@@ -160,12 +160,17 @@ object RelationalQueries {
       |WHERE rn <= 3
       |ORDER BY o_orderpriority, rn""".stripMargin
 
-  /** [[windowTopk]] re-planned for scale: o_orderpriority has 5 distinct
-    * values, so the plain ranked window sorts 20% of the table per task —
-    * GroupTopK's salted two-phase plan gives #keys x salts-way parallelism
-    * with identical output (same oracle as window_topk). */
+  /** [[windowTopk]] through the EXPLICIT salted two-phase plan
+    * ([[graft.operators.GroupTopK.topKSalted]]) — the fallback for rank
+    * filters an optimizer cannot push into a group limit. For this
+    * pushable shape Spark 4 already plans the plain window as a partial
+    * + final WindowGroupLimit pair (what `GroupTopK.topK`, the default
+    * every internal consumer uses, now relies on — measured ~1.8x
+    * faster at 60M rows, BASELINE.md round 12); this query keeps the
+    * salted plan under the oracle + PlanSpec so the fallback stays
+    * correct and physically pinned. Same oracle as window_topk. */
   def windowTopkScaled(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.GroupTopK.topK(
+    graft.operators.GroupTopK.topKSalted(
       Tables.orders(spark, dir), Seq("o_orderpriority"),
       Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
       .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")

@@ -409,6 +409,36 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hot-key split salted join equals the plain join, keeps null keys, detects the hot key") {
+    val s = spark
+    import s.implicits._
+    // one hot key (90%), a dim-missing key, and a NULL key (must survive
+    // the left join through the plain branch)
+    val skewed = ((1 to 90).map(i => (Option(1L), s"row$i")) ++
+      Seq((Some(2L), "x"), (Some(3L), "y"), (None, "z"))).toDF("k", "payload")
+    val small = Seq((1L, "dim1"), (2L, "dim2")).toDF("k", "attr")
+    // detection: only the 90%-key is hot at minShare 0.2, nulls excluded
+    assert(SkewJoin.hotKeys(skewed, "k", 0.2) === Seq(1L))
+    assert(SkewJoin.hotKeys(skewed, "k", 0.99).isEmpty)
+    for (jt <- Seq("inner", "left")) {
+      val expected = skewed.join(small, Seq("k"), jt)
+        .orderBy("k", "payload").collect().toSeq
+      val hot = SkewJoin.saltedJoinHot(skewed, small, "k", buckets = 8,
+        hotKeys = Seq(1L), joinType = jt)
+        .orderBy("k", "payload").collect().toSeq
+      assert(hot === expected, s"saltedJoinHot $jt")
+      val auto = SkewJoin.saltedJoinAuto(skewed, small, "k", buckets = 8,
+        minShare = 0.2, joinType = jt)
+        .orderBy("k", "payload").collect().toSeq
+      assert(auto === expected, s"saltedJoinAuto $jt")
+      // no hot keys detected -> identical plain-join semantics still hold
+      val none = SkewJoin.saltedJoinHot(skewed, small, "k", buckets = 8,
+        hotKeys = Seq.empty, joinType = jt)
+        .orderBy("k", "payload").collect().toSeq
+      assert(none === expected, s"empty hotKeys $jt")
+    }
+  }
+
   test("multimodal stub features are deterministic, bounded, fixed-width") {
     val df = Multimodal.extractFeatures(
       Multimodal.withPayload(docs((1L, "hello world")), "text", "text/plain"),

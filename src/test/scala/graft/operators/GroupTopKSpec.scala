@@ -21,12 +21,18 @@ class GroupTopKSpec extends SparkSpec {
       .select("key", "rn", "id", "score").orderBy("key", "rn")
       .collect().toSeq
     for (salts <- Seq(1, 4, 64)) { // 64 > rows-per-(key,salt) degenerate case
-      val scaled = GroupTopK.topK(df, Seq("key"),
+      val scaled = GroupTopK.topKSalted(df, Seq("key"),
         Seq(col("score").desc, col("id").asc), k = 7, salts = salts)
         .select("key", "rn", "id", "score").orderBy("key", "rn")
         .collect().toSeq
       assert(scaled === windowed, s"salts=$salts")
     }
+    // the native default (WindowGroupLimit-planned) matches too
+    val native = GroupTopK.topK(df, Seq("key"),
+      Seq(col("score").desc, col("id").asc), k = 7)
+      .select("key", "rn", "id", "score").orderBy("key", "rn")
+      .collect().toSeq
+    assert(native === windowed)
   }
 
   test("map-typed columns are excluded from the salt (hash would reject them)") {
@@ -34,7 +40,7 @@ class GroupTopKSpec extends SparkSpec {
     import s.implicits._
     val df = Seq((1L, "a", 3, Map("x" -> 1)), (2L, "a", 1, Map("y" -> 2)),
       (3L, "b", 2, Map.empty[String, Int])).toDF("id", "key", "score", "m")
-    val out = GroupTopK.topK(df, Seq("key"),
+    val out = GroupTopK.topKSalted(df, Seq("key"),
       Seq(col("score").desc, col("id").asc), k = 1, salts = 4)
       .select("key", "id").orderBy("key").collect()
       .map(r => (r.getString(0), r.getLong(1)))
@@ -47,7 +53,7 @@ class GroupTopKSpec extends SparkSpec {
     val df = Seq(
       (1L, "a", 1, 10.0), (2L, "a", 1, 20.0), (3L, "a", 2, 30.0),
       (4L, "b", 1, 40.0)).toDF("id", "k1", "k2", "v")
-    val out = GroupTopK.topK(df, Seq("k1", "k2"),
+    val out = GroupTopK.topKSalted(df, Seq("k1", "k2"),
       Seq(col("v").desc, col("id").asc), k = 5, salts = 8)
       .select("k1", "k2", "rn", "id").orderBy("k1", "k2", "rn")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))

@@ -40,7 +40,7 @@ class PropertySpec extends SparkSpec {
       val expected = df.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
         .select("key", "rn", "id").orderBy("key", "rn").collect().toSeq
-      val actual = GroupTopK.topK(df, Seq("key"),
+      val actual = GroupTopK.topKSalted(df, Seq("key"),
         Seq(col("score").desc, col("id").asc), k, salts = salts)
         .select("key", "rn", "id").orderBy("key", "rn").collect().toSeq
       actual == expected

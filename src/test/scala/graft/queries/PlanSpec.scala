@@ -146,6 +146,23 @@ class PlanSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findAllIn(plan).size >= 2)
   }
 
+  test("native group top-k plans a partial WindowGroupLimit before the exchange") {
+    // GroupTopK.topK relies on Catalyst's two-phase group-limit: a
+    // Partial WindowGroupLimit must cap every input partition at k rows
+    // per group BEFORE the key exchange (the map-side pruning that makes
+    // the plain window scale-safe — measured faster than hand-salting,
+    // BASELINE.md round 12), with the Final limit + window after it.
+    val df = graft.operators.GroupTopK.topK(
+      graft.sources.Tables.orders(spark, dir),
+      Seq("o_orderpriority"),
+      Seq(org.apache.spark.sql.functions.col("o_totalprice").desc,
+        org.apache.spark.sql.functions.col("o_orderkey").asc), k = 3)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
+    assert(!plan.contains("__salt"), "the native plan must not salt")
+  }
+
   test("range join keeps the equi key as the join key with the range as post-condition") {
     val plan = planOf(RelationalQueries.rangeJoinEvents(spark, dir))
     // equi part hashed (broadcast or shuffled), never a pure nested loop

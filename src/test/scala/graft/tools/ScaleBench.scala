@@ -17,7 +17,10 @@ object ScaleBench {
   /** Top-10 by round-10 bench cost + the scale-sensitive consumers the
     * verdict names: two-phase prefix sums (pack/mix/systematic), minhash
     * LSH, fuzzy blocking, ANN/IVF/semantic vectors, plus q1_agg as the
-    * linear-scan yardstick. */
+    * linear-scan yardstick, plus the geometry family (its WKT volume is
+    * synthesized from customer columns, so it scales with the corpus
+    * like every other row — the interpreted JTS UDF is the thing under
+    * watch here). */
   val panel: Seq[String] = Seq(
     "q1_agg",
     "fuzzy_name_pairs", "describe_numeric_lineitem", "pipeline_funnel",
@@ -26,10 +29,18 @@ object ScaleBench {
     "ks_drift_lineitem",
     "pack_sequences", "mix_unimax_epochs", "systematic_sample_docs",
     "minhash_neardup_docs", "minhash_dedup_keep",
-    "ann_lsh_topk", "ivf_topk", "semantic_dedup_keep", "tfidf_cosine_pairs")
+    "ann_lsh_topk", "ivf_topk", "semantic_dedup_keep", "tfidf_cosine_pairs",
+    "geo_sliver", "geo_validate", "geo_validity_census", "geo_bbox",
+    "sorted_neighbor_names", "jw_linkage_names", "entity_resolution_names",
+    "q21_waiting_suppliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional 2nd arg: comma-separated query names — e.g. the sf≈10
+    // heavy-family probe runs only the families whose tables
+    // dev/gen_sf10.py generates
+    val only = args.lift(1).map(_.split(',').toSet)
+    val panel = this.panel.filter(n => only.forall(_.contains(n)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Dev-only scratch main for ad-hoc plan inspection. Not part of the
   * engine; edit freely (see the repo verify workflow). */
@@ -13,27 +14,18 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.Bench.quietAuditedWindowWarn()
-    graft.Bench.quietAuditedCheckpointWarn()
-    val dir = "/tmp/graft_sf1"
-
-    def dropCaches(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    }
-    val q = graft.SparkEntry.queries
-    def passes(label: String, n: Int)(f: => Unit): Unit = {
-      f; dropCaches() // warmup (memoized writes + codegen)
-      val ts = (1 to n).map { _ =>
-        val t0 = System.nanoTime(); f; dropCaches(); (System.nanoTime() - t0) / 1e9
-      }
-      println(f"$label%-28s ${ts.map(t => f"$t%.2f").mkString(", ")}")
-    }
-    for (name <- Seq("quality_filter_by_lang", "quality_regression",
-        "corpus_filter", "pipeline_funnel", "novelty_docs", "term_burstiness",
-        "repeated_spans_docs", "contamination_pairs", "decon_spans",
-        "geo_sliver", "text_quality"))
-      passes(name, 2) { q(name)(spark, dir).count() }
+    val dir = "/tmp/graft_sf10"
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .withColumn("grp",
+        when(pmod(col("l_orderkey"), lit(5L)) === 0L, lit("HOT"))
+          .otherwise(col("l_returnflag")))
+      .select("grp", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val ord = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+      col("l_linenumber").asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(ord: _*)
+    val plain = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+    plain.explain("formatted")
     spark.stop()
   }
 }
