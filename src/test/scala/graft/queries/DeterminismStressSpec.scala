@@ -144,7 +144,15 @@ class DeterminismStressSpec extends SparkSpec {
                 // the per-gram min-priority, and the integer tf moments
                 // must all be invariant to the cpuBound redistribution
                 "quality_filter_by_lang", "novelty_docs",
-                "term_burstiness", "corpus_filter")) {
+                "term_burstiness", "corpus_filter",
+                // round 12: the sidecar-pruned scan (driver-side shard
+                // decision + basePath read must pick the same shards on
+                // any topology), the md5-substrate simhash pipeline
+                // (C(5,2) pigeonhole + Hamming verify as a set), and the
+                // explicit salted top-k fallback (rank at the k boundary
+                // rides the tie-break total order)
+                "shard_pruned_scan", "simhash_neardup_docs",
+                "window_topk_scaled")) {
     test(s"$q is bit-identical across $Runs same-session runs with caches dropped") {
       val first = canonical(q)
       dropCaches()
