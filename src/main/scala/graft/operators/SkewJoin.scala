@@ -40,8 +40,9 @@ object SkewJoin {
   /** The hot keys of `df.key`: every non-null key holding more than
     * `minShare` of the table's rows. At most floor(1/minShare) keys can
     * exist by construction, so the driver-side collect is bounded
-    * regardless of data size; the histogram is one hash aggregation and
-    * the total a footer-count. */
+    * regardless of data size; the histogram is one map-side-combining
+    * hash aggregation over the key column and the total one count pass
+    * (footer-only on a raw parquet scan, a narrow scan otherwise). */
   def hotKeys(df: DataFrame, key: String, minShare: Double): Seq[Any] = {
     require(minShare > 0.0 && minShare <= 1.0,
       s"minShare must be in (0, 1], got $minShare")

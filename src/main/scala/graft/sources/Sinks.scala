@@ -204,22 +204,45 @@ object Sinks {
     * ingest-time buckets), and degrades to a full scan — never a wrong
     * answer — on the decorrelated [[writeTrainingShards]] hash order. */
   def readPruned(spark: SparkSession, path: String, column: String,
-      lower: Option[Double] = None, upper: Option[Double] = None): DataFrame = {
+      lower: Option[Double] = None, upper: Option[Double] = None): DataFrame =
+    readPrunedAll(spark, path, Seq((column, lower, upper)))
+
+  /** Conjunctive [[readPruned]]: a shard survives only when EVERY
+    * (column, lower, upper) range can intersect its [min, max] interval
+    * — zone-map pruning composes across profiled columns, so an export
+    * profiled on (ingest day, value) prunes on either or both. The
+    * row-level conjunction is re-applied inside surviving shards. */
+  def readPrunedAll(spark: SparkSession, path: String,
+      preds: Seq[(String, Option[Double], Option[Double])]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    require(preds.nonEmpty, "readPrunedAll requires at least one predicate")
     val prof = spark.read.parquet(s"$path/_profiles")
-      .filter(col("col") === column)
-      .select(col("shard").cast("string").as("shard"), col("min"), col("max"))
-    val loOk = lower.map(lit(_) <= col("max")).getOrElse(lit(true))
-    val hiOk = upper.map(lit(_) >= col("min")).getOrElse(lit(true))
-    // driver-side decision over ≤|shards| rows — never grows with the data
-    val live = prof.filter(col("min").isNotNull && loOk && hiOk)
-      .collect().map(_.getString(0)).sorted
+      .select(col("shard").cast("string").as("shard"), col("col"),
+        col("min"), col("max"))
+      .collect() // ≤|shards|×|cols| rows — a driver-side decision,
+                 // never grows with the data
+      .groupBy(_.getString(0))
+    // a shard with NO profile row for a predicate column is kept — the
+    // sidecar prunes only what it can prove out (never a wrong answer)
+    val live = prof.collect { case (shard, rows) =>
+      val byCol = rows.map(r => r.getString(1) -> (r.get(2), r.get(3))).toMap
+      val ok = preds.forall { case (c, lo, hi) =>
+        byCol.get(c).forall { case (mn, mx) =>
+          // all-null shard (null min): a range predicate excludes it
+          mn != null &&
+            lo.forall(_ <= mx.asInstanceOf[Number].doubleValue()) &&
+            hi.forall(_ >= mn.asInstanceOf[Number].doubleValue())
+        }
+      }
+      if (ok) Some(shard) else None
+    }.flatten.toSeq.sorted
     val src =
       if (live.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.option("basePath", path)
         .parquet(live.map(s => s"$path/shard=$s"): _*)
-    val c = col(column)
-    src.filter(lower.map(c >= _).getOrElse(lit(true)) &&
-        upper.map(c <= _).getOrElse(lit(true)))
+    preds.foldLeft(src) { case (df, (c, lo, hi)) =>
+      df.filter(lo.map(col(c) >= _).getOrElse(lit(true)) &&
+        hi.map(col(c) <= _).getOrElse(lit(true)))
+    }
   }
 }

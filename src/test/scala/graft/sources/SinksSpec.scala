@@ -228,6 +228,30 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readPruned(spark, out, "ts_day", lower = Some(80.0)).count() === 200)
     val none = Sinks.readPruned(spark, out, "ts_day", lower = Some(1e9))
     assert(none.count() === 0 && none.columns.contains("id"))
+    // conjunctive pruning: id is monotone with ts_day here, so both
+    // zone maps agree; the intersection prunes to the same 3 shards and
+    // the row-level conjunction narrows further
+    val both = Sinks.readPrunedAll(spark, out, Seq(
+      ("ts_day", Some(30.0), Some(51.0)), ("id", Some(350.0), None)))
+    assert(both.inputFiles.length === pruned.inputFiles.length)
+    assert(both.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (350L to 599L))
+    // pruning on the second profiled column alone works too
+    val idOnly = Sinks.readPrunedAll(spark, out, Seq(
+      ("id", Some(350.0), Some(400.0))))
+    assert(idOnly.count() === 51)
+    assert(idOnly.inputFiles.forall(f =>
+      Seq("shard=3", "shard=4").exists(f.contains)))
+    // a predicate on an UNPROFILED column cannot prune — the sidecar
+    // proves shards out, never in: all shards read, rows filtered
+    val out2 = tmp("pruned2")
+    Sinks.writeShardedWithProfiles(df, out2, col("ts_day") / 10.0,
+      profileCols = Seq("ts_day"))
+    val unprof = Sinks.readPrunedAll(spark, out2, Seq(
+      ("id", Some(350.0), Some(400.0))))
+    assert(unprof.count() === 51)
+    assert(unprof.inputFiles.length ===
+      spark.read.parquet(out2).inputFiles.length)
   }
 
   test("Memo builds each (session, dir, key) exactly once and reads parquet back") {
