@@ -39,13 +39,29 @@ object GroupTopK {
   /** Top `k` rows per group of `keys`, ranked by `ordering`, with the
     * rank exposed as `rankCol`. Plans as a two-phase WindowGroupLimit
     * (partial map-side pruning before the shuffle — asserted in
-    * PlanSpec); see the object doc for why this beats hand-salting. */
+    * PlanSpec); see the object doc for why this beats hand-salting.
+    *
+    * Catalyst's InferWindowGroupLimit only fires when k is at most
+    * `spark.sql.optimizer.windowGroupLimitThreshold` (default 1000; -1
+    * disables the rule) — past it the "plain" window is the single-task-
+    * per-key straggler this operator exists to avoid, so large-k calls
+    * route to [[topKSalted]] instead of silently losing the map-side
+    * prune. Callers with caller-supplied k (Profiles.mergeTopValues,
+    * Stats.topValues, Sampling.capPerGroup) get the right plan either
+    * way. */
   def topK(
       df: DataFrame, keys: Seq[String], ordering: Seq[Column], k: Int,
       rankCol: String = "rn"): DataFrame = {
     require(k > 0)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
-    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+    val threshold =
+      try df.sparkSession.conf
+        .get("spark.sql.optimizer.windowGroupLimitThreshold", "1000").toInt
+      catch { case _: NumberFormatException => 1000 }
+    if (threshold < 0 || k > threshold) topKSalted(df, keys, ordering, k, rankCol)
+    else {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+      df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+    }
   }
 
   /** [[topK]] as an EXPLICIT salted two-phase plan — the fallback for

@@ -40,16 +40,20 @@ object SkewJoin {
   /** The hot keys of `df.key`: every non-null key holding more than
     * `minShare` of the table's rows. At most floor(1/minShare) keys can
     * exist by construction, so the driver-side collect is bounded
-    * regardless of data size; the histogram is one map-side-combining
-    * hash aggregation over the key column and the total one count pass
-    * (footer-only on a raw parquet scan, a narrow scan otherwise). */
+    * regardless of data size. ONE pass over the fact table: the key
+    * histogram (a map-side-combining hash aggregation, null keys grouped
+    * like any other) is materialized once via localCheckpoint, and both
+    * the total (the sum of per-key counts, which IS `df.count()`) and
+    * the hot filter read the checkpointed histogram — distinct-key-sized,
+    * never fact-table-sized. */
   def hotKeys(df: DataFrame, key: String, minShare: Double): Seq[Any] = {
     require(minShare > 0.0 && minShare <= 1.0,
       s"minShare must be in (0, 1], got $minShare")
-    val total = df.count()
-    df.filter(col(key).isNotNull)
-      .groupBy(col(key)).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > total * minShare)
+    val hist = df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val total = Option(hist.agg(sum("__n")).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    hist.filter(col(key).isNotNull && col("__n") > total * minShare)
       .select(col(key)).collect().map(_.get(0)).toSeq
   }
 

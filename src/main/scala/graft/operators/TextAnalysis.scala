@@ -525,9 +525,10 @@ object TextAnalysis {
     val grams = Parallelize.cpuBound(labeled.select(col(langCol).as("lang"), col(textCol)))
       .select(col("lang"), explode(Dedup.charNgrams(col(textCol), 3)).as("g"))
       .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
-    // per-language top-k via the salted two-phase operator: languages are
-    // a LOW-cardinality partition key, exactly the single-task-sort shape
-    // GroupTopK exists to avoid
+    // per-language top-k via GroupTopK (native two-phase WindowGroupLimit:
+    // the partial group limit caps each input partition at k rows before
+    // the exchange): languages are a LOW-cardinality partition key,
+    // exactly the single-task-sort shape GroupTopK exists to avoid
     GroupTopK.topK(grams, Seq("lang"), Seq(col("cnt").desc, col("g").asc), topK)
       .select("lang", "g", "rn")
       .collect()

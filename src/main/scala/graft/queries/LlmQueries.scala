@@ -141,6 +141,36 @@ object LlmQueries {
       |       FROM documents)
       | WHERE doc_id % 7 = 0)""".stripMargin
 
+  /** The EXACT ground-truth pair CTE shared by every minhash-family
+    * oracle: distinct 3-shingles per doc, then pairs via the shingle
+    * inverted index instead of the all-pairs cross product. LOSSLESS by
+    * a one-line argument — Jaccard ≥ 0.7 > 0 requires at least one
+    * shared shingle, so every qualifying pair meets in the index — and
+    * BIT-IDENTICAL: the shared-gram count c IS |A∩B| (shingle lists are
+    * distinct), so c / (|A| + |B| − c) divides the same two integers
+    * the old `len(list_intersect)/len(list_distinct(list_concat))`
+    * form did. Cost drops from |docs|² list intersections (>10 min in
+    * DuckDB at sf0.1 — the reason the sf0.1 sweep used to pop these
+    * oracles) to one Σdf² index join + hash agg (~2 s at sf0.1), so the
+    * ground truth is now affordable at EVERY driver SF. `p` is
+    * MATERIALIZED: the recursive-reach oracles reference it from the
+    * recursion body, and DuckDB re-evaluates plain CTEs per iteration. */
+  private val nearDupPairsSql: String =
+    """sh AS (
+      | SELECT doc_id,
+      |  list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+      |    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+      | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |       FROM corpus)),
+      |gidx AS (SELECT doc_id, len(s) AS n, unnest(s) AS gram FROM sh),
+      |p AS MATERIALIZED (
+      | SELECT ga.doc_id AS a, gb.doc_id AS b,
+      |  count(*) / CAST(any_value(ga.n) + any_value(gb.n) - count(*) AS DOUBLE) AS jac
+      | FROM gidx ga JOIN gidx gb USING (gram)
+      | WHERE ga.doc_id < gb.doc_id
+      | GROUP BY ga.doc_id, gb.doc_id
+      | HAVING count(*) / CAST(any_value(ga.n) + any_value(gb.n) - count(*) AS DOUBLE) >= 0.7)""".stripMargin
+
   /** The verified near-dup pair graph (shingle → 128 minhashes → banded
     * LSH equi-join → exact-Jaccard verify) is the shared upstream of
     * THREE registered queries: the pair report (minhash_neardup_docs),
@@ -161,8 +191,10 @@ object LlmQueries {
     }
 
   /** MinHash/LSH near-dup detection with exact-Jaccard verify over the
-    * planted corpus. The oracle brute-forces all-pairs Jaccard — feasible
-    * at verify scale only; the Spark side never leaves LSH buckets. */
+    * planted corpus. The oracle computes the EXACT ground-truth pair set
+    * through the shingle inverted index ([[nearDupPairsSql]] — lossless,
+    * bit-identical to all-pairs, and affordable at every driver SF); the
+    * Spark side never leaves LSH buckets. */
   def minhashNeardupDocs(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(spark, dir)
       .select(col("a"), col("b"), r(col("jaccard"), 6).as("jaccard"))
@@ -170,17 +202,9 @@ object LlmQueries {
 
   private val minhashNeardupOracle: String =
     s"""WITH $nearDupCorpusSql,
-       |sh AS (
-       | SELECT doc_id,
-       |  list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
-       |    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
-       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-       |       FROM corpus))
-       |SELECT a.doc_id AS a, b.doc_id AS b,
-       | ${rSql("len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)", 6)} AS jaccard
-       |FROM sh a, sh b
-       |WHERE a.doc_id < b.doc_id
-       | AND len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7
+       |$nearDupPairsSql
+       |SELECT a, b, ${rSql("jac", 6)} AS jaccard
+       |FROM p
        |ORDER BY a, b""".stripMargin
 
   /** INCREMENTAL ingestion dedup: a batch of trimmed twins (planted
@@ -314,17 +338,7 @@ object LlmQueries {
 
   private val minhashDedupKeepOracle: String =
     s"""WITH RECURSIVE $nearDupCorpusSql,
-       |sh AS (
-       | SELECT doc_id,
-       |  list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
-       |    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
-       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-       |       FROM corpus)),
-       |p AS (
-       | SELECT a.doc_id AS a, b.doc_id AS b
-       | FROM sh a, sh b
-       | WHERE a.doc_id < b.doc_id
-       |  AND len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7),
+       |$nearDupPairsSql,
        |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
        |reach(id, lbl) AS (
        | SELECT doc_id, doc_id FROM corpus
@@ -350,17 +364,7 @@ object LlmQueries {
 
   private val minhashKeepLongestOracle: String =
     s"""WITH RECURSIVE $nearDupCorpusSql,
-       |sh AS (
-       | SELECT doc_id,
-       |  list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
-       |    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
-       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-       |       FROM corpus)),
-       |p AS (
-       | SELECT a.doc_id AS a, b.doc_id AS b
-       | FROM sh a, sh b
-       | WHERE a.doc_id < b.doc_id
-       |  AND len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7),
+       |$nearDupPairsSql,
        |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
        |reach(id, lbl) AS (
        | SELECT doc_id, doc_id FROM corpus
@@ -391,17 +395,7 @@ object LlmQueries {
 
   private val dupWeightOracle: String =
     s"""WITH RECURSIVE $nearDupCorpusSql,
-       |sh AS (
-       | SELECT doc_id,
-       |  list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
-       |    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
-       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-       |       FROM corpus)),
-       |p AS (
-       | SELECT a.doc_id AS a, b.doc_id AS b
-       | FROM sh a, sh b
-       | WHERE a.doc_id < b.doc_id
-       |  AND len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7),
+       |$nearDupPairsSql,
        |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
        |reach(id, lbl) AS (
        | SELECT doc_id, doc_id FROM corpus
@@ -438,17 +432,7 @@ object LlmQueries {
       s"(ascii(substring(h, $p, 1)) - CASE WHEN ascii(substring(h, $p, 1)) >= 97 THEN 87 ELSE 48 END)"
     val hex4 = (1 to 4).map(p => s"${dig(p)} * ${1 << (4 * (4 - p))}").mkString(" + ")
     s"""WITH RECURSIVE $nearDupCorpusSql,
-       |sh AS (
-       | SELECT doc_id,
-       |  list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
-       |    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
-       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-       |       FROM corpus)),
-       |p AS (
-       | SELECT a.doc_id AS a, b.doc_id AS b
-       | FROM sh a, sh b
-       | WHERE a.doc_id < b.doc_id
-       |  AND len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7),
+       |$nearDupPairsSql,
        |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
        |reach(id, lbl) AS (
        | SELECT doc_id, doc_id FROM corpus
@@ -1531,12 +1515,11 @@ object LlmQueries {
   }
 
   /** Per-source quota cap (domain balancing): keep at most 10 docs per
-    * source by deterministic md5 priority. Runs GroupTopK's salted
-    * two-phase plan (low-cardinality groups are exactly the
-    * single-task-window shape it exists to avoid); the oracle replays
-    * the same total order as one plain window — small data is where the
-    * plain window IS fine, which is what makes the salted plan
-    * oracle-checkable. */
+    * source by deterministic md5 priority. Runs GroupTopK's native
+    * two-phase WindowGroupLimit plan (the partial group limit prunes each
+    * map partition to k rows per source before the exchange — the
+    * low-cardinality single-task-window straggler never materializes);
+    * the oracle replays the same total order as one plain window. */
   def capPerGroupDocs(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.capPerGroup(
       Tables.documents(spark, dir), "doc_id", "source", cap = 10, seed = 7L)
@@ -1770,8 +1753,8 @@ object LlmQueries {
 
   /** Trigram-profile language ID, fit + classify end-to-end: profiles
     * fitted on the labeled corpus (per-language top-50 distinct trigrams
-    * by document frequency, through GroupTopK's salted plan), then every
-    * document classified by profile overlap. The whole path is
+    * by document frequency, through GroupTopK's native WindowGroupLimit
+    * plan), then every document classified by profile overlap. The whole path is
     * oracle-checked: the fit is a window top-k over trigram counts and
     * the classify is an overlap count + argmax, both plain SQL. */
   def langidDocs(spark: SparkSession, dir: String): DataFrame = {
@@ -2928,24 +2911,15 @@ object LlmQueries {
   }
 
   private val splitLeakageOracle: String = {
-    val jac = "len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)"
     s"""WITH $nearDupCorpusSql,
-       |sh AS (
-       | SELECT doc_id,
-       |  list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
-       |    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
-       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-       |       FROM corpus)),
-       |p AS (
-       | SELECT a.doc_id AS a, b.doc_id AS b, ${rSql(jac, 6)} AS jaccard
-       | FROM sh a, sh b
-       | WHERE a.doc_id < b.doc_id AND $jac >= 0.7),
+       |$nearDupPairsSql,
        |sp AS (
        | SELECT doc_id,
        |  CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
        |    < ${(0.9 * 65536).toInt} THEN 'train' ELSE 'test' END AS split
        | FROM corpus)
-       |SELECT p.a, p.b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+       |SELECT p.a, p.b, ${rSql("p.jac", 6)} AS jaccard,
+       | sa.split AS split_a, sb.split AS split_b
        |FROM p JOIN sp sa ON p.a = sa.doc_id JOIN sp sb ON p.b = sb.doc_id
        |WHERE sa.split <> sb.split
        |ORDER BY a, b""".stripMargin

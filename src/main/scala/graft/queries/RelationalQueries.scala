@@ -1737,7 +1737,7 @@ object RelationalQueries {
         .withColumn("ts_day",
           floor(unix_timestamp(col("ts")) / 86400).cast("double"))
       graft.sources.Sinks.writeShardedWithProfiles(
-        ev, path, col("ts_day"), Seq("ts_day", "value"))
+        ev, path, col("ts_day"), Seq("ts_day", "value", "ts"))
     }
     path
   }
@@ -1763,6 +1763,79 @@ object RelationalQueries {
        | CAST(sum(user_id) AS BIGINT) AS sum_user
        |FROM events
        |WHERE epoch_ns(ts) // 86400000000000 BETWEEN 19730 AND 19736""".stripMargin
+
+  /** Conjunctive TYPED sidecar pruning — the multi-column reader half of
+    * the shard-profile bargain (VERDICT r12 #2): a TIMESTAMP range (the
+    * predicate a 100 TB ingest actually writes — a date before it is a
+    * double) plus a numeric value range, both consulted against the
+    * `_prune` sidecar's typed min/max. The timestamp range keeps 3 of
+    * the 30 day-shard directories (asserted via inputFiles in
+    * SinksSpec); the value range spans every shard, so the conjunction
+    * must not over-prune — it lands as a row filter inside survivors.
+    * The oracle scans the raw table with the same predicate: pruning
+    * must lose nothing. */
+  def shardPrunedScanMulti(spark: SparkSession, dir: String): DataFrame = {
+    val pruned = graft.sources.Sinks.readPrunedAll(
+      spark, dayShardedEvents(spark, dir), Seq(
+        ("ts", Some(java.time.Instant.parse("2024-01-18T00:00:00Z")),
+          Some(java.time.Instant.parse("2024-01-20T23:59:59Z"))),
+        ("value", Some(5.0), Some(60.0))))
+    pruned.agg(count(lit(1)).as("n"),
+      r(sum("value"), 4).as("sum_value"),
+      sum("user_id").as("sum_user"))
+  }
+
+  private val shardPrunedScanMultiOracle: String =
+    s"""SELECT count(*) AS n,
+       | ${rSql("sum(value)", 4)} AS sum_value,
+       | CAST(sum(user_id) AS BIGINT) AS sum_user
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-18 00:00:00'
+       |  AND ts <= TIMESTAMP '2024-01-20 23:59:59'
+       |  AND value >= 5 AND value <= 60""".stripMargin
+
+  /** Hot-key SPLIT-AND-UNION skew join, oracle-gated (VERDICT r12 #1):
+    * a planted-skew fact (60% of rows collapse onto three hot keys, each
+    * ~20% of the table — far above the 5% detection threshold; the rest
+    * keep their natural user id; ~1.3% get a NULL key) left-joins a
+    * distinct-key dim through [[graft.operators.SkewJoin.saltedJoinAuto]]:
+    * the histogram pass finds exactly the hot keys, their rows ride the
+    * salted branch (only the hot dim rows replicate), everything else —
+    * including the null-key rows a left join must keep — rides the plain
+    * branch. The construction is share-scale-invariant, so the same keys
+    * are hot at every SF, and fully SQL-expressible, so the DuckDB
+    * oracle replays the whole join semantics (split, union, null
+    * routing) against a plain LEFT JOIN. The split+union physical shape
+    * is pinned in PlanSpec. */
+  def skewJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val k = when(pmod(col("user_id"), lit(97)) === 0, lit(null))
+      .otherwise(when(pmod(col("user_id"), lit(10)) < 6, pmod(col("user_id"), lit(3)))
+        .otherwise(col("user_id")))
+    val fact = Tables.events(spark, dir)
+      .select(k.cast("long").as("k"), col("value"))
+    val dim = fact.filter(col("k").isNotNull).select("k").distinct()
+      .withColumn("tag", pmod(col("k"), lit(7)).cast("int"))
+    graft.operators.SkewJoin
+      .saltedJoinAuto(fact, dim, "k", buckets = 8, minShare = 0.05,
+        joinType = "left")
+      .groupBy("tag")
+      .agg(count(lit(1)).as("n"), r(sum("value"), 4).as("sum_value"))
+      .orderBy(col("tag").asc_nulls_first)
+  }
+
+  private val skewJoinEventsOracle: String =
+    s"""WITH fact AS (
+       | SELECT CASE WHEN user_id % 97 = 0 THEN NULL
+       |             WHEN user_id % 10 < 6 THEN user_id % 3
+       |             ELSE user_id END AS k, value
+       | FROM events),
+       |dim AS (
+       | SELECT DISTINCT k, CAST(k % 7 AS INT) AS tag
+       | FROM fact WHERE k IS NOT NULL)
+       |SELECT tag, count(*) AS n, ${rSql("sum(value)", 4)} AS sum_value
+       |FROM fact LEFT JOIN dim USING (k)
+       |GROUP BY tag
+       |ORDER BY tag NULLS FIRST""".stripMargin
 
   /** Correlated LATERAL join — per-customer top-2 orders by price as a
     * lateral subquery (the modern SQL shape for per-row subselects,
@@ -1874,5 +1947,7 @@ object RelationalQueries {
     QueryDef("zorder_pruned_scan", zorderPrunedScan, Some(zorderPrunedScanOracle)),
     QueryDef("partition_pruned_join", partitionPrunedJoin, Some(partitionPrunedJoinOracle)),
     QueryDef("shard_pruned_scan", shardPrunedScan, Some(shardPrunedScanOracle)),
+    QueryDef("shard_pruned_scan_multi", shardPrunedScanMulti, Some(shardPrunedScanMultiOracle)),
+    QueryDef("skew_join_events", skewJoinEvents, Some(skewJoinEventsOracle)),
     QueryDef("lateral_top_orders", lateralTopOrders, Some(lateralTopOrdersOracle)))
 }

@@ -174,14 +174,110 @@ object Sinks {
 
   /** Profile the WRITTEN artifact (a narrow columnar scan of just
     * `profileCols` + the shard partition column — the profile always
-    * describes exactly what landed on disk) into `path/_profiles`. */
+    * describes exactly what landed on disk) into `path/_profiles`, plus
+    * the typed zone-map sidecar into `path/_prune` (see
+    * [[writePruneSidecar]]). Numeric-profile rows (moments + KLL/HLL
+    * sketches) only make sense for numeric-castable columns; the prune
+    * sidecar additionally covers date/timestamp/string columns. */
   private def writeProfileSidecar(spark: SparkSession, path: String,
       profileCols: Seq[String], k: Int): DataFrame = {
     import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{NumericType, TimestampType}
     val written = spark.read.parquet(path)
-    graft.operators.Profiles.shardProfiles(written, col("shard"), profileCols, k)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/_profiles")
-    spark.read.parquet(s"$path/_profiles")
+    writePruneSidecar(written, path, profileCols)
+    // the numeric profile ladder (moments + KLL/HLL) melts to double —
+    // only double-castable columns belong in it (a date column is not a
+    // valid double cast, and an ANSI string cast throws at runtime);
+    // non-numeric profileCols are covered by the typed _prune sidecar
+    val numericish = written.schema.fields
+      .filter(f => profileCols.contains(f.name) &&
+        (f.dataType.isInstanceOf[NumericType] || f.dataType == TimestampType))
+      .map(_.name).toSeq
+    if (numericish.nonEmpty)
+      graft.operators.Profiles.shardProfiles(written, col("shard"), numericish, k)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/_profiles")
+    if (numericish.nonEmpty) spark.read.parquet(s"$path/_profiles")
+    else spark.read.parquet(s"$path/_prune")
+  }
+
+  /** The canonical, ORDER-PRESERVING string rendering for a prunable
+    * column type: (kind tag, render). A type with no entry (maps,
+    * arrays, booleans, wide decimals) is not prunable — its columns get
+    * no `_prune` rows and [[readPrunedAll]] keeps every shard for
+    * predicates on them (prune only what the sidecar can prove out).
+    *
+    *  - num: exact double rendering; integral types up to 2^53 and
+    *    decimals up to precision 15 are exact in a double, and the
+    *    reader adds 2-ulp slack so boundary rounding can only KEEP a
+    *    shard, never wrongly drop one.
+    *  - date: days since epoch — integer-exact.
+    *  - ts: microseconds since epoch (`unix_micros`) — integer-exact,
+    *    timezone-free.
+    *  - tsntz: fixed-width `yyyy-MM-dd HH:mm:ss.SSSSSS` local rendering;
+    *    every field is zero-padded so byte order == chronological order
+    *    at parquet's microsecond precision, with no session-timezone
+    *    dependence (NTZ values have none).
+    *  - str: the value itself; both the stored min/max (Spark's min/max
+    *    on strings) and the reader's comparison use UTF-8 binary order,
+    *    so the prune decision matches the row-level filter's ordering
+    *    exactly. */
+  private def pruneKind(dt: org.apache.spark.sql.types.DataType)
+      : Option[(String, Column => Column)] = {
+    import org.apache.spark.sql.functions.{date_format, datediff, lit, to_date, unix_micros}
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType =>
+        Some(("num", (v: Column) => v.cast("double").cast("string")))
+      case d: DecimalType if d.precision <= 15 =>
+        Some(("num", (v: Column) => v.cast("double").cast("string")))
+      case DateType =>
+        Some(("date",
+          (v: Column) => datediff(v, to_date(lit("1970-01-01"))).cast("string")))
+      case TimestampType =>
+        Some(("ts", (v: Column) => unix_micros(v).cast("string")))
+      case TimestampNTZType =>
+        Some(("tsntz", (v: Column) => date_format(v, "yyyy-MM-dd HH:mm:ss.SSSSSS")))
+      case StringType => Some(("str", (v: Column) => v))
+      case _ => None
+    }
+  }
+
+  /** The TYPED zone-map sidecar at `path/_prune`: one row per
+    * (shard, prunable column) holding exact min/max in a canonical
+    * order-preserving string rendering ([[pruneKind]]) plus the kind
+    * tag the reader needs to compare caller bounds against them. One
+    * narrow scan + one shuffle over the written artifact; |shards| ×
+    * |cols| rows total. This is what lets [[readPrunedAll]] prune on a
+    * DATE or STRING ingest predicate — at 100 TB the shard key is a
+    * date before it is a double. */
+  private def writePruneSidecar(written: DataFrame, path: String,
+      profileCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, max, min, struct}
+    val fields = written.schema.fields
+      .filter(f => profileCols.contains(f.name) && pruneKind(f.dataType).isDefined)
+      .toSeq
+    val out =
+      if (fields.isEmpty)
+        written.sparkSession.emptyDataFrame
+          .select(lit("").as("shard"), lit("").as("col"), lit("").as("kind"),
+            lit("").as("lo"), lit("").as("hi")).limit(0)
+      else {
+        val aggs = fields.flatMap(f => Seq(
+          min(col(f.name)).as(s"__mn_${f.name}"),
+          max(col(f.name)).as(s"__mx_${f.name}")))
+        val entries = fields.map { f =>
+          val (kind, render) = pruneKind(f.dataType).get
+          struct(lit(f.name).as("col"), lit(kind).as("kind"),
+            render(col(s"__mn_${f.name}")).as("lo"),
+            render(col(s"__mx_${f.name}")).as("hi"))
+        }
+        written.groupBy(col("shard").cast("string").as("shard"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("shard"), explode(array(entries: _*)).as("e"))
+          .select(col("shard"), col("e.col").as("col"), col("e.kind").as("kind"),
+            col("e.lo").as("lo"), col("e.hi").as("hi"))
+      }
+    out.write.mode(SaveMode.Overwrite).parquet(s"$path/_prune")
   }
 
   /** Sidecar-pruned read of a profiled-shard export: the `_profiles`
@@ -211,38 +307,139 @@ object Sinks {
     * (column, lower, upper) range can intersect its [min, max] interval
     * — zone-map pruning composes across profiled columns, so an export
     * profiled on (ingest day, value) prunes on either or both. The
-    * row-level conjunction is re-applied inside surviving shards. */
+    * row-level conjunction is re-applied inside surviving shards.
+    *
+    * Bounds are TYPED: a numeric, `java.time.LocalDate`/`java.sql.Date`
+    * (or ISO date string), `java.time.Instant`/`java.sql.Timestamp`,
+    * `java.time.LocalDateTime` or plain String bound is compared against
+    * the `_prune` sidecar's typed min/max under the same ordering
+    * Spark's row-level filter uses (see [[pruneKind]]) — a date or
+    * string ingest predicate prunes shards just like a double one.
+    * Conservative in every direction: an unbounded (None, None)
+    * predicate keeps all shards (including all-null ones — its row
+    * filter is `true`); a bounded predicate drops all-null shards (no
+    * row can pass a range); a column with no sidecar row, an unknown
+    * kind, or an unparsable bound keeps the shard. Exports written
+    * before the typed sidecar existed fall back to the numeric
+    * `_profiles` min/max. Null shard keys land in (and are read back
+    * from) Hive's default partition directory. */
   def readPrunedAll(spark: SparkSession, path: String,
-      preds: Seq[(String, Option[Double], Option[Double])]): DataFrame = {
+      preds: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(preds.nonEmpty, "readPrunedAll requires at least one predicate")
-    val prof = spark.read.parquet(s"$path/_profiles")
-      .select(col("shard").cast("string").as("shard"), col("col"),
-        col("min"), col("max"))
-      .collect() // ≤|shards|×|cols| rows — a driver-side decision,
-                 // never grows with the data
-      .groupBy(_.getString(0))
-    // a shard with NO profile row for a predicate column is kept — the
+    val fsPath = new org.apache.hadoop.fs.Path(s"$path/_prune")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // (shard, col, kind, lo, hi) rows — ≤|shards|×|cols|, a driver-side
+    // decision that never grows with the data
+    val prof: Array[(String, String, String, String, String)] =
+      if (fs.exists(fsPath))
+        spark.read.parquet(s"$path/_prune").collect().map(r =>
+          (r.getAs[String]("shard"), r.getAs[String]("col"),
+            r.getAs[String]("kind"), r.getAs[String]("lo"), r.getAs[String]("hi")))
+      else // legacy export: numeric _profiles min/max (doubles)
+        spark.read.parquet(s"$path/_profiles")
+          .select(col("shard").cast("string"), col("col"),
+            col("min").cast("string"), col("max").cast("string"))
+          .collect().map(r =>
+            (r.getString(0), r.getString(1), "num", r.getString(2), r.getString(3)))
+    // a shard with NO sidecar row for a predicate column is kept — the
     // sidecar prunes only what it can prove out (never a wrong answer)
-    val live = prof.collect { case (shard, rows) =>
-      val byCol = rows.map(r => r.getString(1) -> (r.get(2), r.get(3))).toMap
+    val live = prof.groupBy(_._1).collect { case (shard, rows) =>
+      val byCol = rows.map(r => r._2 -> r).toMap
       val ok = preds.forall { case (c, lo, hi) =>
-        byCol.get(c).forall { case (mn, mx) =>
-          // all-null shard (null min): a range predicate excludes it
-          mn != null &&
-            lo.forall(_ <= mx.asInstanceOf[Number].doubleValue()) &&
-            hi.forall(_ >= mn.asInstanceOf[Number].doubleValue())
+        if (lo.isEmpty && hi.isEmpty) true // trivial predicate: keep
+        else byCol.get(c).forall { case (_, _, kind, mn, mx) =>
+          // all-null shard (null min): a bounded range excludes it
+          mn != null && mx != null && canIntersect(kind, mn, mx, lo, hi)
         }
       }
       if (ok) Some(shard) else None
-    }.flatten.toSeq.sorted
+    }.flatten.toSeq
+    val liveDirs = live
+      .map(s => if (s == null) "__HIVE_DEFAULT_PARTITION__" else s).sorted
     val src =
-      if (live.isEmpty) spark.read.parquet(path).limit(0)
+      if (liveDirs.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.option("basePath", path)
-        .parquet(live.map(s => s"$path/shard=$s"): _*)
+        .parquet(liveDirs.map(s => s"$path/shard=$s"): _*)
     preds.foldLeft(src) { case (df, (c, lo, hi)) =>
-      df.filter(lo.map(col(c) >= _).getOrElse(lit(true)) &&
-        hi.map(col(c) <= _).getOrElse(lit(true)))
+      df.filter(lo.map(v => col(c) >= lit(v)).getOrElse(lit(true)) &&
+        hi.map(v => col(c) <= lit(v)).getOrElse(lit(true)))
+    }
+  }
+
+  /** Can `[mn, mx]` (canonical renderings, see [[pruneKind]]) intersect
+    * the caller's `[lo, hi]` range? Must only return false when
+    * disjointness is PROVEN — any parse failure, unknown kind, or NaN
+    * returns true (keep the shard). */
+  private def canIntersect(kind: String, mn: String, mx: String,
+      lo: Option[Any], hi: Option[Any]): Boolean = {
+    def safely(f: => Boolean): Boolean =
+      try f catch { case scala.util.control.NonFatal(_) => true }
+    kind match {
+      case "num" =>
+        def d(v: Any): Double = v match {
+          case n: Number => n.doubleValue()
+          case s: String => s.toDouble
+          case other => sys.error(s"not a numeric bound: $other")
+        }
+        // 2-ulp slack: stat + bound each round ≤1 ulp on the way to
+        // double, so slack can only KEEP a shard, never wrongly drop one
+        safely(lo.forall { b =>
+          val x = d(b); val m = mx.toDouble
+          x.isNaN || m.isNaN || x <= Math.nextUp(Math.nextUp(m))
+        }) && safely(hi.forall { b =>
+          val x = d(b); val m = mn.toDouble
+          x.isNaN || m.isNaN || x >= Math.nextDown(Math.nextDown(m))
+        })
+      case "date" =>
+        def days(v: Any): Long = v match {
+          case ld: java.time.LocalDate => ld.toEpochDay
+          case dd: java.sql.Date => dd.toLocalDate.toEpochDay
+          case s: String => java.time.LocalDate.parse(s).toEpochDay
+          case n: Number => n.longValue()
+          case other => sys.error(s"not a date bound: $other")
+        }
+        safely(lo.forall(days(_) <= mx.toLong)) &&
+          safely(hi.forall(days(_) >= mn.toLong))
+      case "ts" =>
+        def micros(v: Any): Long = v match {
+          case i: java.time.Instant =>
+            Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+              i.getNano / 1000L)
+          case t: java.sql.Timestamp =>
+            Math.addExact(
+              Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L),
+              t.getNanos / 1000L)
+          case s: String => micros(java.time.Instant.parse(s))
+          case n: Number => n.longValue()
+          case other => sys.error(s"not a timestamp bound: $other")
+        }
+        safely(lo.forall(micros(_) <= mx.toLong)) &&
+          safely(hi.forall(micros(_) >= mn.toLong))
+      case "tsntz" =>
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+        def render(v: Any): String = v match {
+          case ldt: java.time.LocalDateTime => ldt.format(fmt)
+          case s: String =>
+            java.time.LocalDateTime
+              .parse(s.replace(' ', 'T')).format(fmt)
+          case other => sys.error(s"not a local-datetime bound: $other")
+        }
+        // fixed-width rendering: byte order == chronological order
+        safely(lo.forall(render(_) <= mx)) && safely(hi.forall(render(_) >= mn))
+      case "str" =>
+        // UTF-8 binary order — the ordering Spark's min/max and row
+        // filters use on strings (UTF8String compares bytes)
+        def b(v: Any): Array[Byte] = v match {
+          case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case other => sys.error(s"not a string bound: $other")
+        }
+        def cmp(x: Array[Byte], y: Array[Byte]): Int =
+          java.util.Arrays.compareUnsigned(x, y)
+        safely(lo.forall(v => cmp(b(v), b(mx)) <= 0)) &&
+          safely(hi.forall(v => cmp(b(v), b(mn)) >= 0))
+      case _ => true // unknown kind: keep
     }
   }
 }

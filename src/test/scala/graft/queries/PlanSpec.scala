@@ -163,6 +163,46 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("__salt"), "the native plan must not salt")
   }
 
+  test("large-k group top-k routes to the explicit salted plan") {
+    // past spark.sql.optimizer.windowGroupLimitThreshold Catalyst cannot
+    // infer a group limit — the plain window would be the single-task
+    // straggler, so topK must hand the call to topKSalted (ADVICE r12)
+    val threshold = spark.conf
+      .get("spark.sql.optimizer.windowGroupLimitThreshold", "1000").toInt
+    val df = graft.operators.GroupTopK.topK(
+      graft.sources.Tables.orders(spark, dir),
+      Seq("o_orderpriority"),
+      Seq(org.apache.spark.sql.functions.col("o_totalprice").desc,
+        org.apache.spark.sql.functions.col("o_orderkey").asc),
+      k = threshold + 1)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("__salt"),
+      s"k above the group-limit threshold must salt:\n$plan")
+  }
+
+  test("skew join splits hot keys onto a salted branch and unions the plain branch") {
+    val df = RelationalQueries.skewJoinEvents(spark, dir)
+    val plan = planOf(df)
+    // split-and-union physical shape: the salted branch replicates the
+    // hot dim rows via explode(sequence(0, buckets-1)), the plain branch
+    // keeps the untouched join, and a Union merges them
+    assert(plan.contains("Union"), plan)
+    assert(plan.toLowerCase.contains("explode"), plan)
+    assert(plan.contains("__salt"), plan)
+    // detection fires at this SF: exactly the three planted hot keys
+    import org.apache.spark.sql.functions.{col, lit, pmod, when}
+    val k = when(pmod(col("user_id"), lit(97)) === 0, lit(null))
+      .otherwise(when(pmod(col("user_id"), lit(10)) < 6,
+        pmod(col("user_id"), lit(3))).otherwise(col("user_id")))
+    val fact = graft.sources.Tables.events(spark, dir)
+      .select(k.cast("long").as("k"), col("value"))
+    val hot = graft.operators.SkewJoin.hotKeys(fact, "k", 0.05)
+    // the three PLANTED hot keys are above threshold at every SF; at
+    // smoke SF the natural user ids are few enough that some of them
+    // legitimately cross 5% too — subset, not equality
+    assert(Set[Any](0L, 1L, 2L).subsetOf(hot.toSet), s"hot=$hot")
+  }
+
   test("range join keeps the equi key as the join key with the range as post-condition") {
     val plan = planOf(RelationalQueries.rangeJoinEvents(spark, dir))
     // equi part hashed (broadcast or shuffled), never a pure nested loop

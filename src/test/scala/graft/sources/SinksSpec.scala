@@ -254,6 +254,110 @@ class SinksSpec extends SparkSpec {
       spark.read.parquet(out2).inputFiles.length)
   }
 
+  test("typed sidecar pruning: date/timestamp/ntz/string predicates prune shards") {
+    val s = spark
+    import s.implicits._
+    // 6 "ingest days" of 50 rows: DateType d, TimestampType t, a
+    // zero-padded string nm (binary order == ingest order), numeric v
+    val df = (0 until 300).map { i =>
+      val day = i / 50
+      (i.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(day.toLong)),
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00Z")
+          .plusSeconds(day * 86400L + (i % 50) * 60L)),
+        f"name_$day%02d_${i % 50}%03d",
+        (i % 50).toDouble,
+        day)
+    }.toDF("id", "d", "t", "nm", "v", "day")
+      .withColumn("tn", col("t").cast("timestamp_ntz"))
+    val out = tmp("typedprune")
+    Sinks.writeShardedWithProfiles(df, out, col("day"),
+      profileCols = Seq("d", "t", "tn", "nm", "v"))
+
+    // DATE range (LocalDate bounds): days 2..3 → 2 of 6 shards
+    val byDate = Sinks.readPrunedAll(spark, out, Seq(
+      ("d", Some(java.time.LocalDate.of(2024, 3, 3)),
+        Some(java.time.LocalDate.of(2024, 3, 4)))))
+    assert(byDate.inputFiles.nonEmpty && byDate.inputFiles.forall(f =>
+      Seq("shard=2", "shard=3").exists(f.contains)), byDate.inputFiles.mkString("\n"))
+    assert(byDate.count() === 100)
+    // the same predicate with ISO-string bounds
+    assert(Sinks.readPrunedAll(spark, out,
+      Seq(("d", Some("2024-03-03"), Some("2024-03-04")))).count() === 100)
+
+    // TIMESTAMP range (Instant bounds): last 30 minutes of day 1 + day 2
+    val byTs = Sinks.readPrunedAll(spark, out, Seq(
+      ("t", Some(java.time.Instant.parse("2024-03-02T00:20:00Z")),
+        Some(java.time.Instant.parse("2024-03-03T23:59:59Z")))))
+    assert(byTs.inputFiles.nonEmpty && byTs.inputFiles.forall(f =>
+      Seq("shard=1", "shard=2").exists(f.contains)), byTs.inputFiles.mkString("\n"))
+    assert(byTs.count() === 80)
+    // java.sql.Timestamp bounds hit the same path
+    assert(Sinks.readPrunedAll(spark, out, Seq(
+      ("t", Some(java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-03-02T00:20:00Z"))), None))).count() === 230)
+
+    // NTZ range (LocalDateTime bounds) — session TZ is UTC, so the NTZ
+    // view of t has the same wall clock
+    val byNtz = Sinks.readPrunedAll(spark, out, Seq(
+      ("tn", Some(java.time.LocalDateTime.of(2024, 3, 2, 0, 20, 0)),
+        Some(java.time.LocalDateTime.of(2024, 3, 3, 23, 59, 59)))))
+    assert(byNtz.inputFiles.nonEmpty && byNtz.inputFiles.forall(f =>
+      Seq("shard=1", "shard=2").exists(f.contains)), byNtz.inputFiles.mkString("\n"))
+    assert(byNtz.count() === 80)
+
+    // STRING lower bound: binary order prunes days 0..3 entirely
+    val byStr = Sinks.readPrunedAll(spark, out, Seq(("nm", Some("name_04"), None)))
+    assert(byStr.inputFiles.nonEmpty && byStr.inputFiles.forall(f =>
+      Seq("shard=4", "shard=5").exists(f.contains)), byStr.inputFiles.mkString("\n"))
+    assert(byStr.count() === 100)
+
+    // conjunction of a typed prune and a numeric row filter
+    val both = Sinks.readPrunedAll(spark, out, Seq(
+      ("d", Some(java.time.LocalDate.of(2024, 3, 3)),
+        Some(java.time.LocalDate.of(2024, 3, 4))),
+      ("v", Some(25.0), None)))
+    assert(both.inputFiles.forall(f =>
+      Seq("shard=2", "shard=3").exists(f.contains)))
+    assert(both.count() === 50)
+  }
+
+  test("pruned read keeps null-shard rows, trivial predicates, all-null shards") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 300).map { i =>
+      val day = i / 50
+      (i.toLong, (i % 50).toDouble, day)
+    }.toDF("id", "v", "day")
+      // rows 0..9 get a NULL shard key → Hive default partition dir
+      .withColumn("dayOrNull", when(col("id") < 10, lit(null)).otherwise(col("day")))
+      // w is ALL NULL within shard 2, non-null elsewhere
+      .withColumn("w", when(col("day") === 2, lit(null)).otherwise(col("v")))
+    val out = tmp("prunenull")
+    Sinks.writeShardedWithProfiles(df, out, col("dayOrNull"),
+      profileCols = Seq("v", "w", "id"))
+    // a keep-everything predicate must read the default partition too
+    val all = Sinks.readPrunedAll(spark, out, Seq(("v", Some(0.0), None)))
+    assert(all.count() === 300)
+    assert(all.inputFiles.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
+    // pruning still applies to the null-shard group's own stats:
+    // its rows (ids 0..9) have id max 9, so an id ≥ 100 range skips it
+    val noNullShard = Sinks.readPrunedAll(spark, out, Seq(("id", Some(100.0), None)))
+    assert(!noNullShard.inputFiles.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
+    assert(noNullShard.count() === 200)
+    // an unbounded (None, None) predicate prunes nothing — in particular
+    // not the all-null shard (its row filter is `true`)
+    val trivial = Sinks.readPrunedAll(spark, out, Seq(("w", None, None)))
+    assert(trivial.count() === 300)
+    assert(trivial.inputFiles.length ===
+      spark.read.parquet(out).inputFiles.length)
+    // a bounded predicate on w drops the all-null shard 2 at the
+    // sidecar (no row can pass a range over nulls)
+    val bounded = Sinks.readPrunedAll(spark, out, Seq(("w", Some(0.0), None)))
+    assert(!bounded.inputFiles.exists(_.contains("shard=2")))
+    assert(bounded.count() === 250)
+  }
+
   test("Memo builds each (session, dir, key) exactly once and reads parquet back") {
     val s = spark
     import s.implicits._
