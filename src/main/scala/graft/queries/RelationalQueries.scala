@@ -1794,6 +1794,27 @@ object RelationalQueries {
        |  AND ts <= TIMESTAMP '2024-01-20 23:59:59'
        |  AND value >= 5 AND value <= 60""".stripMargin
 
+  /** IN-list sidecar pruning — the other predicate shape an ingest
+    * writes (`day IN (...)`): two non-adjacent days keep 2 of the 30
+    * shard directories (each day is a point range against the sidecar
+    * min/max; the exact `isin` re-applies inside survivors). The oracle
+    * scans the raw table with the same IN predicate. */
+  def shardPrunedScanIn(spark: SparkSession, dir: String): DataFrame = {
+    val pruned = graft.sources.Sinks.readPrunedIn(
+      spark, dayShardedEvents(spark, dir), "ts_day",
+      Seq(19725.0, 19735.0))
+    pruned.agg(count(lit(1)).as("n"),
+      r(sum("value"), 4).as("sum_value"),
+      sum("user_id").as("sum_user"))
+  }
+
+  private val shardPrunedScanInOracle: String =
+    s"""SELECT count(*) AS n,
+       | ${rSql("sum(value)", 4)} AS sum_value,
+       | CAST(sum(user_id) AS BIGINT) AS sum_user
+       |FROM events
+       |WHERE epoch_ns(ts) // 86400000000000 IN (19725, 19735)""".stripMargin
+
   /** Hot-key SPLIT-AND-UNION skew join, oracle-gated (VERDICT r12 #1):
     * a planted-skew fact (60% of rows collapse onto three hot keys, each
     * ~20% of the table — far above the 5% detection threshold; the rest
@@ -1948,6 +1969,7 @@ object RelationalQueries {
     QueryDef("partition_pruned_join", partitionPrunedJoin, Some(partitionPrunedJoinOracle)),
     QueryDef("shard_pruned_scan", shardPrunedScan, Some(shardPrunedScanOracle)),
     QueryDef("shard_pruned_scan_multi", shardPrunedScanMulti, Some(shardPrunedScanMultiOracle)),
+    QueryDef("shard_pruned_scan_in", shardPrunedScanIn, Some(shardPrunedScanInOracle)),
     QueryDef("skew_join_events", skewJoinEvents, Some(skewJoinEventsOracle)),
     QueryDef("lateral_top_orders", lateralTopOrders, Some(lateralTopOrdersOracle)))
 }

@@ -327,10 +327,55 @@ object Sinks {
       preds: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(preds.nonEmpty, "readPrunedAll requires at least one predicate")
+    val src = scanLiveShards(spark, path) { byCol =>
+      preds.forall { case (c, lo, hi) =>
+        if (lo.isEmpty && hi.isEmpty) true // trivial predicate: keep
+        else byCol.get(c).forall { case (kind, mn, mx) =>
+          // all-null shard (null min): a bounded range excludes it
+          mn != null && mx != null && canIntersect(kind, mn, mx, lo, hi)
+        }
+      }
+    }
+    preds.foldLeft(src) { case (df, (c, lo, hi)) =>
+      df.filter(lo.map(v => col(c) >= lit(v)).getOrElse(lit(true)) &&
+        hi.map(v => col(c) <= lit(v)).getOrElse(lit(true)))
+    }
+  }
+
+  /** IN-list pruning — the other predicate shape a 100 TB ingest
+    * actually writes (`day IN (...)`, `source IN (...)`): a shard
+    * survives when ANY of `values` (a point range each) can fall inside
+    * its [min, max]; the exact `isin` filter is re-applied inside
+    * survivors. Same conservatism as [[readPrunedAll]]: empty or
+    * unparsable values, unknown kinds, and unprofiled columns keep
+    * everything. */
+  def readPrunedIn(spark: SparkSession, path: String, column: String,
+      values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(values.nonEmpty, "readPrunedIn requires at least one value")
+    val src = scanLiveShards(spark, path) { byCol =>
+      byCol.get(column).forall { case (kind, mn, mx) =>
+        mn != null && mx != null &&
+          values.exists(v => canIntersect(kind, mn, mx, Some(v), Some(v)))
+      }
+    }
+    src.filter(col(column).isin(values: _*))
+  }
+
+  /** Shared sidecar-decision scan: load the typed `_prune` rows (legacy
+    * numeric `_profiles` as fallback), keep the shards `liveIf` accepts
+    * given their per-column (kind, lo, hi) map, and return a basePath
+    * read of exactly those shard directories. The sidecar collect is
+    * ≤ |shards| × |cols| rows — a driver-side decision that never grows
+    * with the data. A shard with NO sidecar row for a predicate column
+    * is kept by every caller (`Map.get(...).forall`): the sidecar
+    * prunes only what it can prove out, never a wrong answer. Null
+    * shard keys map to Hive's default partition directory. */
+  private def scanLiveShards(spark: SparkSession, path: String)(
+      liveIf: Map[String, (String, String, String)] => Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val fsPath = new org.apache.hadoop.fs.Path(s"$path/_prune")
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // (shard, col, kind, lo, hi) rows — ≤|shards|×|cols|, a driver-side
-    // decision that never grows with the data
     val prof: Array[(String, String, String, String, String)] =
       if (fs.exists(fsPath))
         spark.read.parquet(s"$path/_prune").collect().map(r =>
@@ -342,29 +387,15 @@ object Sinks {
             col("min").cast("string"), col("max").cast("string"))
           .collect().map(r =>
             (r.getString(0), r.getString(1), "num", r.getString(2), r.getString(3)))
-    // a shard with NO sidecar row for a predicate column is kept — the
-    // sidecar prunes only what it can prove out (never a wrong answer)
     val live = prof.groupBy(_._1).collect { case (shard, rows) =>
-      val byCol = rows.map(r => r._2 -> r).toMap
-      val ok = preds.forall { case (c, lo, hi) =>
-        if (lo.isEmpty && hi.isEmpty) true // trivial predicate: keep
-        else byCol.get(c).forall { case (_, _, kind, mn, mx) =>
-          // all-null shard (null min): a bounded range excludes it
-          mn != null && mx != null && canIntersect(kind, mn, mx, lo, hi)
-        }
-      }
-      if (ok) Some(shard) else None
+      val byCol = rows.map(r => r._2 -> (r._3, r._4, r._5)).toMap
+      if (liveIf(byCol)) Some(shard) else None
     }.flatten.toSeq
     val liveDirs = live
       .map(s => if (s == null) "__HIVE_DEFAULT_PARTITION__" else s).sorted
-    val src =
-      if (liveDirs.isEmpty) spark.read.parquet(path).limit(0)
-      else spark.read.option("basePath", path)
-        .parquet(liveDirs.map(s => s"$path/shard=$s"): _*)
-    preds.foldLeft(src) { case (df, (c, lo, hi)) =>
-      df.filter(lo.map(v => col(c) >= lit(v)).getOrElse(lit(true)) &&
-        hi.map(v => col(c) <= lit(v)).getOrElse(lit(true)))
-    }
+    if (liveDirs.isEmpty) spark.read.parquet(path).limit(0)
+    else spark.read.option("basePath", path)
+      .parquet(liveDirs.map(s => s"$path/shard=$s"): _*)
   }
 
   /** Can `[mn, mx]` (canonical renderings, see [[pruneKind]]) intersect

@@ -83,7 +83,12 @@ class DeterminismStressSpec extends SparkSpec {
       "ks_drift_lineitem", "ks_drift_by_priority",
       // round-10 second batch: the Lorenz brackets ride the same
       // two-phase prefix sums over the distinct-value frame
-      "lorenz_revenue")
+      "lorenz_revenue",
+      // round-13: the hot-key histogram + split/union must detect the
+      // same hot set and produce the same join at any partitioning; the
+      // sidecar prune decisions are driver-side and must not shift with
+      // conf (shard survivor sets are a pure function of the sidecar)
+      "skew_join_events", "shard_pruned_scan_multi", "shard_pruned_scan_in")
     val defaults = queries.map(q => q -> canonical(q)).toMap
     dropCaches()
     val sweeps: Seq[(String, Seq[(String, String)])] = Seq(

@@ -320,6 +320,19 @@ class SinksSpec extends SparkSpec {
     assert(both.inputFiles.forall(f =>
       Seq("shard=2", "shard=3").exists(f.contains)))
     assert(both.count() === 50)
+
+    // IN-list pruning: two non-adjacent days keep exactly their shards
+    val byIn = Sinks.readPrunedIn(spark, out, "d",
+      Seq(java.time.LocalDate.of(2024, 3, 2), java.time.LocalDate.of(2024, 3, 5)))
+    assert(byIn.inputFiles.nonEmpty && byIn.inputFiles.forall(f =>
+      Seq("shard=1", "shard=4").exists(f.contains)), byIn.inputFiles.mkString("\n"))
+    assert(byIn.count() === 100)
+    // a value outside every shard's range reads nothing
+    assert(Sinks.readPrunedIn(spark, out, "d",
+      Seq(java.time.LocalDate.of(2030, 1, 1))).count() === 0)
+    // IN on an unprofiled column cannot prune: full scan + exact filter
+    val inUnprof = Sinks.readPrunedIn(spark, out, "id", Seq(7L, 8L))
+    assert(inUnprof.count() === 2)
   }
 
   test("pruned read keeps null-shard rows, trivial predicates, all-null shards") {
