@@ -519,31 +519,30 @@ object Stats {
 
   /** Basket co-occurrence (market-basket association): unordered item
     * pairs sharing a basket, with pair counts and LIFT
-    * p(ab)/(p(a)·p(b)) over the basket universe. Pairs meet through a
-    * self-equi-join on the basket key — per-basket fan-out is
-    * |basket|²/2, bounded by basket size (never corpus²). The distinct
-    * (basket, item) table feeds FOUR consumers (both join sides, the
-    * per-item counts, the basket total), so it is materialized ONCE —
-    * the recompute-diamond rule [[Fuzzy.fuzzyPairs]] documents for its
-    * distinct-string table; without the barrier the plan rebuilds the
-    * scan+distinct per consumer (a broadcast build side does NOT reuse
-    * the streamed side's exchange — verified in the executed plan).
-    * `minCount` prunes pairs before the per-item-count join, keeping
-    * that join proportional to frequent pairs. Lift is computed in the
-    * probability form (n_ab/N)/((n_a/N)·(n_b/N)) — pure double ops an
-    * oracle replays literally. Returns
-    * (item_a, item_b, n_baskets, lift) with item_a < item_b. */
+    * p(ab)/(p(a)·p(b)) over the basket universe. Pairs are expanded
+    * per row from the basket's sorted item array ([[basketPairs]] — no
+    * self-join; per-basket fan-out is C(width, 2), bounded by basket
+    * size, never corpus²). The [[basketItems]] substrate feeds every
+    * consumer (pairs, per-item counts, the basket total), so it is
+    * materialized ONCE — the recompute-diamond rule
+    * [[Fuzzy.fuzzyPairs]] documents for its distinct-string table.
+    * This replaced a (basket, item) long form whose pair pass was a
+    * self-equi-join: 4× the substrate rows and two fact-sized
+    * exchanges per pass, the measured third-decade memory-cliff driver
+    * (BASELINE.md round 13). `minCount` prunes pairs before the
+    * per-item-count join, keeping that join proportional to frequent
+    * pairs. Lift is computed in the probability form
+    * (n_ab/N)/((n_a/N)·(n_b/N)) — pure double ops an oracle replays
+    * literally. Returns (item_a, item_b, n_baskets, lift) with
+    * item_a < item_b. */
   def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
       minCount: Long): DataFrame = {
-    val items = df
-      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
-      .select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
-      .localCheckpoint()
-    val itemCounts = items.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
-    val totals = items.agg(countDistinct("b").as("__N"))
-    val pairs = items.as("a")
-      .join(items.as("c"), col("a.b") === col("c.b") && col("a.i") < col("c.i"))
-      .groupBy(col("a.i").as("item_a"), col("c.i").as("item_b"))
+    val arrays = basketItems(df, basketCol, itemCol)
+    val itemCounts = arrays.select(explode(col("its")).as("i"))
+      .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val totals = arrays.agg(count(lit(1)).as("__N"))
+    val pairs = basketPairs(arrays)
+      .groupBy(col("ia").as("item_a"), col("ib").as("item_b"))
       .agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minCount)
     pairs
@@ -554,6 +553,36 @@ object Stats {
         ((col("n_baskets") / col("__N")) /
           ((col("n_a") / col("__N")) * (col("n_b") / col("__N")))).as("lift"))
   }
+
+  /** The shared Apriori substrate: one row per basket holding its
+    * SORTED distinct item array — materialized once (localCheckpoint)
+    * for the multi-consumer diamond, like the (basket, item) long form
+    * it replaced, but |baskets| rows instead of |basket,item| rows and
+    * with pair/triple generation turned from SELF-JOINS over the long
+    * form (two 600M-row exchanges per pass at sf≈100, the measured
+    * memory-cliff driver in BASELINE.md round 13) into NARROW per-row
+    * array expansion over the checkpointed frame. Per-basket fan-out is
+    * C(width, 2) — bounded by basket width exactly as the join form was
+    * (a join on the basket key concentrates a pathological basket in
+    * one task either way); baskets are order-line-sized by contract. */
+  private def basketItems(df: DataFrame, basketCol: String,
+      itemCol: String): DataFrame =
+    df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .groupBy(col(basketCol).as("b"))
+      .agg(sort_array(collect_set(col(itemCol))).as("its"))
+      .localCheckpoint()
+
+  /** (b, ia, ib) with ia < ib — every unordered in-basket pair, expanded
+    * per row from the sorted array (codegen'd collection expressions,
+    * no join). Cheap to derive more than once from the checkpointed
+    * [[basketItems]] frame. */
+  private def basketPairs(arrays: DataFrame): DataFrame =
+    arrays.select(col("b"), explode(expr(
+        """flatten(transform(its, (x, i) ->
+          |  transform(slice(its, i + 2, size(its)),
+          |            y -> named_struct('ia', x, 'ib', y))))""".stripMargin))
+        .as("p"))
+      .select(col("b"), col("p.ia").as("ia"), col("p.ib").as("ib"))
 
   /** Market concentration per group: the Herfindahl–Hirschman index
     * Σ share² over each group's members (1/n_members for perfect
@@ -623,15 +652,12 @@ object Stats {
     * item counts broadcast-join back. */
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
       minCount: Long): DataFrame = {
-    val items = df
-      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
-      .select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
-      .localCheckpoint()
-    val itemCounts = items.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
-    val totals = items.agg(countDistinct("b").as("__N"))
-    val pairs = items.as("x")
-      .join(items.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
-      .groupBy(col("x.i").as("ia"), col("y.i").as("ib"))
+    val arrays = basketItems(df, basketCol, itemCol)
+    val itemCounts = arrays.select(explode(col("its")).as("i"))
+      .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val totals = arrays.agg(count(lit(1)).as("__N"))
+    val pairs = basketPairs(arrays)
+      .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
     val directed = pairs.select(col("ia").as("antecedent"),
@@ -654,42 +680,77 @@ object Stats {
     * (Agrawal & Srikant 1994, downward closure): a triple can reach
     * `minCount` support only if all three of its pairs do, so
     * candidates extend FREQUENT pairs only — (a,b) frequent, extended
-    * by basket-mates c > b, kept when (a,c) and (b,c) are frequent
-    * too, then support-counted. At 100 TB the prune is the difference
+    * by basket-mates c > b (a narrow array filter off the basket's
+    * sorted item array), kept when (a,c) and (b,c) are frequent too,
+    * then support-counted. At 100 TB the prune is the difference
     * between |frequent pairs|·width and |baskets|·width³ candidate
-    * rows; every join keys on the basket id (co-located with the pair
-    * pass) or on the bounded frequent-pair set (left-semi). The
-    * unpruned ground truth is what the oracle computes — downward
-    * closure guarantees the pruned plan reproduces it exactly. */
+    * rows; the remaining joins key on the basket id (the one
+    * occ→arrays extension join) or on the bounded frequent-pair set
+    * (left-semi). Pair generation itself is join-free (see
+    * [[basketItems]]). The unpruned ground truth is what the oracle
+    * computes — downward closure guarantees the pruned plan reproduces
+    * it exactly. */
   def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
       minCount: Long): DataFrame = {
-    val items = df
-      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
-      .select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
-      .localCheckpoint() // feeds the pair pass and both extension joins
-    val fp = items.as("x")
-      .join(items.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
-      .groupBy(col("x.i").as("pa"), col("y.i").as("pb"))
+    val arrays = basketItems(df, basketCol, itemCol)
+    val pairsB = basketPairs(arrays) // derived narrow, twice, from the checkpoint
+    val fp = pairsB
+      .groupBy(col("ia").as("pa"), col("ib").as("pb"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
       .select("pa", "pb")
       .localCheckpoint() // the bounded frequent-pair set, used 3 times
     // occurrences of frequent pairs, with their basket retained
-    val occ = items.as("x")
-      .join(items.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
-      .select(col("x.b").as("b"), col("x.i").as("ia"), col("y.i").as("ib"))
+    val occ = pairsB
       .join(fp, col("ia") === col("pa") && col("ib") === col("pb"), "left_semi")
-    // extend by a third basket-mate, prune via the other two pairs
-    val cand = occ.as("o")
-      .join(items.as("z"), col("o.b") === col("z.b") && col("z.i") > col("o.ib"))
-      .select(col("o.b").as("b"), col("o.ia").as("ia"),
-        col("o.ib").as("ib"), col("z.i").as("ic"))
+    // extend by a third basket-mate (z > ib straight off the basket's
+    // sorted array), prune via the other two pairs
+    val cand = occ.join(arrays, "b")
+      .select(col("ia"), col("ib"),
+        explode(expr("filter(its, z -> z > ib)")).as("ic"))
       .join(fp, col("ia") === col("pa") && col("ic") === col("pb"), "left_semi")
       .join(fp, col("ib") === col("pa") && col("ic") === col("pb"), "left_semi")
     cand.groupBy(col("ia").as("item_a"), col("ib").as("item_b"),
         col("ic").as("item_c"))
       .agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minCount)
+  }
+
+  /** RELATIVE-support parameterizations of the Apriori family — the
+    * production form (Agrawal & Srikant define support as a FRACTION of
+    * baskets): an absolute `minCount` held fixed while the corpus grows
+    * admits ever-more patterns (every pattern's count rises with data),
+    * inflating the frequent sets and the candidate joins with them —
+    * the scale drift VERDICT r12 #5 anticipated for the third decade.
+    * A fraction holds the output (and the candidate-set sizes) stable
+    * as the corpus scales. One extra narrow countDistinct pass resolves
+    * N baskets; the threshold then delegates to the absolute form, so
+    * the two parameterizations cannot diverge. */
+  def coOccurrenceBySupport(df: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Double): DataFrame =
+    coOccurrence(df, basketCol, itemCol,
+      supportCount(df, basketCol, minSupport))
+
+  /** See [[coOccurrenceBySupport]]. */
+  def associationRulesBySupport(df: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Double): DataFrame =
+    associationRules(df, basketCol, itemCol,
+      supportCount(df, basketCol, minSupport))
+
+  /** See [[coOccurrenceBySupport]]. */
+  def frequentTriplesBySupport(df: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Double): DataFrame =
+    frequentTriples(df, basketCol, itemCol,
+      supportCount(df, basketCol, minSupport))
+
+  /** ceil(minSupport · |distinct baskets|), floored at 1. */
+  private def supportCount(df: DataFrame, basketCol: String,
+      minSupport: Double): Long = {
+    require(minSupport > 0.0 && minSupport <= 1.0,
+      s"minSupport must be in (0, 1], got $minSupport")
+    val n = df.filter(col(basketCol).isNotNull)
+      .select(col(basketCol)).distinct().count()
+    math.max(1L, math.ceil(minSupport * n).toLong)
   }
 
   /** Structural pattern census (the classic profiler "mask" view,

@@ -280,10 +280,10 @@ object Sinks {
     out.write.mode(SaveMode.Overwrite).parquet(s"$path/_prune")
   }
 
-  /** Sidecar-pruned read of a profiled-shard export: the `_profiles`
-    * rows carry EXACT per-(shard, column) min/max, so a range predicate
-    * on a profiled column drops whole shards from the scan before Spark
-    * ever lists their files. This is the zone map ABOVE parquet's
+  /** Sidecar-pruned read of a profiled-shard export: the `_prune`
+    * rows carry EXACT typed per-(shard, column) min/max, so a range
+    * predicate on a profiled column drops whole shards from the scan
+    * before Spark ever lists their files. This is the zone map ABOVE parquet's
     * per-file footer stats: footer pruning still pays the file listing
     * and footer reads — at 100 TB a million-file corpus makes the
     * listing itself a cost — while the sidecar decision reads

@@ -236,6 +236,27 @@ class StatsSpec extends SparkSpec {
     assert(pruned.length === 1 && pruned.head.getString(0) === "x")
   }
 
+  test("relative support delegates to the absolute form: ceil(support·N)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, "x"), (1, "y"), (2, "x"), (2, "y"), (2, "z"), (3, "x"))
+      .toDF("b", "i")
+    // N=3 baskets: support 0.6 → minCount ceil(1.8)=2; 0.1 → 1
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    assert(rows(Stats.coOccurrenceBySupport(df, "b", "i", 0.6)) ===
+      rows(Stats.coOccurrence(df, "b", "i", 2L)))
+    assert(rows(Stats.coOccurrenceBySupport(df, "b", "i", 0.1)) ===
+      rows(Stats.coOccurrence(df, "b", "i", 1L)))
+    assert(rows(Stats.associationRulesBySupport(df, "b", "i", 0.6)) ===
+      rows(Stats.associationRules(df, "b", "i", 2L)))
+    assert(rows(Stats.frequentTriplesBySupport(df, "b", "i", 0.1)) ===
+      rows(Stats.frequentTriples(df, "b", "i", 1L)))
+    intercept[IllegalArgumentException] {
+      Stats.coOccurrenceBySupport(df, "b", "i", 0.0)
+    }
+  }
+
   test("concentration: HHI is 1 for a monopoly, 1/n for perfect balance") {
     val s = spark
     import s.implicits._

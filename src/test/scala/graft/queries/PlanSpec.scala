@@ -576,14 +576,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("co-occurrence: items table materialized once, equi self-join, no cartesian") {
+  test("co-occurrence: basket arrays materialized once, join-free pairs, no cartesian") {
     val plan = planOf(ProfilingQueries.copurchaseParts(spark, dir))
     assert(!plan.contains("CartesianProduct"), plan)
-    // the four consumers of the distinct (basket, item) table read the
-    // checkpoint, not four rebuilt scan+distinct lineages: the ONLY
-    // parquet scan in this plan would be a recompute leak
-    assert(!plan.contains("FileScan"), s"items diamond recomputed:\n$plan")
+    // every consumer of the basket-array substrate reads the
+    // checkpoint, not a rebuilt scan+groupBy lineage: the ONLY parquet
+    // scan in this plan would be a recompute leak
+    assert(!plan.contains("FileScan"), s"basket diamond recomputed:\n$plan")
     assert(plan.contains("ExistingRDD"), plan)
+    // pair generation is per-row array expansion (r13): no join keyed
+    // on the basket id anywhere in the pair pass
+    assert(plan.contains("Generate"), plan)
   }
 
   test("sorted-neighborhood pairs meet on an equi anchor-rank join, never a range join") {
