@@ -541,7 +541,7 @@ object Stats {
     val itemCounts = arrays.select(explode(col("its")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
     val totals = arrays.agg(count(lit(1)).as("__N"))
-    val pairs = basketPairs(arrays)
+    val pairs = basketPairs(frequentItemArrays(arrays, itemCounts, minCount))
       .groupBy(col("ia").as("item_a"), col("ib").as("item_b"))
       .agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minCount)
@@ -571,6 +571,30 @@ object Stats {
       .groupBy(col(basketCol).as("b"))
       .agg(sort_array(collect_set(col(itemCol))).as("its"))
       .localCheckpoint()
+
+  /** Level-1 Apriori prune (downward closure on ITEMS): an item in
+    * fewer than `minCount` baskets cannot appear in any frequent pair
+    * or triple, so it can be dropped from the pair-generation arrays
+    * before the C(width, 2) expansion — on the Zipf item distributions
+    * real corpora have, this removes the long tail and most of the
+    * pair-aggregation groups with it. ADAPTIVE: two bounded aggregates
+    * over the item-count frame decide driver-side whether anything
+    * prunes; when every item is frequent (the synthetic re-keyed
+    * corpus) the substrate passes through untouched and no shuffle is
+    * paid. Basket-universe counts (__N) and per-item counts must be
+    * read from the UNPRUNED frames — pruning drops items, never
+    * baskets, so lift/support denominators stay exact. */
+  private def frequentItemArrays(arrays: DataFrame, itemCounts: DataFrame,
+      minCount: Long): DataFrame = {
+    if (minCount <= 1) return arrays
+    val total = itemCounts.count()
+    val fset = itemCounts.filter(col("n_i") >= minCount).select("i")
+    if (fset.count() == total) arrays
+    else arrays.select(col("b"), explode(col("its")).as("i"))
+      .join(fset, Seq("i"), "left_semi")
+      .groupBy(col("b")).agg(sort_array(collect_set(col("i"))).as("its"))
+      .localCheckpoint()
+  }
 
   /** (b, ia, ib) with ia < ib — every unordered in-basket pair, expanded
     * per row from the sorted array (codegen'd collection expressions,
@@ -656,7 +680,7 @@ object Stats {
     val itemCounts = arrays.select(explode(col("its")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
     val totals = arrays.agg(count(lit(1)).as("__N"))
-    val pairs = basketPairs(arrays)
+    val pairs = basketPairs(frequentItemArrays(arrays, itemCounts, minCount))
       .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
@@ -692,7 +716,10 @@ object Stats {
     * it exactly. */
   def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
       minCount: Long): DataFrame = {
-    val arrays = basketItems(df, basketCol, itemCol)
+    val arrays0 = basketItems(df, basketCol, itemCol)
+    val itemCounts = arrays0.select(explode(col("its")).as("i"))
+      .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val arrays = frequentItemArrays(arrays0, itemCounts, minCount)
     val pairsB = basketPairs(arrays) // derived narrow, twice, from the checkpoint
     val fp = pairsB
       .groupBy(col("ia").as("pa"), col("ib").as("pb"))

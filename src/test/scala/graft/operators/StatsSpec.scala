@@ -236,6 +236,29 @@ class StatsSpec extends SparkSpec {
     assert(pruned.length === 1 && pruned.head.getString(0) === "x")
   }
 
+  test("level-1 item prune never changes output: __N keeps pruned-only baskets") {
+    val s = spark
+    import s.implicits._
+    // basket 4 holds ONLY the infrequent item w: the level-1 prune drops
+    // it from pair generation, but it still belongs to the basket
+    // universe — lift(x,y) = (2/4)/((3/4)(2/4)) = 4/3, not 1.0
+    val df = Seq((1, "x"), (1, "y"), (2, "x"), (2, "y"), (2, "z"), (3, "x"),
+      (4, "w")).toDF("b", "i")
+    val out = Stats.coOccurrence(df, "b", "i", minCount = 2L).collect()
+    assert(out.length === 1)
+    assert((out.head.getString(0), out.head.getString(1)) === (("x", "y")))
+    assert(out.head.getLong(2) === 2L)
+    assert(math.abs(out.head.getDouble(3) - 4.0 / 3.0) < 1e-12)
+    // rules read the same pruned pair set with unpruned denominators:
+    // confidence(y→x) = 2/2, support = 2/4
+    val rules = Stats.associationRules(df, "b", "i", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    assert(rules.keySet === Set(("x", "y"), ("y", "x")))
+    assert(math.abs(rules(("y", "x"))._1 - 0.5) < 1e-12) // support
+    assert(math.abs(rules(("y", "x"))._2 - 1.0) < 1e-12) // confidence
+  }
+
   test("relative support delegates to the absolute form: ceil(support·N)") {
     val s = spark
     import s.implicits._
