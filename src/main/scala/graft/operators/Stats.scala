@@ -538,8 +538,11 @@ object Stats {
   def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
       minCount: Long): DataFrame = {
     val arrays = basketItems(df, basketCol, itemCol)
+    // distinct-item-sized, feeds THREE consumers (the prune decision +
+    // both lift joins) — materialized once, like the arrays substrate
     val itemCounts = arrays.select(explode(col("its")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+      .localCheckpoint()
     val totals = arrays.agg(count(lit(1)).as("__N"))
     val pairs = basketPairs(frequentItemArrays(arrays, itemCounts, minCount))
       .groupBy(col("ia").as("item_a"), col("ib").as("item_b"))
@@ -577,24 +580,38 @@ object Stats {
     * or triple, so it can be dropped from the pair-generation arrays
     * before the C(width, 2) expansion — on the Zipf item distributions
     * real corpora have, this removes the long tail and most of the
-    * pair-aggregation groups with it. ADAPTIVE: two bounded aggregates
-    * over the item-count frame decide driver-side whether anything
-    * prunes; when every item is frequent (the synthetic re-keyed
-    * corpus) the substrate passes through untouched and no shuffle is
-    * paid. Basket-universe counts (__N) and per-item counts must be
+    * pair-aggregation groups with it. ADAPTIVE: one bounded,
+    * short-circuiting aggregate over the item-count frame decides
+    * driver-side whether anything prunes; when every item is frequent
+    * (the synthetic re-keyed corpus) the substrate passes through
+    * untouched and no shuffle is paid. Basket-universe counts (__N) and per-item counts must be
     * read from the UNPRUNED frames — pruning drops items, never
     * baskets, so lift/support denominators stay exact. */
   private def frequentItemArrays(arrays: DataFrame, itemCounts: DataFrame,
       minCount: Long): DataFrame = {
-    if (minCount <= 1) return arrays
-    val total = itemCounts.count()
-    val fset = itemCounts.filter(col("n_i") >= minCount).select("i")
-    if (fset.count() == total) arrays
+    if (minCount <= 1 || !pruneEnabled) return arrays
+    // ONE bounded decision action (ADVICE r13): "does ANY infrequent
+    // item exist?" short-circuits at the first hit via limit(1) instead
+    // of counting the whole item universe twice; callers that reuse
+    // itemCounts downstream localCheckpoint it so this decision and the
+    // lift joins share one materialization.
+    val anyInfrequent =
+      itemCounts.filter(col("n_i") < minCount).limit(1).count() > 0
+    if (!anyInfrequent) arrays
     else arrays.select(col("b"), explode(col("its")).as("i"))
-      .join(fset, Seq("i"), "left_semi")
+      .join(itemCounts.filter(col("n_i") >= minCount).select("i"),
+        Seq("i"), "left_semi")
       .groupBy(col("b")).agg(sort_array(collect_set(col("i"))).as("its"))
       .localCheckpoint()
   }
+
+  /** Dev/bench toggle for the adaptive level-1 prune — exists so scale
+    * harnesses can measure the prune's effect on a skewed (Zipf) item
+    * distribution with everything else held fixed (VERDICT r13 #1).
+    * Production callers never touch it; forced OFF the family still
+    * returns exactly the same frequent sets (the prune is a pure
+    * no-loss optimization by downward closure). */
+  @volatile private[graft] var pruneEnabled: Boolean = true
 
   /** (b, ia, ib) with ia < ib — every unordered in-basket pair, expanded
     * per row from the sorted array (codegen'd collection expressions,
@@ -677,8 +694,11 @@ object Stats {
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
       minCount: Long): DataFrame = {
     val arrays = basketItems(df, basketCol, itemCol)
+    // three consumers (prune decision + both rule-direction joins):
+    // materialized once — see coOccurrence
     val itemCounts = arrays.select(explode(col("its")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+      .localCheckpoint()
     val totals = arrays.agg(count(lit(1)).as("__N"))
     val pairs = basketPairs(frequentItemArrays(arrays, itemCounts, minCount))
       .groupBy(col("ia"), col("ib"))

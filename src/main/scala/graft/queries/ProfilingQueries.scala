@@ -1146,6 +1146,54 @@ object ProfilingQueries {
        |ORDER BY confidence DESC, antecedent, consequent
        |LIMIT 20""".stripMargin
 
+  /** RELATIVE-support association rules
+    * ([[graft.operators.Stats.associationRulesBySupport]], minSupport
+    * 2e-5 of baskets): the production Apriori parameterization — the
+    * fractional threshold resolves to a DIFFERENT absolute count at
+    * each SF (1 at sf0.001/sf0.01, 3 at sf0.1), so this gate replays
+    * the ceil(minSupport · |distinct baskets|) resolution itself, not
+    * just the absolute-form plan it delegates to (VERDICT r13 #2; the
+    * co-occurrence and triple forms route through the same
+    * `supportCount` delegation, so one gate covers the family's
+    * resolution). Top-20 by confidence with full tie-break, like
+    * assoc_rules_parts. */
+  def assocRulesSupport(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.associationRulesBySupport(
+        Tables.lineitem(spark, dir), "l_orderkey", "l_partkey",
+        minSupport = 2e-5)
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        r(col("support"), 6).as("support"),
+        r(col("confidence"), 6).as("confidence"),
+        r(col("lift"), 6).as("lift"))
+      .orderBy(col("confidence").desc, col("antecedent"), col("consequent"))
+      .limit(20)
+
+  private val assocRulesSupportOracle: String =
+    s"""WITH it AS (
+       | SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+       | FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |ic AS (SELECT i, count(*) AS n_i FROM it GROUP BY i),
+       |tot AS (SELECT count(DISTINCT b) AS n FROM it),
+       |mc AS (
+       | SELECT GREATEST(1, CAST(ceil(0.00002 * n) AS BIGINT)) AS m FROM tot),
+       |p AS (
+       | SELECT a.i AS ia, c.i AS ib, count(*) AS n_ab
+       | FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+       | GROUP BY 1, 2 HAVING count(*) >= (SELECT m FROM mc)),
+       |r AS (
+       | SELECT ia AS antecedent, ib AS consequent, n_ab FROM p
+       | UNION ALL SELECT ib, ia, n_ab FROM p)
+       |SELECT antecedent, consequent, n_ab,
+       | ${rSql("n_ab / CAST(n AS DOUBLE)", 6)} AS support,
+       | ${rSql("n_ab / CAST(a.n_i AS DOUBLE)", 6)} AS confidence,
+       | ${rSql("(n_ab * CAST(n AS DOUBLE)) / (a.n_i * c.n_i)", 6)} AS lift
+       |FROM r
+       |JOIN ic a ON antecedent = a.i
+       |JOIN ic c ON consequent = c.i
+       |CROSS JOIN tot
+       |ORDER BY confidence DESC, antecedent, consequent
+       |LIMIT 20""".stripMargin
+
   /** Lorenz curve of per-customer order revenue
     * ([[graft.operators.Stats.lorenzCurve]], 10 deciles): cumulative
     * revenue share of the poorest population fraction — the
@@ -1837,6 +1885,7 @@ object ProfilingQueries {
     QueryDef("lorenz_revenue", lorenzRevenue, Some(lorenzOracle)),
     QueryDef("survival_curve", survivalEvents, Some(survivalOracle)),
     QueryDef("assoc_rules_parts", assocRulesParts, Some(assocRulesOracle)),
+    QueryDef("assoc_rules_support", assocRulesSupport, Some(assocRulesSupportOracle)),
     QueryDef("user_streaks", userStreaks, Some(streaksOracle)),
     QueryDef("event_paths", eventPaths, Some(pathsOracle)),
     QueryDef("revenue_concentration", revenueConcentration, Some(concentrationOracle)),

@@ -369,8 +369,13 @@ object Sinks {
     * ≤ |shards| × |cols| rows — a driver-side decision that never grows
     * with the data. A shard with NO sidecar row for a predicate column
     * is kept by every caller (`Map.get(...).forall`): the sidecar
-    * prunes only what it can prove out, never a wrong answer. Null
-    * shard keys map to Hive's default partition directory. */
+    * prunes only what it can prove out, never a wrong answer. An export
+    * whose sidecar holds NO rows at all (profileCols contained no
+    * prunable column — or none that exists) carries no pruning evidence
+    * for ANY shard, so the read degrades to the full export scan: an
+    * empty decision table must mean "keep everything", never "read
+    * nothing". Null shard keys map to Hive's default partition
+    * directory. */
   private def scanLiveShards(spark: SparkSession, path: String)(
       liveIf: Map[String, (String, String, String)] => Boolean): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -387,6 +392,9 @@ object Sinks {
             col("min").cast("string"), col("max").cast("string"))
           .collect().map(r =>
             (r.getString(0), r.getString(1), "num", r.getString(2), r.getString(3)))
+    // no sidecar rows at all: nothing was profiled, so nothing can be
+    // proven out — conservative full scan, NOT an empty frame
+    if (prof.isEmpty) return spark.read.parquet(path)
     val live = prof.groupBy(_._1).collect { case (shard, rows) =>
       val byCol = rows.map(r => r._2 -> (r._3, r._4, r._5)).toMap
       if (liveIf(byCol)) Some(shard) else None
@@ -423,11 +431,15 @@ object Sinks {
           x.isNaN || m.isNaN || x >= Math.nextDown(Math.nextDown(m))
         })
       case "date" =>
+        // a plain Number bound is REJECTED (→ safely → keep): there is
+        // no unit under which the prune decision and the re-applied row
+        // filter (`col >= lit(number)` under Spark's date↔numeric
+        // coercion, an AnalysisException under ANSI) agree — guessing
+        // one risks over-pruning to a silently wrong (empty) answer
         def days(v: Any): Long = v match {
           case ld: java.time.LocalDate => ld.toEpochDay
           case dd: java.sql.Date => dd.toLocalDate.toEpochDay
           case s: String => java.time.LocalDate.parse(s).toEpochDay
-          case n: Number => n.longValue()
           case other => sys.error(s"not a date bound: $other")
         }
         safely(lo.forall(days(_) <= mx.toLong)) &&
@@ -442,7 +454,8 @@ object Sinks {
               Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L),
               t.getNanos / 1000L)
           case s: String => micros(java.time.Instant.parse(s))
-          case n: Number => n.longValue()
+          // Number rejected (→ safely → keep): epoch seconds vs micros
+          // ambiguity — see the date-kind note above
           case other => sys.error(s"not a timestamp bound: $other")
         }
         safely(lo.forall(micros(_) <= mx.toLong)) &&

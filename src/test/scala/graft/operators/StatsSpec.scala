@@ -280,6 +280,32 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("adaptive level-1 prune is lossless: forced OFF yields identical results") {
+    val s = spark
+    import s.implicits._
+    // Zipf-ish corpus: x,y frequent everywhere, a long tail of items
+    // that appear once each — the prune drops the tail before pair
+    // expansion; downward closure says the frequent sets cannot change
+    val rows = (1 to 30).flatMap { b =>
+      Seq((b, "x"), (b, "y")) ++
+        (if (b % 3 == 0) Seq((b, "z")) else Seq((b, s"tail_$b")))
+    }
+    val df = rows.toDF("b", "i")
+    def all(run: => org.apache.spark.sql.DataFrame) =
+      run.collect().map(_.toSeq).toSet
+    val (coOn, arOn, ftOn) = (
+      all(Stats.coOccurrence(df, "b", "i", 3L)),
+      all(Stats.associationRules(df, "b", "i", 3L)),
+      all(Stats.frequentTriples(df, "b", "i", 3L)))
+    assert(coOn.nonEmpty && ftOn.nonEmpty)
+    Stats.pruneEnabled = false
+    try {
+      assert(all(Stats.coOccurrence(df, "b", "i", 3L)) === coOn)
+      assert(all(Stats.associationRules(df, "b", "i", 3L)) === arOn)
+      assert(all(Stats.frequentTriples(df, "b", "i", 3L)) === ftOn)
+    } finally Stats.pruneEnabled = true
+  }
+
   test("concentration: HHI is 1 for a monopoly, 1/n for perfect balance") {
     val s = spark
     import s.implicits._

@@ -371,6 +371,67 @@ class SinksSpec extends SparkSpec {
     assert(bounded.count() === 250)
   }
 
+  test("empty sidecar (no prunable profileCols) degrades to a full scan, not 0 rows") {
+    val s = spark
+    import s.implicits._
+    // the only profiled column is BOOLEAN — not prunable, not numeric:
+    // the _prune sidecar is written EMPTY and _profiles is skipped, so
+    // the reader has zero pruning evidence and must keep every shard
+    // (ADVICE r13: this returned limit(0) — silently empty — before)
+    val df = (0 until 200).map(i => (i.toLong, (i % 2) == 0, i / 50))
+      .toDF("id", "flag", "day")
+    val out = tmp("pruneempty")
+    Sinks.writeShardedWithProfiles(df, out, col("day"),
+      profileCols = Seq("flag"))
+    val all = Sinks.readPrunedAll(spark, out, Seq(("id", Some(60.0), Some(120.0))))
+    assert(all.count() === 61, "empty sidecar must mean full scan + row filter")
+    assert(all.inputFiles.length === spark.read.parquet(out).inputFiles.length)
+    val in = Sinks.readPrunedIn(spark, out, "day", Seq(1, 3))
+    assert(in.count() === 100)
+    // misspelled profile column: same degradation
+    val out2 = tmp("pruneempty2")
+    Sinks.writeShardedWithProfiles(df, out2, col("day"),
+      profileCols = Seq("no_such_column"))
+    assert(Sinks.readPrunedAll(spark, out2,
+      Seq(("id", Some(0.0), None))).count() === 200)
+  }
+
+  test("a plain Number bound on a date/timestamp column keeps all shards") {
+    val s = spark
+    import s.implicits._
+    // 4 ingest days of timestamps + dates; profiled through the typed
+    // sidecar (kind ts/date). A raw Number bound has no agreed unit
+    // (epoch seconds? micros? days?) so the decision must KEEP every
+    // shard rather than guess one and over-prune to a silent empty
+    val df = (0 until 200).map { i =>
+      val day = i / 50
+      (i.toLong,
+        java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:00:00Z")
+            .plusSeconds(day * 86400L + i)),
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(day)))
+    }.toDF("id", "t", "d")
+    val out = tmp("prunenum")
+    Sinks.writeShardedWithProfiles(df, out, col("id") / 50,
+      profileCols = Seq("t", "d"))
+    val full = spark.read.parquet(out).inputFiles.length
+    // decision-level check via a helper predicate the row filter can
+    // also evaluate: bound the TYPED column with a Number while a
+    // second trivially-true typed predicate carries the row filter
+    // an epoch-SECONDS upper bound (the ADVICE r13 scenario): read as
+    // micros it lands in 1970, below every shard's min — the old code
+    // dropped ALL shards and returned silently empty
+    def liveFiles(c: String, bound: Any): Int =
+      try Sinks.readPrunedAll(spark, out, Seq((c, None, Some(bound))))
+        .inputFiles.length
+      catch { // ANSI may reject the ts/date-vs-number ROW filter — the
+        // honest failure; what must never happen is a silent 0-file read
+        case _: org.apache.spark.sql.AnalysisException => full
+      }
+    assert(liveFiles("t", 1.7e9) === full)
+    assert(liveFiles("d", 1.0) === full)
+  }
+
   test("Memo builds each (session, dir, key) exactly once and reads parquet back") {
     val s = spark
     import s.implicits._
