@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -544,7 +544,7 @@ object Stats {
       .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
       .localCheckpoint()
     val totals = arrays.agg(count(lit(1)).as("__N"))
-    val pairs = basketPairs(frequentItemArrays(arrays, itemCounts, minCount))
+    val pairs = basketPairsForAgg(frequentItemArrays(arrays, itemCounts, minCount))
       .groupBy(col("ia").as("item_a"), col("ib").as("item_b"))
       .agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minCount)
@@ -578,40 +578,171 @@ object Stats {
   /** Level-1 Apriori prune (downward closure on ITEMS): an item in
     * fewer than `minCount` baskets cannot appear in any frequent pair
     * or triple, so it can be dropped from the pair-generation arrays
-    * before the C(width, 2) expansion — on the Zipf item distributions
-    * real corpora have, this removes the long tail and most of the
-    * pair-aggregation groups with it. ADAPTIVE: one bounded,
-    * short-circuiting aggregate over the item-count frame decides
-    * driver-side whether anything prunes; when every item is frequent
-    * (the synthetic re-keyed corpus) the substrate passes through
-    * untouched and no shuffle is paid. Basket-universe counts (__N) and per-item counts must be
-    * read from the UNPRUNED frames — pruning drops items, never
-    * baskets, so lift/support denominators stay exact. */
+    * before the C(width, 2) expansion. The prune is NOT free — it pays
+    * an explode, a semi join and a collect_set re-grouping over the
+    * whole (basket, item) long form — so the adaptive decision weighs
+    * its payoff: [[tailMassFraction]] (one small agg over the
+    * item-count frame, which the Apriori callers already materialize)
+    * estimates the share of long-form rows held by infrequent items,
+    * and the prune engages only when that share reaches
+    * [[pruneMassThreshold]] and the SURVIVOR set fits a driver
+    * broadcast ([[pruneBroadcastCap]]). The prune itself is a
+    * SHUFFLE-FREE per-row array filter against the broadcast survivor
+    * set — basket-width hash probes per row, no explode, no join, no
+    * re-grouping. That shape matters: a first implementation that
+    * pruned by semi join + collect_set regroup over the exploded long
+    * form MEASURED 1.5–1.7× SLOWER than pass-through on a 60M-row
+    * Zipf(1.2) corpus (the reshuffle dwarfed the expansion cut), while
+    * this mapper form measures −23%/−29% (rules/triples) at 16% tail
+    * mass and −51%/−49% at 56% — lossless at every point (BASELINE.md
+    * round 14). When every item is frequent (re-keyed synthetic
+    * corpora) the substrate passes through untouched. Basket-universe
+    * counts (__N) and per-item counts must be read from the UNPRUNED
+    * frames — pruning drops items, never baskets, so lift/support
+    * denominators stay exact. */
   private def frequentItemArrays(arrays: DataFrame, itemCounts: DataFrame,
       minCount: Long): DataFrame = {
-    if (minCount <= 1 || !pruneEnabled) return arrays
-    // ONE bounded decision action (ADVICE r13): "does ANY infrequent
-    // item exist?" short-circuits at the first hit via limit(1) instead
-    // of counting the whole item universe twice; callers that reuse
-    // itemCounts downstream localCheckpoint it so this decision and the
-    // lift joins share one materialization.
-    val anyInfrequent =
-      itemCounts.filter(col("n_i") < minCount).limit(1).count() > 0
-    if (!anyInfrequent) arrays
-    else arrays.select(col("b"), explode(col("its")).as("i"))
-      .join(itemCounts.filter(col("n_i") >= minCount).select("i"),
-        Seq("i"), "left_semi")
-      .groupBy(col("b")).agg(sort_array(collect_set(col("i"))).as("its"))
-      .localCheckpoint()
+    if (minCount <= 1 || pruneMassThreshold > 1.0) return arrays
+    // ONE decision agg: deleted mass, total mass, survivor count
+    val m = itemCounts.agg(
+      coalesce(sum(when(col("n_i") < minCount, col("n_i"))), lit(0L)),
+      coalesce(sum(col("n_i")), lit(0L)),
+      count(when(col("n_i") >= minCount, lit(1)))).first()
+    val (tail, tot, nSurvivors) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    val f = if (tot == 0L) 0.0 else tail.toDouble / tot
+    if (f == 0.0 || f < pruneMassThreshold || nSurvivors > pruneBroadcastCap)
+      return arrays
+    val survivors = itemCounts.filter(col("n_i") >= minCount)
+      .select("i").collect().map(_.get(0))
+    val elemType = arrays.schema("its").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    survivorFilter(elemType, survivors)
+      .map(fn => arrays.withColumn("its", fn(col("its"))))
+      .getOrElse(arrays) // exotic item type: pass through, never wrong
   }
 
-  /** Dev/bench toggle for the adaptive level-1 prune — exists so scale
-    * harnesses can measure the prune's effect on a skewed (Zipf) item
-    * distribution with everything else held fixed (VERDICT r13 #1).
-    * Production callers never touch it; forced OFF the family still
-    * returns exactly the same frequent sets (the prune is a pure
-    * no-loss optimization by downward closure). */
-  @volatile private[graft] var pruneEnabled: Boolean = true
+  /** Typed per-row array filter against a broadcast survivor set — the
+    * shuffle-free core of the level-1 prune. Specialized per element
+    * type because a Scala UDF needs a concrete signature; an
+    * unsupported item type returns None (the caller passes through).
+    * The set rides the closure, which Spark ships once per executor
+    * through the task-binary broadcast; per row the cost is
+    * basket-width hash probes. */
+  private def survivorFilter(elemType: org.apache.spark.sql.types.DataType,
+      survivors: Array[Any]): Option[Column => Column] = {
+    import org.apache.spark.sql.types._
+    elemType match {
+      case StringType =>
+        val s = survivors.map(_.asInstanceOf[String]).toSet
+        val f = udf((its: Seq[String]) => its.filter(s.contains))
+        Some((c: Column) => f(c))
+      case LongType =>
+        val s = survivors.map(_.asInstanceOf[Long]).toSet
+        val f = udf((its: Seq[Long]) => its.filter(s.contains))
+        Some((c: Column) => f(c))
+      case IntegerType =>
+        val s = survivors.map(_.asInstanceOf[Int]).toSet
+        val f = udf((its: Seq[Int]) => its.filter(s.contains))
+        Some((c: Column) => f(c))
+      case ShortType =>
+        val s = survivors.map(_.asInstanceOf[Short]).toSet
+        val f = udf((its: Seq[Short]) => its.filter(s.contains))
+        Some((c: Column) => f(c))
+      case DoubleType =>
+        val s = survivors.map(_.asInstanceOf[Double]).toSet
+        val f = udf((its: Seq[Double]) => its.filter(s.contains))
+        Some((c: Column) => f(c))
+      case _ => None
+    }
+  }
+
+  /** Survivor-set size cap for the level-1 prune: above this the
+    * driver-side collect + per-executor set stops being "free" (1M
+    * long/string keys ≈ tens of MB) and the prune passes through. A
+    * corpus whose FREQUENT item set exceeds 1M distinct items while
+    * the infrequent tail still holds the majority of row mass is not a
+    * shape the prune targets. */
+  private val pruneBroadcastCap = 1L * 1000 * 1000
+
+  /** Share of (basket, item) long-form rows held by items below
+    * `minCount` — the mass the level-1 prune would delete, read with
+    * one aggregate off the distinct-item-sized count frame (0.0 when
+    * the frame is empty). */
+  private[graft] def tailMassFraction(itemCounts: DataFrame,
+      minCount: Long): Double = {
+    val m = itemCounts.agg(
+      coalesce(sum(when(col("n_i") < minCount, col("n_i"))), lit(0L)),
+      coalesce(sum(col("n_i")), lit(0L))).first()
+    val (tail, tot) = (m.getLong(0), m.getLong(1))
+    if (tot == 0L) 0.0 else tail.toDouble / tot
+  }
+
+  /** Minimum infrequent row-mass fraction at which the adaptive
+    * level-1 prune engages. The mapper-form prune measured a WIN at
+    * every point tried (−23% at 16% tail mass, −51% at 56% — round-14
+    * Zipf table in BASELINE.md), so the floor only guards the fixed
+    * costs — the decision agg and the survivor-set collect — against
+    * corpora where there is almost nothing to delete: below ~5% of
+    * row mass the expansion cut cannot repay collecting up to
+    * [[pruneBroadcastCap]] survivors. Dev/bench knob: scale harnesses
+    * force 0.0 (engage whenever anything can prune) or 2.0 (never
+    * engage) to measure both arms with everything else held fixed;
+    * production callers never touch it. Either way the family returns
+    * exactly the same frequent sets — the prune is a pure no-loss
+    * rewrite by downward closure. */
+  @volatile private[graft] var pruneMassThreshold: Double = 0.05
+
+  /** Exact pair-expansion cardinality Σ C(width, 2) of a basket-array
+    * frame — one narrow agg over the checkpointed |baskets|-row
+    * substrate, so it costs a scan of what is already materialized,
+    * never a second expansion. Feeds [[aggWidth]]. */
+  private def pairExpansionRows(arrays: DataFrame): Long =
+    arrays.agg(coalesce(sum(
+        expr("CAST(size(its) AS BIGINT) * (size(its) - 1) div 2")), lit(0L)))
+      .first().getLong(0)
+
+  /** Per-task group budget for the exact pair/triple aggregations:
+    * ~4M mostly-unique (long, long) keys keep a task's hash-agg map in
+    * the hundreds of MB — comfortably inside executor memory — so the
+    * aggregation never silently falls back to sort-based spilling. */
+  private val aggGroupsPerTask = 4L * 1000 * 1000
+
+  /** Data-derived exchange width for an aggregation whose group count
+    * can approach its input rows (the Apriori pair/triple counts: the
+    * expansion is quadratic in basket width, so its cardinality can
+    * dwarf the substrate the session's shuffle width was sized for).
+    * The round-13 third decade measured the failure: ~850M pair groups
+    * over 16 shuffle partitions = ~53M groups per task, silently
+    * falling back to sort-based aggregation on BOTH sides of the
+    * exchange — linear work turned into a memory-hierarchy log factor
+    * (BASELINE.md round 13). Returns Some(width) only when `rows`
+    * exceeds the session width's budget; None leaves the plan exactly
+    * as the optimizer built it (small corpora pay nothing — no
+    * repartition node, no behavior change). Callers hash-partition the
+    * expansion on its grouping keys at this width, which the final agg
+    * reuses (the distribution is already satisfied, no second
+    * exchange). The trade: the exchange moves raw pair rows instead of
+    * map-side-combined ones — a loss only when duplication is high AND
+    * the group count still exceeds the budget, and strictly smaller
+    * than the double sort-spill it prevents. Capped at 65536 — at that
+    * width per-task state is tiny and more partitions only add
+    * scheduling overhead. */
+  private def aggWidth(spark: SparkSession, rows: Long): Option[Int] = {
+    val default = spark.sessionState.conf.numShufflePartitions
+    val need = math.ceil(rows.toDouble / aggGroupsPerTask).toLong
+    if (need <= default) None else Some(math.min(need, 65536L).toInt)
+  }
+
+  /** [[basketPairs]] hash-partitioned for its downstream (ia, ib)
+    * aggregation when the expansion's cardinality calls for a wider
+    * exchange than the session default ([[aggWidth]]); pass-through
+    * otherwise. */
+  private def basketPairsForAgg(arrays: DataFrame): DataFrame = {
+    val pairs = basketPairs(arrays)
+    aggWidth(arrays.sparkSession, pairExpansionRows(arrays))
+      .map(w => pairs.repartition(w, col("ia"), col("ib")))
+      .getOrElse(pairs)
+  }
 
   /** (b, ia, ib) with ia < ib — every unordered in-basket pair, expanded
     * per row from the sorted array (codegen'd collection expressions,
@@ -700,7 +831,7 @@ object Stats {
       .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
       .localCheckpoint()
     val totals = arrays.agg(count(lit(1)).as("__N"))
-    val pairs = basketPairs(frequentItemArrays(arrays, itemCounts, minCount))
+    val pairs = basketPairsForAgg(frequentItemArrays(arrays, itemCounts, minCount))
       .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
@@ -737,10 +868,23 @@ object Stats {
   def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
       minCount: Long): DataFrame = {
     val arrays0 = basketItems(df, basketCol, itemCol)
-    val itemCounts = arrays0.select(explode(col("its")).as("i"))
+    val itemCounts0 = arrays0.select(explode(col("its")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    // here itemCounts feeds only the prune, which reads it twice
+    // (decision agg + survivor collect) — materialize once when the
+    // prune can engage, stay lazy (zero cost) when it cannot
+    val itemCounts =
+      if (minCount > 1 && pruneMassThreshold <= 1.0) itemCounts0.localCheckpoint()
+      else itemCounts0
     val arrays = frequentItemArrays(arrays0, itemCounts, minCount)
-    val pairsB = basketPairs(arrays) // derived narrow, twice, from the checkpoint
+    // one data-derived width covers the pair agg, the fp semi join,
+    // and the candidate-triple agg (candidates are the same order of
+    // magnitude as frequent-pair occurrences); identical exchanges are
+    // deduplicated by ReuseExchange
+    val w = aggWidth(arrays.sparkSession, pairExpansionRows(arrays))
+    val pairsB0 = basketPairs(arrays) // derived narrow, twice, from the checkpoint
+    val pairsB = w.map(x => pairsB0.repartition(x, col("ia"), col("ib")))
+      .getOrElse(pairsB0)
     val fp = pairsB
       .groupBy(col("ia").as("pa"), col("ib").as("pb"))
       .agg(count(lit(1)).as("n"))
@@ -757,7 +901,9 @@ object Stats {
         explode(expr("filter(its, z -> z > ib)")).as("ic"))
       .join(fp, col("ia") === col("pa") && col("ic") === col("pb"), "left_semi")
       .join(fp, col("ib") === col("pa") && col("ic") === col("pb"), "left_semi")
-    cand.groupBy(col("ia").as("item_a"), col("ib").as("item_b"),
+    val candShaped = w.map(x => cand.repartition(x, col("ia"), col("ib"), col("ic")))
+      .getOrElse(cand)
+    candShaped.groupBy(col("ia").as("item_a"), col("ib").as("item_b"),
         col("ic").as("item_c"))
       .agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minCount)

@@ -196,9 +196,36 @@ object Sinks {
     if (numericish.nonEmpty)
       graft.operators.Profiles.shardProfiles(written, col("shard"), numericish, k)
         .write.mode(SaveMode.Overwrite).parquet(s"$path/_profiles")
-    if (numericish.nonEmpty) spark.read.parquet(s"$path/_profiles")
-    else spark.read.parquet(s"$path/_prune")
+    if (numericish.nonEmpty) readSidecarDir(spark, s"$path/_profiles")
+    else readSidecarDir(spark, s"$path/_prune")
   }
+
+  /** Part files of an underscore-hidden sidecar directory, listed
+    * explicitly. Passing the directory itself to `spark.read.parquet`
+    * works (explicit paths are always read) but trips DataSource's
+    * `All paths were ignored` WARN on EVERY read — underscore-prefixed
+    * names are hidden from Spark's file index — which spams dozens of
+    * lines per bench run and will eventually bury a real warning. The
+    * part files inside are normally named (`part-…parquet`) and list
+    * clean. None = the directory does not exist; Some(Nil) = it exists
+    * but holds no part files. */
+  private def sidecarFiles(spark: SparkSession, dir: String): Option[Seq[String]] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(fs.listStatus(p).map(_.getPath).collect {
+      case f if f.getName.endsWith(".parquet") => f.toString
+    }.toSeq)
+  }
+
+  /** WARN-free read of a sidecar directory that is known to exist (just
+    * written). Falls back to the directory read if the listing is
+    * unexpectedly empty. */
+  private def readSidecarDir(spark: SparkSession, dir: String): DataFrame =
+    sidecarFiles(spark, dir) match {
+      case Some(parts) if parts.nonEmpty => spark.read.parquet(parts: _*)
+      case _ => spark.read.parquet(dir)
+    }
 
   /** The canonical, ORDER-PRESERVING string rendering for a prunable
     * column type: (kind tag, render). A type with no entry (maps,
@@ -379,19 +406,22 @@ object Sinks {
   private def scanLiveShards(spark: SparkSession, path: String)(
       liveIf: Map[String, (String, String, String)] => Boolean): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val fsPath = new org.apache.hadoop.fs.Path(s"$path/_prune")
-    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // explicit part-file paths keep the read off DataSource's
+    // "All paths were ignored" WARN (see [[sidecarFiles]])
     val prof: Array[(String, String, String, String, String)] =
-      if (fs.exists(fsPath))
-        spark.read.parquet(s"$path/_prune").collect().map(r =>
-          (r.getAs[String]("shard"), r.getAs[String]("col"),
-            r.getAs[String]("kind"), r.getAs[String]("lo"), r.getAs[String]("hi")))
-      else // legacy export: numeric _profiles min/max (doubles)
-        spark.read.parquet(s"$path/_profiles")
-          .select(col("shard").cast("string"), col("col"),
-            col("min").cast("string"), col("max").cast("string"))
-          .collect().map(r =>
-            (r.getString(0), r.getString(1), "num", r.getString(2), r.getString(3)))
+      sidecarFiles(spark, s"$path/_prune") match {
+        case Some(parts) =>
+          if (parts.isEmpty) Array.empty
+          else spark.read.parquet(parts: _*).collect().map(r =>
+            (r.getAs[String]("shard"), r.getAs[String]("col"),
+              r.getAs[String]("kind"), r.getAs[String]("lo"), r.getAs[String]("hi")))
+        case None => // legacy export: numeric _profiles min/max (doubles)
+          readSidecarDir(spark, s"$path/_profiles")
+            .select(col("shard").cast("string"), col("col"),
+              col("min").cast("string"), col("max").cast("string"))
+            .collect().map(r =>
+              (r.getString(0), r.getString(1), "num", r.getString(2), r.getString(3)))
+      }
     // no sidecar rows at all: nothing was profiled, so nothing can be
     // proven out — conservative full scan, NOT an empty frame
     if (prof.isEmpty) return spark.read.parquet(path)

@@ -280,6 +280,19 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("tailMassFraction: share of long-form rows on infrequent items") {
+    val s = spark
+    import s.implicits._
+    // items: a=6 rows, b=3, c=1 → at minCount=3, tail = c's 1 row of 10
+    val ic = Seq(("a", 6L), ("b", 3L), ("c", 1L)).toDF("i", "n_i")
+    assert(math.abs(Stats.tailMassFraction(ic, 3L) - 0.1) < 1e-12)
+    // at minCount=4 both b and c are tail: 4/10
+    assert(math.abs(Stats.tailMassFraction(ic, 4L) - 0.4) < 1e-12)
+    // nothing infrequent → 0.0; empty frame → 0.0, not NaN
+    assert(Stats.tailMassFraction(ic, 1L) === 0.0)
+    assert(Stats.tailMassFraction(ic.limit(0), 3L) === 0.0)
+  }
+
   test("adaptive level-1 prune is lossless: forced OFF yields identical results") {
     val s = spark
     import s.implicits._
@@ -293,17 +306,20 @@ class StatsSpec extends SparkSpec {
     val df = rows.toDF("b", "i")
     def all(run: => org.apache.spark.sql.DataFrame) =
       run.collect().map(_.toSeq).toSet
+    // force the prune path for the on-arm regardless of where the
+    // default mass threshold sits relative to this corpus (~22% tail)
+    Stats.pruneMassThreshold = 0.0
     val (coOn, arOn, ftOn) = (
       all(Stats.coOccurrence(df, "b", "i", 3L)),
       all(Stats.associationRules(df, "b", "i", 3L)),
       all(Stats.frequentTriples(df, "b", "i", 3L)))
     assert(coOn.nonEmpty && ftOn.nonEmpty)
-    Stats.pruneEnabled = false
+    Stats.pruneMassThreshold = 2.0 // force pass-through
     try {
       assert(all(Stats.coOccurrence(df, "b", "i", 3L)) === coOn)
       assert(all(Stats.associationRules(df, "b", "i", 3L)) === arOn)
       assert(all(Stats.frequentTriples(df, "b", "i", 3L)) === ftOn)
-    } finally Stats.pruneEnabled = true
+    } finally Stats.pruneMassThreshold = 0.05
   }
 
   test("concentration: HHI is 1 for a monopoly, 1/n for perfect balance") {
