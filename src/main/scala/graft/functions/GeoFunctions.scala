@@ -116,15 +116,31 @@ object GeoFunctions {
       (0 until g.getNumGeometries).map(i => g.getGeometryN(i).toText)
     } catch { case _: Exception => Seq.empty[String] })
 
+  /** Envelope-vs-box intersection decided inside ONE UDF eval — the
+    * bbox rule's hot path. The tempting compositional forms both pay
+    * FOUR WKT parses per row: referencing [[stEnvelope]] once per box
+    * edge in a filter duplicates the UDF verbatim, and materializing
+    * the envelope in a project first does not survive the optimizer —
+    * PushDownPredicates substitutes a deterministic projection back
+    * into the pushed filter condition, one copy per reference. Measured
+    * at sf≈100 (15M rows): 20.4 s for either 4-parse form vs 8.9 s for
+    * a true single parse (BASELINE.md round 14). Null/unparseable WKT
+    * returns null, so negated filters drop the row — identical to the
+    * old element_at-on-null-envelope behavior. */
+  val stEnvelopeIntersectsBox: UserDefinedFunction =
+    udf((wkt: String, xmin: Double, xmax: Double, ymin: Double, ymax: Double) =>
+      g1 { g =>
+        val e = g.getEnvelopeInternal
+        !(e.getMaxX < xmin || e.getMinX > xmax ||
+          e.getMaxY < ymin || e.getMinY > ymax)
+      }(wkt))
+
   /** Does the geometry's envelope intersect the box? — matches geopandas'
     * `.cx[minx:maxx, miny:maxy]` coordinate-slice semantics
     * (petk/validation.py:16: bbox-intersection, not containment). */
   def envelopeIntersects(wkt: Column,
-      xmin: Double, xmax: Double, ymin: Double, ymax: Double): Column = {
-    val e = stEnvelope(wkt)
-    !(element_at(e, 3) < xmin || element_at(e, 1) > xmax ||
-      element_at(e, 4) < ymin || element_at(e, 2) > ymax)
-  }
+      xmin: Double, xmax: Double, ymin: Double, ymax: Double): Column =
+    stEnvelopeIntersectsBox(wkt, lit(xmin), lit(xmax), lit(ymin), lit(ymax))
 
   /** Reproject a copy of the geometry vertex-by-vertex. */
   private def reproject(g: Geometry, fwd: Projections.Forward): Geometry = {
@@ -151,6 +167,18 @@ object GeoFunctions {
     111320.0 * math.sqrt(math.cos(latRad) max 0.0)
   }
 
+  private def metricArea(g: Geometry, epsg: Int): Double =
+    Projections.forEpsg(epsg) match {
+      case Some(fwd) => reproject(g, fwd).getArea
+      case None => g.getArea * equirectAreaScale(g)
+    }
+
+  private def metricLength(g: Geometry, epsg: Int): Double =
+    Projections.forEpsg(epsg) match {
+      case Some(fwd) => reproject(g, fwd).getLength
+      case None => g.getLength * equirectLengthScale(g)
+    }
+
   /** Metric area after reprojecting lon/lat to the given EPSG — the
     * reference's `to_crs(epsg).area` step (petk/validation.py:54). The
     * common projected families (Web Mercator, UTM WGS84/NAD83, MTM
@@ -158,21 +186,36 @@ object GeoFunctions {
     * (graft.functions.Projections); an unknown code falls back to the
     * equirectangular local approximation documented in SURVEY.md §7.8. */
   val stAreaIn: UserDefinedFunction = udf((wkt: String, epsg: Int) =>
-    g1 { g =>
-      Projections.forEpsg(epsg) match {
-        case Some(fwd) => reproject(g, fwd).getArea
-        case None => g.getArea * equirectAreaScale(g)
-      }
-    }(wkt))
+    g1(metricArea(_, epsg))(wkt))
 
   /** Metric length, same projection dispatch as [[stAreaIn]]. */
   val stLengthIn: UserDefinedFunction = udf((wkt: String, epsg: Int) =>
-    g1 { g =>
-      Projections.forEpsg(epsg) match {
-        case Some(fwd) => reproject(g, fwd).getLength
-        case None => g.getLength * equirectLengthScale(g)
+    g1(metricLength(_, epsg))(wkt))
+
+  /** Per-part sliver metrics from ONE WKT parse: for each top-level
+    * component of the (multi-)geometry, its metric area (polygon
+    * parts), metric length (linestring parts) or NaN (points — never
+    * slivers, petk/tools.py:117-118; NaN compares false against any
+    * threshold under Spark's NaN-is-largest ordering). Fuses the sliver
+    * rule's old parse → dump → re-serialize → re-parse-per-part chain
+    * (type probe + conditional metric = 3-4 JTS parses per part) into
+    * one parse per row, operating on the SAME in-memory parts the dump
+    * would have re-serialized — the round-14 geo sweep measured the
+    * rule 3.9× faster at sf≈100 (23.3 → 5.9 s) for exactly this
+    * eval-count reason (BASELINE.md). Unparseable/null WKT yields no
+    * parts, matching stDump's empty-seq behavior. */
+  val stSliverMetrics: UserDefinedFunction = udf((wkt: String, epsg: Int) =>
+    if (wkt == null) Seq.empty[Double]
+    else try {
+      val g = parse(wkt)
+      (0 until g.getNumGeometries).map { i =>
+        val p = g.getGeometryN(i)
+        val t = p.getGeometryType.toLowerCase
+        if (t.contains("polygon")) metricArea(p, epsg)
+        else if (t.contains("linestring")) metricLength(p, epsg)
+        else Double.NaN
       }
-    }(wkt))
+    } catch { case _: Exception => Seq.empty[Double] })
 
   /** Equirectangular-only variants (no CRS known). */
   val stAreaMetric: UserDefinedFunction = udf((wkt: String) =>

@@ -115,6 +115,9 @@ object Geo {
     val (xmin, xmax, ymin, ymax) = box
     require(xmin < xmax && ymin < ymax, "Invalid bounding box given")
     val g = col(column)
+    // SINGLE WKT parse per row: the intersection test is one UDF eval
+    // (see [[graft.functions.GeoFunctions.stEnvelopeIntersectsBox]] for
+    // why the compositional envelope forms pay four parses here).
     df.filter(g.isNotNull && !envelopeIntersects(g, xmin, xmax, ymin, ymax))
       .select(
         lit(column).as("column"),
@@ -133,19 +136,19 @@ object Geo {
     * documented equirectangular approximation. */
   def sliver(df: DataFrame, keyCol: String, column: String,
       params: SliverParams): DataFrame = {
-    val part = col("part")
-    val epsg = lit(params.projectedEpsg)
-    val tpe = lower(stGeometryType(part))
-    val isSliver =
-      when(tpe.contains("polygon"), stAreaIn(part, epsg) < params.threshold)
-        .when(tpe.contains("linestring"), stLengthIn(part, epsg) < params.threshold)
-        .otherwise(lit(false)) // points are never slivers (tools.py:117-118)
-    // the parse + reprojection are the expensive per-row steps and fuse
-    // into the scan — widen a narrow source first (Parallelize; safe:
-    // row-local flags + an integer count per key)
+    // ONE WKT parse per row (stSliverMetrics): the old chain — stDump
+    // parse + re-serialize, then per exploded part a type probe plus a
+    // conditional area/length re-parse — paid 3-4 JTS parses per part;
+    // the fused UDF computes every part's metric (polygon → area,
+    // linestring → length, point → NaN which never passes the
+    // threshold, tools.py:117-118) from the same in-memory geometry.
+    // The parse + reprojection fuse into the scan — widen a narrow
+    // source first (Parallelize; safe: row-local flags + an integer
+    // count per key).
     Parallelize.cpuBound(df.select(col(keyCol), col(column)))
-      .select(col(keyCol), explode(stDump(col(column))).as("part"))
-      .filter(isSliver)
+      .select(col(keyCol),
+        explode(stSliverMetrics(col(column), lit(params.projectedEpsg))).as("m"))
+      .filter(col("m") < params.threshold)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))
       .select(

@@ -123,6 +123,25 @@ class GeoSpec extends SparkSpec {
     assert(out.head.getString(3) === "Geometry outside of bbox(0.0, 10.0, 0.0, 10.0)")
   }
 
+  test("bounding_box: null and unparseable WKT are never flagged (single-eval UDF keeps the null-envelope drop semantics)") {
+    val df = wkts(
+      (1L, null),
+      (2L, "NOT A GEOMETRY"),
+      (3L, "POINT (20 20)")) // genuinely outside
+    val out = Geo.boundingBox(df, "id", "geometry", (0.0, 10.0, 0.0, 10.0)).collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(3L))
+  }
+
+  test("sliver: linestrings use metric LENGTH, unparseable WKT yields no findings") {
+    val df = wkts(
+      (1L, "LINESTRING (0 0, 0.001 0)"), // ~111 m at the equator -> sliver under 1e4
+      (2L, "LINESTRING (0 0, 1 0)"), // ~111 km -> not a sliver
+      (3L, "NOT A GEOMETRY"))
+    val out = Geo.sliver(df, "id", "geometry", SliverParams(3857, 1e4)).collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L))
+    assert(out.head.getString(3) === "1 slivers found within geometry")
+  }
+
   test("bounding_box rejects an invalid box") {
     val df = wkts((1L, "POINT (0 0)"))
     val e = intercept[IllegalArgumentException](
