@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
@@ -437,11 +437,33 @@ object Streams {
     * stored layout. The batch's persisted frames are unpersisted at the
     * end of every micro-batch (a streaming job must not accumulate
     * cache), and the one scan of the stored index per batch replaces
-    * the previous design's full corpus recompute + rewrite. */
+    * the previous design's full corpus recompute + rewrite.
+    *
+    * INDEX COMPACTION (`compactEvery`): appending small per-batch dirs
+    * forever fragments the index into O(batches) part files, and the
+    * per-batch index read pays listing + parquet footers for every one
+    * of them — a sustained 1000-batch run measured per-batch latency
+    * bending SUPERLINEAR (~6 s around batch 100 → >110 s by batch 700,
+    * ~18× for ~7× index rows; run terminated as unbounded — BASELINE.md
+    * round 14); with compaction the probe cost tracks index ROWS, not
+    * index AGE. Whenever `compactEvery` live `batch=` dirs accumulate,
+    * the batch folds the previous generation + live dirs into a new
+    * `shc/gen=<id>` / `bkc/gen=<id>` snapshot (original `batch` kept as
+    * a data column) and deletes what the snapshot supersedes.
+    * Crash-safe at every point: the snapshot content is a pure function
+    * of immutable inputs (the previous complete generation plus
+    * committed batch dirs), so a replayed batch overwrites it
+    * byte-for-byte-equivalently; a generation without `_SUCCESS` is
+    * invisible to readers; and the read path takes the newest complete
+    * generation plus only live dirs AT OR ABOVE its id, so a crash
+    * mid-cleanup can never double-count a superseded dir. `docs/` is
+    * never compacted — it is the append-only corpus, not read on the
+    * ingest path. */
   def dedupIngestSink(stream: DataFrame, idCol: String, textCol: String,
       targetDir: String, threshold: Double = 0.7,
       shingleWords: Int = 3, numHashes: Int = 128,
-      bands: Int = 32, rowsPerBand: Int = 4, seed: Int = 42)
+      bands: Int = 32, rowsPerBand: Int = 4, seed: Int = 42,
+      compactEvery: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -449,6 +471,9 @@ object Streams {
         import graft.operators.Dedup
         val (docsDir, shDir, bkDir) =
           (s"$targetDir/docs", s"$targetDir/sh", s"$targetDir/bk")
+        val (shGen, bkGen) = (s"$targetDir/shc", s"$targetDir/bkc")
+        compactIndexDir(spark, shDir, shGen, id, compactEvery)
+        compactIndexDir(spark, bkDir, bkGen, id, compactEvery)
         val shB = Dedup.shingleRows(batch.toDF(), idCol, textCol, shingleWords)
           .persist()
         var kept: DataFrame = null
@@ -459,19 +484,16 @@ object Streams {
             .select(col("b").as(idCol)).distinct()
           val selfKept = batch.join(selfDup, Seq(idCol), "left_anti")
           // (2) against the stored index, batches strictly below this id
-          val fs = new org.apache.hadoop.fs.Path(shDir)
-            .getFileSystem(spark.sessionState.newHadoopConf())
           val crossKept =
-            if (!fs.exists(new org.apache.hadoop.fs.Path(shDir))) selfKept
-            else {
-              val indexSh = spark.read.parquet(shDir)
-                .filter(col("batch") < id).select("id", "s")
-              val indexBk = spark.read.parquet(bkDir)
-                .filter(col("batch") < id).select("id", "bk")
-              val dupIds = Dedup.crossNearDupPairsFromIndex(
-                  shB, bkB, indexSh, indexBk, threshold)
-                .select(col("a").as(idCol)).distinct()
-              selfKept.join(dupIds, Seq(idCol), "left_anti")
+            (readIndexDir(spark, shDir, shGen, id),
+              readIndexDir(spark, bkDir, bkGen, id)) match {
+              case (Some(indexSh), Some(indexBk)) =>
+                val dupIds = Dedup.crossNearDupPairsFromIndex(
+                    shB, bkB, indexSh.select("id", "s"),
+                    indexBk.select("id", "bk"), threshold)
+                  .select(col("a").as(idCol)).distinct()
+                selfKept.join(dupIds, Seq(idCol), "left_anti")
+              case _ => selfKept // index still empty: first batch(es)
             }
           // (3) survivors + their index rows, replay-safe per-batch dirs
           kept = crossKept.persist()
@@ -486,6 +508,88 @@ object Streams {
           if (kept != null) kept.unpersist(false)
         }
     }
+
+  private def hadoopFs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Ids of the live `batch=N` subdirectories of an index dir. */
+  private def liveBatchIds(spark: SparkSession, liveDir: String): Seq[Long] = {
+    val fs = hadoopFs(spark, liveDir)
+    val p = new org.apache.hadoop.fs.Path(liveDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.collect {
+      case s if s.isDirectory && s.getPath.getName.startsWith("batch=") =>
+        s.getPath.getName.stripPrefix("batch=").toLong
+    }
+  }
+
+  /** Newest COMPLETE (`_SUCCESS`-marked) compacted generation id, if
+    * any. An interrupted compaction write leaves no marker and stays
+    * invisible until its replay overwrites it. */
+  private def latestGenId(spark: SparkSession, genDir: String): Option[Long] = {
+    val fs = hadoopFs(spark, genDir)
+    val p = new org.apache.hadoop.fs.Path(genDir)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.collect {
+      case s if s.isDirectory && s.getPath.getName.startsWith("gen=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")) =>
+        s.getPath.getName.stripPrefix("gen=").toLong
+    }.maxOption
+  }
+
+  /** One half of the dedup index (sh or bk) as of batch `id`: the
+    * newest complete generation plus the live batch dirs AT OR ABOVE
+    * its id. Dirs below the generation are superseded copies of rows
+    * the generation already holds — excluding them by their `batch`
+    * partition value rather than by trusting deletion to have happened
+    * is what makes every crash-time state read exactly. None while the
+    * index is still empty. */
+  private def readIndexDir(spark: SparkSession, liveDir: String,
+      genDir: String, id: Long): Option[DataFrame] = {
+    val g = latestGenId(spark, genDir)
+    val floor = g.getOrElse(0L)
+    val live = liveBatchIds(spark, liveDir).filter(n => n >= floor && n < id)
+    val parts = Seq.newBuilder[DataFrame]
+    g.foreach { gid =>
+      parts += spark.read.parquet(s"$genDir/gen=$gid")
+        .filter(col("batch") < id)
+        .withColumn("batch", col("batch").cast("long"))
+    }
+    if (live.nonEmpty)
+      parts += spark.read.parquet(liveDir)
+        .filter(col("batch") >= floor && col("batch") < id)
+        .withColumn("batch", col("batch").cast("long"))
+    parts.result().reduceOption(_ unionByName _)
+  }
+
+  /** Fold generation + live dirs of one index half into a new
+    * `gen=<id>` snapshot once `compactEvery` live dirs accumulate, then
+    * delete what the newest complete generation supersedes. Both steps
+    * are idempotent under batch replay (see [[dedupIngestSink]]). */
+  private def compactIndexDir(spark: SparkSession, liveDir: String,
+      genDir: String, id: Long, compactEvery: Int): Unit = {
+    val floorBefore = latestGenId(spark, genDir).getOrElse(0L)
+    val liveCount = liveBatchIds(spark, liveDir)
+      .count(n => n >= floorBefore && n < id)
+    if (liveCount >= compactEvery)
+      readIndexDir(spark, liveDir, genDir, id).foreach { idx =>
+        idx.coalesce(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$genDir/gen=$id")
+      }
+    // stale cleanup — everything below the newest complete generation;
+    // re-runnable from any crash point
+    latestGenId(spark, genDir).foreach { g =>
+      val fs = hadoopFs(spark, liveDir)
+      liveBatchIds(spark, liveDir).filter(_ < g).foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$liveDir/batch=$n"), true))
+      fs.listStatus(new org.apache.hadoop.fs.Path(genDir)).toSeq.foreach { s =>
+        val name = s.getPath.getName
+        if (name.startsWith("gen=") && name.stripPrefix("gen=").toLong < g)
+          fs.delete(s.getPath, true)
+      }
+    }
+  }
 
   /** Streaming DECONTAMINATION — the eval-gram-set filter at ingest
     * time, the streaming twin of [[graft.operators.Contamination.bloomKeep]]:

@@ -524,6 +524,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupIngestSink compaction: same kept corpus, generations supersede batch dirs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def body(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    // 8 batches: one novel doc per batch, plus every third batch a
+    // near-dup of the FIRST batch's doc — cross-batch drops must keep
+    // working across the compaction boundary
+    def batchDocs(b: Int): Seq[Doc] = {
+      val novel = Doc(100L + b, body(s"n$b "))
+      if (b % 3 == 2) Seq(novel, Doc(200L + b, body("n0 ") + " tail"))
+      else Seq(novel)
+    }
+    def run(compactEvery: Int): (Set[Long], String) = {
+      val mem = MemoryStream[Doc]
+      val out = java.nio.file.Files.createTempDirectory("stream_compact").toString
+      val q = Streams.dedupIngestSink(mem.toDF(), "doc_id", "text", out,
+        compactEvery = compactEvery).start()
+      try {
+        (0 until 8).foreach { b =>
+          mem.addData(batchDocs(b): _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      (spark.read.parquet(s"$out/docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet, out)
+    }
+    val (keptNoCompact, _) = run(compactEvery = 1000000)
+    val (keptCompact, out) = run(compactEvery = 3)
+    assert(keptCompact === keptNoCompact,
+      "compaction must not change which docs are kept")
+    assert(keptCompact === (0 until 8).map(100L + _).toSet,
+      s"novel docs kept, all near-dups of batch 0 dropped: $keptCompact")
+    // generations exist and superseded batch dirs are gone
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def subdirs(d: String): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .map(_.getPath.getName).toSet.filter(_.contains("="))
+    val gens = subdirs(s"$out/shc")
+    assert(gens.nonEmpty, "a compacted generation must exist")
+    val genId = gens.map(_.stripPrefix("gen=").toLong).max
+    val liveIds = subdirs(s"$out/sh").map(_.stripPrefix("batch=").toLong)
+    assert(liveIds.forall(_ >= genId),
+      s"batch dirs below gen=$genId must be deleted: $liveIds")
+    // the compacted index holds exactly the kept docs' rows
+    val genDocs = spark.read.parquet(s"$out/shc/gen=$genId")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    val liveDocs =
+      if (liveIds.isEmpty) Set.empty[Long]
+      else spark.read.parquet(s"$out/sh")
+        .filter(col("batch") >= genId)
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert((genDocs ++ liveDocs) === keptCompact,
+      s"index must track kept docs across gen+live: ${genDocs ++ liveDocs}")
+  }
+
   test("deconIngestSink drops planted contaminated docs across batch boundaries") {
     val s = spark
     import s.implicits._

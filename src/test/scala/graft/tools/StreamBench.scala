@@ -175,9 +175,12 @@ object StreamBench {
       }
       val mem = MemoryStream[(Long, String)]
       val docsPerBatch = math.max(100, rowsPerBatch / 40)
+      // optional 5th arg: compactEvery for the index-compaction A/B
+      // (e.g. 1000000 disables compaction to measure the fragmenting arm)
+      val compactEvery = args.lift(4).map(_.toInt).getOrElse(64)
       val q = graft.streaming.Streams
         .dedupIngestSink(mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
-          target)
+          target, compactEvery = compactEvery)
         .option("checkpointLocation", ckpt)
         .start()
       val secs = Vector.newBuilder[Double]
@@ -188,7 +191,8 @@ object StreamBench {
           val t0 = System.nanoTime()
           q.processAllAvailable()
           secs += (System.nanoTime() - t0) / 1e9
-          idxBytes += dirBytes(s"$target/sh") + dirBytes(s"$target/bk")
+          idxBytes += dirBytes(s"$target/sh") + dirBytes(s"$target/bk") +
+            dirBytes(s"$target/shc") + dirBytes(s"$target/bkc")
         }
       } finally q.stop()
       val kept = spark.read.parquet(s"$target/docs").count()
