@@ -1194,6 +1194,62 @@ object ProfilingQueries {
        |ORDER BY confidence DESC, antecedent, consequent
        |LIMIT 20""".stripMargin
 
+  /** RELATIVE-support co-occurrence
+    * ([[graft.operators.Stats.coOccurrenceBySupport]], minSupport 2e-5
+    * of baskets): gates the pair form's own fraction→count resolution —
+    * 1 at sf0.001/sf0.01 (all in-basket pairs), 3 at sf0.1 — so each
+    * family member's delegation is replayed, not argued from
+    * [[assocRulesSupport]]'s. Full pair output like copurchase_parts. */
+  def copurchaseSupport(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.coOccurrenceBySupport(
+        Tables.lineitem(spark, dir), "l_orderkey", "l_partkey",
+        minSupport = 2e-5)
+      .select(col("item_a"), col("item_b"), col("n_baskets"),
+        r(col("lift"), 6).as("lift"))
+      .orderBy("item_a", "item_b")
+
+  private val copurchaseSupportOracle: String =
+    s"""WITH it AS (
+       | SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+       | FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |ic AS (SELECT i, count(*) AS n_i FROM it GROUP BY i),
+       |tot AS (SELECT count(DISTINCT b) AS n FROM it),
+       |mc AS (
+       | SELECT GREATEST(1, CAST(ceil(0.00002 * n) AS BIGINT)) AS m FROM tot),
+       |p AS (
+       | SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_baskets
+       | FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+       | GROUP BY 1, 2 HAVING count(*) >= (SELECT m FROM mc))
+       |SELECT item_a, item_b, n_baskets,
+       | ${rSql("(n_baskets / CAST(n AS DOUBLE)) / ((x.n_i / CAST(n AS DOUBLE)) * (y.n_i / CAST(n AS DOUBLE)))", 6)} AS lift
+       |FROM p JOIN ic x ON p.item_a = x.i JOIN ic y ON p.item_b = y.i CROSS JOIN tot
+       |ORDER BY item_a, item_b""".stripMargin
+
+  /** RELATIVE-support frequent triples
+    * ([[graft.operators.Stats.frequentTriplesBySupport]], minSupport
+    * 1e-5 of baskets — resolving 1 at sf0.001/sf0.01, 2 at sf0.1):
+    * the triple form's own fraction→count gate; the oracle replays
+    * the resolution AND the unpruned three-way ground truth. */
+  def frequentTriplesSupport(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.frequentTriplesBySupport(
+        Tables.lineitem(spark, dir), "l_orderkey", "l_partkey",
+        minSupport = 1e-5)
+      .orderBy("item_a", "item_b", "item_c")
+
+  private val frequentTriplesSupportOracle: String =
+    """WITH it AS (
+      | SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+      | FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |mc AS (
+      | SELECT GREATEST(1, CAST(ceil(0.00001 * count(DISTINCT b)) AS BIGINT)) AS m
+      | FROM it)
+      |SELECT a.i AS item_a, x.i AS item_b, c.i AS item_c, count(*) AS n_baskets
+      |FROM it a
+      |JOIN it x ON a.b = x.b AND a.i < x.i
+      |JOIN it c ON x.b = c.b AND x.i < c.i
+      |GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT m FROM mc)
+      |ORDER BY item_a, item_b, item_c""".stripMargin
+
   /** Lorenz curve of per-customer order revenue
     * ([[graft.operators.Stats.lorenzCurve]], 10 deciles): cumulative
     * revenue share of the poorest population fraction — the
@@ -1886,6 +1942,8 @@ object ProfilingQueries {
     QueryDef("survival_curve", survivalEvents, Some(survivalOracle)),
     QueryDef("assoc_rules_parts", assocRulesParts, Some(assocRulesOracle)),
     QueryDef("assoc_rules_support", assocRulesSupport, Some(assocRulesSupportOracle)),
+    QueryDef("copurchase_support", copurchaseSupport, Some(copurchaseSupportOracle)),
+    QueryDef("frequent_triples_support", frequentTriplesSupport, Some(frequentTriplesSupportOracle)),
     QueryDef("user_streaks", userStreaks, Some(streaksOracle)),
     QueryDef("event_paths", eventPaths, Some(pathsOracle)),
     QueryDef("revenue_concentration", revenueConcentration, Some(concentrationOracle)),
