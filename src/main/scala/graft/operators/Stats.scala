@@ -536,7 +536,9 @@ object Stats {
     * literally. Returns (item_a, item_b, n_baskets, lift) with
     * item_a < item_b. */
   def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
-      minCount: Long): DataFrame = {
+      minCount: Long,
+      pruneMassThreshold: Double = defaultPruneMassThreshold,
+      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame = {
     val arrays = basketItems(df, basketCol, itemCol)
     // distinct-item-sized, feeds THREE consumers (the prune decision +
     // both lift joins) — materialized once, like the arrays substrate
@@ -544,7 +546,8 @@ object Stats {
       .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
       .localCheckpoint()
     val totals = arrays.agg(count(lit(1)).as("__N"))
-    val pairs = basketPairsForAgg(frequentItemArrays(arrays, itemCounts, minCount))
+    val pairs = basketPairsForAgg(frequentItemArrays(
+        arrays, itemCounts, minCount, pruneMassThreshold, pruneBroadcastCap))
       .groupBy(col("ia").as("item_a"), col("ib").as("item_b"))
       .agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minCount)
@@ -601,8 +604,30 @@ object Stats {
     * frames — pruning drops items, never baskets, so lift/support
     * denominators stay exact. */
   private def frequentItemArrays(arrays: DataFrame, itemCounts: DataFrame,
-      minCount: Long): DataFrame = {
-    if (minCount <= 1 || pruneMassThreshold > 1.0) return arrays
+      minCount: Long, massThreshold: Double, broadcastCap: Long): DataFrame =
+    pruneSurvivorCount(itemCounts, minCount, massThreshold, broadcastCap) match {
+      case None => arrays
+      case Some(_) =>
+        val survivors = itemCounts.filter(col("n_i") >= minCount)
+          .select("i").collect().map(_.get(0))
+        val elemType = arrays.schema("its").dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        survivorFilter(elemType, survivors)
+          .map(fn => arrays.withColumn("its", fn(col("its"))))
+          .getOrElse(arrays) // exotic item type: pass through, never wrong
+    }
+
+  /** The level-1 prune DECISION, factored out so a spec can assert the
+    * prune actually engages on a given substrate (VERDICT r14 #2: the
+    * oracle-gated skew query must be proven to exercise the prune path,
+    * not just pass). One aggregate over the distinct-item-sized count
+    * frame — deleted mass, total mass, survivor count — returning
+    * Some(survivor count) exactly when [[frequentItemArrays]] filters,
+    * None when it passes through (nothing to delete, tail mass below
+    * the threshold, or a survivor set too large to broadcast). */
+  private[graft] def pruneSurvivorCount(itemCounts: DataFrame, minCount: Long,
+      massThreshold: Double, broadcastCap: Long): Option[Long] = {
+    if (minCount <= 1 || massThreshold > 1.0) return None
     // ONE decision agg: deleted mass, total mass, survivor count
     val m = itemCounts.agg(
       coalesce(sum(when(col("n_i") < minCount, col("n_i"))), lit(0L)),
@@ -610,15 +635,8 @@ object Stats {
       count(when(col("n_i") >= minCount, lit(1)))).first()
     val (tail, tot, nSurvivors) = (m.getLong(0), m.getLong(1), m.getLong(2))
     val f = if (tot == 0L) 0.0 else tail.toDouble / tot
-    if (f == 0.0 || f < pruneMassThreshold || nSurvivors > pruneBroadcastCap)
-      return arrays
-    val survivors = itemCounts.filter(col("n_i") >= minCount)
-      .select("i").collect().map(_.get(0))
-    val elemType = arrays.schema("its").dataType
-      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-    survivorFilter(elemType, survivors)
-      .map(fn => arrays.withColumn("its", fn(col("its"))))
-      .getOrElse(arrays) // exotic item type: pass through, never wrong
+    if (f == 0.0 || f < massThreshold || nSurvivors > broadcastCap) None
+    else Some(nSurvivors)
   }
 
   /** Typed per-row array filter against a broadcast survivor set — the
@@ -656,13 +674,14 @@ object Stats {
     }
   }
 
-  /** Survivor-set size cap for the level-1 prune: above this the
-    * driver-side collect + per-executor set stops being "free" (1M
+  /** Default survivor-set size cap for the level-1 prune: above this
+    * the driver-side collect + per-executor set stops being "free" (1M
     * long/string keys ≈ tens of MB) and the prune passes through. A
     * corpus whose FREQUENT item set exceeds 1M distinct items while
     * the infrequent tail still holds the majority of row mass is not a
-    * shape the prune targets. */
-  private val pruneBroadcastCap = 1L * 1000 * 1000
+    * shape the prune targets. Per-call knob on the Apriori family
+    * (`pruneBroadcastCap`); this is only the default. */
+  private[graft] val defaultPruneBroadcastCap: Long = 1L * 1000 * 1000
 
   /** Share of (basket, item) long-form rows held by items below
     * `minCount` — the mass the level-1 prune would delete, read with
@@ -677,20 +696,23 @@ object Stats {
     if (tot == 0L) 0.0 else tail.toDouble / tot
   }
 
-  /** Minimum infrequent row-mass fraction at which the adaptive
-    * level-1 prune engages. The mapper-form prune measured a WIN at
-    * every point tried (−23% at 16% tail mass, −51% at 56% — round-14
-    * Zipf table in BASELINE.md), so the floor only guards the fixed
-    * costs — the decision agg and the survivor-set collect — against
-    * corpora where there is almost nothing to delete: below ~5% of
-    * row mass the expansion cut cannot repay collecting up to
-    * [[pruneBroadcastCap]] survivors. Dev/bench knob: scale harnesses
-    * force 0.0 (engage whenever anything can prune) or 2.0 (never
-    * engage) to measure both arms with everything else held fixed;
-    * production callers never touch it. Either way the family returns
-    * exactly the same frequent sets — the prune is a pure no-loss
-    * rewrite by downward closure. */
-  @volatile private[graft] var pruneMassThreshold: Double = 0.05
+  /** Default minimum infrequent row-mass fraction at which the
+    * adaptive level-1 prune engages. The mapper-form prune measured a
+    * WIN at every point tried (−23% at 16% tail mass, −51% at 56% —
+    * round-14 Zipf table in BASELINE.md), so the floor only guards the
+    * fixed costs — the decision agg and the survivor-set collect —
+    * against corpora where there is almost nothing to delete: below
+    * ~5% of row mass the expansion cut cannot repay collecting up to
+    * [[defaultPruneBroadcastCap]] survivors. The knob is a PER-CALL
+    * parameter on the Apriori family (r14 shipped it as a
+    * session-global `@volatile var`, which let concurrent sessions
+    * observe each other's bench overrides — VERDICT r14 #6): scale
+    * harnesses pass 0.0 (engage whenever anything can prune) or 2.0
+    * (never engage) to measure both arms with everything else held
+    * fixed; production callers take this default. Either way the
+    * family returns exactly the same frequent sets — the prune is a
+    * pure no-loss rewrite by downward closure. */
+  private[graft] val defaultPruneMassThreshold: Double = 0.05
 
   /** Exact pair-expansion cardinality Σ C(width, 2) of a basket-array
     * frame — one narrow agg over the checkpointed |baskets|-row
@@ -823,7 +845,9 @@ object Stats {
     * scale shape as the pair pass — pairs meet only inside baskets,
     * item counts broadcast-join back. */
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
-      minCount: Long): DataFrame = {
+      minCount: Long,
+      pruneMassThreshold: Double = defaultPruneMassThreshold,
+      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame = {
     val arrays = basketItems(df, basketCol, itemCol)
     // three consumers (prune decision + both rule-direction joins):
     // materialized once — see coOccurrence
@@ -831,7 +855,8 @@ object Stats {
       .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
       .localCheckpoint()
     val totals = arrays.agg(count(lit(1)).as("__N"))
-    val pairs = basketPairsForAgg(frequentItemArrays(arrays, itemCounts, minCount))
+    val pairs = basketPairsForAgg(frequentItemArrays(
+        arrays, itemCounts, minCount, pruneMassThreshold, pruneBroadcastCap))
       .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
@@ -866,7 +891,9 @@ object Stats {
     * computes — downward closure guarantees the pruned plan reproduces
     * it exactly. */
   def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
-      minCount: Long): DataFrame = {
+      minCount: Long,
+      pruneMassThreshold: Double = defaultPruneMassThreshold,
+      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame = {
     val arrays0 = basketItems(df, basketCol, itemCol)
     val itemCounts0 = arrays0.select(explode(col("its")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
@@ -876,7 +903,8 @@ object Stats {
     val itemCounts =
       if (minCount > 1 && pruneMassThreshold <= 1.0) itemCounts0.localCheckpoint()
       else itemCounts0
-    val arrays = frequentItemArrays(arrays0, itemCounts, minCount)
+    val arrays = frequentItemArrays(
+      arrays0, itemCounts, minCount, pruneMassThreshold, pruneBroadcastCap)
     // one data-derived width covers the pair agg, the fp semi join,
     // and the candidate-triple agg (candidates are the same order of
     // magnitude as frequent-pair occurrences); identical exchanges are
@@ -920,28 +948,43 @@ object Stats {
     * N baskets; the threshold then delegates to the absolute form, so
     * the two parameterizations cannot diverge. */
   def coOccurrenceBySupport(df: DataFrame, basketCol: String,
-      itemCol: String, minSupport: Double): DataFrame =
+      itemCol: String, minSupport: Double,
+      pruneMassThreshold: Double = defaultPruneMassThreshold,
+      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame =
     coOccurrence(df, basketCol, itemCol,
-      supportCount(df, basketCol, minSupport))
+      supportCount(df, basketCol, itemCol, minSupport),
+      pruneMassThreshold, pruneBroadcastCap)
 
   /** See [[coOccurrenceBySupport]]. */
   def associationRulesBySupport(df: DataFrame, basketCol: String,
-      itemCol: String, minSupport: Double): DataFrame =
+      itemCol: String, minSupport: Double,
+      pruneMassThreshold: Double = defaultPruneMassThreshold,
+      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame =
     associationRules(df, basketCol, itemCol,
-      supportCount(df, basketCol, minSupport))
+      supportCount(df, basketCol, itemCol, minSupport),
+      pruneMassThreshold, pruneBroadcastCap)
 
   /** See [[coOccurrenceBySupport]]. */
   def frequentTriplesBySupport(df: DataFrame, basketCol: String,
-      itemCol: String, minSupport: Double): DataFrame =
+      itemCol: String, minSupport: Double,
+      pruneMassThreshold: Double = defaultPruneMassThreshold,
+      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame =
     frequentTriples(df, basketCol, itemCol,
-      supportCount(df, basketCol, minSupport))
+      supportCount(df, basketCol, itemCol, minSupport),
+      pruneMassThreshold, pruneBroadcastCap)
 
-  /** ceil(minSupport · |distinct baskets|), floored at 1. */
+  /** ceil(minSupport · |distinct baskets|), floored at 1. The basket
+    * universe requires BOTH the basket and the item non-null — the same
+    * filter [[basketItems]] applies — so the fraction resolves against
+    * exactly the N that the support/lift denominators (and the DuckDB
+    * oracles) use. Counting baskets whose every item is null (possible
+    * on sparse corpora; not on TPC-H lineitem) would silently raise the
+    * resolved threshold above the one the outputs are scored with. */
   private def supportCount(df: DataFrame, basketCol: String,
-      minSupport: Double): Long = {
+      itemCol: String, minSupport: Double): Long = {
     require(minSupport > 0.0 && minSupport <= 1.0,
       s"minSupport must be in (0, 1], got $minSupport")
-    val n = df.filter(col(basketCol).isNotNull)
+    val n = df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol)).distinct().count()
     math.max(1L, math.ceil(minSupport * n).toLong)
   }

@@ -1250,6 +1250,62 @@ object ProfilingQueries {
       |GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT m FROM mc)
       |ORDER BY item_a, item_b, item_c""".stripMargin
 
+  /** Association rules over a PLANTED-SKEW basket substrate — the gate
+    * that makes the adaptive level-1 prune FIRE under an oracle hash
+    * (VERDICT r14 #2: every other gate corpus is frequency-uniform, so
+    * the broadcast survivor filter (`Stats.frequentItemArrays`) was
+    * exercised only by units and row-count-matched bench arms). The
+    * item space is a head-collapse transform of l_partkey — keys whose
+    * last digit is 0/1/2 collapse to three heavy items (~10% of line
+    * rows each, thousands of baskets at every SF), the rest keep their
+    * partkey (~30 baskets each at every SF, TPC-H's constant
+    * lines-per-part) — an integer CASE both engines compute bit-exactly
+    * (a float `pow` transform would risk cross-engine rounding). At
+    * minCount=100 the tail (~70% of long-form row mass, far above the
+    * 5% default threshold) is entirely infrequent and the survivor set
+    * is the three heavy items, so the prune engages at sf0.001 through
+    * sf0.1 (StatsSpec asserts the decision on this exact substrate);
+    * the oracle replays the UNPRUNED ground truth — downward closure
+    * says the outputs must hash-match. */
+  def assocRulesSkew(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        when(col("l_partkey") % 10 < 3, col("l_partkey") % 10)
+          .otherwise(col("l_partkey")).as("item"))
+    graft.operators.Stats.associationRules(
+        baskets, "l_orderkey", "item", minCount = 100L)
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        r(col("support"), 6).as("support"),
+        r(col("confidence"), 6).as("confidence"),
+        r(col("lift"), 6).as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  private val assocRulesSkewOracle: String =
+    s"""WITH it AS (
+       | SELECT DISTINCT l_orderkey AS b,
+       |  CASE WHEN l_partkey % 10 < 3 THEN l_partkey % 10
+       |       ELSE l_partkey END AS i
+       | FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |ic AS (SELECT i, count(*) AS n_i FROM it GROUP BY i),
+       |tot AS (SELECT count(DISTINCT b) AS n FROM it),
+       |p AS (
+       | SELECT a.i AS ia, c.i AS ib, count(*) AS n_ab
+       | FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+       | GROUP BY 1, 2 HAVING count(*) >= 100),
+       |r AS (
+       | SELECT ia AS antecedent, ib AS consequent, n_ab FROM p
+       | UNION ALL SELECT ib, ia, n_ab FROM p)
+       |SELECT antecedent, consequent, n_ab,
+       | ${rSql("n_ab / CAST(n AS DOUBLE)", 6)} AS support,
+       | ${rSql("n_ab / CAST(a.n_i AS DOUBLE)", 6)} AS confidence,
+       | ${rSql("(n_ab * CAST(n AS DOUBLE)) / (a.n_i * c.n_i)", 6)} AS lift
+       |FROM r
+       |JOIN ic a ON antecedent = a.i
+       |JOIN ic c ON consequent = c.i
+       |CROSS JOIN tot
+       |ORDER BY antecedent, consequent""".stripMargin
+
   /** Lorenz curve of per-customer order revenue
     * ([[graft.operators.Stats.lorenzCurve]], 10 deciles): cumulative
     * revenue share of the poorest population fraction — the
@@ -1944,6 +2000,7 @@ object ProfilingQueries {
     QueryDef("assoc_rules_support", assocRulesSupport, Some(assocRulesSupportOracle)),
     QueryDef("copurchase_support", copurchaseSupport, Some(copurchaseSupportOracle)),
     QueryDef("frequent_triples_support", frequentTriplesSupport, Some(frequentTriplesSupportOracle)),
+    QueryDef("assoc_rules_skew", assocRulesSkew, Some(assocRulesSkewOracle)),
     QueryDef("user_streaks", userStreaks, Some(streaksOracle)),
     QueryDef("event_paths", eventPaths, Some(pathsOracle)),
     QueryDef("revenue_concentration", revenueConcentration, Some(concentrationOracle)),

@@ -307,19 +307,47 @@ class StatsSpec extends SparkSpec {
     def all(run: => org.apache.spark.sql.DataFrame) =
       run.collect().map(_.toSeq).toSet
     // force the prune path for the on-arm regardless of where the
-    // default mass threshold sits relative to this corpus (~22% tail)
-    Stats.pruneMassThreshold = 0.0
+    // default mass threshold sits relative to this corpus (~22% tail);
+    // the knob is per-call (r15: no session-global state)
     val (coOn, arOn, ftOn) = (
-      all(Stats.coOccurrence(df, "b", "i", 3L)),
-      all(Stats.associationRules(df, "b", "i", 3L)),
-      all(Stats.frequentTriples(df, "b", "i", 3L)))
+      all(Stats.coOccurrence(df, "b", "i", 3L, pruneMassThreshold = 0.0)),
+      all(Stats.associationRules(df, "b", "i", 3L, pruneMassThreshold = 0.0)),
+      all(Stats.frequentTriples(df, "b", "i", 3L, pruneMassThreshold = 0.0)))
     assert(coOn.nonEmpty && ftOn.nonEmpty)
-    Stats.pruneMassThreshold = 2.0 // force pass-through
-    try {
-      assert(all(Stats.coOccurrence(df, "b", "i", 3L)) === coOn)
-      assert(all(Stats.associationRules(df, "b", "i", 3L)) === arOn)
-      assert(all(Stats.frequentTriples(df, "b", "i", 3L)) === ftOn)
-    } finally Stats.pruneMassThreshold = 0.05
+    // 2.0 forces pass-through
+    assert(all(Stats.coOccurrence(df, "b", "i", 3L, pruneMassThreshold = 2.0)) === coOn)
+    assert(all(Stats.associationRules(df, "b", "i", 3L, pruneMassThreshold = 2.0)) === arOn)
+    assert(all(Stats.frequentTriples(df, "b", "i", 3L, pruneMassThreshold = 2.0)) === ftOn)
+  }
+
+  test("level-1 prune ENGAGES on the assoc_rules_skew substrate (oracle gate exercises the filter path)") {
+    // the exact substrate the oracle-hashed assoc_rules_skew query
+    // builds (ProfilingQueries.assocRulesSkew): head-collapse transform
+    // of l_partkey, minCount 100, DEFAULT knobs — proving the green
+    // correctness row runs the broadcast survivor filter, not the
+    // pass-through arm (VERDICT r14 #2)
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"),
+        when(col("l_partkey") % 10 < 3, col("l_partkey") % 10)
+          .otherwise(col("l_partkey")).as("item"))
+    val itemCounts = li
+      .filter(col("l_orderkey").isNotNull && col("item").isNotNull)
+      .select("l_orderkey", "item").distinct()
+      .groupBy(col("item").as("i")).agg(count(lit(1)).as("n_i"))
+    val distinctItems = itemCounts.count()
+    val decided = Stats.pruneSurvivorCount(itemCounts, minCount = 100L,
+      massThreshold = Stats.defaultPruneMassThreshold,
+      broadcastCap = Stats.defaultPruneBroadcastCap)
+    assert(decided.nonEmpty, "prune must engage on the planted-skew substrate")
+    val survivors = decided.get
+    assert(survivors > 0 && survivors < distinctItems,
+      s"survivor set must be a strict subset: $survivors of $distinctItems")
+    // the three collapsed heads are the designed survivor set
+    assert(survivors === 3L)
+    // and the query itself returns the head pairs (both rule directions)
+    val out = graft.queries.ProfilingQueries
+      .assocRulesSkew(spark, "/root/testdata/sf0.001")
+    assert(out.count() === 6L)
   }
 
   test("concentration: HHI is 1 for a monopoly, 1/n for perfect balance") {

@@ -6,9 +6,9 @@ import org.apache.spark.sql.SparkSession
   * #1): on a Zipf-distributed basket corpus (dev/gen_zipf.py — the item
   * distribution real corpora have, which every re-keyed TPC-H-ish
   * corpus lacks), measure the association-rules and frequent-triples
-  * plans with `Stats.pruneMassThreshold` forced to 0.0 (prune whenever
-  * anything is infrequent) vs 2.0 (never prune), everything else
-  * held fixed. The prune is lossless by downward closure (unit-gated in
+  * plans with the per-call `pruneMassThreshold` knob forced to 0.0
+  * (prune whenever anything is infrequent) vs 2.0 (never prune),
+  * everything else held fixed. The prune is lossless by downward closure (unit-gated in
   * StatsSpec), so the row counts must MATCH between arms; the JSON line
   * reports per-arm seconds + result rows.
   *
@@ -38,17 +38,18 @@ object ZipfBench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     val df = spark.read.parquet(s"$dir/baskets.parquet")
-    val plans: Seq[(String, () => Long)] = Seq(
-      "assoc_rules" -> (() =>
-        graft.operators.Stats.associationRules(df, "b", "i", minCount).count()),
-      "frequent_triples" -> (() =>
-        graft.operators.Stats.frequentTriples(df, "b", "i", minCount).count()))
+    val plans: Seq[(String, Double => Long)] = Seq(
+      "assoc_rules" -> ((thr: Double) =>
+        graft.operators.Stats.associationRules(df, "b", "i", minCount,
+          pruneMassThreshold = thr).count()),
+      "frequent_triples" -> ((thr: Double) =>
+        graft.operators.Stats.frequentTriples(df, "b", "i", minCount,
+          pruneMassThreshold = thr).count()))
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
     val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
     for (r <- 1 to reps; on <- Seq(true, false); (name, run) <- plans) {
-      graft.operators.Stats.pruneMassThreshold = if (on) 0.0 else 2.0
       val t0 = System.nanoTime()
-      val n = run()
+      val n = run(if (on) 0.0 else 2.0)
       val dt = (System.nanoTime() - t0) / 1e9
       dropCaches()
       val key = s"$name:${if (on) "prune_on" else "prune_off"}"
@@ -56,7 +57,6 @@ object ZipfBench {
       rows(key) = n
       println(s"  [$r/$reps] $key: ${math.rint(dt * 100) / 100}s, $n rows")
     }
-    graft.operators.Stats.pruneMassThreshold = 0.05
     // lossless check: both arms must agree on every plan's cardinality
     val mismatch = plans.map(_._1).filter(n =>
       rows(s"$n:prune_on") != rows(s"$n:prune_off"))
