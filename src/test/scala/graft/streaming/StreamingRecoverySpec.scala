@@ -226,6 +226,62 @@ class StreamingRecoverySpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/v=0").count() === 2)
   }
 
+  test("upsertSink with retention GC: recovery replays from the kept window, versions stay bounded") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = tmpDir("upsert_gc")
+    val ckpt = tmpCkpt("upsert_gc_kill")
+    val flag = s"${tmpDir("upsert_gc_flag")}/armed"
+    val poison = poisonOn(flag, badId = 99L)
+    def start() = Streams.upsertSink(
+        mem.toDF().filter(poison(col("event_id"))), Seq("event_id"), out,
+        keepVersions = 2)
+      .option("checkpointLocation", ckpt).start()
+
+    // batches 0..2 run clean; GC has already deleted v=0 by batch 2
+    val q1 = start()
+    try {
+      (0 until 3).foreach { b =>
+        mem.addData(Ev(ts(s"2024-01-01 10:0$b:00"), b.toLong, b.toDouble, b.toLong))
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def versions(): Seq[Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(out))
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).sorted.toSeq
+    assert(versions() === Seq(1L, 2L), s"GC must have trimmed v=0: ${versions()}")
+
+    // batch 3 dies on its first attempt, leaving a torn v=3
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(flag))
+    mem.addData(Ev(ts("2024-01-01 10:03:00"), 9L, 9.0, 99))
+    val q2 = start()
+    intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    Seq(Ev(ts("2024-01-01 10:03:00"), 9L, -1.0, 99))
+      .toDF().write.mode("overwrite").parquet(s"$out/v=3")
+
+    // replay derives from v=2 — inside the GC'd retention window
+    java.nio.file.Files.delete(java.nio.file.Paths.get(flag))
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+
+    val latest = Streams.latestVersion(out).get
+    assert(latest.endsWith("v=3"), s"replay must land in its own version dir: $latest")
+    val back = spark.read.parquet(latest)
+      .select("event_id", "value").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(back.toSeq === Seq((0L, 0.0), (1L, 1.0), (2L, 2.0), (99L, 9.0)),
+      s"exactly-once after kill+replay with GC on, got ${back.toSeq}")
+    assert(versions() === Seq(2L, 3L),
+      s"version count must stay bounded after recovery: ${versions()}")
+  }
+
   test("dedupIngestSink: a killed batch replays against the strictly-below index, no dup or loss") {
     val s = spark
     import s.implicits._

@@ -640,6 +640,107 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("noveltyMonitor compaction: identical novelty log, generations supersede batch dirs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 8 batches: each brings one novel doc, and every third batch ALSO
+    // replays batch 0's content — the novel/seen split must stay exact
+    // when the seen-gram lookup crosses a compaction boundary (the
+    // compacted generation, not the deleted batch dirs, must hold the
+    // early grams)
+    val body0 = (1 to 20).map(i => s"a$i").mkString(" ")
+    def batchDocs(b: Int): Seq[Doc] = {
+      val novel = Doc(100L + b, (1 to 20).map(i => s"n${b}_$i").mkString(" "))
+      if (b % 3 == 2) Seq(novel, Doc(200L + b, body0)) else Seq(novel)
+    }
+    def run(compactEvery: Int): (Seq[(Long, Long, Long, Double)], String) = {
+      val mem = MemoryStream[Doc]
+      val out = java.nio.file.Files.createTempDirectory("novelty_compact").toString
+      val q = Streams.noveltyMonitor(mem.toDF(), "doc_id", "text", out,
+        compactEvery = compactEvery).start()
+      try {
+        (0 until 8).foreach { b =>
+          mem.addData(batchDocs(b): _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      (spark.read.parquet(s"$out/log").orderBy("batch_id").collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("n_grams"),
+          r.getAs[Long]("n_novel"), r.getAs[Double]("novelty"))).toSeq, out)
+    }
+    val (logNoCompact, _) = run(compactEvery = 1000000)
+    val (logCompact, out) = run(compactEvery = 3)
+    assert(logCompact === logNoCompact,
+      "compaction must not change any batch's novelty verdict")
+    // batch 2 is body0's FIRST appearance (36 novel); batch 5 replays it
+    // and by then batches 0-2 live in the gen=3 snapshot, so the
+    // seen-verdict comes from the COMPACTED generation (18 novel = only
+    // that batch's fresh doc)
+    assert(logCompact(2) === ((2L, 36L, 36L, 1.0)),
+      s"batch 2 introduces body0: $logCompact")
+    assert(logCompact(5) === ((5L, 36L, 18L, 0.5)),
+      s"batch 5's replay must read SEEN from the compacted generation: $logCompact")
+    // a generation exists and superseded batch dirs are deleted
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def subdirs(d: String): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .map(_.getPath.getName).toSet.filter(_.contains("="))
+    val gens = subdirs(s"$out/gramsc")
+    assert(gens.nonEmpty, "a compacted gram generation must exist")
+    val genId = gens.map(_.stripPrefix("gen=").toLong).max
+    val liveIds = subdirs(s"$out/grams").map(_.stripPrefix("batch=").toLong)
+    assert(liveIds.forall(_ >= genId),
+      s"gram batch dirs below gen=$genId must be deleted: $liveIds")
+    // first-seen-only survives compaction: each gram exactly once across
+    // gen + live, and body0's grams (the "aN"-prefixed ones) keep their
+    // first-seen batch=2 through the fold
+    val gen = spark.read.parquet(s"$out/gramsc/gen=$genId")
+    val live = spark.read.parquet(s"$out/grams")
+      .select(col("s"), col("batch").cast("long").as("batch"))
+      .filter(col("batch") >= genId)
+    val all = gen.select("s", "batch").unionByName(live)
+    assert(all.count() === all.select("s").distinct().count(),
+      "each gram must appear exactly once across gen+live")
+    val body0Batches = all.filter(col("s").startsWith("a"))
+      .select("batch").distinct().collect().map(_.getLong(0)).toSeq
+    assert(body0Batches === Seq(2L),
+      s"body0's grams must keep first-seen batch=2 through compaction: $body0Batches")
+  }
+
+  test("upsertSink retention GC bounds versions to keepVersions, latest state intact") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = java.nio.file.Files.createTempDirectory("stream_upsert_gc").toString
+    val q = Streams.upsertSink(mem.toDF(), Seq("event_id"), out,
+      keepVersions = 2).start()
+    try {
+      // 5 batches: insert key b with value b, plus re-upsert key 0 so the
+      // merge path always has work
+      (0 until 5).foreach { b =>
+        mem.addData(Ev(ts(s"2024-01-01 10:0$b:00"), b.toLong, b.toDouble, b.toLong),
+          Ev(ts(s"2024-01-01 10:0$b:30"), 100L + b, b.toDouble, 0L))
+        q.processAllAvailable()
+      }
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val versions = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).sorted.toSeq
+      assert(versions === Seq(3L, 4L),
+        s"GC must keep exactly the 2 newest versions, got $versions")
+      // the maintained state is unaffected: all 5 inserted keys present,
+      // key 0 carries the last batch's value
+      val latest = spark.read.parquet(Streams.latestVersion(out).get)
+      assert(latest.count() === 5L)
+      val key0 = latest.filter(col("event_id") === 0L)
+        .select("value").head().getDouble(0)
+      assert(key0 === 4.0, s"key 0 must carry the final upsert, got $key0")
+    } finally q.stop()
+  }
+
   test("psiMonitor logs per-batch drift vs a static reference") {
     val s = spark
     import s.implicits._

@@ -201,6 +201,94 @@ object StreamBench {
         batches.toLong * docsPerBatch, Vector(kept), b)
     }
 
+    // ----- 3b. noveltyMonitor: standing gram index, foreachBatch --------
+    // The r14 lesson: only the sustained probe finds the latency bend.
+    // The gram index grows with VOCABULARY (first-seen-only), and the
+    // per-batch probe must track index rows, not index age — the same
+    // compaction contract as dedup_ingest (the uncompacted arm is
+    // selectable via the 5th arg = 1000000 for the A/B).
+    if (wanted("novelty_monitor")) {
+      val target = java.nio.file.Files
+        .createTempDirectory("sb-novelty").toString
+      val vocab = (0 until 5000).map(i => s"t$i")
+      def doc(idx: Long): (Long, String) =
+        // ~30% replayed template content (seen grams), rest fresh-ish
+        // draws from a bounded vocab — novelty decays but never zeroes,
+        // so both the novel-append and the seen-lookup paths stay hot
+        (idx, (if (rnd.nextDouble() < 0.3)
+            (0 until 40).map(i => s"tpl${rnd.nextInt(20)}_$i")
+          else (0 until 40).map(_ => vocab(rnd.nextInt(vocab.size))))
+          .mkString(" "))
+      val mem = MemoryStream[(Long, String)]
+      val docsPerBatch = math.max(100, rowsPerBatch / 40)
+      val compactEvery = args.lift(4).map(_.toInt).getOrElse(64)
+      val q = graft.streaming.Streams
+        .noveltyMonitor(mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          target, compactEvery = compactEvery)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sb-novelty-ckpt").toString)
+        .start()
+      val secs = Vector.newBuilder[Double]
+      val idxBytes = Vector.newBuilder[Long]
+      var nextId = 0L
+      try {
+        (0 until batches).foreach { _ =>
+          mem.addData((0 until docsPerBatch).map { _ =>
+            nextId += 1; doc(nextId)
+          })
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          secs += (System.nanoTime() - t0) / 1e9
+          idxBytes += dirBytes(s"$target/grams") + dirBytes(s"$target/gramsc")
+        }
+      } finally q.stop()
+      val indexedGrams = spark.read.parquet(s"$target/grams").count() + {
+        val f = new java.io.File(s"$target/gramsc")
+        if (f.exists()) {
+          // newest complete generation only (superseded dirs die quickly)
+          val gens = f.listFiles().filter(_.getName.startsWith("gen="))
+          if (gens.isEmpty) 0L
+          else spark.read.parquet(
+            gens.maxBy(_.getName.stripPrefix("gen=").toLong).getPath).count()
+        } else 0L
+      }
+      report("novelty_monitor", secs.result(),
+        batches.toLong * docsPerBatch, Vector(indexedGrams), idxBytes.result())
+    }
+
+    // ----- 3c. psiMonitor: per-batch drift verdict vs static reference --
+    // Stateless across batches by design (the reference is re-resolved
+    // per batch, the log is append-only one row/batch) — the longevity
+    // claim is simply FLAT per-batch latency for the stream's life.
+    if (wanted("psi_monitor")) {
+      val logDir = java.nio.file.Files
+        .createTempDirectory("sb-psi-log").toString
+      val ref = spark.range(100000)
+        .selectExpr("cast(id % 1000 as double) / 10.0 as value")
+      val mem = MemoryStream[Double]
+      val q = graft.streaming.Streams
+        .psiMonitor(mem.toDF().toDF("value"), ref, "value", logDir)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sb-psi-ckpt").toString)
+        .start()
+      val secs = Vector.newBuilder[Double]
+      val logBytes = Vector.newBuilder[Long]
+      try {
+        (0 until batches).foreach { b =>
+          // drifting stream: the mean wanders so the PSI verdict varies
+          mem.addData((0 until rowsPerBatch).map(_ =>
+            rnd.nextGaussian() * 10 + 50 + (b % 7)))
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          secs += (System.nanoTime() - t0) / 1e9
+          logBytes += dirBytes(logDir)
+        }
+      } finally q.stop()
+      val logged = spark.read.parquet(logDir).count()
+      report("psi_monitor", secs.result(),
+        batches.toLong * rowsPerBatch, Vector(logged), logBytes.result())
+    }
+
     // ----- 4. evicting profile: UNBOUNDED key space, bounded state ------
     // Every batch mints brand-new keys and advances event time one
     // minute; the 5-minute idle horizon must evict old keys as the
