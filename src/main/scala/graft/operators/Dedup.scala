@@ -267,6 +267,73 @@ object Dedup {
     verifyJaccard(cand, batchSh, indexSh, threshold)
   }
 
+  /** [[crossNearDupPairsFromIndex]] specialized to the MICRO-BATCH PROBE
+    * shape — a bounded batch against an unbounded standing index — with
+    * the SAME exact result and the standing index never shuffled. The
+    * general form pays three full-index costs per call: the candidate
+    * join shuffles every index band-key row, the verify join shuffles
+    * every index shingle row by (id, shingle), and the union-size
+    * denominator aggregates the whole index shingle table. Per ingested
+    * micro-batch that is O(index) shuffle work forever. Here instead:
+    *
+    *   1. the batch's band keys (docs × bands rows — micro-batch-sized
+    *      by construction; callers gate on that, see
+    *      [[graft.streaming.Streams.dedupIngestSink]]) are BROADCAST to
+    *      the index band-key scan, so candidates cost one in-place
+    *      columnar scan of (id, bk) — no index shuffle;
+    *   2. candidate pairs collect to the driver when they fit
+    *      `maxLocalCand` (they are near-dups of a bounded batch — the
+    *      natural small side; above the cap the call falls back to the
+    *      general form rather than trusting the bound);
+    *   3. the verify side of the index shingle table is reduced to
+    *      candidate doc ids BEFORE the verify join — as an
+    *      `isInCollection` FILTER when the id set fits `maxIsinIds`
+    *      (it reaches the parquet scan as an In/range pushdown, so a
+    *      generation snapshot range-sharded by id serves candidate
+    *      shingles from only the matching files — zone-map pruning), a
+    *      broadcast semi-join otherwise. Per-id shingle sizes are
+    *      computed after the reduction and are identical by
+    *      construction (the reduction keeps every row of a kept id).
+    *
+    * Storage-side band-key bucketing was the named alternative and is
+    * deliberately NOT used: a batch of d docs probes ~d × bands distinct
+    * band keys spread uniformly over the hash space (xxhash64 of band
+    * slices), so for any practical bucket count every bucket matches and
+    * directory-level pruning can never fire — the same measured argument
+    * recorded for the novelty gram index (BASELINE.md round 15). What
+    * CAN be pruned is the verify side, which is keyed by doc id, and
+    * that is what (3) does. */
+  def crossNearDupPairsFromIndexProbe(
+      batchSh: DataFrame, batchBk: DataFrame,
+      indexSh: DataFrame, indexBk: DataFrame,
+      threshold: Double, maxLocalCand: Int = 1 << 20,
+      maxIsinIds: Int = 1 << 12): DataFrame = {
+    val spark = batchSh.sparkSession
+    val candPlan = indexBk.select(col("bk"), col("id").as("b"))
+      .join(broadcast(batchBk.select(col("bk"), col("id").as("a"))), Seq("bk"))
+      .select("a", "b")
+      .distinct()
+    val collected = candPlan.limit(maxLocalCand + 1).collect()
+    if (collected.length > maxLocalCand)
+      // adversarial batch (near-everything collides): the candidate set
+      // is not micro-batch-sized after all — take the general form's
+      // shuffle plan instead of a driver-side OOM
+      crossNearDupPairsFromIndex(batchSh, batchBk, indexSh, indexBk, threshold)
+    else {
+      val cand = spark.createDataFrame(
+        java.util.Arrays.asList(collected: _*), candPlan.schema)
+      val bIds = collected.map(_.get(1)).distinct.toSeq
+      val shCand =
+        if (bIds.isEmpty) indexSh.filter(lit(false))
+        else if (bIds.size <= maxIsinIds)
+          indexSh.filter(col("id").isInCollection(bIds))
+        else
+          indexSh.join(broadcast(cand.select(col("b").as("id")).distinct()),
+            Seq("id"), "left_semi")
+      verifyJaccard(cand, batchSh, shCand, threshold)
+    }
+  }
+
   /** Asymmetric CONTAINMENT near-duplicates — the crawl case symmetric
     * Jaccard misses: a short document (an excerpt, a quoted article, a
     * syndicated fragment) embedded in a much longer one has low Jaccard

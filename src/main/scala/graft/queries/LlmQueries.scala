@@ -215,6 +215,23 @@ object LlmQueries {
     * the full cross Jaccard, so banding recall, the verify join and the
     * threshold are all checked with no recall assumption. */
   def crossDedupBatch(spark: SparkSession, dir: String): DataFrame = {
+    val (shB, bkB, shC, bkC) = crossDedupIndex(spark, dir)
+    Dedup.crossNearDupPairsFromIndex(shB, bkB, shC, bkC, threshold = 0.7)
+      .select(col("a"), col("b"), r(col("jaccard"), 6).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** The four standing index tables [[crossDedupBatch]] and
+    * [[crossDedupProbe]] share: shingle + band rows per side, memoized
+    * per (session, dir) as one-time parquet writes. This replaced an
+    * in-memory persist+count barrier whose two-persist-three-join shape
+    * concentrated GC variance (documented 3–8 s swings in long
+    * sessions): parquet-backed consumers rescan a small columnar file
+    * instead of racing a block cache. The generic
+    * [[Dedup.crossNearDupPairsMinhash]] keeps the in-memory path for
+    * one-shot library callers. */
+  private def crossDedupIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300)
       .select("doc_id", "text")
     val toks = Dedup.tokens(col("text"))
@@ -222,15 +239,6 @@ object LlmQueries {
       .select((col("doc_id") + 100000).as("doc_id"),
         // same negative-length guard as nearDupCorpus
         concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(0)))).as("text"))
-    // The four index tables (shingle + band rows per side) are the
-    // STANDING artifacts an ingestion pipeline stores next to its
-    // corpus, memoized per (session, dir) as one-time parquet writes.
-    // This replaced an in-memory persist+count barrier whose
-    // two-persist-three-join shape concentrated GC variance (documented
-    // 3–8 s swings in long sessions): parquet-backed consumers rescan a
-    // small columnar file instead of racing a block cache. The generic
-    // [[Dedup.crossNearDupPairsMinhash]] keeps the in-memory path for
-    // one-shot library callers.
     def shFor(side: String, src: DataFrame) =
       Memo.tableFor(spark, dir, s"xdedup-sh-$side")(
         Dedup.shingleRows(src, "doc_id", "text", 3))
@@ -239,8 +247,21 @@ object LlmQueries {
     def bkFor(side: String, sh: DataFrame) =
       Memo.tableFor(spark, dir, s"xdedup-bk-$side")(
         Dedup.bandRows(sh, numHashes = 128, bands = 32, rowsPerBand = 4))
-    Dedup.crossNearDupPairsFromIndex(
-      shB, bkFor("batch", shB), shC, bkFor("corpus", shC), threshold = 0.7)
+    (shB, bkFor("batch", shB), shC, bkFor("corpus", shC))
+  }
+
+  /** [[crossDedupBatch]] through the MICRO-BATCH PROBE plan
+    * ([[Dedup.crossNearDupPairsFromIndexProbe]] — broadcast band keys,
+    * localized candidates, candidate-id reduction of the verify side):
+    * the exact-equivalence claim (same pairs, same Jaccard, index never
+    * shuffled) is hash-checked against the SAME brute-force cross-
+    * Jaccard oracle as the general form, at every driver SF — the probe
+    * is the plan [[graft.streaming.Streams.dedupIngestSink]] runs per
+    * ingested micro-batch, so it gets its own oracle row where it fires
+    * (the r14 lesson: a plan only exercised by units is not gated). */
+  def crossDedupProbe(spark: SparkSession, dir: String): DataFrame = {
+    val (shB, bkB, shC, bkC) = crossDedupIndex(spark, dir)
+    Dedup.crossNearDupPairsFromIndexProbe(shB, bkB, shC, bkC, threshold = 0.7)
       .select(col("a"), col("b"), r(col("jaccard"), 6).as("jaccard"))
       .orderBy("a", "b")
   }
@@ -3086,6 +3107,7 @@ object LlmQueries {
     QueryDef("shuffle_order", shuffleOrderDocs, Some(shuffleOrderOracle)),
     QueryDef("shard_layout", shardLayoutDocs, Some(shardLayoutOracle)),
     QueryDef("cross_dedup_batch", crossDedupBatch, Some(crossDedupOracle)),
+    QueryDef("cross_dedup_probe", crossDedupProbe, Some(crossDedupOracle)),
     QueryDef("cap_per_group", capPerGroupDocs, Some(capPerGroupOracle)),
     QueryDef("balance_langs", balanceLangs, Some(balanceLangsOracle)),
     QueryDef("term_burstiness", termBurstinessDocs, Some(burstinessOracle)),

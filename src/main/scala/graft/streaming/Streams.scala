@@ -496,7 +496,7 @@ object Streams {
       targetDir: String, threshold: Double = 0.7,
       shingleWords: Int = 3, numHashes: Int = 128,
       bands: Int = 32, rowsPerBand: Int = 4, seed: Int = 42,
-      compactEvery: Int = 64)
+      compactEvery: Int = 64, probeBroadcastMaxRows: Long = 4L << 20)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -505,26 +505,45 @@ object Streams {
         val (docsDir, shDir, bkDir) =
           (s"$targetDir/docs", s"$targetDir/sh", s"$targetDir/bk")
         val (shGen, bkGen) = (s"$targetDir/shc", s"$targetDir/bkc")
-        compactIndexDir(spark, shDir, shGen, id, compactEvery)
+        // sh generations range-shard by doc id so the probe's candidate-id
+        // pushdown prunes to matching files; bk generations cannot be
+        // pruned by any layout (a batch's band keys cover the hash space
+        // — see crossNearDupPairsFromIndexProbe) and stay hash-sharded
+        compactIndexDir(spark, shDir, shGen, id, compactEvery,
+          rangeShardCol = Some("id"))
         compactIndexDir(spark, bkDir, bkGen, id, compactEvery)
         val shB = Dedup.shingleRows(batch.toDF(), idCol, textCol, shingleWords)
           .persist()
+        // band rows feed three consumers (self-dedup, the cross probe, the
+        // index append) — persist so the signing aggregation runs once,
+        // and so the probe's broadcast gate can count them cheaply
+        var bkB: DataFrame = null
         var kept: DataFrame = null
         try {
-          val bkB = Dedup.bandRows(shB, numHashes, bands, rowsPerBand, seed)
+          bkB = Dedup.bandRows(shB, numHashes, bands, rowsPerBand, seed)
+            .persist()
           // (1) pairs emit a < b, so b is always the drop side
           val selfDup = Dedup.nearDupPairsFromRows(shB, bkB, threshold)
             .select(col("b").as(idCol)).distinct()
           val selfKept = batch.join(selfDup, Seq(idCol), "left_anti")
-          // (2) against the stored index, batches strictly below this id
+          // (2) against the stored index, batches strictly below this id:
+          // the probe form scans the index in place (no per-batch full-
+          // index shuffle) whenever the batch's band keys are broadcast-
+          // sized; 0 disables it (the StreamBench A/B's control arm)
           val crossKept =
             (readIndexDir(spark, shDir, shGen, id),
               readIndexDir(spark, bkDir, bkGen, id)) match {
               case (Some(indexSh), Some(indexBk)) =>
-                val dupIds = Dedup.crossNearDupPairsFromIndex(
+                val probe = probeBroadcastMaxRows > 0 &&
+                  bkB.count() <= probeBroadcastMaxRows
+                val pairs =
+                  if (probe) Dedup.crossNearDupPairsFromIndexProbe(
                     shB, bkB, indexSh.select("id", "s"),
                     indexBk.select("id", "bk"), threshold)
-                  .select(col("a").as(idCol)).distinct()
+                  else Dedup.crossNearDupPairsFromIndex(
+                    shB, bkB, indexSh.select("id", "s"),
+                    indexBk.select("id", "bk"), threshold)
+                val dupIds = pairs.select(col("a").as(idCol)).distinct()
                 selfKept.join(dupIds, Seq(idCol), "left_anti")
               case _ => selfKept // index still empty: first batch(es)
             }
@@ -538,6 +557,7 @@ object Streams {
             .parquet(s"$bkDir/batch=$id")
         } finally {
           shB.unpersist(false)
+          if (bkB != null) bkB.unpersist(false)
           if (kept != null) kept.unpersist(false)
         }
     }
@@ -622,9 +642,20 @@ object Streams {
   /** Fold generation + live dirs of one index half into a new
     * `gen=<id>` snapshot once `compactEvery` live dirs accumulate, then
     * delete what the newest complete generation supersedes. Both steps
-    * are idempotent under batch replay (see [[dedupIngestSink]]). */
+    * are idempotent under batch replay (see [[dedupIngestSink]]).
+    *
+    * `rangeShardCol`: when set, the snapshot is RANGE-SHARDED on that
+    * column (each output file covers a tight value range, recorded in
+    * its parquet footer min/max) so a downstream point/In filter on it
+    * prunes to the matching files — the zone-map layout
+    * [[graft.sources.Sinks.writeShardedWithProfiles]] established for
+    * batch tables, applied to the standing index. Only worth it for a
+    * column probes actually filter on (the sh index's doc id); for keys
+    * a probe covers uniformly (band keys, grams) no layout prunes and
+    * the plain hash shuffle is cheaper. */
   private def compactIndexDir(spark: SparkSession, liveDir: String,
-      genDir: String, id: Long, compactEvery: Int): Unit = {
+      genDir: String, id: Long, compactEvery: Int,
+      rangeShardCol: Option[String] = None): Unit = {
     val floorBefore = latestGenId(spark, genDir).getOrElse(0L)
     val liveCount = liveBatchIds(spark, liveDir)
       .count(n => n >= floorBefore && n < id)
@@ -635,8 +666,13 @@ object Streams {
         // the entire previous generation + live dirs — the full-index
         // fold would run narrow exactly when the index is largest
         // (ADVICE r14). The shuffle bounds only the OUTPUT file count.
-        idx.repartition(spark.sparkContext.defaultParallelism)
-          .write.mode("overwrite").parquet(s"$genDir/gen=$id")
+        val sharded = rangeShardCol match {
+          case Some(c) =>
+            idx.repartitionByRange(spark.sparkContext.defaultParallelism, col(c))
+          case None =>
+            idx.repartition(spark.sparkContext.defaultParallelism)
+        }
+        sharded.write.mode("overwrite").parquet(s"$genDir/gen=$id")
         // own completion marker — committer-independent (markCommitted)
         markCommitted(spark, s"$genDir/gen=$id")
       }

@@ -607,6 +607,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out === Set((101L, 1L)))
   }
 
+  test("index-probe form matches the general cross-dedup on every internal path") {
+    val s = spark
+    import s.implicits._
+    val body = (1 to 40).map(i => s"w$i").mkString(" ")
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+    val corpus = mk(Seq(
+      (1L, body),
+      (2L, (100 to 140).map(i => s"x$i").mkString(" ")),
+      (3L, (200 to 240).map(i => s"y$i").mkString(" "))))
+    val batch = mk(Seq(
+      (101L, body + " tail"),                              // ~dup of doc 1
+      (102L, (100 to 138).map(i => s"x$i").mkString(" ")), // ~dup of doc 2
+      (104L, (300 to 340).map(i => s"z$i").mkString(" ")))) // novel
+    def sides() = {
+      val shB = Dedup.shingleRows(batch, "doc_id", "text", 3)
+      val shC = Dedup.shingleRows(corpus, "doc_id", "text", 3)
+      (shB, Dedup.bandRows(shB, 128, 32, 4), shC, Dedup.bandRows(shC, 128, 32, 4))
+    }
+    val (shB, bkB, shC, bkC) = sides()
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+    val general = norm(
+      Dedup.crossNearDupPairsFromIndex(shB, bkB, shC, bkC, 0.7))
+    assert(general.map(p => (p._1, p._2)) === Set((101L, 1L), (102L, 2L)),
+      s"planted pairs must verify: $general")
+    // path 1 (default): localized candidates + isInCollection pushdown
+    assert(norm(Dedup.crossNearDupPairsFromIndexProbe(
+      shB, bkB, shC, bkC, 0.7)) === general)
+    // path 2: candidate ids above maxIsinIds -> broadcast semi-join
+    assert(norm(Dedup.crossNearDupPairsFromIndexProbe(
+      shB, bkB, shC, bkC, 0.7, maxIsinIds = 0)) === general)
+    // path 3: candidates above maxLocalCand -> general-form fallback
+    assert(norm(Dedup.crossNearDupPairsFromIndexProbe(
+      shB, bkB, shC, bkC, 0.7, maxLocalCand = 0)) === general)
+    // disjoint sides: zero candidates must short-circuit to empty
+    val lone = mk(Seq((900L, (500 to 540).map(i => s"q$i").mkString(" "))))
+    val shL = Dedup.shingleRows(lone, "doc_id", "text", 3)
+    assert(Dedup.crossNearDupPairsFromIndexProbe(
+      shL, Dedup.bandRows(shL, 128, 32, 4), shC, bkC, 0.7).count() === 0L)
+  }
+
   test("keepByPolicy preserves caller-owned 'id'/'component' data columns") {
     val s = spark
     import s.implicits._

@@ -580,6 +580,43 @@ class StreamingSpec extends SparkSpec {
       s"index must track kept docs across gen+live: ${genDocs ++ liveDocs}")
   }
 
+  test("dedupIngestSink probe plan: same kept corpus as the general shuffle form") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def body(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    // novel doc per batch + periodic near-dups of batch 0 and of the
+    // previous batch — self-dedup, cross-dedup via the generation AND via
+    // live dirs all exercised under both probe arms
+    def batchDocs(b: Int): Seq[Doc] = {
+      val novel = Doc(100L + b, body(s"n$b "))
+      val dups = Seq(
+        if (b % 3 == 2) Some(Doc(200L + b, body("n0 ") + " tail")) else None,
+        if (b % 4 == 3) Some(Doc(300L + b, body(s"n${b - 1} ") + " more")) else None
+      ).flatten
+      novel +: dups
+    }
+    def run(probeMax: Long): Set[Long] = {
+      val mem = MemoryStream[Doc]
+      val out = java.nio.file.Files.createTempDirectory("stream_probe").toString
+      val q = Streams.dedupIngestSink(mem.toDF(), "doc_id", "text", out,
+        compactEvery = 3, probeBroadcastMaxRows = probeMax).start()
+      try {
+        (0 until 8).foreach { b =>
+          mem.addData(batchDocs(b): _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.read.parquet(s"$out/docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val general = run(probeMax = 0L)       // control: the shuffle form
+    val probe = run(probeMax = 4L << 20)   // default: the broadcast probe
+    assert(probe === general,
+      "the probe plan must keep exactly the docs the general form keeps")
+    assert(probe === (0 until 8).map(100L + _).toSet,
+      s"novel docs kept, every planted near-dup dropped: $probe")
+  }
+
   test("deconIngestSink drops planted contaminated docs across batch boundaries") {
     val s = spark
     import s.implicits._

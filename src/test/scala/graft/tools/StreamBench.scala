@@ -178,9 +178,13 @@ object StreamBench {
       // optional 5th arg: compactEvery for the index-compaction A/B
       // (e.g. 1000000 disables compaction to measure the fragmenting arm)
       val compactEvery = args.lift(4).map(_.toInt).getOrElse(64)
+      // optional 6th arg: probeBroadcastMaxRows for the probe-plan A/B
+      // (0 = the general shuffle form as the control arm)
+      val probeMax = args.lift(5).map(_.toLong).getOrElse(4L << 20)
       val q = graft.streaming.Streams
         .dedupIngestSink(mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
-          target, compactEvery = compactEvery)
+          target, compactEvery = compactEvery,
+          probeBroadcastMaxRows = probeMax)
         .option("checkpointLocation", ckpt)
         .start()
       val secs = Vector.newBuilder[Double]
