@@ -480,23 +480,25 @@ object Streams {
     * ~18× for ~7× index rows; run terminated as unbounded — BASELINE.md
     * round 14); with compaction the probe cost tracks index ROWS, not
     * index AGE. Whenever `compactEvery` live `batch=` dirs accumulate,
-    * the batch folds the previous generation + live dirs into a new
-    * `shc/gen=<id>` / `bkc/gen=<id>` snapshot (original `batch` kept as
-    * a data column) and deletes what the snapshot supersedes.
-    * Crash-safe at every point: the snapshot content is a pure function
-    * of immutable inputs (the previous complete generation plus
-    * committed batch dirs), so a replayed batch overwrites it
-    * byte-for-byte-equivalently; a generation without `_SUCCESS` is
-    * invisible to readers; and the read path takes the newest complete
-    * generation plus only live dirs AT OR ABOVE its id, so a crash
-    * mid-cleanup can never double-count a superseded dir. `docs/` is
-    * never compacted — it is the append-only corpus, not read on the
-    * ingest path. */
+    * they fold into a `shc/gen=<lo>_<hi>` / `bkc/gen=<lo>_<hi>` RUN
+    * (original `batch` kept as a data column), and `compactFanout`
+    * adjacent same-tier runs merge one tier up — size-tiered/LSM-style,
+    * so a row is rewritten O(log(batches)) times over the stream's
+    * life, not O(batches/compactEvery) as the original single-level
+    * full fold did (see [[compactIndexDir]]). Crash-safe at every
+    * point: a run's content is a pure function of its batch range over
+    * immutable committed inputs, so a replayed batch overwrites it
+    * equivalently; a run without its completion marker is invisible to
+    * readers; and the read path takes the complete runs plus only live
+    * dirs AT OR ABOVE the coverage end, so a crash mid-cleanup can
+    * never double-count a superseded dir. `docs/` is never compacted —
+    * it is the append-only corpus, not read on the ingest path. */
   def dedupIngestSink(stream: DataFrame, idCol: String, textCol: String,
       targetDir: String, threshold: Double = 0.7,
       shingleWords: Int = 3, numHashes: Int = 128,
       bands: Int = 32, rowsPerBand: Int = 4, seed: Int = 42,
-      compactEvery: Int = 64, probeBroadcastMaxRows: Long = 4L << 20)
+      compactEvery: Int = 64, probeBroadcastMaxRows: Long = 4L << 20,
+      compactFanout: Int = 4)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -510,8 +512,9 @@ object Streams {
         // pruned by any layout (a batch's band keys cover the hash space
         // — see crossNearDupPairsFromIndexProbe) and stay hash-sharded
         compactIndexDir(spark, shDir, shGen, id, compactEvery,
-          rangeShardCol = Some("id"))
-        compactIndexDir(spark, bkDir, bkGen, id, compactEvery)
+          rangeShardCol = Some("id"), fanout = compactFanout)
+        compactIndexDir(spark, bkDir, bkGen, id, compactEvery,
+          fanout = compactFanout)
         val shB = Dedup.shingleRows(batch.toDF(), idCol, textCol, shingleWords)
           .persist()
         // band rows feed three consumers (self-dedup, the cross probe, the
@@ -570,7 +573,7 @@ object Streams {
     * sinks' completeness checks must NOT hinge on the committer's
     * `_SUCCESS`: with mapreduce.fileoutputcommitter.marksuccessfuljobs
     * disabled (common with object-store committers) no `_SUCCESS` ever
-    * appears, [[latestGenId]] would never see a complete generation,
+    * appears, [[completeRuns]] would never see a complete run,
     * and once liveCount crosses compactEvery EVERY batch would rewrite
     * a full never-read snapshot — unbounded storage, silently back in
     * the fragmenting regime (ADVICE r14). Writing our own marker after
@@ -600,38 +603,64 @@ object Streams {
     }
   }
 
-  /** Newest COMPLETE (marker-carrying, see [[isComplete]]) compacted
-    * generation id, if any. An interrupted compaction write leaves no
-    * marker and stays invisible until its replay overwrites it. */
-  private def latestGenId(spark: SparkSession, genDir: String): Option[Long] = {
+  /** One compacted RUN of an index: a snapshot dir covering the live
+    * batch ids in [lo, hi). Two naming generations parse: the original
+    * single-level `gen=<hi>` (coverage [0, hi) by construction) and the
+    * tiered `gen=<lo>_<hi>`. */
+  private case class GenRun(lo: Long, hi: Long, path: org.apache.hadoop.fs.Path) {
+    def span: Long = hi - lo
+    def covers(o: GenRun): Boolean = lo <= o.lo && hi >= o.hi && span > o.span
+  }
+
+  private def parseRunName(name: String): Option[(Long, Long)] =
+    if (!name.startsWith("gen=")) None
+    else scala.util.Try {
+      name.stripPrefix("gen=").split('_') match {
+        case Array(hi) => (0L, hi.toLong)
+        case Array(lo, hi) => (lo.toLong, hi.toLong)
+      }
+    }.toOption
+
+  /** The COMPLETE (marker-carrying, see [[isComplete]]) runs of an
+    * index, with covered runs (their range contained in a larger
+    * complete run — superseded merge inputs awaiting cleanup) dropped.
+    * The survivors are pairwise disjoint and partition [0, maxHi):
+    * tier-0 folds only ever start at the previous coverage end, and
+    * merges only ever combine adjacent survivors, so coverage is a
+    * contiguous prefix with no holes. An interrupted run write leaves
+    * no marker and stays invisible until its replay overwrites it. */
+  private def completeRuns(spark: SparkSession, genDir: String): Seq[GenRun] = {
     val fs = hadoopFs(spark, genDir)
     val p = new org.apache.hadoop.fs.Path(genDir)
-    if (!fs.exists(p)) None
-    else fs.listStatus(p).toSeq.collect {
-      case s if s.isDirectory && s.getPath.getName.startsWith("gen=") &&
-          isComplete(fs, s.getPath) =>
-        s.getPath.getName.stripPrefix("gen=").toLong
-    }.maxOption
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val all = fs.listStatus(p).toSeq.collect {
+        case s if s.isDirectory && isComplete(fs, s.getPath) =>
+          parseRunName(s.getPath.getName).map { case (lo, hi) =>
+            GenRun(lo, hi, s.getPath)
+          }
+      }.flatten
+      all.filterNot(r => all.exists(_.covers(r))).sortBy(_.lo)
+    }
   }
 
   /** One half of the dedup index (sh or bk) as of batch `id`: the
-    * newest complete generation plus the live batch dirs AT OR ABOVE
-    * its id. Dirs below the generation are superseded copies of rows
-    * the generation already holds — excluding them by their `batch`
+    * complete compacted runs plus the live batch dirs AT OR ABOVE the
+    * coverage end. Dirs below the coverage end are superseded copies of
+    * rows some run already holds — excluding them by their `batch`
     * partition value rather than by trusting deletion to have happened
     * is what makes every crash-time state read exactly. None while the
     * index is still empty. */
   private def readIndexDir(spark: SparkSession, liveDir: String,
       genDir: String, id: Long): Option[DataFrame] = {
-    val g = latestGenId(spark, genDir)
-    val floor = g.getOrElse(0L)
+    val runs = completeRuns(spark, genDir)
+    val floor = runs.map(_.hi).maxOption.getOrElse(0L)
     val live = liveBatchIds(spark, liveDir).filter(n => n >= floor && n < id)
     val parts = Seq.newBuilder[DataFrame]
-    g.foreach { gid =>
-      parts += spark.read.parquet(s"$genDir/gen=$gid")
+    if (runs.nonEmpty)
+      parts += spark.read.parquet(runs.map(_.path.toString): _*)
         .filter(col("batch") < id)
         .withColumn("batch", col("batch").cast("long"))
-    }
     if (live.nonEmpty)
       parts += spark.read.parquet(liveDir)
         .filter(col("batch") >= floor && col("batch") < id)
@@ -639,12 +668,31 @@ object Streams {
     parts.result().reduceOption(_ unionByName _)
   }
 
-  /** Fold generation + live dirs of one index half into a new
-    * `gen=<id>` snapshot once `compactEvery` live dirs accumulate, then
-    * delete what the newest complete generation supersedes. Both steps
-    * are idempotent under batch replay (see [[dedupIngestSink]]).
+  /** TIERED (size-tiered / LSM-style) compaction of one index half.
+    * Once `compactEvery` live `batch=` dirs accumulate past the run
+    * coverage end, they fold into a new TIER-0 run `gen=<lo>_<hi>` —
+    * live dirs only, NOT the previous runs, unlike the original
+    * single-level fold — and whenever `fanout` ADJACENT runs of the
+    * same tier exist (tier = log_fanout of the run's span in
+    * compactEvery units) they merge into one run of the next tier. A
+    * row is therefore rewritten O(log_fanout(batches)) times over the
+    * stream's life instead of O(batches / compactEvery) — the
+    * single-level scheme's cumulative write amplification was
+    * O(total_rows² / compactEvery) and its per-fold pause grew with
+    * corpus AGE (ADVICE r14); here each fold's cost is bounded by the
+    * tier it touches. `fanout = 1` reproduces the single-level
+    * behavior exactly (every fold merges all runs into one) — kept as
+    * the measured A/B control arm, not a recommended config.
     *
-    * `rangeShardCol`: when set, the snapshot is RANGE-SHARDED on that
+    * All steps stay idempotent under batch replay: a run's content is a
+    * pure function of its (lo, hi) range over immutable committed
+    * inputs, so a replayed write overwrites equivalently; a run without
+    * its completion marker is invisible ([[completeRuns]]); covered
+    * merge inputs are excluded by containment before any deletion
+    * happens, so a crash between marker and cleanup double-counts
+    * nothing (see [[dedupIngestSink]]).
+    *
+    * `rangeShardCol`: when set, each run is RANGE-SHARDED on that
     * column (each output file covers a tight value range, recorded in
     * its parquet footer min/max) so a downstream point/In filter on it
     * prunes to the matching files — the zone-map layout
@@ -655,37 +703,75 @@ object Streams {
     * the plain hash shuffle is cheaper. */
   private def compactIndexDir(spark: SparkSession, liveDir: String,
       genDir: String, id: Long, compactEvery: Int,
-      rangeShardCol: Option[String] = None): Unit = {
-    val floorBefore = latestGenId(spark, genDir).getOrElse(0L)
-    val liveCount = liveBatchIds(spark, liveDir)
-      .count(n => n >= floorBefore && n < id)
-    if (liveCount >= compactEvery)
-      readIndexDir(spark, liveDir, genDir, id).foreach { idx =>
-        // repartition, NOT coalesce: coalesce would propagate up the
-        // plan without a shuffle and cap the parallelism of scanning
-        // the entire previous generation + live dirs — the full-index
-        // fold would run narrow exactly when the index is largest
-        // (ADVICE r14). The shuffle bounds only the OUTPUT file count.
-        val sharded = rangeShardCol match {
-          case Some(c) =>
-            idx.repartitionByRange(spark.sparkContext.defaultParallelism, col(c))
-          case None =>
-            idx.repartition(spark.sparkContext.defaultParallelism)
-        }
-        sharded.write.mode("overwrite").parquet(s"$genDir/gen=$id")
-        // own completion marker — committer-independent (markCommitted)
-        markCommitted(spark, s"$genDir/gen=$id")
+      rangeShardCol: Option[String] = None, fanout: Int = 4): Unit = {
+    def writeRun(lo: Long, hi: Long, df: DataFrame): Unit = {
+      // repartition, NOT coalesce: coalesce would propagate up the
+      // plan without a shuffle and cap the read parallelism of the
+      // fold's own input scan (ADVICE r14). The shuffle bounds only
+      // the OUTPUT file count.
+      val sharded = rangeShardCol match {
+        case Some(c) =>
+          df.repartitionByRange(spark.sparkContext.defaultParallelism, col(c))
+        case None =>
+          df.repartition(spark.sparkContext.defaultParallelism)
       }
-    // stale cleanup — everything below the newest complete generation;
-    // re-runnable from any crash point
-    latestGenId(spark, genDir).foreach { g =>
+      sharded.write.mode("overwrite").parquet(s"$genDir/gen=${lo}_$hi")
+      // own completion marker — committer-independent (markCommitted)
+      markCommitted(spark, s"$genDir/gen=${lo}_$hi")
+    }
+    // (1) tier-0 fold: live dirs past the coverage end, once enough.
+    // fanout <= 1 is the single-level control arm — one write folding
+    // ALL existing runs + live dirs into [0, id), exactly the original
+    // scheme's cost profile — so the A/B measures tiering against the
+    // true legacy baseline, not a two-write emulation of it.
+    val floor0 = completeRuns(spark, genDir).map(_.hi).maxOption.getOrElse(0L)
+    val live = liveBatchIds(spark, liveDir).filter(n => n >= floor0 && n < id)
+    if (live.size >= compactEvery) {
+      if (fanout <= 1)
+        readIndexDir(spark, liveDir, genDir, id).foreach(writeRun(0L, id, _))
+      else
+        writeRun(floor0, id,
+          spark.read.parquet(liveDir)
+            .filter(col("batch") >= floor0 && col("batch") < id)
+            .withColumn("batch", col("batch").cast("long")))
+    }
+    // (2) merge loop: whenever `fanout` ADJACENT same-tier runs exist,
+    // fold them one tier up; repeats until no tier is over-full
+    def tierOf(r: GenRun): Int =
+      (math.log(math.max(1.0, r.span.toDouble / compactEvery)) /
+        math.log(math.max(2, fanout).toDouble)).toInt
+    var merging = fanout > 1
+    while (merging) {
+      val runs = completeRuns(spark, genDir)
+      val group = runs.groupBy(tierOf).values
+        .flatMap(_.sliding(fanout).filter(g =>
+          g.size == fanout && g.sliding(2).forall {
+            case Seq(a, b) => a.hi == b.lo; case _ => true
+          }))
+        .toSeq.sortBy(_.head.lo).headOption
+      group match {
+        case Some(g) =>
+          writeRun(g.head.lo, g.last.hi,
+            spark.read.parquet(g.map(_.path.toString): _*)
+              .withColumn("batch", col("batch").cast("long")))
+        case None => merging = false
+      }
+    }
+    // (3) stale cleanup — live dirs inside run coverage, covered or
+    // markerless run dirs inside a complete run's range; re-runnable
+    // from any crash point
+    val runs = completeRuns(spark, genDir)
+    runs.map(_.hi).maxOption.foreach { coverEnd =>
       val fs = hadoopFs(spark, liveDir)
-      liveBatchIds(spark, liveDir).filter(_ < g).foreach(n =>
+      liveBatchIds(spark, liveDir).filter(_ < coverEnd).foreach(n =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$liveDir/batch=$n"), true))
       fs.listStatus(new org.apache.hadoop.fs.Path(genDir)).toSeq.foreach { s =>
-        val name = s.getPath.getName
-        if (name.startsWith("gen=") && name.stripPrefix("gen=").toLong < g)
-          fs.delete(s.getPath, true)
+        parseRunName(s.getPath.getName).foreach { case (lo, hi) =>
+          val keep = runs.exists(r => r.lo == lo && r.hi == hi)
+          val containedInComplete =
+            runs.exists(r => r.lo <= lo && r.hi >= hi && (r.hi - r.lo) > (hi - lo))
+          if (!keep && containedInComplete) fs.delete(s.getPath, true)
+        }
       }
     }
   }
@@ -792,19 +878,22 @@ object Streams {
     * cost for O(batches) dirs on EVERY probe — VERDICT r14 #1), so it
     * routes through the same [[compactIndexDir]]/[[readIndexDir]]
     * machinery: every `compactEvery` live dirs fold into a
-    * `gramsc/gen=<id>` snapshot that KEEPS the original first-seen
+    * `gramsc/gen=<lo>_<hi>` run that KEEPS the original first-seen
     * `batch` column (the compactor preserves it as a data column, which
-    * is what first-seen-only semantics need), and the probe reads the
-    * newest complete generation plus live dirs only. */
+    * is what first-seen-only semantics need), runs merge tiered at
+    * `compactFanout`, and the probe reads the complete runs plus live
+    * dirs only. */
   def noveltyMonitor(stream: DataFrame, idCol: String, textCol: String,
-      targetDir: String, n: Int = 3, compactEvery: Int = 64)
+      targetDir: String, n: Int = 3, compactEvery: Int = 64,
+      compactFanout: Int = 4)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         val (gramsDir, gramsGen, logDir) =
           (s"$targetDir/grams", s"$targetDir/gramsc", s"$targetDir/log")
-        compactIndexDir(spark, gramsDir, gramsGen, id, compactEvery)
+        compactIndexDir(spark, gramsDir, gramsGen, id, compactEvery,
+          fanout = compactFanout)
         val bg = graft.operators.Dedup.shingleRows(batch.toDF(), idCol, textCol, n)
           .select("s").distinct().persist()
         try {

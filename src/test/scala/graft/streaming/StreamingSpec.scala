@@ -563,21 +563,77 @@ class StreamingSpec extends SparkSpec {
       fs.listStatus(new org.apache.hadoop.fs.Path(d))
         .map(_.getPath.getName).toSet.filter(_.contains("="))
     val gens = subdirs(s"$out/shc")
-    assert(gens.nonEmpty, "a compacted generation must exist")
-    val genId = gens.map(_.stripPrefix("gen=").toLong).max
+    assert(gens.nonEmpty, "a compacted run must exist")
+    // runs are named gen=<lo>_<hi> covering live batches [lo, hi)
+    def hiOf(name: String): Long =
+      name.stripPrefix("gen=").split('_').last.toLong
+    val coverEnd = gens.map(hiOf).max
     val liveIds = subdirs(s"$out/sh").map(_.stripPrefix("batch=").toLong)
-    assert(liveIds.forall(_ >= genId),
-      s"batch dirs below gen=$genId must be deleted: $liveIds")
-    // the compacted index holds exactly the kept docs' rows
-    val genDocs = spark.read.parquet(s"$out/shc/gen=$genId")
-      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(liveIds.forall(_ >= coverEnd),
+      s"batch dirs below coverage end $coverEnd must be deleted: $liveIds")
+    // the compacted index (all runs + remaining live) holds exactly the
+    // kept docs' rows
+    val genDocs = gens.toSeq.flatMap(g =>
+      spark.read.parquet(s"$out/shc/$g")
+        .select("id").distinct().collect().map(_.getLong(0))).toSet
     val liveDocs =
       if (liveIds.isEmpty) Set.empty[Long]
       else spark.read.parquet(s"$out/sh")
-        .filter(col("batch") >= genId)
+        .filter(col("batch") >= coverEnd)
         .select("id").distinct().collect().map(_.getLong(0)).toSet
     assert((genDocs ++ liveDocs) === keptCompact,
-      s"index must track kept docs across gen+live: ${genDocs ++ liveDocs}")
+      s"index must track kept docs across runs+live: ${genDocs ++ liveDocs}")
+  }
+
+  test("tiered compaction: same kept corpus as single-level, runs merge up tiers") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def body(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    def batchDocs(b: Int): Seq[Doc] = {
+      val novel = Doc(100L + b, body(s"n$b "))
+      if (b % 3 == 2) Seq(novel, Doc(200L + b, body("n0 ") + " tail"))
+      else Seq(novel)
+    }
+    def run(fanout: Int): (Set[Long], String) = {
+      val mem = MemoryStream[Doc]
+      val out = java.nio.file.Files.createTempDirectory("stream_tiered").toString
+      val q = Streams.dedupIngestSink(mem.toDF(), "doc_id", "text", out,
+        compactEvery = 2, compactFanout = fanout).start()
+      try {
+        (0 until 12).foreach { b =>
+          mem.addData(batchDocs(b): _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      (spark.read.parquet(s"$out/docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet, out)
+    }
+    val (keptSingle, _) = run(fanout = 1)    // the full-fold control
+    val (keptTiered, out) = run(fanout = 2)
+    assert(keptTiered === keptSingle,
+      "tiered folding must not change which docs are kept")
+    assert(keptTiered === (0 until 12).map(100L + _).toSet,
+      s"novel docs kept, all near-dups of batch 0 dropped: $keptTiered")
+    // structural: runs exist, none is a [0, hi) full rewrite beyond the
+    // first merge tier, and coverage is a contiguous prefix
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val runs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/shc"))
+      .map(_.getPath.getName).filter(_.startsWith("gen="))
+      .map { n =>
+        val Array(lo, hi) = n.stripPrefix("gen=").split('_').map(_.toLong)
+        (lo, hi)
+      }.sortBy(_._1).toSeq
+    assert(runs.nonEmpty, "tiered runs must exist")
+    assert(runs.sliding(2).forall {
+      case Seq(a, b) => a._2 == b._1; case _ => true
+    }, s"run coverage must be contiguous: $runs")
+    assert(runs.exists(_._1 > 0),
+      s"tiering must produce a run that does NOT start at 0 (no full refold): $runs")
+    // with compactEvery=2/fanout=2 over 12 batches, at least one merge
+    // above tier 0 must have happened (a run spanning >= 4 batches)
+    assert(runs.exists(r => r._2 - r._1 >= 4),
+      s"at least one tier-up merge expected: $runs")
   }
 
   test("dedupIngestSink probe plan: same kept corpus as the general shuffle form") {
@@ -724,18 +780,23 @@ class StreamingSpec extends SparkSpec {
       fs.listStatus(new org.apache.hadoop.fs.Path(d))
         .map(_.getPath.getName).toSet.filter(_.contains("="))
     val gens = subdirs(s"$out/gramsc")
-    assert(gens.nonEmpty, "a compacted gram generation must exist")
-    val genId = gens.map(_.stripPrefix("gen=").toLong).max
+    assert(gens.nonEmpty, "a compacted gram run must exist")
+    // runs are named gen=<lo>_<hi> covering live batches [lo, hi)
+    def hiOf(name: String): Long =
+      name.stripPrefix("gen=").split('_').last.toLong
+    val coverEnd = gens.map(hiOf).max
     val liveIds = subdirs(s"$out/grams").map(_.stripPrefix("batch=").toLong)
-    assert(liveIds.forall(_ >= genId),
-      s"gram batch dirs below gen=$genId must be deleted: $liveIds")
+    assert(liveIds.forall(_ >= coverEnd),
+      s"gram batch dirs below coverage end $coverEnd must be deleted: $liveIds")
     // first-seen-only survives compaction: each gram exactly once across
-    // gen + live, and body0's grams (the "aN"-prefixed ones) keep their
+    // runs + live, and body0's grams (the "aN"-prefixed ones) keep their
     // first-seen batch=2 through the fold
-    val gen = spark.read.parquet(s"$out/gramsc/gen=$genId")
+    val gen = spark.read.parquet(
+      gens.toSeq.map(g => s"$out/gramsc/$g"): _*)
+      .select(col("s"), col("batch").cast("long").as("batch"))
     val live = spark.read.parquet(s"$out/grams")
       .select(col("s"), col("batch").cast("long").as("batch"))
-      .filter(col("batch") >= genId)
+      .filter(col("batch") >= coverEnd)
     val all = gen.select("s", "batch").unionByName(live)
     assert(all.count() === all.select("s").distinct().count(),
       "each gram must appear exactly once across gen+live")

@@ -181,10 +181,25 @@ object StreamBench {
       // optional 6th arg: probeBroadcastMaxRows for the probe-plan A/B
       // (0 = the general shuffle form as the control arm)
       val probeMax = args.lift(5).map(_.toLong).getOrElse(4L << 20)
+      // optional 7th arg: compactFanout for the tiered-folding A/B
+      // (1 = the single-level full-fold control arm)
+      val fanout = args.lift(6).map(_.toInt).getOrElse(4)
+      // WRITE AMPLIFICATION: cumulative task output bytes across the whole
+      // run (docs + live index + every compaction rewrite). Polling dir
+      // sizes between batches would MISS runs that a cascaded merge
+      // creates and supersedes within one batch, undercounting exactly
+      // the tiered arm — the listener sees every task's write.
+      val written = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            written.addAndGet(e.taskMetrics.outputMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
       val q = graft.streaming.Streams
         .dedupIngestSink(mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
           target, compactEvery = compactEvery,
-          probeBroadcastMaxRows = probeMax)
+          probeBroadcastMaxRows = probeMax, compactFanout = fanout)
         .option("checkpointLocation", ckpt)
         .start()
       val secs = Vector.newBuilder[Double]
@@ -198,8 +213,13 @@ object StreamBench {
           idxBytes += dirBytes(s"$target/sh") + dirBytes(s"$target/bk") +
             dirBytes(s"$target/shc") + dirBytes(s"$target/bkc")
         }
-      } finally q.stop()
+      } finally {
+        q.stop()
+        spark.sparkContext.removeSparkListener(listener)
+      }
       val kept = spark.read.parquet(s"$target/docs").count()
+      println(s"""{"scenario_note":"dedup_ingest","fanout":$fanout,""" +
+        s""""compact_every":$compactEvery,"written_bytes_total":${written.get()}}""")
       val b = idxBytes.result()
       report("dedup_ingest", secs.result(),
         batches.toLong * docsPerBatch, Vector(kept), b)
@@ -249,11 +269,11 @@ object StreamBench {
       val indexedGrams = spark.read.parquet(s"$target/grams").count() + {
         val f = new java.io.File(s"$target/gramsc")
         if (f.exists()) {
-          // newest complete generation only (superseded dirs die quickly)
+          // all surviving runs (gen=<lo>_<hi>; covered merge inputs are
+          // cleaned in the same compaction call, so survivors are disjoint)
           val gens = f.listFiles().filter(_.getName.startsWith("gen="))
           if (gens.isEmpty) 0L
-          else spark.read.parquet(
-            gens.maxBy(_.getName.stripPrefix("gen=").toLong).getPath).count()
+          else spark.read.parquet(gens.map(_.getPath).toSeq: _*).count()
         } else 0L
       }
       report("novelty_monitor", secs.result(),
