@@ -885,7 +885,7 @@ object Streams {
     * dirs only. */
   def noveltyMonitor(stream: DataFrame, idCol: String, textCol: String,
       targetDir: String, n: Int = 3, compactEvery: Int = 64,
-      compactFanout: Int = 4)
+      compactFanout: Int = 4, probeBroadcastMaxGrams: Long = 4L << 20)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -897,9 +897,24 @@ object Streams {
         val bg = graft.operators.Dedup.shingleRows(batch.toDF(), idCol, textCol, n)
           .select("s").distinct().persist()
         try {
-          bg.count() // materialize before the count/anti-join diamond
+          // materialize before the count/anti-join diamond
+          val nBg = bg.count()
           val novel = readIndexDir(spark, gramsDir, gramsGen, id) match {
-            case Some(index) => bg.join(index.select("s"), Seq("s"), "left_anti")
+            case Some(index) =>
+              if (probeBroadcastMaxGrams > 0 && nBg <= probeBroadcastMaxGrams) {
+                // SEEN-SET FLIP — the same shape as the dedup-ingest
+                // probe plan: a plain left_anti against the standing
+                // index shuffles EVERY stored gram row per micro-batch
+                // (the join's right side cannot broadcast — it is the
+                // unbounded one). Instead broadcast the micro-batch's
+                // grams to an in-place semi-join scan of the index
+                // (never shuffled), and anti-join the batch against the
+                // resulting SEEN set, which is ≤ the batch's gram count
+                // by construction (the index holds each gram once).
+                val seen = index.select("s")
+                  .join(broadcast(bg), Seq("s"), "left_semi")
+                bg.join(broadcast(seen), Seq("s"), "left_anti")
+              } else bg.join(index.select("s"), Seq("s"), "left_anti")
             case None => bg // index still empty: first batch(es)
           }
           novel.write.mode("overwrite").parquet(s"$gramsDir/batch=$id")

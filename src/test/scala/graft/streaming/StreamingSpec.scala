@@ -705,6 +705,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("noveltyMonitor seen-set flip: identical log to the full-shuffle anti-join") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def body(tag: String, off: Int) =
+      (1 to 20).map(i => s"$tag${i + off}").mkString(" ")
+    def batchDocs(b: Int): Seq[Doc] = Seq(
+      Doc(100L + b, body("n", b * 5)),              // overlapping novelty
+      Doc(200L + b, body(s"u${b} ", 0)))            // fully fresh
+    def run(probeMax: Long): Seq[(Long, Long, Long, Double)] = {
+      val mem = MemoryStream[Doc]
+      val out = java.nio.file.Files.createTempDirectory("novelty_flip").toString
+      val q = Streams.noveltyMonitor(mem.toDF(), "doc_id", "text", out,
+        compactEvery = 3, probeBroadcastMaxGrams = probeMax).start()
+      try {
+        (0 until 7).foreach { b =>
+          mem.addData(batchDocs(b): _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.read.parquet(s"$out/log").orderBy("batch_id").collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("n_grams"),
+          r.getAs[Long]("n_novel"), r.getAs[Double]("novelty"))).toSeq
+    }
+    val legacy = run(probeMax = 0L)      // control: full-index shuffle
+    val flipped = run(probeMax = 4L << 20)
+    assert(flipped === legacy,
+      "the seen-set flip must not change any batch's novelty verdict")
+    // the partial-overlap shape actually exercised both paths: novelty
+    // strictly between 0 and 1 after batch 0
+    assert(legacy.drop(1).forall(r => r._4 > 0.0 && r._4 < 1.0),
+      s"partial overlap expected per batch: $legacy")
+  }
+
   test("noveltyMonitor: novelty collapses on replayed content, index is first-seen-only") {
     val s = spark
     import s.implicits._

@@ -246,9 +246,13 @@ object StreamBench {
       val mem = MemoryStream[(Long, String)]
       val docsPerBatch = math.max(100, rowsPerBatch / 40)
       val compactEvery = args.lift(4).map(_.toInt).getOrElse(64)
+      // arg 6 doubles as the novelty probe gate (0 = the legacy
+      // full-index-shuffle anti-join as the A/B control arm)
+      val probeMax = args.lift(5).map(_.toLong).getOrElse(4L << 20)
       val q = graft.streaming.Streams
         .noveltyMonitor(mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
-          target, compactEvery = compactEvery)
+          target, compactEvery = compactEvery,
+          probeBroadcastMaxGrams = probeMax)
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("sb-novelty-ckpt").toString)
         .start()
