@@ -624,4 +624,21 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("Join"), s"score must ride the scan projection:\n$plan")
     }
   }
+
+  test("cross-dedup probe: candidate-id In filter reaches the index parquet scan") {
+    // the micro-batch probe plan's verify side must read only candidate
+    // docs' shingle rows — the isInCollection reduction has to survive
+    // to the scan as a pushed In filter (with the range-sharded
+    // generation layout, that is what prunes files at ingest time); a
+    // regression to a post-scan filter stays correct but re-reads the
+    // whole standing index per batch
+    val plan = planOf(LlmQueries.crossDedupProbe(spark, dir))
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters:")).mkString("\n")
+    assert(pushed.contains("In(id"),
+      s"candidate-id In pushdown missing from every scan:\n$pushed")
+    // the localized candidate pairs ride broadcast joins — the standing
+    // index must never be the shuffled side of a sort-merge join here
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
