@@ -384,68 +384,144 @@ object Streams {
       streamKey: String, staticKey: String): DataFrame =
     stream.join(broadcast(static), col(streamKey) === col(staticKey), "left")
 
-  /** Streaming CDC maintenance: fold every micro-batch into a versioned
-    * parquet table via [[graft.operators.Merge.upsert]] — the
-    * maintained-table sink (a minimal lakehouse MERGE loop). Each batch
-    * writes a NEW directory `v=<batchId>` derived from the previous
-    * latest — never read-and-overwrite the same path, which races the
-    * lazy read against the overwrite truncation. Old versions remain
-    * for time travel until compaction removes them; readers resolve
-    * [[latestVersion]]. In-batch duplicate keys collapse via
-    * dropDuplicates BEFORE the merge (last-writer-wins needs an
-    * explicit priority column; callers with one should pre-dedup). */
+  /** Streaming CDC maintenance: maintain a keyed table under
+    * [[graft.operators.Merge.upsert]] semantics as DELTA dirs plus
+    * periodic full snapshots — the checkpoint + WAL layout (VERDICT r15
+    * #2). Every micro-batch appends ONLY its deduped rows as
+    * `d=<batchId>` (O(batch) write I/O); every `snapshotEvery` deltas
+    * the state folds into a full snapshot `v=<id>`. The r14 design
+    * wrote a complete base copy PER BATCH, so cumulative write I/O was
+    * O(batches × base size) even after retention GC bounded storage;
+    * here it is O(batches × delta + batches/K × base) — the same
+    * amplification class tiered compaction cut for the dedup index.
+    *
+    * Readers resolve [[latestTable]] (newest complete snapshot + the
+    * complete deltas above it, later delta winning per key); a
+    * pre-delta layout (only `v=` dirs) reads through it unchanged.
+    * `snapshotEvery = 1` reproduces the r14 per-batch-snapshot write
+    * profile — kept as the measured A/B control arm.
+    *
+    * Replay safety: a recovering batch overwrites its own `d=<id>`;
+    * the fold derives from the newest complete snapshot STRICTLY BELOW
+    * the current id (its own possibly-crashed `v=<id>` is never read)
+    * plus the committed deltas above it, all immutable — idempotent.
+    * GC (inside the fold step) keeps the newest `keepVersions`
+    * complete snapshots, and deletes deltas only at or below the
+    * SECOND-newest kept snapshot — exactly the window a replayed fold
+    * still reads. In-batch duplicate keys collapse via dropDuplicates
+    * BEFORE the delta lands (last-writer-wins needs an explicit
+    * priority column; callers with one should pre-dedup). */
   def upsertSink(stream: DataFrame, keys: Seq[String], targetDir: String,
-      keepVersions: Int = 4)
+      keepVersions: Int = 4, snapshotEvery: Int = 8)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    // K >= 2: the current batch's replay derives from the PREVIOUS
-    // version, so GC must never leave fewer than two complete versions
-    // (VERDICT r14 #3 — the recovery-replay window the versioning doc
-    // describes)
+    // K >= 2: a replayed fold derives from the PREVIOUS snapshot, so GC
+    // must never leave fewer than two complete snapshots (VERDICT r14 #3)
     require(keepVersions >= 2, s"keepVersions must be >= 2, got $keepVersions")
+    require(snapshotEvery >= 1, s"snapshotEvery must be >= 1, got $snapshotEvery")
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         val dedup = batch.dropDuplicates(keys)
-        // derive from versions STRICTLY BELOW the current batch id: on
-        // failure recovery Structured Streaming re-runs the last batch
-        // with the same id, and deriving from v=<id> itself would lazily
-        // read the possibly-partial directory the overwrite is about to
-        // truncate — the read-and-overwrite race the versioning exists
-        // to avoid. Replay then recomputes the merge from the previous
-        // good version and overwrites v=<id>: idempotent.
-        val merged = latestVersion(targetDir, below = id) match {
-          case Some(prev) =>
-            graft.operators.Merge.upsert(spark.read.parquet(prev), dedup, keys)
-          case None => dedup
-        }
-        merged.write.mode("overwrite").parquet(s"$targetDir/v=$id")
-        // retention GC (r15): each batch writes a FULL base copy, so a
-        // maintained table without GC grows O(batches × base size).
-        // Marker first (own _COMMITTED — committer-independent, see
-        // markCommitted), then delete every version dir strictly below
-        // the keepVersions-th newest COMPLETE version. Crash-safe at
-        // any point: versions at/above the boundary are untouched, a
-        // crash mid-delete leaves only already-superseded dirs for the
-        // next batch's GC to re-sweep, and the replay window keeps >= 2
-        // complete versions by the keepVersions floor.
-        markCommitted(spark, s"$targetDir/v=$id")
-        val fs = hadoopFs(spark, targetDir)
-        val vdirs = fs.listStatus(new org.apache.hadoop.fs.Path(targetDir))
-          .toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-          .flatMap(s => scala.util.Try(
-            s.getPath.getName.stripPrefix("v=").toLong).toOption
-            .map(v => (v, s.getPath)))
-        val complete = vdirs.collect {
-          case (v, p) if isComplete(fs, p) => v
-        }.sorted(Ordering[Long].reverse)
-        if (complete.size > keepVersions) {
-          val floor = complete(keepVersions - 1)
-          vdirs.filter(_._1 < floor).foreach { case (_, p) =>
-            fs.delete(p, true)
+        // (1) the WAL write: this batch's upsert delta, O(batch) bytes.
+        // Overwrite + marker-after-write make replay idempotent.
+        dedup.write.mode("overwrite").parquet(s"$targetDir/d=$id")
+        IndexStore.markCommitted(spark, s"$targetDir/d=$id")
+        // (2) the checkpoint write: once snapshotEvery deltas sit above
+        // the newest complete snapshot STRICTLY BELOW this id (a crashed
+        // previous attempt's own v=<id> must not serve as the fold base
+        // — its content embeds the OLD attempt's in-batch dedup picks,
+        // while d=<id> was just rewritten with this attempt's), fold.
+        val fs = IndexStore.hadoopFs(spark, targetDir)
+        val snapBase = completeDirIds(fs, targetDir, "v=").filter(_ < id)
+          .maxOption
+        val floor = snapBase.getOrElse(-1L)
+        val deltaIds = completeDirIds(fs, targetDir, "d=")
+          .filter(i => i > floor && i <= id).sorted
+        if (deltaIds.size >= snapshotEvery) {
+          val base = snapBase.map(s0 => spark.read.parquet(s"$targetDir/v=$s0"))
+          foldState(spark, base, deltaIds.map(i =>
+              (i, spark.read.parquet(s"$targetDir/d=$i"))), keys)
+            .write.mode("overwrite").parquet(s"$targetDir/v=$id")
+          IndexStore.markCommitted(spark, s"$targetDir/v=$id")
+          // (3) retention GC, crash-safe at any point: snapshots at or
+          // above the keepVersions-th newest complete one are untouched;
+          // a crash mid-delete leaves only superseded dirs for the next
+          // fold's GC to re-sweep.
+          val snapsNow = completeDirIds(fs, targetDir, "v=")
+            .sorted(Ordering[Long].reverse)
+          if (snapsNow.size > keepVersions) {
+            val keepFloor = snapsNow(keepVersions - 1)
+            dirIds(fs, targetDir, "v=").filter(_._1 < keepFloor)
+              .foreach { case (_, p) => fs.delete(p, true) }
+          }
+          // deltas at or below the SECOND-newest surviving snapshot are
+          // folded into every snapshot any replay can still read
+          val kept = completeDirIds(fs, targetDir, "v=").sorted
+          if (kept.size >= 2) {
+            val dFloor = kept(kept.size - 2)
+            dirIds(fs, targetDir, "d=").filter(_._1 <= dFloor)
+              .foreach { case (_, p) => fs.delete(p, true) }
           }
         }
     }
+  }
+
+  /** Numbered `<prefix><n>` subdirectories of a maintained-table dir. */
+  private def dirIds(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      prefix: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix(prefix).toLong).toOption
+        .map(v => (v, s.getPath)))
+  }
+
+  private def completeDirIds(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      prefix: String): Seq[Long] =
+    dirIds(fs, dir, prefix).collect {
+      case (v, p) if IndexStore.isComplete(fs, p) => v
+    }
+
+  /** Fold a base snapshot plus ordered upsert deltas into the current
+    * state: deltas collapse FIRST by key precedence (later batch wins —
+    * one window over the delta rows only, never the base), then one
+    * [[graft.operators.Merge.upsert]] against the base. Cost is
+    * O(base + Σ deltas) with a single anti-join touching the base —
+    * never K chained joins. */
+  private def foldState(spark: SparkSession, base: Option[DataFrame],
+      deltas: Seq[(Long, DataFrame)], keys: Seq[String]): DataFrame = {
+    val tagged = deltas.map { case (i, df) => df.withColumn("__b", lit(i)) }
+      .reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("__b").desc)
+    // (key, __b) is unique — each delta is key-deduped — so the pick is
+    // deterministic, not a partition-order artifact
+    val collapsed = tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__b")
+    base match {
+      case Some(b) => graft.operators.Merge.upsert(b, collapsed, keys)
+      case None => collapsed
+    }
+  }
+
+  /** The maintained table's current state: the newest complete snapshot
+    * strictly below `below` plus every complete delta above it (and
+    * strictly below `below`), folded with later-delta-wins precedence.
+    * None while the table is empty. Reads a pre-delta layout (only
+    * `v=` dirs) unchanged — zero deltas fold to the snapshot itself. */
+  def latestTable(spark: SparkSession, targetDir: String, keys: Seq[String],
+      below: Long = Long.MaxValue): Option[DataFrame] = {
+    val fs = IndexStore.hadoopFs(spark, targetDir)
+    val snap = completeDirIds(fs, targetDir, "v=").filter(_ < below).maxOption
+    val floor = snap.getOrElse(-1L)
+    val deltaIds = completeDirIds(fs, targetDir, "d=")
+      .filter(i => i > floor && i < below).sorted
+    val base = snap.map(s0 => spark.read.parquet(s"$targetDir/v=$s0"))
+    if (deltaIds.isEmpty) base
+    else Some(foldState(spark, base,
+      deltaIds.map(i => (i, spark.read.parquet(s"$targetDir/d=$i"))), keys))
   }
 
   /** Streaming INGESTION DEDUP — the arrival-time gate of a training
@@ -498,7 +574,7 @@ object Streams {
       shingleWords: Int = 3, numHashes: Int = 128,
       bands: Int = 32, rowsPerBand: Int = 4, seed: Int = 42,
       compactEvery: Int = 64, probeBroadcastMaxRows: Long = 4L << 20,
-      compactFanout: Int = 4)
+      compactFanout: Int = 4, bloomFpp: Double = 0.01)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -507,14 +583,23 @@ object Streams {
         val (docsDir, shDir, bkDir) =
           (s"$targetDir/docs", s"$targetDir/sh", s"$targetDir/bk")
         val (shGen, bkGen) = (s"$targetDir/shc", s"$targetDir/bkc")
+        val useBloom = bloomFpp > 0
         // sh generations range-shard by doc id so the probe's candidate-id
         // pushdown prunes to matching files; bk generations cannot be
         // pruned by any layout (a batch's band keys cover the hash space
-        // — see crossNearDupPairsFromIndexProbe) and stay hash-sharded
-        compactIndexDir(spark, shDir, shGen, id, compactEvery,
+        // — see crossNearDupPairsFromIndexProbe) and stay hash-sharded,
+        // but DO carry a Bloom sidecar over bk: most of a batch's band
+        // keys (uniform hashes of unique content) match nothing in the
+        // index, and dropping them BEFORE the candidate join is exact —
+        // a Bloom false positive only survives to the verify join, a
+        // false negative cannot happen (bloomFpp = 0 disables, the A/B
+        // control arm)
+        IndexStore.compactIndexDir(spark, shDir, shGen, id, compactEvery,
           rangeShardCol = Some("id"), fanout = compactFanout)
-        compactIndexDir(spark, bkDir, bkGen, id, compactEvery,
-          fanout = compactFanout)
+        IndexStore.compactIndexDir(spark, bkDir, bkGen, id, compactEvery,
+          fanout = compactFanout,
+          bloomCol = if (useBloom) Some("bk") else None,
+          bloomFpp = if (useBloom) bloomFpp else 0.01)
         val shB = Dedup.shingleRows(batch.toDF(), idCol, textCol, shingleWords)
           .persist()
         // band rows feed three consumers (self-dedup, the cross probe, the
@@ -534,20 +619,37 @@ object Streams {
           // index shuffle) whenever the batch's band keys are broadcast-
           // sized; 0 disables it (the StreamBench A/B's control arm)
           val crossKept =
-            (readIndexDir(spark, shDir, shGen, id),
-              readIndexDir(spark, bkDir, bkGen, id)) match {
+            (IndexStore.readIndexDir(spark, shDir, shGen, id),
+              IndexStore.readIndexDir(spark, bkDir, bkGen, id)) match {
               case (Some(indexSh), Some(indexBk)) =>
-                val probe = probeBroadcastMaxRows > 0 &&
-                  bkB.count() <= probeBroadcastMaxRows
-                val pairs =
-                  if (probe) Dedup.crossNearDupPairsFromIndexProbe(
-                    shB, bkB, indexSh.select("id", "s"),
-                    indexBk.select("id", "bk"), threshold)
-                  else Dedup.crossNearDupPairsFromIndex(
-                    shB, bkB, indexSh.select("id", "s"),
-                    indexBk.select("id", "bk"), threshold)
-                val dupIds = pairs.select(col("a").as(idCol)).distinct()
-                selfKept.join(dupIds, Seq(idCol), "left_anti")
+                // BLOOM PREFILTER on the batch's band keys: keys the bk
+                // sidecars reject exist nowhere in the index and cannot
+                // produce candidates — drop them before anything joins.
+                // Exact regardless of fpp (false positives die in the
+                // verify join). Falls back to the unfiltered keys when
+                // any index dir lacks its sidecar (legacy layout).
+                val bkProbe =
+                  (if (useBloom) IndexStore.readBloomFront(spark, bkDir, bkGen, id)
+                   else None) match {
+                    case Some(bits) =>
+                      bkB.filter(IndexStore.mightContain(bits, col("bk")))
+                    case None => bkB
+                  }
+                val nProbe = bkProbe.count()
+                if (nProbe == 0) selfKept // no key matches: no candidates
+                else {
+                  val probe = probeBroadcastMaxRows > 0 &&
+                    nProbe <= probeBroadcastMaxRows
+                  val pairs =
+                    if (probe) Dedup.crossNearDupPairsFromIndexProbe(
+                      shB, bkProbe, indexSh.select("id", "s"),
+                      indexBk.select("id", "bk"), threshold)
+                    else Dedup.crossNearDupPairsFromIndex(
+                      shB, bkProbe, indexSh.select("id", "s"),
+                      indexBk.select("id", "bk"), threshold)
+                  val dupIds = pairs.select(col("a").as(idCol)).distinct()
+                  selfKept.join(dupIds, Seq(idCol), "left_anti")
+                }
               case _ => selfKept // index still empty: first batch(es)
             }
           // (3) survivors + their index rows, replay-safe per-batch dirs
@@ -558,223 +660,14 @@ object Streams {
             .parquet(s"$shDir/batch=$id")
           bkB.join(keptIds, "id").write.mode("overwrite")
             .parquet(s"$bkDir/batch=$id")
+          if (useBloom)
+            IndexStore.writeBloomSidecar(spark, s"$bkDir/batch=$id", "bk", bloomFpp)
         } finally {
           shB.unpersist(false)
           if (bkB != null) bkB.unpersist(false)
           if (kept != null) kept.unpersist(false)
         }
     }
-
-  private def hadoopFs(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-
-  /** Write an explicit `_COMMITTED` completion marker into `dir`. The
-    * sinks' completeness checks must NOT hinge on the committer's
-    * `_SUCCESS`: with mapreduce.fileoutputcommitter.marksuccessfuljobs
-    * disabled (common with object-store committers) no `_SUCCESS` ever
-    * appears, [[completeRuns]] would never see a complete run,
-    * and once liveCount crosses compactEvery EVERY batch would rewrite
-    * a full never-read snapshot — unbounded storage, silently back in
-    * the fragmenting regime (ADVICE r14). Writing our own marker after
-    * the parquet write RETURNS (write() is synchronous — the data is
-    * committed when it does) is committer-independent. */
-  private def markCommitted(spark: SparkSession, dir: String): Unit = {
-    val fs = hadoopFs(spark, dir)
-    fs.create(new org.apache.hadoop.fs.Path(dir, "_COMMITTED"), true).close()
-  }
-
-  /** A directory counts as complete with EITHER marker: `_COMMITTED`
-    * (ours, committer-independent) or `_SUCCESS` (the committer's, kept
-    * for layouts written before the explicit marker existed). */
-  private def isComplete(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Boolean =
-    fs.exists(new org.apache.hadoop.fs.Path(dir, "_COMMITTED")) ||
-      fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
-
-  /** Ids of the live `batch=N` subdirectories of an index dir. */
-  private def liveBatchIds(spark: SparkSession, liveDir: String): Seq[Long] = {
-    val fs = hadoopFs(spark, liveDir)
-    val p = new org.apache.hadoop.fs.Path(liveDir)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.collect {
-      case s if s.isDirectory && s.getPath.getName.startsWith("batch=") =>
-        s.getPath.getName.stripPrefix("batch=").toLong
-    }
-  }
-
-  /** One compacted RUN of an index: a snapshot dir covering the live
-    * batch ids in [lo, hi). Two naming generations parse: the original
-    * single-level `gen=<hi>` (coverage [0, hi) by construction) and the
-    * tiered `gen=<lo>_<hi>`. */
-  private case class GenRun(lo: Long, hi: Long, path: org.apache.hadoop.fs.Path) {
-    def span: Long = hi - lo
-    def covers(o: GenRun): Boolean = lo <= o.lo && hi >= o.hi && span > o.span
-  }
-
-  private def parseRunName(name: String): Option[(Long, Long)] =
-    if (!name.startsWith("gen=")) None
-    else scala.util.Try {
-      name.stripPrefix("gen=").split('_') match {
-        case Array(hi) => (0L, hi.toLong)
-        case Array(lo, hi) => (lo.toLong, hi.toLong)
-      }
-    }.toOption
-
-  /** The COMPLETE (marker-carrying, see [[isComplete]]) runs of an
-    * index, with covered runs (their range contained in a larger
-    * complete run — superseded merge inputs awaiting cleanup) dropped.
-    * The survivors are pairwise disjoint and partition [0, maxHi):
-    * tier-0 folds only ever start at the previous coverage end, and
-    * merges only ever combine adjacent survivors, so coverage is a
-    * contiguous prefix with no holes. An interrupted run write leaves
-    * no marker and stays invisible until its replay overwrites it. */
-  private def completeRuns(spark: SparkSession, genDir: String): Seq[GenRun] = {
-    val fs = hadoopFs(spark, genDir)
-    val p = new org.apache.hadoop.fs.Path(genDir)
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val all = fs.listStatus(p).toSeq.collect {
-        case s if s.isDirectory && isComplete(fs, s.getPath) =>
-          parseRunName(s.getPath.getName).map { case (lo, hi) =>
-            GenRun(lo, hi, s.getPath)
-          }
-      }.flatten
-      all.filterNot(r => all.exists(_.covers(r))).sortBy(_.lo)
-    }
-  }
-
-  /** One half of the dedup index (sh or bk) as of batch `id`: the
-    * complete compacted runs plus the live batch dirs AT OR ABOVE the
-    * coverage end. Dirs below the coverage end are superseded copies of
-    * rows some run already holds — excluding them by their `batch`
-    * partition value rather than by trusting deletion to have happened
-    * is what makes every crash-time state read exactly. None while the
-    * index is still empty. */
-  private def readIndexDir(spark: SparkSession, liveDir: String,
-      genDir: String, id: Long): Option[DataFrame] = {
-    val runs = completeRuns(spark, genDir)
-    val floor = runs.map(_.hi).maxOption.getOrElse(0L)
-    val live = liveBatchIds(spark, liveDir).filter(n => n >= floor && n < id)
-    val parts = Seq.newBuilder[DataFrame]
-    if (runs.nonEmpty)
-      parts += spark.read.parquet(runs.map(_.path.toString): _*)
-        .filter(col("batch") < id)
-        .withColumn("batch", col("batch").cast("long"))
-    if (live.nonEmpty)
-      parts += spark.read.parquet(liveDir)
-        .filter(col("batch") >= floor && col("batch") < id)
-        .withColumn("batch", col("batch").cast("long"))
-    parts.result().reduceOption(_ unionByName _)
-  }
-
-  /** TIERED (size-tiered / LSM-style) compaction of one index half.
-    * Once `compactEvery` live `batch=` dirs accumulate past the run
-    * coverage end, they fold into a new TIER-0 run `gen=<lo>_<hi>` —
-    * live dirs only, NOT the previous runs, unlike the original
-    * single-level fold — and whenever `fanout` ADJACENT runs of the
-    * same tier exist (tier = log_fanout of the run's span in
-    * compactEvery units) they merge into one run of the next tier. A
-    * row is therefore rewritten O(log_fanout(batches)) times over the
-    * stream's life instead of O(batches / compactEvery) — the
-    * single-level scheme's cumulative write amplification was
-    * O(total_rows² / compactEvery) and its per-fold pause grew with
-    * corpus AGE (ADVICE r14); here each fold's cost is bounded by the
-    * tier it touches. `fanout = 1` reproduces the single-level
-    * behavior exactly (every fold merges all runs into one) — kept as
-    * the measured A/B control arm, not a recommended config.
-    *
-    * All steps stay idempotent under batch replay: a run's content is a
-    * pure function of its (lo, hi) range over immutable committed
-    * inputs, so a replayed write overwrites equivalently; a run without
-    * its completion marker is invisible ([[completeRuns]]); covered
-    * merge inputs are excluded by containment before any deletion
-    * happens, so a crash between marker and cleanup double-counts
-    * nothing (see [[dedupIngestSink]]).
-    *
-    * `rangeShardCol`: when set, each run is RANGE-SHARDED on that
-    * column (each output file covers a tight value range, recorded in
-    * its parquet footer min/max) so a downstream point/In filter on it
-    * prunes to the matching files — the zone-map layout
-    * [[graft.sources.Sinks.writeShardedWithProfiles]] established for
-    * batch tables, applied to the standing index. Only worth it for a
-    * column probes actually filter on (the sh index's doc id); for keys
-    * a probe covers uniformly (band keys, grams) no layout prunes and
-    * the plain hash shuffle is cheaper. */
-  private def compactIndexDir(spark: SparkSession, liveDir: String,
-      genDir: String, id: Long, compactEvery: Int,
-      rangeShardCol: Option[String] = None, fanout: Int = 4): Unit = {
-    def writeRun(lo: Long, hi: Long, df: DataFrame): Unit = {
-      // repartition, NOT coalesce: coalesce would propagate up the
-      // plan without a shuffle and cap the read parallelism of the
-      // fold's own input scan (ADVICE r14). The shuffle bounds only
-      // the OUTPUT file count.
-      val sharded = rangeShardCol match {
-        case Some(c) =>
-          df.repartitionByRange(spark.sparkContext.defaultParallelism, col(c))
-        case None =>
-          df.repartition(spark.sparkContext.defaultParallelism)
-      }
-      sharded.write.mode("overwrite").parquet(s"$genDir/gen=${lo}_$hi")
-      // own completion marker — committer-independent (markCommitted)
-      markCommitted(spark, s"$genDir/gen=${lo}_$hi")
-    }
-    // (1) tier-0 fold: live dirs past the coverage end, once enough.
-    // fanout <= 1 is the single-level control arm — one write folding
-    // ALL existing runs + live dirs into [0, id), exactly the original
-    // scheme's cost profile — so the A/B measures tiering against the
-    // true legacy baseline, not a two-write emulation of it.
-    val floor0 = completeRuns(spark, genDir).map(_.hi).maxOption.getOrElse(0L)
-    val live = liveBatchIds(spark, liveDir).filter(n => n >= floor0 && n < id)
-    if (live.size >= compactEvery) {
-      if (fanout <= 1)
-        readIndexDir(spark, liveDir, genDir, id).foreach(writeRun(0L, id, _))
-      else
-        writeRun(floor0, id,
-          spark.read.parquet(liveDir)
-            .filter(col("batch") >= floor0 && col("batch") < id)
-            .withColumn("batch", col("batch").cast("long")))
-    }
-    // (2) merge loop: whenever `fanout` ADJACENT same-tier runs exist,
-    // fold them one tier up; repeats until no tier is over-full
-    def tierOf(r: GenRun): Int =
-      (math.log(math.max(1.0, r.span.toDouble / compactEvery)) /
-        math.log(math.max(2, fanout).toDouble)).toInt
-    var merging = fanout > 1
-    while (merging) {
-      val runs = completeRuns(spark, genDir)
-      val group = runs.groupBy(tierOf).values
-        .flatMap(_.sliding(fanout).filter(g =>
-          g.size == fanout && g.sliding(2).forall {
-            case Seq(a, b) => a.hi == b.lo; case _ => true
-          }))
-        .toSeq.sortBy(_.head.lo).headOption
-      group match {
-        case Some(g) =>
-          writeRun(g.head.lo, g.last.hi,
-            spark.read.parquet(g.map(_.path.toString): _*)
-              .withColumn("batch", col("batch").cast("long")))
-        case None => merging = false
-      }
-    }
-    // (3) stale cleanup — live dirs inside run coverage, covered or
-    // markerless run dirs inside a complete run's range; re-runnable
-    // from any crash point
-    val runs = completeRuns(spark, genDir)
-    runs.map(_.hi).maxOption.foreach { coverEnd =>
-      val fs = hadoopFs(spark, liveDir)
-      liveBatchIds(spark, liveDir).filter(_ < coverEnd).foreach(n =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$liveDir/batch=$n"), true))
-      fs.listStatus(new org.apache.hadoop.fs.Path(genDir)).toSeq.foreach { s =>
-        parseRunName(s.getPath.getName).foreach { case (lo, hi) =>
-          val keep = runs.exists(r => r.lo == lo && r.hi == hi)
-          val containedInComplete =
-            runs.exists(r => r.lo <= lo && r.hi >= hi && (r.hi - r.lo) > (hi - lo))
-          if (!keep && containedInComplete) fs.delete(s.getPath, true)
-        }
-      }
-    }
-  }
 
   /** Streaming DECONTAMINATION — the eval-gram-set filter at ingest
     * time, the streaming twin of [[graft.operators.Contamination.bloomKeep]]:
@@ -882,44 +775,99 @@ object Streams {
     * `batch` column (the compactor preserves it as a data column, which
     * is what first-seen-only semantics need), runs merge tiered at
     * `compactFanout`, and the probe reads the complete runs plus live
-    * dirs only. */
+    * dirs only.
+    *
+    * BLOOM FRONT (`bloomMode`, VERDICT r15 #1): compaction fixed the
+    * fragmentation pathology, but the probe still SCANS the standing
+    * gram index once per batch — the engine's last measured growth term
+    * (500-batch probe: 1.87→4.93 s/batch tracking the ~7M-row index;
+    * scan-dominated, and no storage layout can prune it because a
+    * batch's grams cover any layout). Every index dir therefore carries
+    * a `_BLOOM` sidecar over its grams ([[IndexStore.writeBloomSidecar]]
+    * — per-run sizing, so the front never saturates as the index
+    * grows), and the probe fronts the read with a membership test:
+    *
+    *  - `"exact"` (default): batch grams REJECTED by every sidecar are
+    *    definitely novel (Blooms have no false negatives) and skip the
+    *    index entirely; only the bloom-accepted remainder is confirmed
+    *    against the index scan — identical output to `"off"`, smaller
+    *    join sides, but the per-batch scan (and its growth) remains.
+    *  - `"approx"`: the bloom verdict IS the verdict — ZERO index reads
+    *    per batch, per-batch cost O(batch grams) independent of index
+    *    size. Documented error: a truly-novel gram is miscounted as
+    *    seen (and not indexed) with probability ≤ Σ_runs fpp — the
+    *    fpp-bounded undercount the StreamBench A/B measures. This is
+    *    the 100 TB mode: the exact modes' index scan parallelizes
+    *    across executors but never stops growing.
+    *  - `"off"`: the r15 behavior, no sidecars — the A/B control arm.
+    *
+    * A dir missing its sidecar (legacy layout) silently falls back to
+    * the exact scan and self-heals as compaction folds old dirs into
+    * sidecar-carrying runs. */
   def noveltyMonitor(stream: DataFrame, idCol: String, textCol: String,
       targetDir: String, n: Int = 3, compactEvery: Int = 64,
-      compactFanout: Int = 4, probeBroadcastMaxGrams: Long = 4L << 20)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      compactFanout: Int = 4, probeBroadcastMaxGrams: Long = 4L << 20,
+      bloomMode: String = "exact", bloomFpp: Double = 0.01)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(Set("off", "exact", "approx")(bloomMode),
+      s"bloomMode must be off|exact|approx, got $bloomMode")
+    require(bloomFpp > 0 && bloomFpp < 1, s"bloomFpp must be in (0,1): $bloomFpp")
+    val useBloom = bloomMode != "off"
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         val (gramsDir, gramsGen, logDir) =
           (s"$targetDir/grams", s"$targetDir/gramsc", s"$targetDir/log")
-        compactIndexDir(spark, gramsDir, gramsGen, id, compactEvery,
-          fanout = compactFanout)
+        IndexStore.compactIndexDir(spark, gramsDir, gramsGen, id, compactEvery,
+          fanout = compactFanout,
+          bloomCol = if (useBloom) Some("s") else None, bloomFpp = bloomFpp)
         val bg = graft.operators.Dedup.shingleRows(batch.toDF(), idCol, textCol, n)
           .select("s").distinct().persist()
         try {
           // materialize before the count/anti-join diamond
           val nBg = bg.count()
-          val novel = readIndexDir(spark, gramsDir, gramsGen, id) match {
-            case Some(index) =>
-              if (probeBroadcastMaxGrams > 0 && nBg <= probeBroadcastMaxGrams) {
-                // SEEN-SET FLIP — the same shape as the dedup-ingest
-                // probe plan: a plain left_anti against the standing
-                // index shuffles EVERY stored gram row per micro-batch
-                // (the join's right side cannot broadcast — it is the
-                // unbounded one). Instead broadcast the micro-batch's
-                // grams to an in-place semi-join scan of the index
-                // (never shuffled), and anti-join the batch against the
-                // resulting SEEN set, which is ≤ the batch's gram count
-                // by construction (the index holds each gram once).
-                val seen = index.select("s")
-                  .join(broadcast(bg), Seq("s"), "left_semi")
-                bg.join(broadcast(seen), Seq("s"), "left_anti")
-              } else bg.join(index.select("s"), Seq("s"), "left_anti")
+          val front =
+            if (useBloom) IndexStore.readBloomFront(spark, gramsDir, gramsGen, id)
+            else None
+          val novel = IndexStore.readIndexDir(spark, gramsDir, gramsGen, id) match {
+            case Some(index) => front match {
+              case Some(bits) if bloomMode == "approx" =>
+                // bloom-only verdict: no index read at all this batch
+                bg.filter(!IndexStore.mightContain(bits, col("s")))
+              case Some(bits) =>
+                // exact mode: bloom-rejected grams are PROVEN novel;
+                // only the accepted remainder needs the index confirm
+                val probable = bg.filter(IndexStore.mightContain(bits, col("s")))
+                if (probeBroadcastMaxGrams > 0 && nBg <= probeBroadcastMaxGrams) {
+                  val seen = index.select("s")
+                    .join(broadcast(probable), Seq("s"), "left_semi")
+                  bg.join(broadcast(seen), Seq("s"), "left_anti")
+                } else bg.filter(!IndexStore.mightContain(bits, col("s")))
+                  .unionByName(probable.join(index.select("s"), Seq("s"), "left_anti"))
+              case None =>
+                if (probeBroadcastMaxGrams > 0 && nBg <= probeBroadcastMaxGrams) {
+                  // SEEN-SET FLIP — the same shape as the dedup-ingest
+                  // probe plan: a plain left_anti against the standing
+                  // index shuffles EVERY stored gram row per micro-batch
+                  // (the join's right side cannot broadcast — it is the
+                  // unbounded one). Instead broadcast the micro-batch's
+                  // grams to an in-place semi-join scan of the index
+                  // (never shuffled), and anti-join the batch against the
+                  // resulting SEEN set, which is ≤ the batch's gram count
+                  // by construction (the index holds each gram once).
+                  val seen = index.select("s")
+                    .join(broadcast(bg), Seq("s"), "left_semi")
+                  bg.join(broadcast(seen), Seq("s"), "left_anti")
+                } else bg.join(index.select("s"), Seq("s"), "left_anti")
+            }
             case None => bg // index still empty: first batch(es)
           }
           novel.write.mode("overwrite").parquet(s"$gramsDir/batch=$id")
           val nGrams = bg.count()
           val nNovel = spark.read.parquet(s"$gramsDir/batch=$id").count()
+          if (useBloom)
+            IndexStore.writeBloomSidecar(spark, s"$gramsDir/batch=$id", "s",
+              bloomFpp, expectedRows = Some(nNovel))
           import spark.implicits._
           Seq((id, nGrams, nNovel,
               if (nGrams == 0) 0.0 else nNovel.toDouble / nGrams))
@@ -927,6 +875,7 @@ object Streams {
             .write.mode("overwrite").parquet(s"$logDir/batch=$id")
         } finally bg.unpersist(false)
     }
+  }
 
   /** Highest-numbered `v=<n>` subdirectory of an [[upsertSink]] target,
     * optionally restricted to versions strictly below `below` (recovery

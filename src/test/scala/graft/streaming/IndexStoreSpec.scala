@@ -1,0 +1,181 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class IdxDoc(doc_id: Long, text: String)
+
+/** Focused suite for the standing-index store machinery (runs, tiers,
+  * markers, Bloom sidecars) that [[Streams.dedupIngestSink]],
+  * [[Streams.noveltyMonitor]] and the delta upsert share — split out of
+  * Streams.scala in round 16 so new sink consumers don't re-test
+  * compaction through sink behavior. */
+class IndexStoreSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def writeBatchDir(liveDir: String, id: Long, values: Seq[String]): Unit = {
+    val s = spark
+    import s.implicits._
+    values.toDF("s").withColumn("batch", lit(id))
+      .write.mode("overwrite").parquet(s"$liveDir/batch=$id")
+  }
+
+  test("covers tie-break: a legacy gen=<hi> and a fanout=1 gen=0_<hi> twin " +
+      "with the identical range resolve to exactly one surviving run") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("idx-twin")
+    val (live, gen) = (s"$base/live", s"$base/gen")
+    // the ADVICE r15 shape: a crash-replay of the legacy fold after a
+    // compactFanout upgrade leaves BOTH names with the same [0, 8) range
+    val rows = (0 until 8).flatMap(b => Seq((s"g${b}_a", b.toLong), (s"g${b}_b", b.toLong)))
+    rows.toDF("s", "batch").write.mode("overwrite").parquet(s"$gen/gen=8")
+    IndexStore.markCommitted(spark, s"$gen/gen=8")
+    rows.toDF("s", "batch").write.mode("overwrite").parquet(s"$gen/gen=0_8")
+    IndexStore.markCommitted(spark, s"$gen/gen=0_8")
+    val runs = IndexStore.completeRuns(spark, gen)
+    assert(runs.size === 1, s"exact-range twins must resolve to one run: $runs")
+    // the two-part name wins the tie deterministically
+    assert(runs.head.path.getName === "gen=0_8")
+    // the read path therefore counts every row exactly once
+    val read = IndexStore.readIndexDir(spark, live, gen, id = 100L).get
+    assert(read.count() === rows.size.toLong)
+    // and cleanup (step 3 of compactIndexDir) deletes the covered twin
+    IndexStore.compactIndexDir(spark, live, gen, id = 100L, compactEvery = 1000)
+    val names = IndexStore.hadoopFs(spark, gen)
+      .listStatus(new org.apache.hadoop.fs.Path(gen)).map(_.getPath.getName).toSet
+    assert(!names.contains("gen=8"), s"covered twin must be cleaned: $names")
+    assert(names.contains("gen=0_8"))
+  }
+
+  test("tierOf uses integer arithmetic: exact fanout powers land on their " +
+      "own tier instead of rounding down") {
+    val p = new org.apache.hadoop.fs.Path("/dev/null")
+    def run(span: Long) = IndexStore.GenRun(0L, span, p)
+    // span/compactEvery = 16 = 4^2 must be tier 2; the floating-log form
+    // computed log(16)/log(4) = 1.9999999999999998 -> tier 1 (ADVICE r15)
+    assert(IndexStore.tierOf(run(16L * 64), 64, 4) === 2)
+    assert(IndexStore.tierOf(run(4L * 64), 64, 4) === 1)
+    assert(IndexStore.tierOf(run(64L * 64), 64, 4) === 3)
+    assert(IndexStore.tierOf(run(64), 64, 4) === 0)
+    assert(IndexStore.tierOf(run(3L * 64), 64, 4) === 0)
+    // every power up to 4^9 lands exactly
+    (0 to 9).foreach { t =>
+      val span = math.pow(4, t).toLong * 64
+      assert(IndexStore.tierOf(run(span), 64, 4) === t, s"span=$span")
+    }
+  }
+
+  test("bloom sidecars: no false negatives, fallback when a dir lacks its " +
+      "sidecar, bits survive tiered merges") {
+    val base = tmp("idx-bloom")
+    val (live, gen) = (s"$base/live", s"$base/gen")
+    val valuesOf = (b: Long) => (0 until 50).map(i => s"v${b}_$i")
+    // 9 batches at compactEvery=2, fanout=2: triggers tier-0 folds AND
+    // at least one tier-up merge, so the front spans a merge boundary
+    (0L until 9L).foreach { b =>
+      IndexStore.compactIndexDir(spark, live, gen, b, compactEvery = 2,
+        fanout = 2, bloomCol = Some("s"), bloomFpp = 0.01)
+      writeBatchDir(live, b, valuesOf(b))
+      IndexStore.writeBloomSidecar(spark, s"$live/batch=$b", "s", 0.01,
+        expectedRows = Some(50L))
+    }
+    IndexStore.compactIndexDir(spark, live, gen, 9L, compactEvery = 2,
+      fanout = 2, bloomCol = Some("s"), bloomFpp = 0.01)
+    assert(IndexStore.completeRuns(spark, gen).nonEmpty, "a run must exist")
+    val front = IndexStore.readBloomFront(spark, live, gen, id = 9L)
+    assert(front.isDefined, "all consumed dirs carry sidecars")
+    val s = spark
+    import s.implicits._
+    val members = (0L until 9L).flatMap(valuesOf).toDF("s")
+    val might = IndexStore.mightContain(front.get, col("s"))
+    // no false negatives — every stored value must be accepted, including
+    // values whose rows crossed a tier merge
+    assert(members.filter(!might).count() === 0L)
+    // false positives bounded: most non-members are rejected
+    val nonMembers = (0 until 2000).map(i => s"absent_$i").toDF("s")
+    val fp = nonMembers.filter(might).count()
+    assert(fp < 200L, s"bloom front rejects almost all non-members, fp=$fp")
+    // a consumed dir without a sidecar forces the exact fallback
+    writeBatchDir(live, 9L, valuesOf(9L)) // no sidecar written
+    assert(IndexStore.readBloomFront(spark, live, gen, id = 10L).isEmpty)
+    // empty-dir sidecars read back as matches-nothing, not as a failure
+    writeBatchDir(live, 9L, Seq.empty[String])
+    IndexStore.writeBloomSidecar(spark, s"$live/batch=9", "s", 0.01)
+    assert(IndexStore.readBloomFront(spark, live, gen, id = 10L).isDefined)
+  }
+
+  test("noveltyMonitor bloom modes: exact == off, approx within the fpp bound") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def body(tag: String, off: Int) =
+      (1 to 20).map(i => s"$tag${i + off}").mkString(" ")
+    def batchDocs(b: Int): Seq[IdxDoc] = Seq(
+      IdxDoc(100L + b, body("n", b * 5)), // overlapping novelty
+      IdxDoc(200L + b, body(s"u$b ", 0))) // fully fresh
+    def run(mode: String): Seq[(Long, Long, Long)] = {
+      val mem = MemoryStream[IdxDoc]
+      val out = tmp("novelty-bloom")
+      val q = Streams.noveltyMonitor(mem.toDF(), "doc_id", "text", out,
+        compactEvery = 3, bloomMode = mode, bloomFpp = 0.01).start()
+      try {
+        (0 until 7).foreach { b =>
+          mem.addData(batchDocs(b): _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.read.parquet(s"$out/log").orderBy("batch_id").collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("n_grams"),
+          r.getAs[Long]("n_novel"))).toSeq
+    }
+    val off = run("off")
+    val exact = run("exact")
+    assert(exact === off, "exact bloom mode must not change any verdict")
+    val approx = run("approx")
+    // approx can only UNDER-count novelty (a Bloom false positive marks a
+    // truly-novel gram as seen; false negatives cannot happen), and at
+    // fpp=1% over a handful of runs the undercount stays tiny
+    approx.zip(off).foreach { case ((b, ng, nvA), (_, ngO, nvO)) =>
+      assert(ng === ngO)
+      assert(nvA <= nvO, s"batch $b: approx must not over-count novelty")
+      assert(nvA >= (nvO * 0.9).toLong, s"batch $b: undercount beyond bound")
+    }
+  }
+
+  test("dedupIngestSink band-key bloom prefilter keeps the corpus identical") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 400).map(i => s"w$i")
+    def fresh(id: Long) =
+      IdxDoc(id, (0 until 40).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    def dup(id: Long, tpl: Int) =
+      IdxDoc(id, (0 until 40).map(i => s"t${tpl}_$i").mkString(" "))
+    var next = 0L
+    def batch(): Seq[IdxDoc] = (0 until 8).map { _ =>
+      next += 1
+      if (rnd.nextDouble() < 0.3) dup(next, rnd.nextInt(3)) else fresh(next)
+    }
+    val batches = (0 until 6).map(_ => batch())
+    def run(fpp: Double): Set[Long] = {
+      val mem = MemoryStream[IdxDoc]
+      val out = tmp("dedup-bloom")
+      val q = Streams.dedupIngestSink(mem.toDF(), "doc_id", "text", out,
+        compactEvery = 3, bloomFpp = fpp).start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.read.parquet(s"$out/docs").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+    val withBloom = run(0.01)
+    val control = run(0.0)
+    assert(withBloom === control,
+      "the bk bloom prefilter is a pure candidate reduction — same corpus")
+    assert(control.size < next, "some near-dups must actually drop")
+  }
+}

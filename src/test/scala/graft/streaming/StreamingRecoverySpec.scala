@@ -186,8 +186,12 @@ class StreamingRecoverySpec extends SparkSpec {
     val ckpt = tmpCkpt("upsert_kill")
     val flag = s"${tmpDir("upsert_flag")}/armed"
     val poison = poisonOn(flag, badId = 99L)
+    // snapshotEvery=2: batch 1 is the FOLD batch, so the kill lands on
+    // the most delicate path — a replayed fold must rebuild from the
+    // committed deltas, never from its own torn v=1 / d=1
     def start() = Streams.upsertSink(
-        mem.toDF().filter(poison(col("event_id"))), Seq("event_id"), out)
+        mem.toDF().filter(poison(col("event_id"))), Seq("event_id"), out,
+        snapshotEvery = 2)
       .option("checkpointLocation", ckpt).start()
 
     val q1 = start()
@@ -196,7 +200,7 @@ class StreamingRecoverySpec extends SparkSpec {
         Ev(ts("2024-01-01 10:01:00"), 2L, 2.0, 2))
       q1.processAllAvailable()
     } finally q1.stop()
-    assert(spark.read.parquet(s"$out/v=0").count() === 2)
+    assert(spark.read.parquet(s"$out/d=0").count() === 2)
 
     // batch 1 (update key 2, insert key 99) dies on its first attempt
     java.nio.file.Files.createFile(java.nio.file.Paths.get(flag))
@@ -206,24 +210,31 @@ class StreamingRecoverySpec extends SparkSpec {
     val err = intercept[Exception] { q2.processAllAvailable() }
     assert(err.toString.contains("injected") || err.getCause != null)
     q2.stop()
-    // simulate the torn write the dead attempt may have left: a partial
-    // v=1 holding a STALE row (the exact dir the replay must not read)
+    // simulate the torn writes the dead attempt may have left: a partial
+    // d=1 AND a marker-complete stale v=1 (the exact dirs the replay must
+    // overwrite / refuse to use as its fold base)
+    Seq(Ev(ts("2024-01-01 10:02:00"), 2L, -1.0, 2))
+      .toDF().write.mode("overwrite").parquet(s"$out/d=1")
     Seq(Ev(ts("2024-01-01 10:02:00"), 2L, -1.0, 2))
       .toDF().write.mode("overwrite").parquet(s"$out/v=1")
+    // even MARKER-COMPLETE, the replay's fold must not read its own v=1
+    IndexStore.markCommitted(spark, s"$out/v=1")
 
     java.nio.file.Files.delete(java.nio.file.Paths.get(flag))
     val q3 = start()
     try q3.processAllAvailable() finally q3.stop()
 
     val latest = Streams.latestVersion(out).get
-    assert(latest.endsWith("v=1"), s"replay must land in its own version dir: $latest")
-    val back = spark.read.parquet(latest)
+    assert(latest.endsWith("v=1"), s"the fold must land in its own version dir: $latest")
+    val back = Streams.latestTable(spark, out, Seq("event_id")).get
       .select("event_id", "value").orderBy("event_id")
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(back.toSeq === Seq((1L, 1.0), (2L, 99.0), (99L, 9.0)),
       s"exactly-once after kill+replay, got ${back.toSeq}")
-    // no duplicate versions appeared and v=0 survived for time travel
-    assert(spark.read.parquet(s"$out/v=0").count() === 2)
+    // the replayed fold rebuilt v=1 from d=0 + the rewritten d=1
+    assert(spark.read.parquet(s"$out/v=1").count() === 3)
+    assert(spark.read.parquet(s"$out/v=1")
+      .filter(col("event_id") === 2L).select("value").head().getDouble(0) === 99.0)
   }
 
   test("upsertSink with retention GC: recovery replays from the kept window, versions stay bounded") {
@@ -236,9 +247,10 @@ class StreamingRecoverySpec extends SparkSpec {
     val ckpt = tmpCkpt("upsert_gc_kill")
     val flag = s"${tmpDir("upsert_gc_flag")}/armed"
     val poison = poisonOn(flag, badId = 99L)
+    // snapshotEvery=1: per-batch folds, the tightest GC cadence
     def start() = Streams.upsertSink(
         mem.toDF().filter(poison(col("event_id"))), Seq("event_id"), out,
-        keepVersions = 2)
+        keepVersions = 2, snapshotEvery = 1)
       .option("checkpointLocation", ckpt).start()
 
     // batches 0..2 run clean; GC has already deleted v=0 by batch 2
@@ -251,35 +263,39 @@ class StreamingRecoverySpec extends SparkSpec {
     } finally q1.stop()
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    def versions(): Seq[Long] =
+    def dirs(prefix: String): Seq[Long] =
       fs.listStatus(new org.apache.hadoop.fs.Path(out))
-        .map(_.getPath.getName).filter(_.startsWith("v="))
-        .map(_.stripPrefix("v=").toLong).sorted.toSeq
-    assert(versions() === Seq(1L, 2L), s"GC must have trimmed v=0: ${versions()}")
+        .map(_.getPath.getName).filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).toLong).sorted.toSeq
+    assert(dirs("v=") === Seq(1L, 2L), s"GC must have trimmed v=0: ${dirs("v=")}")
 
-    // batch 3 dies on its first attempt, leaving a torn v=3
+    // batch 3 dies on its first attempt, leaving torn d=3 and v=3
     java.nio.file.Files.createFile(java.nio.file.Paths.get(flag))
     mem.addData(Ev(ts("2024-01-01 10:03:00"), 9L, 9.0, 99))
     val q2 = start()
     intercept[Exception] { q2.processAllAvailable() }
     q2.stop()
     Seq(Ev(ts("2024-01-01 10:03:00"), 9L, -1.0, 99))
+      .toDF().write.mode("overwrite").parquet(s"$out/d=3")
+    Seq(Ev(ts("2024-01-01 10:03:00"), 9L, -1.0, 99))
       .toDF().write.mode("overwrite").parquet(s"$out/v=3")
 
-    // replay derives from v=2 — inside the GC'd retention window
+    // replay derives from v=2 + the rewritten d=3 — inside the GC window
     java.nio.file.Files.delete(java.nio.file.Paths.get(flag))
     val q3 = start()
     try q3.processAllAvailable() finally q3.stop()
 
     val latest = Streams.latestVersion(out).get
     assert(latest.endsWith("v=3"), s"replay must land in its own version dir: $latest")
-    val back = spark.read.parquet(latest)
+    val back = Streams.latestTable(spark, out, Seq("event_id")).get
       .select("event_id", "value").orderBy("event_id")
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(back.toSeq === Seq((0L, 0.0), (1L, 1.0), (2L, 2.0), (99L, 9.0)),
       s"exactly-once after kill+replay with GC on, got ${back.toSeq}")
-    assert(versions() === Seq(2L, 3L),
-      s"version count must stay bounded after recovery: ${versions()}")
+    assert(dirs("v=") === Seq(2L, 3L),
+      s"version count must stay bounded after recovery: ${dirs("v=")}")
+    assert(dirs("d=") === Seq(3L),
+      s"delta dirs must stay bounded after recovery: ${dirs("d=")}")
   }
 
   test("dedupIngestSink: a killed batch replays against the strictly-below index, no dup or loss") {

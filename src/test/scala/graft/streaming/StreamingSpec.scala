@@ -461,36 +461,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("upsertSink folds micro-batches into a versioned merged table") {
+  test("upsertSink folds micro-batches into a delta-versioned merged table") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
     val out = java.nio.file.Files.createTempDirectory("stream_upsert").toString
-    val q = Streams.upsertSink(mem.toDF(), Seq("event_id"), out).start()
+    val q = Streams.upsertSink(mem.toDF(), Seq("event_id"), out,
+      snapshotEvery = 2).start()
+    def state() = Streams.latestTable(spark, out, Seq("event_id")).get
+      .select("event_id", "value").orderBy("event_id")
+      .collect().map(r => (r.getLong(r.fieldIndex("event_id")),
+        r.getDouble(r.fieldIndex("value")))).toSeq
     try {
       mem.addData(Ev(ts("2024-01-01 10:00:00"), 1L, 1.0, 1),
         Ev(ts("2024-01-01 10:01:00"), 2L, 2.0, 2))
       q.processAllAvailable()
-      // batch 2: update event 2, insert event 3
+      // batch 0 alone: a delta only, no snapshot yet — state reads
+      // through the delta fold
+      assert(Streams.latestVersion(out).isEmpty)
+      assert(state() === Seq((1L, 1.0), (2L, 2.0)))
+      // batch 1: update event 2, insert event 3; snapshotEvery=2 folds
       mem.addData(Ev(ts("2024-01-01 10:02:00"), 2L, 99.0, 2),
         Ev(ts("2024-01-01 10:03:00"), 3L, 3.0, 3))
       q.processAllAvailable()
-      val latest = Streams.latestVersion(out).get
-      val back = spark.read.parquet(latest)
-        .select("event_id", "value").orderBy("event_id")
-        .collect().map(r => (r.getLong(r.fieldIndex("event_id")),
-          r.getDouble(r.fieldIndex("value"))))
-      assert(back.toSeq === Seq((1L, 1.0), (2L, 99.0), (3L, 3.0)))
-      // both versions survive for time travel
-      val v0 = spark.read.parquet(s"$out/v=0")
-      assert(v0.count() === 2)
-      // recovery semantics: a replayed batch derives from versions
-      // STRICTLY BELOW its own id, never its possibly-partial own dir
-      assert(Streams.latestVersion(out, below = 1L).get.endsWith("v=0"))
-      assert(Streams.latestVersion(out, below = 0L).isEmpty)
+      assert(state() === Seq((1L, 1.0), (2L, 99.0), (3L, 3.0)))
+      // the fold landed a full snapshot at the fold batch's id
+      assert(Streams.latestVersion(out).get.endsWith("v=1"))
+      assert(spark.read.parquet(s"$out/v=1").count() === 3)
+      // batch 2: delta above the snapshot, not yet folded
+      mem.addData(Ev(ts("2024-01-01 10:04:00"), 1L, -5.0, 1))
+      q.processAllAvailable()
+      assert(state() === Seq((1L, -5.0), (2L, 99.0), (3L, 3.0)))
+      assert(Streams.latestVersion(out).get.endsWith("v=1"),
+        "no new snapshot until snapshotEvery deltas accumulate")
+      // recovery semantics: a replayed fold derives from snapshots and
+      // deltas STRICTLY BELOW its own id
+      assert(Streams.latestTable(spark, out, Seq("event_id"), below = 1L).get
+        .count() === 2L)
+      assert(Streams.latestTable(spark, out, Seq("event_id"), below = 0L).isEmpty)
       // resolved through Hadoop FS: an explicit file: URI works too
-      assert(Streams.latestVersion(s"file:$out").isDefined)
+      assert(Streams.latestTable(spark, s"file:$out", Seq("event_id")).isDefined)
     } finally q.stop()
   }
 
@@ -845,8 +856,10 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
     val out = java.nio.file.Files.createTempDirectory("stream_upsert_gc").toString
+    // snapshotEvery=1: per-batch snapshots, the r14 cadence — GC runs
+    // every batch and must bound BOTH snapshot and delta dirs
     val q = Streams.upsertSink(mem.toDF(), Seq("event_id"), out,
-      keepVersions = 2).start()
+      keepVersions = 2, snapshotEvery = 1).start()
     try {
       // 5 batches: insert key b with value b, plus re-upsert key 0 so the
       // merge path always has work
@@ -857,14 +870,18 @@ class StreamingSpec extends SparkSpec {
       }
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
-      val versions = fs.listStatus(new org.apache.hadoop.fs.Path(out))
-        .map(_.getPath.getName).filter(_.startsWith("v="))
-        .map(_.stripPrefix("v=").toLong).sorted.toSeq
-      assert(versions === Seq(3L, 4L),
-        s"GC must keep exactly the 2 newest versions, got $versions")
+      def dirs(prefix: String): Seq[Long] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(out))
+          .map(_.getPath.getName).filter(_.startsWith(prefix))
+          .map(_.stripPrefix(prefix).toLong).sorted.toSeq
+      assert(dirs("v=") === Seq(3L, 4L),
+        s"GC must keep exactly the 2 newest versions, got ${dirs("v=")}")
+      // deltas at/below the second-newest snapshot are folded + GC'd
+      assert(dirs("d=") === Seq(4L),
+        s"only the newest snapshot's delta window survives, got ${dirs("d=")}")
       // the maintained state is unaffected: all 5 inserted keys present,
       // key 0 carries the last batch's value
-      val latest = spark.read.parquet(Streams.latestVersion(out).get)
+      val latest = Streams.latestTable(spark, out, Seq("event_id")).get
       assert(latest.count() === 5L)
       val key0 = latest.filter(col("event_id") === 0L)
         .select("value").head().getDouble(0)

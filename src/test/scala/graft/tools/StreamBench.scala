@@ -249,10 +249,13 @@ object StreamBench {
       // arg 6 doubles as the novelty probe gate (0 = the legacy
       // full-index-shuffle anti-join as the A/B control arm)
       val probeMax = args.lift(5).map(_.toLong).getOrElse(4L << 20)
+      // arg 8: bloomMode off|exact|approx — the r16 bloom-front A/B
+      // (approx = zero index reads per batch, fpp-bounded novelty)
+      val bloomMode = args.lift(7).getOrElse("exact")
       val q = graft.streaming.Streams
         .noveltyMonitor(mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
           target, compactEvery = compactEvery,
-          probeBroadcastMaxGrams = probeMax)
+          probeBroadcastMaxGrams = probeMax, bloomMode = bloomMode)
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("sb-novelty-ckpt").toString)
         .start()
@@ -270,16 +273,13 @@ object StreamBench {
           idxBytes += dirBytes(s"$target/grams") + dirBytes(s"$target/gramsc")
         }
       } finally q.stop()
-      val indexedGrams = spark.read.parquet(s"$target/grams").count() + {
-        val f = new java.io.File(s"$target/gramsc")
-        if (f.exists()) {
-          // all surviving runs (gen=<lo>_<hi>; covered merge inputs are
-          // cleaned in the same compaction call, so survivors are disjoint)
-          val gens = f.listFiles().filter(_.getName.startsWith("gen="))
-          if (gens.isEmpty) 0L
-          else spark.read.parquet(gens.map(_.getPath).toSeq: _*).count()
-        } else 0L
-      }
+      // count through the REAL read path (complete, non-covered runs +
+      // live dirs above coverage): a lingering markerless or interrupted
+      // merge dir is invisible to probes and must not inflate the report
+      // (ADVICE r15)
+      val indexedGrams = graft.streaming.IndexStore
+        .readIndexDir(spark, s"$target/grams", s"$target/gramsc", Long.MaxValue)
+        .map(_.count()).getOrElse(0L)
       report("novelty_monitor", secs.result(),
         batches.toLong * docsPerBatch, Vector(indexedGrams), idxBytes.result())
     }
@@ -315,6 +315,126 @@ object StreamBench {
       val logged = spark.read.parquet(logDir).count()
       report("psi_monitor", secs.result(),
         batches.toLong * rowsPerBatch, Vector(logged), logBytes.result())
+    }
+
+    // ----- 3d. upsertSink: delta WAL + periodic snapshot, foreachBatch --
+    // The r16 write-amplification A/B (VERDICT r15 #2): arg 5 =
+    // snapshotEvery (1 = the r14 full-copy-per-batch control arm). The
+    // listener's task-output bytes are the claim: delta mode's
+    // cumulative writes must be ~K× lower on a maintained base that
+    // dwarfs the per-batch delta.
+    if (wanted("upsert_maintain")) {
+      val target = java.nio.file.Files
+        .createTempDirectory("sb-upsert").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("sb-upsert-ckpt").toString
+      val snapshotEvery = args.lift(4).map(_.toInt).getOrElse(8)
+      val baseKeys = math.max(20000, rowsPerBatch)
+      val updatesPerBatch = math.max(100, rowsPerBatch / 50)
+      val written = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            written.addAndGet(e.taskMetrics.outputMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val mem = MemoryStream[(Long, Double)]
+      val q = graft.streaming.Streams
+        .upsertSink(mem.toDF().toDF("k", "v"), Seq("k"), target,
+          snapshotEvery = snapshotEvery)
+        .option("checkpointLocation", ckpt)
+        .start()
+      val secs = Vector.newBuilder[Double]
+      val storeBytes = Vector.newBuilder[Long]
+      try {
+        // batch 0 seeds the full base; later batches touch a small slice
+        mem.addData((0 until baseKeys).map(i => (i.toLong, 0.0)))
+        q.processAllAvailable()
+        (1 until batches).foreach { b =>
+          mem.addData((0 until updatesPerBatch).map(_ =>
+            (rnd.nextInt(baseKeys).toLong, b.toDouble)))
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          secs += (System.nanoTime() - t0) / 1e9
+          storeBytes += dirBytes(target)
+        }
+      } finally {
+        q.stop()
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      val state = graft.streaming.Streams
+        .latestTable(spark, target, Seq("k")).map(_.count()).getOrElse(0L)
+      println(s"""{"scenario_note":"upsert_maintain","snapshot_every":$snapshotEvery,""" +
+        s""""base_keys":$baseKeys,"state_rows":$state,""" +
+        s""""written_bytes_total":${written.get()}}""")
+      report("upsert_maintain", secs.result(),
+        batches.toLong * updatesPerBatch, Vector(state), storeBytes.result())
+    }
+
+    // ----- 3e. rateMonitor: trailing-hour z-scores, bounded keyed state -
+    // State is O(keys × trailingHours) by eviction; the longevity claim
+    // (VERDICT r15 #5) is FLAT latency + plateaued state over a stream
+    // whose event time advances continuously.
+    if (wanted("rate_monitor")) {
+      val mem = MemoryStream[(String, java.sql.Timestamp)]
+      val q = graft.streaming.Streams
+        .rateMonitor(mem.toDF().toDF("k", "ts"), "k", "ts", trailingHours = 24)
+        .writeStream.format("memory").queryName("sb_rate")
+        .outputMode(OutputMode.Update()).start()
+      val secs = Vector.newBuilder[Double]
+      val stRows = Vector.newBuilder[Long]
+      val stBytes = Vector.newBuilder[Long]
+      val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      try {
+        (0 until batches).foreach { b =>
+          // each batch advances ~20 min; counts vary so z has variance
+          mem.addData((0 until rowsPerBatch).map { i =>
+            (s"k${rnd.nextInt(keys)}", java.sql.Timestamp.from(
+              base.plusSeconds(b * 1200L + rnd.nextInt(1200))))
+          })
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          secs += (System.nanoTime() - t0) / 1e9
+          val so = q.lastProgress.stateOperators
+          stRows += so.map(_.numRowsTotal).sum
+          stBytes += so.map(_.memoryUsedBytes).sum
+        }
+      } finally q.stop()
+      report("rate_monitor", secs.result(),
+        batches.toLong * rowsPerBatch, stRows.result(), stBytes.result())
+      spark.catalog.dropTempView("sb_rate")
+    }
+
+    // ----- 3f. engagementMonitor: 3-number decayed state per key --------
+    if (wanted("engagement_monitor")) {
+      val mem = MemoryStream[(String, java.sql.Timestamp, Double)]
+      val q = graft.streaming.Streams
+        .engagementMonitor(mem.toDF().toDF("k", "ts", "v"), "k", "ts", "v",
+          halfLifeDays = 7.0)
+        .writeStream.format("memory").queryName("sb_engage")
+        .outputMode(OutputMode.Update()).start()
+      val secs = Vector.newBuilder[Double]
+      val stRows = Vector.newBuilder[Long]
+      val stBytes = Vector.newBuilder[Long]
+      val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      try {
+        (0 until batches).foreach { b =>
+          mem.addData((0 until rowsPerBatch).map { _ =>
+            (s"k${rnd.nextInt(keys)}", java.sql.Timestamp.from(
+              base.plusSeconds(b * 600L + rnd.nextInt(600))),
+              rnd.nextDouble())
+          })
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          secs += (System.nanoTime() - t0) / 1e9
+          val so = q.lastProgress.stateOperators
+          stRows += so.map(_.numRowsTotal).sum
+          stBytes += so.map(_.memoryUsedBytes).sum
+        }
+      } finally q.stop()
+      report("engagement_monitor", secs.result(),
+        batches.toLong * rowsPerBatch, stRows.result(), stBytes.result())
+      spark.catalog.dropTempView("sb_engage")
     }
 
     // ----- 4. evicting profile: UNBOUNDED key space, bounded state ------
