@@ -58,6 +58,130 @@ object TextAnalysis {
         floor(col("n_chars").cast("double") / col("n_tokens") * 1e6 + 0.5) / 1e6)
         .as("chars_per_token"))
 
+  /** Delimiter for learned-BPE symbol strings ([[bpeFit]]): every symbol
+    * is wrapped D sym D (D = U+0001), so a merge of (l, r) is one
+    * literal non-overlapping left-to-right string replace of
+    * "DlDDrD" with "DlrD" — each symbol carries its own boundary on both
+    * sides, so adjacent merge sites never share a delimiter and a plain
+    * replace() (Spark and ANSI SQL alike) realizes exactly the greedy
+    * left-to-right merge scan of the published BPE algorithm (Sennrich,
+    * Haddow & Birch 2016). The delimiter char is stripped from input
+    * words first. */
+  val BpeDelim = "\u0001"
+
+  /** A word as its delimiter-wrapped character-symbol string (the state
+    * a BPE merge table rewrites). Chars are enumerated with the same
+    * RE2-safe `.` class on both engines, so the SQL oracle replays it. */
+  private def bpeSymbolize(word: Column): Column =
+    concat(lit(BpeDelim),
+      array_join(regexp_extract_all(word, lit("."), lit(0)), BpeDelim + BpeDelim),
+      lit(BpeDelim))
+
+  /** Distributed BPE FIT — the learned-tokenizer unit every production
+    * token-budget decision uses, as an iterative Spark program (the one
+    * LLM-pipeline operator class the regex pre-tokenizer family above
+    * cannot represent). Returns the first `numMerges` merge rules
+    * (rank, lhs, rhs, cnt), each the most frequent adjacent symbol pair
+    * over the corpus at that step, with a TOTAL-ORDER tie-break
+    * (count desc, then (lhs, rhs) lexicographic asc) so the fitted
+    * table is deterministic across partitionings and replays — the
+    * same deterministic-argmax discipline as
+    * [[graft.operators.Graph.labelPropagation]].
+    *
+    * Scale shape: everything iterates over the DISTINCT-WORD frequency
+    * table — vocabulary-sized, orders of magnitude below the corpus
+    * under any Zipfian text — built by one corpus-wide hash aggregation.
+    * Each merge round is one pair-count aggregation (explode of zipped
+    * adjacent symbols, map-side combined) plus a LIMIT-1 argmax whose
+    * single row is the only thing the driver ever collects, and one
+    * codegen'd string-replace rewrite of the symbol column,
+    * localCheckpointed per round so round k+1 scans materialized state
+    * instead of re-deriving k rounds of lineage. Pair counting counts
+    * overlapping occurrences (aab has (a,a) and (a,b)) and the rewrite
+    * merges greedy left-to-right, both per the published algorithm. */
+  def bpeFitMerges(df: DataFrame, textCol: String,
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    require(numMerges >= 1 && numMerges <= 4096,
+      s"numMerges must be in [1, 4096]: $numMerges")
+    val D = BpeDelim
+    val words = df
+      .select(explode(tokens(col(textCol))).as("word"))
+      .select(replace(col("word"), lit(D), lit("")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var syms = words.select(bpeSymbolize(col("word")).as("sym"), col("freq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      val arr = split(trim(col("sym"), D),
+        java.util.regex.Pattern.quote(D + D))
+      val best = syms
+        .select(col("freq"), arr.as("l_"))
+        .select(col("freq"), col("l_"),
+          slice(col("l_"), lit(2), greatest(size(col("l_")) - 1, lit(0))).as("r_"))
+        .select(col("freq"), explode(arrays_zip(col("l_"), col("r_"))).as("z"))
+        .filter(col("z.r_").isNotNull)
+        .groupBy(col("z.l_").as("lhs"), col("z.r_").as("rhs"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true // every word fused to one symbol
+      else {
+        val l = best(0).getString(0)
+        val rr = best(0).getString(1)
+        val cnt = best(0).getLong(2)
+        merges += ((r, l, rr, cnt))
+        val prev = syms
+        syms = syms.withColumn("sym",
+            replace(col("sym"), lit(D + l + D + D + rr + D), lit(D + l + rr + D)))
+          .localCheckpoint()
+        prev.unpersist(false)
+        r += 1
+      }
+    }
+    syms.unpersist(false)
+    merges.result()
+  }
+
+  /** [[bpeFitMerges]] as a DataFrame: (rank, lhs, rhs, merged, cnt). */
+  def bpeFit(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeFitMerges(df, textCol, numMerges)
+      .map { case (r, l, rr, c) => (r, l, rr, l + rr, c) }
+      .toDF("rank", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** BPE ENCODE over a fitted merge table, aggregated per `groupCol`
+    * (document id for per-doc budgets, language for fertility): applies
+    * the merges in rank order to every word occurrence and counts the
+    * resulting learned-vocab tokens. The merge chain is a pure
+    * codegen'd column expression — `numMerges` nested literal
+    * replaces — so encoding is embarrassingly parallel over the corpus
+    * and the only shuffle is the final (group, count-partials) hash
+    * aggregation; the driver holds just the merge rules (bounded by
+    * numMerges — the legitimate collect [[bpeFitMerges]] already made).
+    * Token counting never re-splits the encoded string: a k-symbol word
+    * carries exactly 2k delimiter chars. */
+  def bpeEncodeCounts(df: DataFrame, groupCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val D = BpeDelim
+    val esym = merges.foldLeft(bpeSymbolize(col("word"))) { case (c, (l, rr)) =>
+      replace(c, lit(D + l + D + D + rr + D), lit(D + l + rr + D))
+    }
+    df.select(col(groupCol), explode(tokens(col(textCol))).as("word"))
+      .select(col(groupCol), replace(col("word"), lit(D), lit("")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col(groupCol), esym.as("esym"))
+      .groupBy(groupCol).agg(
+        count(lit(1)).as("n_words"),
+        sum(((length(col("esym")) -
+          length(replace(col("esym"), lit(D), lit("")))) / 2).cast("long"))
+          .as("n_tokens"))
+  }
+
   /** Per-document token stats: count + mean token length. */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))

@@ -761,6 +761,133 @@ object LlmQueries {
        |   / CAST(NULLIF(sum(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}'))), 0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chars_per_token
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------- learned BPE
+
+  /** Merge depth of the oracle-checked BPE queries: deep enough that
+    * merges-of-merges occur (rank 6 at sf0.01 already fuses a rank-1
+    * product), shallow enough that the unrolled DuckDB oracle stays
+    * tractable. */
+  private val BpeK = 10
+
+  /** The fitted merge table, built ONCE per (session, dir) — a real
+    * pipeline fits its tokenizer once and encodes with it everywhere,
+    * the same sign-once economics as the minhash index ([[Memo]]). */
+  private def bpeMergesTable(spark: SparkSession, dir: String): DataFrame =
+    Memo.tableFor(spark, dir, s"bpe_merges_k$BpeK") {
+      TextAnalysis.bpeFit(Tables.documents(spark, dir), "text", BpeK)
+    }
+
+  private def bpeMergeRules(spark: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergesTable(spark, dir).orderBy("rank").collect()
+      .map(row => (row.getAs[String]("lhs"), row.getAs[String]("rhs"))).toSeq
+
+  /** Learned-BPE FIT ([[TextAnalysis.bpeFit]]): the first 10 merge rules
+    * over the documents corpus — most-frequent adjacent symbol pair per
+    * round, (count desc, pair asc) tie-broken, greedy left-to-right
+    * rewrite. The oracle unrolls the identical 10 rounds as chained
+    * MATERIALIZED CTEs (plain CTEs re-evaluate per reference in DuckDB,
+    * exponential here). */
+  def bpeFitDocs(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesTable(spark, dir).orderBy("rank")
+
+  /** Learned-BPE ENCODE per document: words and learned-vocab tokens
+    * after applying the 10 fitted merges ([[TextAnalysis.bpeEncodeCounts]]
+    * — the codegen'd literal-replace chain, no shuffle before the final
+    * per-doc aggregation). */
+  def bpeEncodeDocs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeEncodeCounts(Tables.documents(spark, dir), "doc_id",
+        "text", bpeMergeRules(spark, dir))
+      .orderBy("doc_id")
+
+  /** Learned-vocab tokenizer fertility per language: tokens per word
+    * under the FITTED merges (the learned twin of tokenizer_fertility's
+    * regex proxy). */
+  def bpeFertilityLang(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeEncodeCounts(Tables.documents(spark, dir), "lang",
+        "text", bpeMergeRules(spark, dir))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        r(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"))
+      .orderBy("lang")
+
+  /** One BPE round as oracle SQL: pair counts over the symbol arrays of
+    * round i-1 (list_zip of adjacent symbols — overlapping occurrences
+    * counted, as in the engine), the argmax with the total-order
+    * tie-break, and the delimiter-wrapped literal replace (DuckDB's
+    * replace() is the same non-overlapping left-to-right scan as
+    * Spark's). */
+  private def bpeStepSql(i: Int): String =
+    s"""p$i AS MATERIALIZED (
+       | SELECT z[1] AS lhs, z[2] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+       | FROM (
+       |   SELECT unnest(list_zip(syms, syms[2:])) AS z, freq
+       |   FROM (SELECT string_split(trim(sym, chr(1)), chr(1)||chr(1)) AS syms, freq
+       |         FROM s${i - 1}))
+       | WHERE z[2] IS NOT NULL
+       | GROUP BY 1, 2),
+       |m$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+       |s$i AS MATERIALIZED (
+       | SELECT replace(sym,
+       |   chr(1)||(SELECT lhs FROM m$i)||chr(1)||chr(1)||(SELECT rhs FROM m$i)||chr(1),
+       |   chr(1)||(SELECT lhs FROM m$i)||(SELECT rhs FROM m$i)||chr(1)) AS sym, freq
+       | FROM s${i - 1})""".stripMargin
+
+  private def bpePreludeSql(k: Int): String =
+    s"""WITH w0 AS MATERIALIZED (
+       | SELECT replace(word, chr(1), '') AS word, count(*) AS freq
+       | FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |       FROM documents WHERE text IS NOT NULL)
+       | WHERE word <> '' AND replace(word, chr(1), '') <> ''
+       | GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       | SELECT chr(1) || array_to_string(regexp_extract_all(word, '.'), chr(1)||chr(1)) || chr(1) AS sym,
+       |        freq
+       | FROM w0),
+       |${(1 to k).map(bpeStepSql).mkString(",\n")}""".stripMargin
+
+  private val bpeFitOracle: String =
+    bpePreludeSql(BpeK) + s""",
+       |fit AS (${(1 to BpeK).map(i =>
+          s"SELECT CAST($i AS INT) AS rank, lhs, rhs, lhs||rhs AS merged, cnt FROM m$i")
+          .mkString(" UNION ALL ")})
+       |SELECT * FROM fit ORDER BY rank""".stripMargin
+
+  /** Per-word-occurrence re-encode with the fitted merges as one nested
+    * replace chain (scalar subqueries against the m-CTEs), token count
+    * from the delimiter count (a k-symbol word carries exactly 2k
+    * delimiter chars). */
+  private def bpeEncodeChainSql: String =
+    (1 to BpeK).foldLeft("sym") { (c, i) =>
+      s"replace($c, chr(1)||(SELECT lhs FROM m$i)||chr(1)||chr(1)||" +
+        s"(SELECT rhs FROM m$i)||chr(1), chr(1)||(SELECT lhs FROM m$i)||" +
+        s"(SELECT rhs FROM m$i)||chr(1))"
+    }
+
+  private def bpeEncodeBySql(groupCol: String): String =
+    bpePreludeSql(BpeK) + s""",
+       |dw AS (
+       | SELECT $groupCol, replace(word, chr(1), '') AS word
+       | FROM (SELECT $groupCol, unnest(string_split(text, ' ')) AS word
+       |       FROM documents WHERE text IS NOT NULL)
+       | WHERE word <> '' AND replace(word, chr(1), '') <> ''),
+       |ds AS (
+       | SELECT $groupCol,
+       |   chr(1) || array_to_string(regexp_extract_all(word, '.'), chr(1)||chr(1)) || chr(1) AS sym
+       | FROM dw),
+       |de AS (SELECT $groupCol, $bpeEncodeChainSql AS esym FROM ds)""".stripMargin
+
+  private val bpeEncodeOracle: String =
+    bpeEncodeBySql("doc_id") + s"""
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum((length(esym) - length(replace(esym, chr(1), ''))) // 2) AS BIGINT) AS n_tokens
+       |FROM de GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  private val bpeFertilityOracle: String =
+    bpeEncodeBySql("lang") + s"""
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum((length(esym) - length(replace(esym, chr(1), ''))) // 2) AS BIGINT) AS n_tokens,
+       |  ${rSql("CAST(sum((length(esym) - length(replace(esym, chr(1), ''))) // 2) AS DOUBLE) / count(*)", 6)} AS fertility
+       |FROM de GROUP BY 1 ORDER BY lang""".stripMargin
+
   /** Corpus-wide top-20 terms. */
   def topTerms(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTerms(Tables.documents(spark, dir), "text", 20)
@@ -3123,5 +3250,8 @@ object LlmQueries {
     QueryDef("semantic_decon", semanticDecon, Some(semanticDeconOracle)),
     QueryDef("embedding_outliers", embeddingOutliers, Some(embeddingOutliersOracle)),
     QueryDef("embedding_drift", embeddingDriftHalves, Some(embeddingDriftOracle)),
-    QueryDef("vocab_growth", vocabGrowthDocs, Some(vocabGrowthOracle)))
+    QueryDef("vocab_growth", vocabGrowthDocs, Some(vocabGrowthOracle)),
+    QueryDef("bpe_fit", bpeFitDocs, Some(bpeFitOracle)),
+    QueryDef("bpe_encode", bpeEncodeDocs, Some(bpeEncodeOracle)),
+    QueryDef("bpe_fertility", bpeFertilityLang, Some(bpeFertilityOracle)))
 }

@@ -33,6 +33,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Seq("the", "cats", "ran", "42", "times", ",", "fast", "!"))
   }
 
+  test("BPE fit: hand-computed merges, overlap counting, greedy L2R rewrite") {
+    // "aaa"x2 + "ab": round 1 counts (a,a) 4x (overlapping, 2 per "aaa")
+    // vs (a,b) 1x; round 2 sees "aaa" as [aa, a] (greedy L2R), so (aa,a)
+    // wins 2x over (a,b) 1x; round 3 fuses (a,b); nothing left
+    val d = docs((1L, "aaa aaa ab"))
+    val merges = TextAnalysis.bpeFitMerges(d, "text", 10)
+    assert(merges === Seq((1, "a", "a", 4L), (2, "aa", "a", 2L), (3, "a", "b", 1L)))
+    // encode: each word fuses to exactly one learned token
+    val enc = TextAnalysis.bpeEncodeCounts(d, "doc_id", "text",
+      merges.map { case (_, l, r, _) => (l, r) }).head()
+    assert(enc.getAs[Long]("n_words") === 3L)
+    assert(enc.getAs[Long]("n_tokens") === 3L)
+    // with NO merges, tokens = characters
+    val raw = TextAnalysis.bpeEncodeCounts(d, "doc_id", "text", Seq.empty).head()
+    assert(raw.getAs[Long]("n_tokens") === 8L)
+  }
+
+  test("BPE fit tie-break is total-order: equal counts pick the lexicographically smallest pair") {
+    val d = docs((1L, "xy xy yz yz"))
+    val first = TextAnalysis.bpeFitMerges(d, "text", 1).head
+    assert(first === ((1, "x", "y", 2L)), s"got $first")
+  }
+
+  test("BPE fit stops early when every word is a single symbol") {
+    val merges = TextAnalysis.bpeFitMerges(docs((1L, "ab ab cd")), "text", 100)
+    assert(merges.map(m => (m._2, m._3)) === Seq(("a", "b"), ("c", "d")))
+  }
+
   test("multimodal resize stub always yields exactly outBytes, deterministically") {
     val df = Multimodal.withPayload(
       docs((1L, "a much longer payload than the target size"),
