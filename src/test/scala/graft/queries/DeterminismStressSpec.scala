@@ -30,6 +30,33 @@ class DeterminismStressSpec extends SparkSpec {
     df.collect().map(_.toString).sorted.mkString("\n")
   }
 
+  test("BPE fit is bit-identical across shuffle-partition counts and codegen modes") {
+    // the fitted merge table is an ITERATED argmax — ties broken by the
+    // total order (count desc, pair asc), so any partitioning or eval
+    // mode must produce the identical rule sequence. Calls the operator
+    // directly (the query rides the Memo, which would mask replays).
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val confs = Seq(
+      Seq("spark.sql.shuffle.partitions" -> "2"),
+      Seq("spark.sql.shuffle.partitions" -> "23"),
+      Seq("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN"))
+    val runs = confs.map { cs =>
+      val saved = cs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      try {
+        cs.foreach { case (k, v) => spark.conf.set(k, v) }
+        val m = graft.operators.TextAnalysis.bpeFitMerges(docs, "text", 8)
+        dropCaches()
+        m
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    assert(runs.distinct.size === 1,
+      s"BPE merge sequence drifted across confs: ${runs.map(_.take(3))}")
+  }
+
   test("describe bracket-chain quantiles are exact across shuffle-partition counts") {
     // the chain's slice count IS spark.sql.shuffle.partitions, so varying
     // it moves every slice boundary; cum positions are LONG sums (exact),
@@ -88,7 +115,13 @@ class DeterminismStressSpec extends SparkSpec {
       // same hot set and produce the same join at any partitioning; the
       // sidecar prune decisions are driver-side and must not shift with
       // conf (shard survivor sets are a pure function of the sidecar)
-      "skew_join_events", "shard_pruned_scan_multi", "shard_pruned_scan_in")
+      "skew_join_events", "shard_pruned_scan_multi", "shard_pruned_scan_in",
+      // round-16 enrollment (VERDICT r15 #3): the adaptive-prune
+      // consumer (its broadcast survivor filter must make the same
+      // engage/skip decision and the same output at any conf) and the
+      // capped-fallback probe plan (collect + createDataFrame +
+      // isInCollection pushdown must be a pure set function)
+      "assoc_rules_skew", "cross_dedup_probe")
     val defaults = queries.map(q => q -> canonical(q)).toMap
     dropCaches()
     val sweeps: Seq[(String, Seq[(String, String)])] = Seq(
@@ -157,7 +190,11 @@ class DeterminismStressSpec extends SparkSpec {
                 // explicit salted top-k fallback (rank at the k boundary
                 // rides the tie-break total order)
                 "shard_pruned_scan", "simhash_neardup_docs",
-                "window_topk_scaled")) {
+                "window_topk_scaled",
+                // round 16: the two r15 queries join the replay grid
+                // (VERDICT r15 #3) — the prune-engaging skew substrate
+                // and the probe plan's driver-candidate path
+                "assoc_rules_skew", "cross_dedup_probe")) {
     test(s"$q is bit-identical across $Runs same-session runs with caches dropped") {
       val first = canonical(q)
       dropCaches()

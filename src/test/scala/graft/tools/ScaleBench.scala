@@ -32,7 +32,13 @@ object ScaleBench {
     "ann_lsh_topk", "ivf_topk", "semantic_dedup_keep", "tfidf_cosine_pairs",
     "geo_sliver", "geo_validate", "geo_validity_census", "geo_bbox",
     "sorted_neighbor_names", "jw_linkage_names", "entity_resolution_names",
-    "q21_waiting_suppliers")
+    "q21_waiting_suppliers",
+    // round-16 enrollment (VERDICT r15 #3) + the new learned-BPE pair:
+    // the prune-engaging Apriori substrate (lineitem — scales through
+    // gen_sf10/gen_sf100), the ingest probe plan (documents — scales
+    // through gen_sf1's corpus recipe), and the iterative fit whose
+    // vocabulary-sized working set is its scale claim
+    "assoc_rules_skew", "cross_dedup_probe", "bpe_fit", "bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
