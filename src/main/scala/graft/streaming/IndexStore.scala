@@ -281,30 +281,31 @@ private[graft] object IndexStore {
   // ------------------------------------------------------------------
 
   /** Build and write the `_BLOOM` sidecar of an already-written parquet
-    * dir: Spark's own distributed BloomFilterAggregate over
+    * dir: a distributed fold of per-partition Bloom filters over
     * xxhash64(`colName`) — fixed-seed hashing, bitwise-OR partial merge,
     * so the bits are deterministic across partitionings and replays
-    * (the exact machinery [[graft.operators.Contamination.bloomKeep]]
-    * established). Sized to the dir's own row count at `fpp` (pass
-    * `expectedRows` to skip the count pass when the caller already
-    * knows it). An EMPTY dir writes a zero-length sidecar, read back as
-    * matches-nothing. Must be called BEFORE the dir's completion
-    * marker. */
+    * (byte-identical to what BloomFilterAggregate serializes — the
+    * machinery [[graft.operators.Contamination.bloomKeep]] established —
+    * but built through the public sketch API, which has no
+    * runtime-filter numBits conf ceiling). Sized to the dir's own row
+    * count at `fpp` (pass `expectedRows` to skip the count pass when
+    * the caller already knows it). An EMPTY dir writes a zero-length
+    * sidecar, read back as matches-nothing. Must be called BEFORE the
+    * dir's completion marker. */
   private[graft] def writeBloomSidecar(spark: SparkSession, dir: String,
       colName: String, fpp: Double = 0.01,
       expectedRows: Option[Long] = None): Unit = {
-    val df = spark.read.parquet(dir).select(col(colName))
+    val df = spark.read.parquet(dir).select(xxhash64(col(colName)).as("h"))
     val n = expectedRows.getOrElse(df.count())
     val bytes =
       if (n <= 0) Array.empty[Byte]
       else {
         val expected = math.max(1L, n)
         val numBits = BloomFilter.optimalNumOfBits(expected, fpp)
-        val agg = new BloomFilterAggregate(
-          Bridge.expression(xxhash64(col(colName))),
-          Literal(expected), Literal(numBits)).toAggregateExpression()
-        Option(df.select(Bridge.column(agg).as("bf"))
-          .head().getAs[Array[Byte]](0)).getOrElse(Array.empty[Byte])
+        val bf = df.stat.bloomFilter(col("h"), expected, numBits)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
       }
     val fs = hadoopFs(spark, dir)
     val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_BLOOM"), true)
@@ -326,36 +327,49 @@ private[graft] object IndexStore {
     }
   }
 
-  /** The Bloom FRONT of an index as of batch `id`: the sidecar bits of
-    * every dir [[readIndexDir]] would consume (complete runs + live
-    * dirs at/above the coverage end, strictly below `id`). Returns None
-    * — callers fall back to the exact index scan — when any consumed
-    * dir lacks its sidecar (legacy layout written before sidecars
-    * existed; self-healing as compaction folds old dirs into sidecar-
-    * carrying runs) or when a run's range reaches past `id` (its bits
-    * would include rows a replayed batch must not see). Zero-length
-    * sidecars (empty dirs) are dropped — they match nothing. An empty
-    * Seq means the index is empty. */
-  private[graft] def readBloomFront(spark: SparkSession, liveDir: String,
-      genDir: String, id: Long): Option[Seq[Array[Byte]]] = {
+  /** The dirs whose sidecars make up an index's Bloom front as of batch
+    * `id` — exactly the dirs [[readIndexDir]] would consume (complete
+    * runs + live dirs at/above the coverage end, strictly below `id`),
+    * split (runPaths, livePaths). None — callers fall back to the exact
+    * index scan — when a run's range reaches past `id` (its bits would
+    * include rows a replayed batch must not see). */
+  private def frontPaths(spark: SparkSession, liveDir: String,
+      genDir: String, id: Long)
+      : Option[(Seq[org.apache.hadoop.fs.Path], Seq[org.apache.hadoop.fs.Path])] = {
     val runs = completeRuns(spark, genDir)
     if (runs.exists(_.hi > id)) return None
     val floor = runs.map(_.hi).maxOption.getOrElse(0L)
     val live = liveBatchIds(spark, liveDir).filter(n => n >= floor && n < id)
-    val genFs = hadoopFs(spark, genDir)
-    val liveFs = hadoopFs(spark, liveDir)
-    val dirs = runs.map(r => (genFs, r.path)) ++
-      live.map(n => (liveFs, new org.apache.hadoop.fs.Path(s"$liveDir/batch=$n")))
-    val bits = dirs.map { case (fs, p) => readSidecar(fs, p) }
-    if (bits.exists(_.isEmpty)) None
-    else Some(bits.flatten.filter(_.nonEmpty))
+    Some((runs.map(_.path),
+      live.map(n => new org.apache.hadoop.fs.Path(s"$liveDir/batch=$n"))))
   }
 
-  /** might-contain of `c` against a Bloom front: OR over the per-dir
-    * filters (codegen'd BloomFilterMightContain over the same xxhash64
-    * the build used). False positives only — a false `might` verdict
-    * can only ADD work/error downstream, never lose a true member. An
-    * empty front matches nothing. */
+  /** The Bloom FRONT of an index as of batch `id`: the sidecar bits of
+    * every dir [[readIndexDir]] would consume. Returns None — callers
+    * fall back to the exact index scan — when any consumed dir lacks
+    * its sidecar (legacy layout written before sidecars existed;
+    * self-healing as compaction folds old dirs into sidecar-carrying
+    * runs) or when a run's range reaches past `id`. Zero-length
+    * sidecars (empty dirs) are dropped — they match nothing. An empty
+    * Seq means the index is empty. */
+  private[graft] def readBloomFront(spark: SparkSession, liveDir: String,
+      genDir: String, id: Long): Option[Seq[Array[Byte]]] =
+    frontPaths(spark, liveDir, genDir, id).flatMap { case (runP, liveP) =>
+      val genFs = hadoopFs(spark, genDir)
+      val liveFs = hadoopFs(spark, liveDir)
+      val bits = runP.map(readSidecar(genFs, _)) ++
+        liveP.map(readSidecar(liveFs, _))
+      if (bits.exists(_.isEmpty)) None
+      else Some(bits.flatten.filter(_.nonEmpty))
+    }
+
+  /** might-contain of `c` against explicit Bloom bits: OR over the
+    * per-dir filters (codegen'd BloomFilterMightContain over the same
+    * xxhash64 the build used). False positives only. Fine for tests and
+    * bounded fronts; the SINKS use [[bloomProbe]] instead — embedding
+    * every sidecar as a plan literal re-ships all bits with every
+    * micro-batch's tasks and was measured accumulating to a driver OOM
+    * over a 500-batch run. */
   private[graft] def mightContain(front: Seq[Array[Byte]],
       c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     front
@@ -363,4 +377,74 @@ private[graft] object IndexStore {
         Literal.create(b, BinaryType), Bridge.expression(xxhash64(c)))))
       .reduceOption(_ || _)
       .getOrElse(lit(false))
+
+  /** (cacheKey fingerprint, broadcast handle) per index half — run and
+    * live halves cached separately because they change on different
+    * cadences (runs: once per compaction epoch; live dirs: every
+    * batch). Keyed by (context, dir) so concurrent sinks and sessions
+    * never share entries they shouldn't. */
+  private val frontCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.broadcast.Broadcast[Array[BloomFilter]])]()
+
+  private def cachedFront(spark: SparkSession, cacheKey: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirs: Seq[org.apache.hadoop.fs.Path])
+      : Option[org.apache.spark.broadcast.Broadcast[Array[BloomFilter]]] = {
+    val sidecars = dirs.map(d => new org.apache.hadoop.fs.Path(d, "_BLOOM"))
+    if (sidecars.exists(p => !fs.exists(p))) return None
+    val fp = sidecars.map(p => s"$p:${fs.getFileStatus(p).getLen}").sorted
+      .mkString("|")
+    val key = s"${spark.sparkContext.applicationId}#$cacheKey"
+    val cur = frontCache.get(key)
+    if (cur != null && cur._1 == fp) Some(cur._2)
+    else {
+      val blooms = dirs.flatMap(d => readSidecar(fs, d)).filter(_.nonEmpty)
+        .map(b => BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+        .toArray
+      val bc = spark.sparkContext.broadcast(blooms)
+      frontCache.put(key, (fp, bc))
+      if (cur != null) cur._2.destroy()
+      Some(bc)
+    }
+  }
+
+  /** The Bloom front as a PROBE FUNCTION: value column => might-contain
+    * boolean. The sidecar bits ship as TWO cached broadcasts (run half +
+    * live half) probed by a tiny UDF over the codegen'd xxhash64 of the
+    * value — per batch only the broadcast HANDLES enter the plan, so
+    * per-batch shipping is O(changed bits), not O(front bits): the run
+    * half re-broadcasts once per compaction epoch, the live half once
+    * per batch (a few small per-batch sidecars). The literal-embedding
+    * alternative ([[mightContain]]) re-ships every sidecar with every
+    * batch's tasks — measured as a driver-heap OOM by batch ~450 of the
+    * 500-batch novelty probe (multi-MB run sidecars × retained
+    * plans/broadcast subtrees).
+    *
+    * False positives only (never a lost member); the per-sidecar fpp is
+    * the CALLER's to scale — a probe ORs across every consumed dir, so
+    * the gram-level false-positive bound is Σ per-sidecar fpp (the
+    * sinks divide their user-facing bloomFpp by compactEvery + 8: up to
+    * compactEvery live sidecars plus a tier-bounded handful of runs —
+    * the r16 A/B measured the UNSCALED per-dir 1% accumulating to a 26%
+    * novelty undercount over ~66 dirs, which is what this scaling
+    * kills). Returns None (caller falls back to the exact scan) when
+    * any consumed dir lacks its sidecar or a run reaches past `id`. */
+  private[graft] def bloomProbe(spark: SparkSession, liveDir: String,
+      genDir: String, id: Long)
+      : Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+    frontPaths(spark, liveDir, genDir, id).flatMap { case (runP, liveP) =>
+      for {
+        bcRuns <- cachedFront(spark, s"runs:$genDir",
+          hadoopFs(spark, genDir), runP)
+        bcLive <- cachedFront(spark, s"live:$liveDir",
+          hadoopFs(spark, liveDir), liveP)
+      } yield {
+        val probe = udf { (h: java.lang.Long) =>
+          h != null &&
+            (bcRuns.value.exists(_.mightContainLong(h)) ||
+              bcLive.value.exists(_.mightContainLong(h)))
+        }
+        (c: org.apache.spark.sql.Column) => probe(xxhash64(c))
+      }
+    }
 }

@@ -584,6 +584,9 @@ object Streams {
           (s"$targetDir/docs", s"$targetDir/sh", s"$targetDir/bk")
         val (shGen, bkGen) = (s"$targetDir/shc", s"$targetDir/bkc")
         val useBloom = bloomFpp > 0
+        // per-sidecar share of the user-facing fpp — see noveltyMonitor
+        val sidecarFpp =
+          (if (useBloom) bloomFpp else 0.01) / (compactEvery + 8)
         // sh generations range-shard by doc id so the probe's candidate-id
         // pushdown prunes to matching files; bk generations cannot be
         // pruned by any layout (a batch's band keys cover the hash space
@@ -599,7 +602,7 @@ object Streams {
         IndexStore.compactIndexDir(spark, bkDir, bkGen, id, compactEvery,
           fanout = compactFanout,
           bloomCol = if (useBloom) Some("bk") else None,
-          bloomFpp = if (useBloom) bloomFpp else 0.01)
+          bloomFpp = sidecarFpp)
         val shB = Dedup.shingleRows(batch.toDF(), idCol, textCol, shingleWords)
           .persist()
         // band rows feed three consumers (self-dedup, the cross probe, the
@@ -629,10 +632,9 @@ object Streams {
                 // verify join). Falls back to the unfiltered keys when
                 // any index dir lacks its sidecar (legacy layout).
                 val bkProbe =
-                  (if (useBloom) IndexStore.readBloomFront(spark, bkDir, bkGen, id)
+                  (if (useBloom) IndexStore.bloomProbe(spark, bkDir, bkGen, id)
                    else None) match {
-                    case Some(bits) =>
-                      bkB.filter(IndexStore.mightContain(bits, col("bk")))
+                    case Some(might) => bkB.filter(might(col("bk")))
                     case None => bkB
                   }
                 val nProbe = bkProbe.count()
@@ -661,7 +663,7 @@ object Streams {
           bkB.join(keptIds, "id").write.mode("overwrite")
             .parquet(s"$bkDir/batch=$id")
           if (useBloom)
-            IndexStore.writeBloomSidecar(spark, s"$bkDir/batch=$id", "bk", bloomFpp)
+            IndexStore.writeBloomSidecar(spark, s"$bkDir/batch=$id", "bk", sidecarFpp)
         } finally {
           shB.unpersist(false)
           if (bkB != null) bkB.unpersist(false)
@@ -813,6 +815,11 @@ object Streams {
       s"bloomMode must be off|exact|approx, got $bloomMode")
     require(bloomFpp > 0 && bloomFpp < 1, s"bloomFpp must be in (0,1): $bloomFpp")
     val useBloom = bloomMode != "off"
+    // a probe ORs across up to compactEvery live sidecars plus a
+    // tier-bounded handful of runs, so the user-facing bloomFpp is the
+    // SUM bound and each sidecar gets its share (the unscaled per-dir
+    // rate measured a 26% novelty undercount over ~66 dirs — r16 A/B)
+    val sidecarFpp = bloomFpp / (compactEvery + 8)
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
@@ -820,29 +827,29 @@ object Streams {
           (s"$targetDir/grams", s"$targetDir/gramsc", s"$targetDir/log")
         IndexStore.compactIndexDir(spark, gramsDir, gramsGen, id, compactEvery,
           fanout = compactFanout,
-          bloomCol = if (useBloom) Some("s") else None, bloomFpp = bloomFpp)
+          bloomCol = if (useBloom) Some("s") else None, bloomFpp = sidecarFpp)
         val bg = graft.operators.Dedup.shingleRows(batch.toDF(), idCol, textCol, n)
           .select("s").distinct().persist()
         try {
           // materialize before the count/anti-join diamond
           val nBg = bg.count()
           val front =
-            if (useBloom) IndexStore.readBloomFront(spark, gramsDir, gramsGen, id)
+            if (useBloom) IndexStore.bloomProbe(spark, gramsDir, gramsGen, id)
             else None
           val novel = IndexStore.readIndexDir(spark, gramsDir, gramsGen, id) match {
             case Some(index) => front match {
-              case Some(bits) if bloomMode == "approx" =>
+              case Some(might) if bloomMode == "approx" =>
                 // bloom-only verdict: no index read at all this batch
-                bg.filter(!IndexStore.mightContain(bits, col("s")))
-              case Some(bits) =>
+                bg.filter(!might(col("s")))
+              case Some(might) =>
                 // exact mode: bloom-rejected grams are PROVEN novel;
                 // only the accepted remainder needs the index confirm
-                val probable = bg.filter(IndexStore.mightContain(bits, col("s")))
+                val probable = bg.filter(might(col("s")))
                 if (probeBroadcastMaxGrams > 0 && nBg <= probeBroadcastMaxGrams) {
                   val seen = index.select("s")
                     .join(broadcast(probable), Seq("s"), "left_semi")
                   bg.join(broadcast(seen), Seq("s"), "left_anti")
-                } else bg.filter(!IndexStore.mightContain(bits, col("s")))
+                } else bg.filter(!might(col("s")))
                   .unionByName(probable.join(index.select("s"), Seq("s"), "left_anti"))
               case None =>
                 if (probeBroadcastMaxGrams > 0 && nBg <= probeBroadcastMaxGrams) {
@@ -867,7 +874,7 @@ object Streams {
           val nNovel = spark.read.parquet(s"$gramsDir/batch=$id").count()
           if (useBloom)
             IndexStore.writeBloomSidecar(spark, s"$gramsDir/batch=$id", "s",
-              bloomFpp, expectedRows = Some(nNovel))
+              sidecarFpp, expectedRows = Some(nNovel))
           import spark.implicits._
           Seq((id, nGrams, nNovel,
               if (nGrams == 0) 0.0 else nNovel.toDouble / nGrams))

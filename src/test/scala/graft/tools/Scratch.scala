@@ -1,31 +1,32 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev-only scratch main for ad-hoc plan inspection. Not part of the
-  * engine; edit freely (see the repo verify workflow). */
+  * engine; edit freely (see the repo verify workflow). Current probe:
+  * un-memoized BPE fit cost vs corpus scale (the query rides the Memo,
+  * so ScaleBench times the memo READ — this times the FIT). */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/tmp/graft_sf10"
-    val li = graft.sources.Tables.lineitem(spark, dir)
-      .withColumn("grp",
-        when(pmod(col("l_orderkey"), lit(5L)) === 0L, lit("HOT"))
-          .otherwise(col("l_returnflag")))
-      .select("grp", "l_orderkey", "l_linenumber", "l_extendedprice")
-    val ord = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
-      col("l_linenumber").asc)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("grp")).orderBy(ord: _*)
-    val plain = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
-    plain.explain("formatted")
+    for (dir <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {
+      val docs = graft.sources.Tables.documents(spark, dir)
+      // warm the input
+      docs.count()
+      (1 to 2).foreach { pass =>
+        val t0 = System.nanoTime()
+        val m = graft.operators.TextAnalysis.bpeFitMerges(docs, "text", 10)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"bpe_fit_unmemoized","dir":"$dir","pass":$pass,"sec":$dt%.3f,"rules":${m.size}}""")
+      }
+    }
     spark.stop()
   }
 }
