@@ -184,6 +184,8 @@ object StreamBench {
       // optional 7th arg: compactFanout for the tiered-folding A/B
       // (1 = the single-level full-fold control arm)
       val fanout = args.lift(6).map(_.toInt).getOrElse(4)
+      // optional 8th arg: bloomFpp for the bk-prefilter A/B (0 = off)
+      val bloomFpp = args.lift(7).map(_.toDouble).getOrElse(0.01)
       // WRITE AMPLIFICATION: cumulative task output bytes across the whole
       // run (docs + live index + every compaction rewrite). Polling dir
       // sizes between batches would MISS runs that a cascaded merge
@@ -199,7 +201,8 @@ object StreamBench {
       val q = graft.streaming.Streams
         .dedupIngestSink(mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
           target, compactEvery = compactEvery,
-          probeBroadcastMaxRows = probeMax, compactFanout = fanout)
+          probeBroadcastMaxRows = probeMax, compactFanout = fanout,
+          bloomFpp = bloomFpp)
         .option("checkpointLocation", ckpt)
         .start()
       val secs = Vector.newBuilder[Double]
