@@ -382,9 +382,23 @@ private[graft] object IndexStore {
     * live halves cached separately because they change on different
     * cadences (runs: once per compaction epoch; live dirs: every
     * batch). Keyed by (context, dir) so concurrent sinks and sessions
-    * never share entries they shouldn't. */
-  private val frontCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, org.apache.spark.broadcast.Broadcast[Array[BloomFilter]])]()
+    * never share entries they shouldn't. Bounded: past `FrontCacheMax`
+    * entries the oldest-inserted entry is evicted and its broadcast
+    * destroyed, so a long-lived app cycling many ephemeral sink dirs
+    * cannot pin broadcast blocks forever (a live sink re-caches on its
+    * next batch at one rebroadcast's cost). */
+  private val FrontCacheMax = 64
+  private val frontCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        String, (String, org.apache.spark.broadcast.Broadcast[Array[BloomFilter]])]() {
+      override def removeEldestEntry(e: java.util.Map.Entry[
+          String, (String, org.apache.spark.broadcast.Broadcast[Array[BloomFilter]])])
+          : Boolean = {
+        val evict = size() > FrontCacheMax
+        if (evict) e.getValue._2.destroy()
+        evict
+      }
+    })
 
   private def cachedFront(spark: SparkSession, cacheKey: String,
       fs: org.apache.hadoop.fs.FileSystem,
@@ -395,16 +409,18 @@ private[graft] object IndexStore {
     val fp = sidecars.map(p => s"$p:${fs.getFileStatus(p).getLen}").sorted
       .mkString("|")
     val key = s"${spark.sparkContext.applicationId}#$cacheKey"
-    val cur = frontCache.get(key)
-    if (cur != null && cur._1 == fp) Some(cur._2)
-    else {
-      val blooms = dirs.flatMap(d => readSidecar(fs, d)).filter(_.nonEmpty)
-        .map(b => BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
-        .toArray
-      val bc = spark.sparkContext.broadcast(blooms)
-      frontCache.put(key, (fp, bc))
-      if (cur != null) cur._2.destroy()
-      Some(bc)
+    frontCache.synchronized {
+      val cur = frontCache.get(key)
+      if (cur != null && cur._1 == fp) Some(cur._2)
+      else {
+        val blooms = dirs.flatMap(d => readSidecar(fs, d)).filter(_.nonEmpty)
+          .map(b => BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+          .toArray
+        val bc = spark.sparkContext.broadcast(blooms)
+        frontCache.put(key, (fp, bc))
+        if (cur != null) cur._2.destroy()
+        Some(bc)
+      }
     }
   }
 

@@ -108,6 +108,46 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.readBloomFront(spark, live, gen, id = 10L).isDefined)
   }
 
+  test("bloomProbe: correct verdicts, cache invalidates on new batches and compaction") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("idx-probe")
+    val (live, gen) = (s"$base/live", s"$base/gen")
+    val fpp = 0.01 / 12
+    def addBatch(b: Long): Unit = {
+      writeBatchDir(live, b, (0 until 40).map(i => s"p${b}_$i"))
+      IndexStore.writeBloomSidecar(spark, s"$live/batch=$b", "s", fpp)
+    }
+    def verdicts(id: Long, values: Seq[String]): Map[String, Boolean] = {
+      val might = IndexStore.bloomProbe(spark, live, gen, id).get
+      values.toDF("s").select(col("s"), might(col("s")).as("m"))
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    }
+    (0L until 3L).foreach(addBatch)
+    val v1 = verdicts(3L, Seq("p0_1", "p2_39", "absent_x"))
+    assert(v1("p0_1") && v1("p2_39"), "no false negatives")
+    assert(!v1("absent_x"), "absent key rejected")
+    // a NEW batch must invalidate the live-half cache: its values were
+    // rejected before, accepted after
+    assert(!verdicts(3L, Seq("p3_5"))("p3_5"))
+    addBatch(3L)
+    assert(verdicts(4L, Seq("p3_5", "p0_1"))
+      .forall(_._2), "new batch visible after cache refresh")
+    // compaction folds live dirs into a run; the probe must still accept
+    // every stored value through the RUN half (fingerprint change)
+    IndexStore.compactIndexDir(spark, live, gen, 4L, compactEvery = 2,
+      fanout = 2, bloomCol = Some("s"), bloomFpp = fpp)
+    assert(IndexStore.completeRuns(spark, gen).nonEmpty)
+    val v3 = verdicts(5L, Seq("p0_1", "p1_20", "p3_39", "absent_y"))
+    assert(v3("p0_1") && v3("p1_20") && v3("p3_39"),
+      "values survive into the run half across compaction")
+    assert(!v3("absent_y"))
+    // strictly-below semantics: a replayed batch must not see its own dir
+    addBatch(5L)
+    assert(!verdicts(5L, Seq("p5_0"))("p5_0"),
+      "a batch's own sidecar is invisible to its replay")
+  }
+
   test("noveltyMonitor bloom modes: exact == off, approx within the fpp bound") {
     val s = spark
     import s.implicits._
