@@ -574,7 +574,7 @@ object Streams {
       shingleWords: Int = 3, numHashes: Int = 128,
       bands: Int = 32, rowsPerBand: Int = 4, seed: Int = 42,
       compactEvery: Int = 64, probeBroadcastMaxRows: Long = 4L << 20,
-      compactFanout: Int = 4, bloomFpp: Double = 0.01)
+      compactFanout: Int = 4, bloomFpp: Double = 0.0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -590,13 +590,17 @@ object Streams {
         // sh generations range-shard by doc id so the probe's candidate-id
         // pushdown prunes to matching files; bk generations cannot be
         // pruned by any layout (a batch's band keys cover the hash space
-        // — see crossNearDupPairsFromIndexProbe) and stay hash-sharded,
-        // but DO carry a Bloom sidecar over bk: most of a batch's band
-        // keys (uniform hashes of unique content) match nothing in the
-        // index, and dropping them BEFORE the candidate join is exact —
-        // a Bloom false positive only survives to the verify join, a
-        // false negative cannot happen (bloomFpp = 0 disables, the A/B
-        // control arm)
+        // — see crossNearDupPairsFromIndexProbe) and stay hash-sharded.
+        // bloomFpp > 0 additionally keeps a Bloom sidecar over bk and
+        // prefilters the batch's band keys before the candidate join —
+        // EXACT regardless of fpp (a false positive only survives to the
+        // verify join; a false negative cannot happen; the 500-batch A/B
+        // produced bit-identical corpora). OFF by default by
+        // measurement: at the 10%-dup probe shape the sidecar
+        // maintenance cost ~4% more than the prefilter saved, because
+        // probable keys exist every batch and the candidate scan runs
+        // anyway (BASELINE r16); the win case is a mostly-unique feed
+        // whose batches can skip the index entirely.
         IndexStore.compactIndexDir(spark, shDir, shGen, id, compactEvery,
           rangeShardCol = Some("id"), fanout = compactFanout)
         IndexStore.compactIndexDir(spark, bkDir, bkGen, id, compactEvery,
@@ -789,19 +793,24 @@ object Streams {
     * — per-run sizing, so the front never saturates as the index
     * grows), and the probe fronts the read with a membership test:
     *
-    *  - `"exact"` (default): batch grams REJECTED by every sidecar are
-    *    definitely novel (Blooms have no false negatives) and skip the
-    *    index entirely; only the bloom-accepted remainder is confirmed
-    *    against the index scan — identical output to `"off"`, smaller
-    *    join sides, but the per-batch scan (and its growth) remains.
+    *  - `"off"` (DEFAULT): the exact r15 probe, no sidecars. Default by
+    *    measurement, not caution: at the 500-batch shape, maintaining +
+    *    probing the front WITHOUT trusting it costs ~25% over this arm
+    *    (BASELINE r16) — the confirm scan remains either way.
     *  - `"approx"`: the bloom verdict IS the verdict — ZERO index reads
     *    per batch, per-batch cost O(batch grams) independent of index
     *    size. Documented error: a truly-novel gram is miscounted as
-    *    seen (and not indexed) with probability ≤ Σ_runs fpp — the
-    *    fpp-bounded undercount the StreamBench A/B measures. This is
-    *    the 100 TB mode: the exact modes' index scan parallelizes
-    *    across executors but never stops growing.
-    *  - `"off"`: the r15 behavior, no sidecars — the A/B control arm.
+    *    seen (and not indexed) with probability ≤ bloomFpp (each
+    *    sidecar gets bloomFpp/(compactEvery+8), so the OR across dirs
+    *    sums to the user rate; measured 0.455% at the 1% default over
+    *    500 batches). This is the 100 TB mode: per-batch latency
+    *    measured FLAT (ratio 0.965) while the exact arms grew with the
+    *    index.
+    *  - `"exact"`: identical output to `"off"` (bit-identical index in
+    *    the 500-batch A/B) while building and probing the sidecars —
+    *    the MIGRATION mode that makes an existing index approx-ready;
+    *    bloom-rejected grams skip the index, but the accepted
+    *    remainder's confirm scan still grows with the index.
     *
     * A dir missing its sidecar (legacy layout) silently falls back to
     * the exact scan and self-heals as compaction folds old dirs into
@@ -809,7 +818,7 @@ object Streams {
   def noveltyMonitor(stream: DataFrame, idCol: String, textCol: String,
       targetDir: String, n: Int = 3, compactEvery: Int = 64,
       compactFanout: Int = 4, probeBroadcastMaxGrams: Long = 4L << 20,
-      bloomMode: String = "exact", bloomFpp: Double = 0.01)
+      bloomMode: String = "off", bloomFpp: Double = 0.01)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(Set("off", "exact", "approx")(bloomMode),
       s"bloomMode must be off|exact|approx, got $bloomMode")

@@ -641,4 +641,27 @@ class PlanSpec extends SparkSpec {
     // index must never be the shuffled side of a sort-merge join here
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("bpe encode: one corpus scan, the merge chain stays in the map stage") {
+    // the encode chain is nested literal replaces — it must run INSIDE
+    // the scan's stage with the ONLY exchange being the final per-doc
+    // hash aggregation's shuffle (partial -> final). A regression that
+    // shuffles words before encoding (or re-scans per merge rank) stays
+    // correct but multiplies corpus I/O by the merge count.
+    val merges = Seq(("e", "r"), ("o", "r"), ("i", "n"), ("s", "t"))
+    val df = graft.operators.TextAnalysis.bpeEncodeCounts(
+      graft.sources.Tables.documents(spark, dir), "doc_id", "text", merges)
+    val plan = planOf(df)
+    // tree lines only: the formatted details section repeats each node
+    // as a "(N) Scan parquet" header without the trailing id
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.trim.matches(""".*\(\d+\)$"""))
+    assert(scans == 1, s"bpe encode must scan the corpus once:\n$plan")
+    val exchanges = plan.linesIterator.count(l =>
+      l.trim.matches("""^[*+:\- ]*Exchange.*\(\d+\)$"""))
+    assert(exchanges == 1,
+      s"only the final aggregation may shuffle, found $exchanges:\n$plan")
+    // both aggregation halves exist: map-side partial + final
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }
