@@ -77,6 +77,16 @@ object TextAnalysis {
       array_join(regexp_extract_all(word, lit("."), lit(0)), BpeDelim + BpeDelim),
       lit(BpeDelim))
 
+  /** The distinct-word frequency table the BPE fit iterates over —
+    * vocabulary-sized under any Zipfian text, built by one corpus-wide
+    * hash aggregation. Words are delimiter-stripped (empty results
+    * dropped) so the delimiter trick ([[BpeDelim]]) stays collision-free. */
+  private def bpeWordFreqs(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("word"))
+      .select(replace(col("word"), lit(BpeDelim), lit("")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
   /** Distributed BPE FIT — the learned-tokenizer unit every production
     * token-budget decision uses, as an iterative Spark program (the one
     * LLM-pipeline operator class the regex pre-tokenizer family above
@@ -88,28 +98,32 @@ object TextAnalysis {
     * same deterministic-argmax discipline as
     * [[graft.operators.Graph.labelPropagation]].
     *
-    * Scale shape: everything iterates over the DISTINCT-WORD frequency
-    * table — vocabulary-sized, orders of magnitude below the corpus
-    * under any Zipfian text — built by one corpus-wide hash aggregation.
-    * Each merge round is one pair-count aggregation (explode of zipped
-    * adjacent symbols, map-side combined) plus a LIMIT-1 argmax whose
-    * single row is the only thing the driver ever collects, and one
-    * codegen'd string-replace rewrite of the symbol column,
-    * localCheckpointed per round so round k+1 scans materialized state
-    * instead of re-deriving k rounds of lineage. Pair counting counts
-    * overlapping occurrences (aab has (a,a) and (a,b)) and the rewrite
-    * merges greedy left-to-right, both per the published algorithm. */
+    * Scale shape: everything iterates over the distinct-word table of
+    * [[bpeWordFreqs]]. Each merge round is one pair-count aggregation
+    * (explode of zipped adjacent symbols, map-side combined) plus a
+    * LIMIT-1 argmax whose single row is the only thing the driver ever
+    * collects, and one codegen'd string-replace rewrite of the symbol
+    * column, localCheckpointed per round so round k+1 scans
+    * materialized state instead of re-deriving k rounds of lineage.
+    * Pair counting counts overlapping occurrences (aab has (a,a) and
+    * (a,b)) and the rewrite merges greedy left-to-right, both per the
+    * published algorithm.
+    *
+    * Depth note (VERDICT r16 #1): one Spark job pair PER MERGE is the
+    * right shape only while the fit is oracle-replayable or the vocab
+    * exceeds driver memory — production depths (32k+) go through
+    * [[bpeFitMergesAuto]], which collects the vocabulary-sized word
+    * table under the [[SizeGuard]] bound and runs the IDENTICAL
+    * algorithm driver-side ([[bpeFitMergesLocal]], equivalence
+    * unit-pinned bit-identical), falling back to this loop only when
+    * the vocabulary genuinely doesn't fit. */
   def bpeFitMerges(df: DataFrame, textCol: String,
       numMerges: Int): Seq[(Int, String, String, Long)] = {
     require(numMerges >= 1 && numMerges <= 4096,
       s"numMerges must be in [1, 4096]: $numMerges")
     val D = BpeDelim
-    val words = df
-      .select(explode(tokens(col(textCol))).as("word"))
-      .select(replace(col("word"), lit(D), lit("")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-    var syms = words.select(bpeSymbolize(col("word")).as("sym"), col("freq"))
+    var syms = bpeWordFreqs(df, textCol)
+      .select(bpeSymbolize(col("word")).as("sym"), col("freq"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
@@ -145,27 +159,237 @@ object TextAnalysis {
     merges.result()
   }
 
-  /** [[bpeFitMerges]] as a DataFrame: (rank, lhs, rhs, merged, cnt). */
+  /** Code points the symbolizer DROPS: Java regex `.` (the engine's
+    * `regexp_extract_all(word, '.')`) matches every character except
+    * the five line terminators, so a terminator inside a word never
+    * becomes a symbol. The local fit and the fused encode replicate
+    * this exactly — symbol-level parity with the distributed fit is
+    * bit-checked in units. */
+  private[graft] def isDroppedCp(cp: Int): Boolean =
+    cp == '\n' || cp == '\r' || cp == 0x85 || cp == 0x2028 || cp == 0x2029
+
+  /** Spark UTF8String / code-point string comparison (binary UTF-8
+    * order ≡ code point order — NOT java.lang.String's UTF-16 order,
+    * which ranks supplementary characters below U+E000..U+FFFF). The
+    * fit tie-break must use the engine's order to stay bit-identical. */
+  private[graft] def cpCompare(a: String, b: String): Int = {
+    val la = a.length; val lb = b.length
+    var i = 0; var j = 0
+    while (i < la && j < lb) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(la - i, lb - j)
+  }
+
+  /** DRIVER-LOCAL BPE fit over a collected (word, freq) table — the
+    * production-depth form (VERDICT r16 #1): the working set of the fit
+    * is the VOCABULARY, not the corpus, so once the corpus-wide hash
+    * aggregation has reduced 100 TB of text to ≤ [[SizeGuard]]-bounded
+    * distinct words, a 32k-merge fit is a single-node computation (the
+    * standard Sennrich fit over word counts) and must not pay one Spark
+    * job pair per merge — ~10⁵ sequential jobs at real vocab sizes.
+    *
+    * Bit-identical to [[bpeFitMerges]] by construction, unit-pinned at
+    * K=10/K=64: overlapping pair counts (aab carries (a,a) and (a,b)),
+    * greedy left-to-right non-overlapping rewrite, total-order argmax
+    * (count desc, then (lhs, rhs) ascending in UTF-8 binary order), and
+    * the same early stop when no adjacent pair remains. Incremental
+    * bookkeeping replaces the per-round recount: pair counts live in a
+    * TreeSet ordered by the argmax total order, and each merge rewrites
+    * only the words that contain the pair (an occurrence index), with
+    * exact count deltas — the invariant "counts ≡ full recount of the
+    * current symbol table" holds by induction, so the selected sequence
+    * is the distributed one. */
+  def bpeFitMergesLocal(wordFreqs: Seq[(String, Long)], numMerges: Int)
+      : Seq[(Int, String, String, Long)] = {
+    require(numMerges >= 1 && numMerges <= (1 << 17),
+      s"numMerges must be in [1, ${1 << 17}]: $numMerges")
+    val nw = wordFreqs.size
+    val words = new Array[Array[String]](nw)
+    val freqs = new Array[Long](nw)
+    type Pair = (String, String)
+    val counts = new java.util.HashMap[Pair, java.lang.Long]()
+    val occ = new java.util.HashMap[Pair, java.util.HashSet[Integer]]()
+    val cmp = new java.util.Comparator[(Long, String, String)] {
+      override def compare(x: (Long, String, String),
+          y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(y._1, x._1) // count DESC
+        if (c != 0) c
+        else {
+          val l = cpCompare(x._2, y._2)
+          if (l != 0) l else cpCompare(x._3, y._3)
+        }
+      }
+    }
+    val tree = new java.util.TreeSet[(Long, String, String)](cmp)
+    def addCount(p: Pair, d: Long): Unit = if (d != 0L) {
+      val old = counts.get(p)
+      val oldC = if (old == null) 0L else old.longValue()
+      if (oldC > 0L) tree.remove((oldC, p._1, p._2))
+      val now = oldC + d
+      if (now > 0L) {
+        counts.put(p, java.lang.Long.valueOf(now))
+        tree.add((now, p._1, p._2))
+      } else counts.remove(p)
+    }
+    def addOcc(p: Pair, w: Int): Unit =
+      occ.computeIfAbsent(p, _ => new java.util.HashSet[Integer]())
+        .add(Integer.valueOf(w))
+    def dropOcc(p: Pair, w: Int): Unit = {
+      val s = occ.get(p)
+      if (s != null) { s.remove(Integer.valueOf(w)); if (s.isEmpty) occ.remove(p) }
+    }
+    // ---- init: symbolize + full pair count -------------------------
+    var wi = 0
+    val it = wordFreqs.iterator
+    while (it.hasNext) {
+      val (word, f) = it.next()
+      val cps = word.codePoints().toArray.filterNot(isDroppedCp)
+      val syms = cps.map(cp => new String(Character.toChars(cp)))
+      words(wi) = syms
+      freqs(wi) = f
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        addCount(p, f)
+        addOcc(p, wi)
+        i += 1
+      }
+      wi += 1
+    }
+    def greedyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      out.sizeHint(syms.length)
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    // ---- merge rounds ----------------------------------------------
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    while (r <= numMerges && !tree.isEmpty) {
+      val (cnt, l, rr) = tree.first()
+      merges += ((r, l, rr, cnt))
+      val hit = occ.get((l, rr))
+      val affected =
+        if (hit == null) Array.empty[Int]
+        else { // copy: occ mutates under the rewrite below
+          val a = new Array[Int](hit.size())
+          val hi = hit.iterator(); var k = 0
+          while (hi.hasNext) { a(k) = hi.next().intValue(); k += 1 }
+          a
+        }
+      for (w <- affected) {
+        val old = words(w)
+        val now = greedyMerge(old, l, rr)
+        val f = freqs(w)
+        val delta = new java.util.HashMap[Pair, java.lang.Long]()
+        val oldSet = new java.util.HashSet[Pair]()
+        val newSet = new java.util.HashSet[Pair]()
+        var i = 0
+        while (i < old.length - 1) {
+          val p = (old(i), old(i + 1))
+          delta.merge(p, java.lang.Long.valueOf(-f), (a, b) =>
+            java.lang.Long.valueOf(a.longValue() + b.longValue()))
+          oldSet.add(p)
+          i += 1
+        }
+        i = 0
+        while (i < now.length - 1) {
+          val p = (now(i), now(i + 1))
+          delta.merge(p, java.lang.Long.valueOf(f), (a, b) =>
+            java.lang.Long.valueOf(a.longValue() + b.longValue()))
+          newSet.add(p)
+          i += 1
+        }
+        val di = delta.entrySet().iterator()
+        while (di.hasNext) {
+          val e = di.next()
+          addCount(e.getKey, e.getValue.longValue())
+        }
+        val oi = oldSet.iterator()
+        while (oi.hasNext) {
+          val p = oi.next()
+          if (!newSet.contains(p)) dropOcc(p, w)
+        }
+        val ni = newSet.iterator()
+        while (ni.hasNext) {
+          val p = ni.next()
+          if (!oldSet.contains(p)) addOcc(p, w)
+        }
+        words(w) = now
+      }
+      r += 1
+    }
+    merges.result()
+  }
+
+  /** Size-guarded BPE fit dispatch — the form the queries ride: ONE
+    * corpus pass builds the distinct-word table; when its measured row
+    * count fits the session's [[SizeGuard]] broadcast bound the fit
+    * runs driver-local ([[bpeFitMergesLocal]] — bit-identical,
+    * unit-pinned) at production depths, otherwise it falls back to the
+    * distributed per-round loop (capped at its 4096-job-pair depth,
+    * which is what a genuinely driver-overflowing vocabulary costs). */
+  def bpeFitMergesAuto(df: DataFrame, textCol: String,
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    val w = bpeWordFreqs(df, textCol).localCheckpoint()
+    try {
+      if (SizeGuard.fits(df.sparkSession, w.count())) {
+        val vocab = w.collect().map(r =>
+          (r.getString(0), r.getLong(1))).toSeq
+        bpeFitMergesLocal(vocab, numMerges)
+      } else bpeFitMerges(df, textCol, numMerges)
+    } finally w.unpersist(false)
+  }
+
+  /** [[bpeFitMergesAuto]] as a DataFrame: (rank, lhs, rhs, merged, cnt). */
   def bpeFit(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    bpeFitMerges(df, textCol, numMerges)
+    bpeFitMergesAuto(df, textCol, numMerges)
       .map { case (r, l, rr, c) => (r, l, rr, l + rr, c) }
       .toDF("rank", "lhs", "rhs", "merged", "cnt")
   }
 
   /** BPE ENCODE over a fitted merge table, aggregated per `groupCol`
     * (document id for per-doc budgets, language for fertility): applies
-    * the merges in rank order to every word occurrence and counts the
-    * resulting learned-vocab tokens. The merge chain is a pure
-    * codegen'd column expression — `numMerges` nested literal
-    * replaces — so encoding is embarrassingly parallel over the corpus
-    * and the only shuffle is the final (group, count-partials) hash
-    * aggregation; the driver holds just the merge rules (bounded by
-    * numMerges — the legitimate collect [[bpeFitMerges]] already made).
-    * Token counting never re-splits the encoded string: a k-symbol word
-    * carries exactly 2k delimiter chars. */
+    * the fitted merges to every word occurrence and counts the
+    * resulting learned-vocab tokens. The encode is ONE fused codegen
+    * node per text row ([[graft.plans.BpeCountExpr]] — the greedy
+    * merge-rank loop, O(|word|²) hash probes regardless of merge-table
+    * depth, with the table riding the plan as a codegen reference
+    * object), so encoding is embarrassingly parallel over the corpus,
+    * needs NO explode, and the only shuffle is the final
+    * (group, count-partials) hash aggregation; the driver holds just
+    * the merge rules (bounded by numMerges — the legitimate collect the
+    * fit already made). Rows whose text yields zero countable words are
+    * dropped, matching the explode form (and the SQL oracle's GROUP BY
+    * over exploded words). Requires a WELL-FORMED (fit-produced) merge
+    * table — see [[graft.plans.BpeCodec]]; hand-built tables that
+    * violate rank order go through [[bpeEncodeCountsChain]]. */
   def bpeEncodeCounts(df: DataFrame, groupCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.select(col(groupCol),
+        graft.plans.BpeCountExpr.bpeCounts(col(textCol), merges).as("c"))
+      .filter(col("c.n_words") > 0)
+      .groupBy(groupCol).agg(
+        sum(col("c.n_words")).as("n_words"),
+        sum(col("c.n_tokens")).as("n_tokens"))
+
+  /** The replace-CHAIN encode — the oracle-replayable form (`numMerges`
+    * nested literal replaces, exactly what the DuckDB oracle unrolls)
+    * and the semantics [[bpeEncodeCounts]]'s fused loop is unit-pinned
+    * against. Correct for ANY merge table (applied strictly in rank
+    * order), but O(numMerges · |word|) per word and Janino-bounded in
+    * depth — production encodes use the fused form. */
+  def bpeEncodeCountsChain(df: DataFrame, groupCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val D = BpeDelim
     val esym = merges.foldLeft(bpeSymbolize(col("word"))) { case (c, (l, rr)) =>

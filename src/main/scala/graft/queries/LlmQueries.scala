@@ -809,6 +809,37 @@ object LlmQueries {
         r(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"))
       .orderBy("lang")
 
+  /** Token budget in LEARNED tokens (VERDICT r16 #2): whitespace words,
+    * the regex-proxy BPE-ish count, AND the fitted-vocabulary count per
+    * document — the number an actual sequence-length budget is written
+    * in. Rides the memoized merge table (fit paid once per session+dir)
+    * and the fused codegen encode ([[graft.plans.BpeCountExpr]] — one
+    * expression node per row, no explode); every document keeps a row
+    * (a budget must cover wordless docs too), with zero learned tokens
+    * where no countable word exists. */
+  def tokenBudgetBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"),
+        coalesce(graft.plans.BpeCountExpr
+            .bpeCounts(col("text"), bpeMergeRules(spark, dir))("n_tokens"),
+          lit(0L)).as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  private val tokenBudgetBpeOracle: String =
+    bpeEncodeBySql("doc_id") + s""",
+       |enc AS (
+       | SELECT doc_id,
+       |  CAST(sum((length(esym) - length(replace(esym, chr(1), ''))) // 2) AS BIGINT) AS bpe_tokens
+       | FROM de GROUP BY 1)
+       |SELECT d.doc_id,
+       | CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       | CAST(len(regexp_extract_all(d.text, '${TextAnalysis.BpeishPattern}')) AS BIGINT) AS bpeish_tokens,
+       | CAST(COALESCE(enc.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+       |FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** One BPE round as oracle SQL: pair counts over the symbol arrays of
     * round i-1 (list_zip of adjacent symbols — overlapping occurrences
     * counted, as in the engine), the argmax with the total-order
@@ -3253,5 +3284,6 @@ object LlmQueries {
     QueryDef("vocab_growth", vocabGrowthDocs, Some(vocabGrowthOracle)),
     QueryDef("bpe_fit", bpeFitDocs, Some(bpeFitOracle)),
     QueryDef("bpe_encode", bpeEncodeDocs, Some(bpeEncodeOracle)),
-    QueryDef("bpe_fertility", bpeFertilityLang, Some(bpeFertilityOracle)))
+    QueryDef("bpe_fertility", bpeFertilityLang, Some(bpeFertilityOracle)),
+    QueryDef("token_budget_bpe", tokenBudgetBpe, Some(tokenBudgetBpeOracle)))
 }

@@ -256,6 +256,22 @@ private[graft] object IndexStore {
         case None => merging = false
       }
     }
+    // (2b) sidecar BACKFILL for legacy runs (ADVICE r16): a top-tier
+    // run written before bloom was enabled may never participate in
+    // another merge, so "self-healing through compaction" alone leaves
+    // readBloomFront returning None forever on a migrated index. One
+    // extra scan per legacy run, exactly once — after it every
+    // complete run carries bits and the front can engage. Ordering is
+    // safe: the run is already marker-complete, and readers treat a
+    // missing sidecar as exact-scan fallback, so the sidecar appearing
+    // between two probes only ever upgrades them.
+    bloomCol.foreach { c =>
+      val fsGen = hadoopFs(spark, genDir)
+      completeRuns(spark, genDir)
+        .filterNot(r => fsGen.exists(
+          new org.apache.hadoop.fs.Path(r.path, "_BLOOM")))
+        .foreach(r => writeBloomSidecar(spark, r.path.toString, c, bloomFpp))
+    }
     // (3) stale cleanup — live dirs inside run coverage, covered or
     // markerless run dirs inside a complete run's range (including an
     // exact-range twin losing the covers name tie-break); re-runnable
@@ -382,20 +398,36 @@ private[graft] object IndexStore {
     * live halves cached separately because they change on different
     * cadences (runs: once per compaction epoch; live dirs: every
     * batch). Keyed by (context, dir) so concurrent sinks and sessions
-    * never share entries they shouldn't. Bounded: past `FrontCacheMax`
-    * entries the oldest-inserted entry is evicted and its broadcast
-    * destroyed, so a long-lived app cycling many ephemeral sink dirs
-    * cannot pin broadcast blocks forever (a live sink re-caches on its
-    * next batch at one rebroadcast's cost). */
+    * never share entries they shouldn't. Bounded LRU (accessOrder, not
+    * insertion order — ADVICE r16: FIFO would evict the HOT entries of
+    * >32 concurrently live sinks): past `FrontCacheMax` entries the
+    * least-recently-USED entry is evicted, so a long-lived app cycling
+    * many ephemeral sink dirs cannot pin broadcast blocks forever (a
+    * live sink re-caches on its next batch at one rebroadcast's cost).
+    *
+    * Replaced/evicted handles are `unpersist(blocking = false)`d, NEVER
+    * `destroy()`ed (VERDICT r16 #3): two consumers sharing one index
+    * dir share a cache entry, and a destroy landing while the other's
+    * micro-batch still holds the handle in a task closure fails that
+    * batch with "Broadcast used after destroyed" and kills the query.
+    * unpersist only drops the executor/driver block copies — an
+    * in-flight task transparently re-fetches from the driver-side
+    * value, so the stale handle stays USABLE and the cost of the race
+    * is one re-broadcast, not a dead stream. The JVM-lifetime metadata
+    * of an unpersisted-but-undestroyed broadcast is a few hundred
+    * bytes/handle — bounded by churn, reclaimed on context stop, and
+    * pinned as the documented trade
+    * (IndexStoreSpec "replaced bloom front stays usable"). */
   private val FrontCacheMax = 64
   private val frontCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[
-        String, (String, org.apache.spark.broadcast.Broadcast[Array[BloomFilter]])]() {
+        String, (String, org.apache.spark.broadcast.Broadcast[Array[BloomFilter]])](
+        16, 0.75f, /* accessOrder = LRU */ true) {
       override def removeEldestEntry(e: java.util.Map.Entry[
           String, (String, org.apache.spark.broadcast.Broadcast[Array[BloomFilter]])])
           : Boolean = {
         val evict = size() > FrontCacheMax
-        if (evict) e.getValue._2.destroy()
+        if (evict) e.getValue._2.unpersist(false)
         evict
       }
     })
@@ -406,8 +438,12 @@ private[graft] object IndexStore {
       : Option[org.apache.spark.broadcast.Broadcast[Array[BloomFilter]]] = {
     val sidecars = dirs.map(d => new org.apache.hadoop.fs.Path(d, "_BLOOM"))
     if (sidecars.exists(p => !fs.exists(p))) return None
-    val fp = sidecars.map(p => s"$p:${fs.getFileStatus(p).getLen}").sorted
-      .mkString("|")
+    // path + length + mtime: length alone would serve stale bits for a
+    // sidecar rewritten in place with same-size content (ADVICE r16)
+    val fp = sidecars.map { p =>
+      val st = fs.getFileStatus(p)
+      s"$p:${st.getLen}:${st.getModificationTime}"
+    }.sorted.mkString("|")
     val key = s"${spark.sparkContext.applicationId}#$cacheKey"
     frontCache.synchronized {
       val cur = frontCache.get(key)
@@ -418,7 +454,7 @@ private[graft] object IndexStore {
           .toArray
         val bc = spark.sparkContext.broadcast(blooms)
         frontCache.put(key, (fp, bc))
-        if (cur != null) cur._2.destroy()
+        if (cur != null) cur._2.unpersist(false)
         Some(bc)
       }
     }

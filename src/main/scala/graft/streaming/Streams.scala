@@ -418,6 +418,11 @@ object Streams {
     // must never leave fewer than two complete snapshots (VERDICT r14 #3)
     require(keepVersions >= 2, s"keepVersions must be >= 2, got $keepVersions")
     require(snapshotEvery >= 1, s"snapshotEvery must be >= 1, got $snapshotEvery")
+    // __b/__rn are foldState's working columns; withColumn would
+    // silently REPLACE same-named user columns and the post-fold drop
+    // would then delete user data (ADVICE r16)
+    Seq("__b", "__rn").foreach(c => require(!stream.columns.contains(c),
+      s"column name '$c' is reserved by upsertSink's fold"))
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession

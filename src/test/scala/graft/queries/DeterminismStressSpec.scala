@@ -121,7 +121,13 @@ class DeterminismStressSpec extends SparkSpec {
       // engage/skip decision and the same output at any conf) and the
       // capped-fallback probe plan (collect + createDataFrame +
       // isInCollection pushdown must be a pure set function)
-      "assoc_rules_skew", "cross_dedup_probe")
+      "assoc_rules_skew", "cross_dedup_probe",
+      // round-17 enrollment (VERDICT r16 #6): the learned-BPE family —
+      // the fit's argmax total order and the fused greedy encode
+      // (reference-object codegen) must be conf-invariant; fertility is
+      // the encode's per-lang aggregate and the one query of the trio
+      // that was in neither grid
+      "bpe_fit", "bpe_encode", "bpe_fertility", "token_budget_bpe")
     val defaults = queries.map(q => q -> canonical(q)).toMap
     dropCaches()
     val sweeps: Seq[(String, Seq[(String, String)])] = Seq(

@@ -218,4 +218,112 @@ class IndexStoreSpec extends SparkSpec {
       "the bk bloom prefilter is a pure candidate reduction — same corpus")
     assert(control.size < next, "some near-dups must actually drop")
   }
+
+  test("a replaced bloom front's OLD probe handle stays usable (unpersist, " +
+      "never destroy — VERDICT r16 #3)") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("idx-lifecycle")
+    val (live, gen) = (s"$base/live", s"$base/gen")
+    def addBatch(b: Long): Unit = {
+      writeBatchDir(live, b, Seq(s"k$b"))
+      IndexStore.writeBloomSidecar(spark, s"$live/batch=$b", "s", 0.001)
+    }
+    addBatch(0L)
+    // consumer A takes a probe (captures the broadcast handles)
+    val oldProbe = IndexStore.bloomProbe(spark, live, gen, 1L).get
+    def verdict(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        v: String): Boolean =
+      Seq(v).toDF("s").select(p(col("s")).as("m")).head().getBoolean(0)
+    assert(verdict(oldProbe, "k0"))
+    // consumer B advances the index: the live-half fingerprint changes,
+    // the shared cache entry is REPLACED and the old handle unpersisted
+    addBatch(1L)
+    val newProbe = IndexStore.bloomProbe(spark, live, gen, 2L).get
+    assert(verdict(newProbe, "k1"))
+    // the replaced handle must still answer (re-fetches, no
+    // "Broadcast used after destroyed" job failure)
+    assert(verdict(oldProbe, "k0"))
+    assert(!verdict(oldProbe, "absent_z"))
+    // and churn PAST the cache capacity (64 entries; 2 per probed dir
+    // pair) must not kill the oldest handle either: evicted entries are
+    // unpersisted, not destroyed
+    (0 until 34).foreach { i =>
+      val d = tmp(s"idx-churn-$i")
+      writeBatchDir(s"$d/live", 0L, Seq(s"c$i"))
+      IndexStore.writeBloomSidecar(spark, s"$d/live/batch=0", "s", 0.001,
+        expectedRows = Some(1L))
+      assert(IndexStore.bloomProbe(spark, s"$d/live", s"$d/gen", 1L).isDefined)
+    }
+    assert(verdict(oldProbe, "k0"), "evicted handle survives cache churn")
+  }
+
+  test("an in-place sidecar rewrite with identical length invalidates the " +
+      "cache (mtime rides the fingerprint — ADVICE r16)") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("idx-mtime")
+    val (live, gen) = (s"$base/live", s"$base/gen")
+    writeBatchDir(live, 0L, Seq("alpha"))
+    IndexStore.writeBloomSidecar(spark, s"$live/batch=0", "s", 0.001,
+      expectedRows = Some(1L))
+    val p1 = IndexStore.bloomProbe(spark, live, gen, 1L).get
+    def verdict(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        v: String): Boolean =
+      Seq(v).toDF("s").select(p(col("s")).as("m")).head().getBoolean(0)
+    assert(verdict(p1, "alpha") && !verdict(p1, "beta"))
+    // rewrite the dir + sidecar IN PLACE with different content but the
+    // same expectedRows (same serialized length), then force a distinct
+    // mtime — the probe must serve the NEW bits, not the cached ones
+    writeBatchDir(live, 0L, Seq("beta"))
+    IndexStore.writeBloomSidecar(spark, s"$live/batch=0", "s", 0.001,
+      expectedRows = Some(1L))
+    val fs = IndexStore.hadoopFs(spark, live)
+    val sc = new org.apache.hadoop.fs.Path(s"$live/batch=0/_BLOOM")
+    fs.setTimes(sc, fs.getFileStatus(sc).getModificationTime + 5000L, -1L)
+    val p2 = IndexStore.bloomProbe(spark, live, gen, 1L).get
+    assert(verdict(p2, "beta"), "rewritten bits must be visible")
+    assert(!verdict(p2, "alpha"))
+  }
+
+  test("legacy sidecar-less runs are backfilled on the next compaction " +
+      "(ADVICE r16: top-tier runs may never merge again)") {
+    val s = spark
+    import s.implicits._
+    val base = tmp("idx-backfill")
+    val (live, gen) = (s"$base/live", s"$base/gen")
+    (0L until 4L).foreach(b => writeBatchDir(live, b, Seq(s"v$b")))
+    // legacy compaction: NO bloomCol — runs exist without sidecars
+    IndexStore.compactIndexDir(spark, live, gen, 4L, compactEvery = 2,
+      fanout = 2)
+    assert(IndexStore.completeRuns(spark, gen).nonEmpty)
+    assert(IndexStore.bloomProbe(spark, live, gen, 4L).isEmpty,
+      "no front on a legacy index")
+    // bloom-enabled compaction with NOTHING new to fold must still
+    // backfill every complete run's sidecar
+    IndexStore.compactIndexDir(spark, live, gen, 4L, compactEvery = 2,
+      fanout = 2, bloomCol = Some("s"), bloomFpp = 0.001)
+    val fs = IndexStore.hadoopFs(spark, gen)
+    IndexStore.completeRuns(spark, gen).foreach(r =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(r.path, "_BLOOM")),
+        s"run ${r.path.getName} not backfilled"))
+    val probe = IndexStore.bloomProbe(spark, live, gen, 4L)
+    assert(probe.isDefined, "front engages after backfill")
+    val got = Seq("v0", "v3", "absent_q").toDF("s")
+      .select(col("s"), probe.get(col("s")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("v0") && got("v3") && !got("absent_q"))
+  }
+
+  test("upsertSink rejects streams carrying its reserved fold columns") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val bad = mem.toDF().toDF("k", "__b")
+    val e = intercept[IllegalArgumentException] {
+      Streams.upsertSink(bad, Seq("k"), tmp("upsert-reserved"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
 }

@@ -38,7 +38,10 @@ object ScaleBench {
     // gen_sf10/gen_sf100), the ingest probe plan (documents — scales
     // through gen_sf1's corpus recipe), and the iterative fit whose
     // vocabulary-sized working set is its scale claim
-    "assoc_rules_skew", "cross_dedup_probe", "bpe_fit", "bpe_encode")
+    "assoc_rules_skew", "cross_dedup_probe", "bpe_fit", "bpe_encode",
+    // round-17: the encode's per-lang aggregate joins its pair
+    // (VERDICT r16 #6)
+    "bpe_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -161,15 +161,20 @@ object StreamBench {
         .createTempDirectory("sb-dedup-ckpt").toString
       val vocab = (0 until 5000).map(i => s"t$i")
       var nextId = 0L
+      // optional 9th arg: dup fraction (default 0.1). The r16 band-key
+      // prefilter default-off call was measured at this 10%-dup shape;
+      // the documented WIN case — a mostly-unique feed whose batches can
+      // skip the index entirely — is the ~0.01 arm (VERDICT r16 #4).
+      val dupFrac = args.lift(8).map(_.toDouble).getOrElse(0.1)
       def doc(): (Long, String) = {
         nextId += 1
-        // ~10% of docs are near-dups of an earlier shape (shared prefix
-        // template), the rest unique — the index has real work to do
+        // dupFrac of docs are near-dups of an earlier shape (shared
+        // prefix template), the rest unique — the index has real work
         val tpl = rnd.nextInt(40)
         val body = (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size)))
         val tplPrefix = (0 until 40).map(i => s"p${tpl}_$i")
         val words =
-          if (rnd.nextDouble() < 0.1) tplPrefix ++ body.take(4)
+          if (rnd.nextDouble() < dupFrac) tplPrefix ++ body.take(4)
           else body
         (nextId, words.mkString(" "))
       }
@@ -238,11 +243,16 @@ object StreamBench {
       val target = java.nio.file.Files
         .createTempDirectory("sb-novelty").toString
       val vocab = (0 until 5000).map(i => s"t$i")
+      // optional 9th arg: replay fraction (default 0.3 — the r16 shape).
+      // 0.0 is the HIGH-NOVELTY arm (VERDICT r16 #7): the bloom front's
+      // probable set is smallest there, the undercount bound tightest.
+      val replayFrac = args.lift(8).map(_.toDouble).getOrElse(0.3)
       def doc(idx: Long): (Long, String) =
-        // ~30% replayed template content (seen grams), rest fresh-ish
-        // draws from a bounded vocab — novelty decays but never zeroes,
-        // so both the novel-append and the seen-lookup paths stay hot
-        (idx, (if (rnd.nextDouble() < 0.3)
+        // replayFrac of docs carry replayed template content (seen
+        // grams), rest fresh-ish draws from a bounded vocab — novelty
+        // decays but never zeroes, so both the novel-append and the
+        // seen-lookup paths stay hot
+        (idx, (if (rnd.nextDouble() < replayFrac)
             (0 until 40).map(i => s"tpl${rnd.nextInt(20)}_$i")
           else (0 until 40).map(_ => vocab(rnd.nextInt(vocab.size))))
           .mkString(" "))
@@ -372,6 +382,24 @@ object StreamBench {
         s""""written_bytes_total":${written.get()}}""")
       report("upsert_maintain", secs.result(),
         batches.toLong * updatesPerBatch, Vector(state), storeBytes.result())
+      // READ-SIDE cost of the delta layout (VERDICT r16 #5): each
+      // latestTable read folds up to snapshotEvery−1 deltas over the
+      // snapshot; K was chosen by the WRITE A/B alone, so record what
+      // readers pay at this K on the finished table. 20 timed full
+      // resolutions (count() forces the window + anti-join fold).
+      val fs = graft.streaming.IndexStore.hadoopFs(spark, target)
+      val pending = fs.listStatus(new org.apache.hadoop.fs.Path(target))
+        .count(s => s.isDirectory && s.getPath.getName.startsWith("d="))
+      val readSecs = (0 until 20).map { _ =>
+        val t0 = System.nanoTime()
+        graft.streaming.Streams.latestTable(spark, target, Seq("k"))
+          .foreach(_.count())
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(s"""{"scenario_note":"upsert_read","snapshot_every":$snapshotEvery,""" +
+        s""""pending_deltas":$pending,"reads":20,""" +
+        s""""sec_per_read_med":${r3(med(readSecs))},""" +
+        s""""reads_per_sec":${r3(1.0 / med(readSecs))}}""")
     }
 
     // ----- 3e. rateMonitor: trailing-hour z-scores, bounded keyed state -
