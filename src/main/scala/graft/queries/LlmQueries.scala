@@ -840,6 +840,28 @@ object LlmQueries {
        |FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Learned-token CENSUS: the top-30 fitted-vocabulary tokens by
+    * corpus occurrence — the standard tokenizer diagnostic (what did
+    * the vocabulary actually learn, and what dominates sequence
+    * length). Rides [[graft.plans.BpeTokensExpr]] — the fused encoder's
+    * sequence form, one codegen node per text row, token rows meet only
+    * in the map-side-combined census aggregation. */
+  def bpeTokenCensus(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(graft.plans.BpeTokensExpr.bpeTokens(col("text"),
+        bpeMergeRules(spark, dir))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(30)
+
+  private val bpeTokenCensusOracle: String =
+    bpeEncodeBySql("doc_id") + s""",
+       |tok AS (
+       | SELECT unnest(string_split(trim(esym, chr(1)), chr(1)||chr(1))) AS token
+       | FROM de)
+       |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+       |FROM tok GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin
+
   /** One BPE round as oracle SQL: pair counts over the symbol arrays of
     * round i-1 (list_zip of adjacent symbols — overlapping occurrences
     * counted, as in the engine), the argmax with the total-order
@@ -2523,6 +2545,42 @@ object LlmQueries {
        |    > CAST(floor(start_offset / $PackBudget.0) AS BIGINT)) AS crosses_boundary
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** [[packSequences]] priced in LEARNED tokens (VERDICT r16 #2): the
+    * same contiguous concat-and-chunk packing, with each document's
+    * length measured by the FITTED tokenizer (fused encode over the
+    * memoized merge table) instead of the whitespace proxy — the form
+    * an actual training-window packer uses. Wordless/null-text docs
+    * pack at length 0, as in the proxy form. */
+  def packSequencesBpe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        coalesce(graft.plans.BpeCountExpr
+            .bpeCounts(col("text"), bpeMergeRules(spark, dir))("n_tokens"),
+          lit(0L)).as("n_tokens"))
+    Packing.packContiguous(docs, "doc_id", "n_tokens", PackBudget)
+      .select("doc_id", "n_tokens", "start_offset", "seq_id", "crosses_boundary")
+      .orderBy("doc_id")
+  }
+
+  private val packSequencesBpeOracle: String =
+    bpeEncodeBySql("doc_id") + s""",
+       |enc AS (
+       | SELECT doc_id,
+       |  CAST(sum((length(esym) - length(replace(esym, chr(1), ''))) // 2) AS BIGINT) AS n
+       | FROM de GROUP BY 1),
+       |d AS (
+       | SELECT dd.doc_id, CAST(COALESCE(enc.n, 0) AS BIGINT) AS n_tokens
+       | FROM documents dd LEFT JOIN enc ON dd.doc_id = enc.doc_id),
+       |c AS (SELECT doc_id, n_tokens,
+       |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       | FROM d)
+       |SELECT doc_id, n_tokens, start_offset,
+       | CAST(floor(start_offset / $PackBudget.0) AS BIGINT) AS seq_id,
+       | (n_tokens > 0 AND CAST(floor((start_offset + n_tokens - 1) / $PackBudget.0) AS BIGINT)
+       |    > CAST(floor(start_offset / $PackBudget.0) AS BIGINT)) AS crosses_boundary
+       |FROM c ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- overlap chunking
 
   private val ChunkSize = 32
@@ -3285,5 +3343,7 @@ object LlmQueries {
     QueryDef("bpe_fit", bpeFitDocs, Some(bpeFitOracle)),
     QueryDef("bpe_encode", bpeEncodeDocs, Some(bpeEncodeOracle)),
     QueryDef("bpe_fertility", bpeFertilityLang, Some(bpeFertilityOracle)),
-    QueryDef("token_budget_bpe", tokenBudgetBpe, Some(tokenBudgetBpeOracle)))
+    QueryDef("token_budget_bpe", tokenBudgetBpe, Some(tokenBudgetBpeOracle)),
+    QueryDef("bpe_token_census", bpeTokenCensus, Some(bpeTokenCensusOracle)),
+    QueryDef("pack_sequences_bpe", packSequencesBpe, Some(packSequencesBpeOracle)))
 }

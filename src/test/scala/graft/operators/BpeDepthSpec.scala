@@ -26,7 +26,8 @@ class BpeDepthSpec extends SparkSpec {
     * left-to-right non-overlapping literal replace per rank — an
     * independent third implementation both engine forms are checked
     * against. */
-  private def chainCountRef(word: String, merges: Seq[(String, String)]): Int = {
+  private def chainTokensRef(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
     val D = "\u0001"
     val syms = word.codePoints().toArray
       .filterNot(TextAnalysis.isDroppedCp)
@@ -34,8 +35,14 @@ class BpeDepthSpec extends SparkSpec {
     var s = D + syms.mkString(D + D) + D
     for ((l, r) <- merges)
       s = s.replace(D + l + D + D + r + D, D + l + r + D)
-    (s.length - s.replace(D, "").length) / 2
+    // the oracle's token extraction: trim the outer delimiters, split
+    // on the doubled inner ones
+    s.stripPrefix(D).stripSuffix(D)
+      .split(java.util.regex.Pattern.quote(D + D), -1).toSeq
   }
+
+  private def chainCountRef(word: String, merges: Seq[(String, String)]): Int =
+    chainTokensRef(word, merges).size
 
   test("driver-local fit is bit-identical to the distributed fit at K=10 and K=64") {
     for (k <- Seq(10, 64)) {
@@ -111,6 +118,14 @@ class BpeDepthSpec extends SparkSpec {
     assert(fused.size === vocab.size)
     fused.foreach { case (w, n) =>
       assert(n === chainCountRef(w, merges).toLong, s"word '$w'")
+    }
+    // the TOKEN SEQUENCE form agrees with the chain replay too
+    val fusedToks = words
+      .select(col("w"),
+        graft.plans.BpeTokensExpr.bpeTokens(col("w"), merges).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    fusedToks.foreach { case (w, t) =>
+      assert(t === chainTokensRef(w, merges), s"tokens of '$w'")
     }
     // and the real-corpus fused aggregate stays green at ITS max depth
     val corpusMerges = TextAnalysis.bpeFitMergesAuto(documents, "text", 1024)
