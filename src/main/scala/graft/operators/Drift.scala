@@ -100,13 +100,13 @@ object Drift {
     * value is exact.
     *
     * Scale shape: one hash aggregation to (value, n_base, n_other)
-    * frequency rows; per-side cumulative counts ride
-    * [[Packing.packContiguous]]'s two-phase prefix sum over the
-    * distinct-value frame in value order — shuffles carry one row per
-    * distinct value, and the only global window runs over one row per
-    * slice (the spearman rank machinery, reused). No corpus-sized
-    * single-task sort anywhere. The frequency frame feeds three
-    * consumers (two prefix sums + totals) and is checkpointed once.
+    * frequency rows; BOTH sides' cumulative counts ride ONE
+    * [[Packing.prefixSums]] two-phase pass over the distinct-value
+    * frame in value order — shuffles carry one row per distinct value,
+    * and the only global window runs over one row per slice (the
+    * spearman rank machinery, reused). No corpus-sized single-task
+    * sort anywhere. The frequency frame feeds three consumers (the
+    * prefix-sum pass's two branches + totals) and is checkpointed once.
     * Cumulative counts are exact longs; the final gaps divide identical
     * integers in both engines, so the statistic replays bit-for-bit.
     * Returns one row (ks, n_base, n_other); null ks when a slice is
@@ -118,12 +118,17 @@ object Drift {
       .agg(sum(when(isBase, 1L).otherwise(0L)).as("_nb"),
         sum(when(isBase, 0L).otherwise(1L)).as("_nc"))
       .localCheckpoint()
-    val cumB = Packing.packContiguous(freq, "_v", "_nb", Int.MaxValue)
-      .select(col("_v"), (col("start_offset") + col("_nb")).as("_cb"))
-    val cumC = Packing.packContiguous(freq, "_v", "_nc", Int.MaxValue)
-      .select(col("_v"), (col("start_offset") + col("_nc")).as("_cc"))
+    // BOTH inclusive CDF counts in one two-phase pass (one slice-bounds
+    // action, one window, one offsets agg) — and no re-join of the two
+    // cumulative frames on _v afterwards (r17; previously two
+    // packContiguous passes + a 600k-row sort-merge self-join)
+    val both = Packing.prefixSums(freq, Nil, "_v",
+        Seq("_nb", "_nc"), Seq("_cb0", "_cc0"))
+      .select(col("_v"),
+        (col("_cb0") + col("_nb")).as("_cb"),
+        (col("_cc0") + col("_nc")).as("_cc"))
     val t = freq.agg(sum("_nb").as("tb"), sum("_nc").as("tc"))
-    cumB.join(cumC, "_v")
+    both
       .crossJoin(broadcast(t)) // 1-row totals side
       .select(abs(col("_cb").cast("double") / when(col("tb") =!= 0, col("tb")) -
           col("_cc").cast("double") / when(col("tc") =!= 0, col("tc"))).as("gap"),
@@ -135,9 +140,9 @@ object Drift {
 
   /** Per-GROUP exact two-sample KS — "WHICH segment drifted?": the
     * [[ksDrift]] statistic computed independently for every value of
-    * `groupCol` (language, source, shard) in ONE pass. Cumulative
-    * counts ride [[Packing.groupedPrefixSum]] (two chained passes, one
-    * per slice side) over the (group, distinct value) frequency frame —
+    * `groupCol` (language, source, shard) in ONE pass. Both sides'
+    * cumulative counts ride one [[Packing.prefixSums]] two-phase pass
+    * over the (group, distinct value) frequency frame —
     * per-group windows only ever see one slice's rows of one group, no
     * corpus-sized single-task window. The per-group totals frame is
     * |groups| rows and goes through [[SizeGuard.broadcastIfSmall]] —
@@ -152,10 +157,12 @@ object Drift {
       .agg(sum(when(isBase, 1L).otherwise(0L)).as("_nb"),
         sum(when(isBase, 0L).otherwise(1L)).as("_nc"))
       .localCheckpoint()
-    // chained grouped prefix sums: cum-before per side, then inclusive
-    val both = Packing.groupedPrefixSum(
-        Packing.groupedPrefixSum(freq, "_g", "_v", "_nb", "_cb0"),
-        "_g", "_v", "_nc", "_cc0")
+    // both per-group CDF counts in ONE two-phase pass (r17; previously
+    // two CHAINED groupedPrefixSum calls — the second one's slice-bounds
+    // action materialized the entire first prefix-sum lineage just to
+    // read min/max of _v, and both its branches recomputed that chain)
+    val both = Packing.prefixSums(freq, Seq("_g"), "_v",
+        Seq("_nb", "_nc"), Seq("_cb0", "_cc0"))
       .select(col("_g"), col("_v"),
         (col("_cb0") + col("_nb")).as("_cb"),
         (col("_cc0") + col("_nc")).as("_cc"))

@@ -322,6 +322,58 @@ object Packing {
       .drop("_slice", "_local_cum", "_base")
   }
 
+  /** SEVERAL exclusive prefix sums in ONE two-phase pass — the
+    * [[groupedPrefixSumSliced]] plan with every value column riding the
+    * same slice window / offsets aggregate / broadcast join.
+    * `groupCols` may be empty (global running sums). Callers that need
+    * k running sums over the SAME order (Drift's two-sided KS CDFs) pay
+    * one slice-bounds action, one window exchange and one offsets
+    * aggregate instead of k of each — and, more importantly, no join to
+    * re-align the k results afterwards (r17: ksDrift previously ran two
+    * [[packContiguous]] passes and re-joined 600k-row outputs on the
+    * value key — a sort-merge exchange pair that existed only to undo
+    * the split this method avoids). Semantics per column are exactly
+    * [[groupedPrefixSum]]'s: integer/long sums, deterministic for a
+    * unique `orderCol` within each group. Adds `cumBeforeCols` (same
+    * arity as `valueCols`). */
+  private[operators] def prefixSums(df: DataFrame, groupCols: Seq[String],
+      orderCol: String, valueCols: Seq[String],
+      cumBeforeCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty && valueCols.size == cumBeforeCols.size)
+    val nSlices = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sliced = df.withColumn("_slice",
+      deterministicSlice(df, orderCol, nSlices))
+    val gCols = groupCols.map(col)
+    val local = Window.partitionBy(gCols :+ col("_slice"): _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // identical window spec for every column -> Catalyst plans ONE
+    // Window node (one sort), k running-sum frames inside it
+    val withLocal = valueCols.zipWithIndex.foldLeft(sliced) {
+      case (d, (v, i)) => d.withColumn(s"_lc_$i", sum(col(v)).over(local))
+    }
+    val ptAggs = valueCols.zipWithIndex.map { case (v, i) =>
+      sum(col(v)).as(s"_pt_$i") }
+    val offsets = sliced.groupBy(gCols :+ col("_slice"): _*)
+      .agg(ptAggs.head, ptAggs.tail: _*)
+    // AUDITED GLOBAL WINDOW (empty groupCols): ≤ nSlices+2 rows by
+    // construction — see packContiguous
+    val offW = Window.partitionBy(gCols: _*).orderBy("_slice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = valueCols.indices.foldLeft(offsets) { (d, i) =>
+        d.withColumn(s"_b_$i", sum(col(s"_pt_$i")).over(offW) - col(s"_pt_$i"))
+      }
+      .select(gCols ++ Seq(col("_slice")) ++
+        valueCols.indices.map(i => col(s"_b_$i")): _*)
+    val joined = withLocal.join(broadcast(bases),
+      groupCols :+ "_slice")
+    val withCums = valueCols.indices.foldLeft(joined) { (d, i) =>
+      d.withColumn(cumBeforeCols(i),
+        col(s"_b_$i") + col(s"_lc_$i") - col(valueCols(i)))
+    }
+    withCums.drop("_slice" +:
+      valueCols.indices.flatMap(i => Seq(s"_lc_$i", s"_b_$i")): _*)
+  }
+
   /** Pack by a precomputed token-count column. Returns the input columns
     * plus start_offset (global tokens before this doc), seq_id
     * (floor(start_offset / budget)) and crosses_boundary (true when the

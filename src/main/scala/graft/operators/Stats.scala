@@ -538,14 +538,30 @@ object Stats {
   def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
       minCount: Long,
       pruneMassThreshold: Double = defaultPruneMassThreshold,
-      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame = {
-    val arrays = basketItems(df, basketCol, itemCol)
+      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame =
+    coOccurrenceOver(basketItems(df, basketCol, itemCol), None, minCount,
+      pruneMassThreshold, pruneBroadcastCap)
+
+  /** [[coOccurrence]] body over a prebuilt [[basketItems]] substrate.
+    * `nBaskets`, when the caller already resolved it (the relative-
+    * support wrappers count the checkpointed substrate to translate
+    * their fraction), skips this path's own count; either way the
+    * basket-universe total reaches the lift arithmetic as a LITERAL —
+    * the one-row `totals` aggregate + `crossJoin(broadcast(...))`
+    * subtree it replaces cost an extra aggregation subtree and a
+    * broadcast exchange in every run (r17: one less exchange, same
+    * values — the literal is the identical Long the subtree produced).
+    * The count itself reads the checkpointed blocks, never the source
+    * scan. */
+  private def coOccurrenceOver(arrays: DataFrame, nBaskets: Option[Long],
+      minCount: Long, pruneMassThreshold: Double,
+      pruneBroadcastCap: Long): DataFrame = {
     // distinct-item-sized, feeds THREE consumers (the prune decision +
     // both lift joins) — materialized once, like the arrays substrate
     val itemCounts = arrays.select(explode(col("its")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
       .localCheckpoint()
-    val totals = arrays.agg(count(lit(1)).as("__N"))
+    val bigN = lit(nBaskets.getOrElse(arrays.count())).cast("long")
     val pairs = basketPairsForAgg(frequentItemArrays(
         arrays, itemCounts, minCount, pruneMassThreshold, pruneBroadcastCap))
       .groupBy(col("ia").as("item_a"), col("ib").as("item_b"))
@@ -554,10 +570,9 @@ object Stats {
     pairs
       .join(itemCounts.select(col("i").as("item_a"), col("n_i").as("n_a")), "item_a")
       .join(itemCounts.select(col("i").as("item_b"), col("n_i").as("n_b")), "item_b")
-      .crossJoin(broadcast(totals))
       .select(col("item_a"), col("item_b"), col("n_baskets"),
-        ((col("n_baskets") / col("__N")) /
-          ((col("n_a") / col("__N")) * (col("n_b") / col("__N")))).as("lift"))
+        ((col("n_baskets") / bigN) /
+          ((col("n_a") / bigN) * (col("n_b") / bigN))).as("lift"))
   }
 
   /** The shared Apriori substrate: one row per basket holding its
@@ -847,14 +862,22 @@ object Stats {
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
       minCount: Long,
       pruneMassThreshold: Double = defaultPruneMassThreshold,
-      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame = {
-    val arrays = basketItems(df, basketCol, itemCol)
+      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame =
+    associationRulesOver(basketItems(df, basketCol, itemCol), None, minCount,
+      pruneMassThreshold, pruneBroadcastCap)
+
+  /** [[associationRules]] body over a prebuilt substrate — same literal-
+    * totals rewrite as [[coOccurrenceOver]] (one less aggregation
+    * subtree + broadcast exchange; bit-identical arithmetic). */
+  private def associationRulesOver(arrays: DataFrame, nBaskets: Option[Long],
+      minCount: Long, pruneMassThreshold: Double,
+      pruneBroadcastCap: Long): DataFrame = {
     // three consumers (prune decision + both rule-direction joins):
     // materialized once — see coOccurrence
     val itemCounts = arrays.select(explode(col("its")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
       .localCheckpoint()
-    val totals = arrays.agg(count(lit(1)).as("__N"))
+    val bigN = lit(nBaskets.getOrElse(arrays.count())).cast("long")
     val pairs = basketPairsForAgg(frequentItemArrays(
         arrays, itemCounts, minCount, pruneMassThreshold, pruneBroadcastCap))
       .groupBy(col("ia"), col("ib"))
@@ -868,11 +891,10 @@ object Stats {
         col("antecedent") === col("i")).drop("i")
       .join(itemCounts.select(col("i"), col("n_i").as("n_cons")),
         col("consequent") === col("i")).drop("i")
-      .crossJoin(broadcast(totals))
       .select(col("antecedent"), col("consequent"), col("n_ab"),
-        (col("n_ab") / col("__N").cast("double")).as("support"),
+        (col("n_ab") / bigN.cast("double")).as("support"),
         (col("n_ab") / col("n_ante").cast("double")).as("confidence"),
-        ((col("n_ab") * col("__N").cast("double")) /
+        ((col("n_ab") * bigN.cast("double")) /
           (col("n_ante") * col("n_cons"))).as("lift"))
   }
 
@@ -893,8 +915,15 @@ object Stats {
   def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
       minCount: Long,
       pruneMassThreshold: Double = defaultPruneMassThreshold,
-      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame = {
-    val arrays0 = basketItems(df, basketCol, itemCol)
+      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame =
+    frequentTriplesOver(basketItems(df, basketCol, itemCol), minCount,
+      pruneMassThreshold, pruneBroadcastCap)
+
+  /** [[frequentTriples]] body over a prebuilt substrate (the relative-
+    * support wrapper resolves its threshold from the same checkpointed
+    * frame instead of a second source scan — r17). */
+  private def frequentTriplesOver(arrays0: DataFrame, minCount: Long,
+      pruneMassThreshold: Double, pruneBroadcastCap: Long): DataFrame = {
     val itemCounts0 = arrays0.select(explode(col("its")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
     // here itemCounts feeds only the prune, which reads it twice
@@ -950,43 +979,53 @@ object Stats {
   def coOccurrenceBySupport(df: DataFrame, basketCol: String,
       itemCol: String, minSupport: Double,
       pruneMassThreshold: Double = defaultPruneMassThreshold,
-      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame =
-    coOccurrence(df, basketCol, itemCol,
-      supportCount(df, basketCol, itemCol, minSupport),
+      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame = {
+    val arrays = basketItems(df, basketCol, itemCol)
+    val n = arrays.count()
+    coOccurrenceOver(arrays, Some(n), supportCount(n, minSupport),
       pruneMassThreshold, pruneBroadcastCap)
+  }
 
   /** See [[coOccurrenceBySupport]]. */
   def associationRulesBySupport(df: DataFrame, basketCol: String,
       itemCol: String, minSupport: Double,
       pruneMassThreshold: Double = defaultPruneMassThreshold,
-      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame =
-    associationRules(df, basketCol, itemCol,
-      supportCount(df, basketCol, itemCol, minSupport),
+      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame = {
+    val arrays = basketItems(df, basketCol, itemCol)
+    val n = arrays.count()
+    associationRulesOver(arrays, Some(n), supportCount(n, minSupport),
       pruneMassThreshold, pruneBroadcastCap)
+  }
 
   /** See [[coOccurrenceBySupport]]. */
   def frequentTriplesBySupport(df: DataFrame, basketCol: String,
       itemCol: String, minSupport: Double,
       pruneMassThreshold: Double = defaultPruneMassThreshold,
-      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame =
-    frequentTriples(df, basketCol, itemCol,
-      supportCount(df, basketCol, itemCol, minSupport),
+      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame = {
+    val arrays = basketItems(df, basketCol, itemCol)
+    frequentTriplesOver(arrays, supportCount(arrays.count(), minSupport),
       pruneMassThreshold, pruneBroadcastCap)
+  }
 
-  /** ceil(minSupport · |distinct baskets|), floored at 1. The basket
-    * universe requires BOTH the basket and the item non-null — the same
-    * filter [[basketItems]] applies — so the fraction resolves against
-    * exactly the N that the support/lift denominators (and the DuckDB
-    * oracles) use. Counting baskets whose every item is null (possible
-    * on sparse corpora; not on TPC-H lineitem) would silently raise the
-    * resolved threshold above the one the outputs are scored with. */
-  private def supportCount(df: DataFrame, basketCol: String,
-      itemCol: String, minSupport: Double): Long = {
+  /** ceil(minSupport · |distinct baskets|), floored at 1. `nBaskets` is
+    * the row count of the checkpointed [[basketItems]] substrate —
+    * basketItems requires BOTH the basket and the item non-null, so
+    * one row per basket of the fraction's universe and the count
+    * resolves against exactly the N that the support/lift denominators
+    * (and the DuckDB oracles) use. Counting baskets whose every item
+    * is null (possible on sparse corpora; not on TPC-H lineitem) would
+    * silently raise the resolved threshold above the one the outputs
+    * are scored with. Until r17 this was a dedicated
+    * `df.filter(...).select(basket).distinct().count()` — a second
+    * full source scan plus a two-stage distinct per relative-support
+    * query; counting the already-materialized substrate reads only the
+    * checkpointed blocks (measured: one scan + distinct exchange gone
+    * from each of the four *_support bench queries, same resolved
+    * threshold by construction). */
+  private def supportCount(nBaskets: Long, minSupport: Double): Long = {
     require(minSupport > 0.0 && minSupport <= 1.0,
       s"minSupport must be in (0, 1], got $minSupport")
-    val n = df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
-      .select(col(basketCol)).distinct().count()
-    math.max(1L, math.ceil(minSupport * n).toLong)
+    math.max(1L, math.ceil(minSupport * nBaskets).toLong)
   }
 
   /** Structural pattern census (the classic profiler "mask" view,

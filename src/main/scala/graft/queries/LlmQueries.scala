@@ -1251,34 +1251,61 @@ object LlmQueries {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-    def census(df: DataFrame, stage: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
-        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
-    val dd = Dedup.exact(docs, Seq("text"), "doc_id")
-      .select("doc_id", "lang", "text", "n_tokens").localCheckpoint()
-    // the score is row-local — compute it inside the gate projection
-    // rather than scanning dd twice and joining the score back on doc_id
+    // STAGE FLAGS over one frame instead of one materialization per
+    // stage (r17). The survivor sets are NESTED (each stage filters the
+    // previous), so every census is a conditional count/sum over a
+    // single frame carrying per-stage booleans, and the five
+    // one-aggregate-per-stage union branches collapse into ONE closing
+    // aggregate. The dd/gated/cleaned localCheckpoint ladder (three
+    // corpus materializations; at 100 TB three corpus writes) becomes
+    // one flagged checkpoint; stage semantics are expression-identical:
+    //  f2 = Dedup.exact's keep rule (first doc_id per text),
+    //  f3 = f2 AND corpus_filter's gate (row-local),
+    //  f4 = f3 AND bloomKeep's uncontaminated verdict (unchanged
+    //       operator, fed the same f3 rows, joined back as a flag),
+    //  f5 = f4 AND mixByTokenBudget's keep rule — the same md5-priority
+    //       grouped prefix sum, with non-f4 rows contributing a zero
+    //       summand so every f4 row's tokens_before is unchanged.
     val qs = r(TextAnalysis.qualityColumns(col("text"), Stopwords)("quality_score"), 6)
-    val gated = dd
-      .filter(col("lang").isin("en", "de") &&
+    val w = Window.partitionBy("text").orderBy(col("doc_id").asc)
+    val flagged = docs
+      .withColumn("f2", row_number().over(w) === 1)
+      .withColumn("f3", col("f2") && col("lang").isin("en", "de") &&
         col("n_tokens").between(5, 180) && qs >= 0.5)
-      .select("doc_id", "lang", "text", "n_tokens").localCheckpoint()
-    val keep = Contamination.bloomKeep(gated, benchDocs(docs),
-      "doc_id", "text", DecontamN)
-    val cleaned = gated.join(keep.select("doc_id"), Seq("doc_id"))
-      .select("doc_id", "lang", "n_tokens").localCheckpoint()
-    val mixed = graft.operators.Sampling.mixByTokenBudget(
-      cleaned, "doc_id", "lang", "n_tokens", budgetPerGroup = 2000L, seed = 7L)
-    val mixedCensus = mixed
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
-      .select(lit("5_mix").as("stage"), col("n_docs"), col("n_tokens"))
-    census(docs, "1_raw")
-      .unionByName(census(dd, "2_dedup"))
-      .unionByName(census(gated, "3_quality"))
-      .unionByName(census(cleaned, "4_decon"))
-      .unionByName(mixedCensus)
+      .localCheckpoint()
+    val keep = Contamination.bloomKeep(
+      flagged.filter(col("f3")).select("doc_id", "lang", "text", "n_tokens"),
+      benchDocs(docs), "doc_id", "text", DecontamN)
+    val f4d = flagged
+      .join(keep.select(col("doc_id"), lit(true).as("__k")), Seq("doc_id"), "left")
+      .withColumn("f4", col("f3") && coalesce(col("__k"), lit(false)))
+    // mixByTokenBudget's exact ordering + keep rule (seed 7, budget
+    // 2000), inlined so the prefix sum rides the flag frame: zero
+    // summand for non-f4 rows keeps every f4 row's running total
+    // bit-identical to running the mixer over the cleaned frame alone
+    val ordered = f4d
+      .withColumn("__ord",
+        concat(md5(concat_ws("#", lit(7L), col("doc_id").cast("string"))),
+          lit("#"), col("doc_id").cast("string")))
+      // null-safe group key: only f4 rows (lang IN en/de) have a live
+      // budget; the rest just need to survive the join plumbing
+      .withColumn("__mg", coalesce(col("lang"), lit("")))
+      .withColumn("__tok", when(col("f4"), col("n_tokens")).otherwise(0L))
+    val f5d = graft.operators.Packing
+      .groupedPrefixSum(ordered, "__mg", "__ord", "__tok", "tokens_before")
+      .withColumn("f5",
+        col("f4") && col("tokens_before") + col("n_tokens") <= 2000L)
+    val stages = Seq(
+      "1_raw" -> lit(true), "2_dedup" -> col("f2"), "3_quality" -> col("f3"),
+      "4_decon" -> col("f4"), "5_mix" -> col("f5"))
+    val exprs = stages.flatMap { case (s, f) => Seq(
+      count(when(f, lit(1))).as(s"${s}_d"),
+      coalesce(sum(when(f, col("n_tokens"))), lit(0L)).as(s"${s}_t")) }
+    f5d.agg(exprs.head, exprs.tail: _*)
+      .select(explode(array(stages.map { case (s, _) =>
+        struct(lit(s).as("stage"), col(s"${s}_d").as("n_docs"),
+          col(s"${s}_t").as("n_tokens")) }: _*)).as("c"))
+      .select("c.*")
       .orderBy("stage")
   }
 

@@ -1114,21 +1114,25 @@ object RelationalQueries {
       .select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(fOrders, col("l_orderkey") === col("o_orderkey"))
       .drop("o_orderkey")
-    // one grouped pass: each supplier's latest shipment per order;
-    // checkpointed — it feeds the per-order aggregate AND the
-    // qualification join below
+    // one grouped pass: each supplier's latest shipment per order
     val perSupp = li.groupBy("l_orderkey", "l_suppkey")
       .agg(max("l_shipdate").as("s_max"))
-      .localCheckpoint()
     // per order: supplier count, the max, how many suppliers hit it,
-    // and the runner-up — enough to derive every supplier's other_max
-    val agg1 = perSupp.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("n_supp"), max("s_max").as("m1"))
-    val agg2 = perSupp.join(agg1, "l_orderkey")
-      .groupBy("l_orderkey", "n_supp", "m1")
-      .agg(sum(when(col("s_max") === col("m1"), 1L).otherwise(0L)).as("cnt1"),
-        max(when(col("s_max") < col("m1"), col("s_max"))).as("m2"))
-    val withOtherMax = perSupp.join(agg2, "l_orderkey")
+    // and the runner-up — enough to derive every supplier's other_max.
+    // ONE unordered window over l_orderkey computes all four alongside
+    // each supplier row (bounded by suppliers per order); r17 replaced
+    // two aggregate+join rounds over a checkpointed perSupp (three
+    // extra exchanges and a materialization) with this single pass —
+    // the window reuses the partitioning the groupBy just established,
+    // so no second exchange either (guide §2.4).
+    val wOrd = Window.partitionBy("l_orderkey")
+    val withOtherMax = perSupp
+      .withColumn("n_supp", count(lit(1)).over(wOrd))
+      .withColumn("m1", max("s_max").over(wOrd))
+      .withColumn("cnt1",
+        sum(when(col("s_max") === col("m1"), 1L).otherwise(0L)).over(wOrd))
+      .withColumn("m2",
+        max(when(col("s_max") < col("m1"), col("s_max"))).over(wOrd))
       .filter(col("n_supp") > 1)
       .withColumn("other_max",
         when(col("s_max") === col("m1") && col("cnt1") === 1, col("m2"))

@@ -200,6 +200,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(one === ref)
   }
 
+  test("multi-column prefixSums equals chained groupedPrefixSum calls (grouped and global)") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 300L)
+      .map(i => (i, s"g${i % 3}", (i % 17) + 1, (i % 5) + 1))
+      .toDF("id", "grp", "a", "b")
+    // grouped: one pass over two value columns vs two chained passes
+    val multi = Packing.prefixSums(df, Seq("grp"), "id", Seq("a", "b"),
+        Seq("ca", "cb"))
+      .select("id", "ca", "cb").orderBy("id").collect().toSeq
+    val chained = Packing.groupedPrefixSum(
+        Packing.groupedPrefixSum(df, "grp", "id", "a", "ca"),
+        "grp", "id", "b", "cb")
+      .select("id", "ca", "cb").orderBy("id").collect().toSeq
+    assert(multi === chained)
+    // global (empty group list) vs packContiguous's start_offset
+    val g = Packing.prefixSums(df, Nil, "id", Seq("a"), Seq("ca"))
+      .select("id", "ca").orderBy("id").collect().toSeq
+    val pc = Packing.packContiguous(df, "id", "a", Int.MaxValue)
+      .select(col("id"), col("start_offset").as("ca"))
+      .orderBy("id").collect().toSeq
+    assert(g === pc)
+    // partition-count invariance, the determinism contract of the family
+    val many = Packing.prefixSums(df.repartition(13), Seq("grp"), "id",
+        Seq("a", "b"), Seq("ca", "cb"))
+      .select("id", "ca", "cb").orderBy("id").collect().toSeq
+    assert(many === chained)
+  }
+
   test("grouped prefix sum's per-row window is partitioned by (group, _slice)") {
     val s = spark
     import s.implicits._
