@@ -209,10 +209,16 @@ object Dedup {
       bands: Int = 32, rowsPerBand: Int = 4,
       threshold: Double = 0.7, seed: Int = 42): DataFrame = {
     // Shingle rows feed four branches (signing, two verify lookups,
-    // sizes); persist once — the cluster-scale checkpoint of a signing
-    // stage. Callers that manage their own lifecycle (streaming sinks)
-    // use the FromRows/FromIndex entry points instead.
-    val sh = shingleRows(df, idCol, textCol, shingleWords).persist()
+    // sizes); materialize once — the cluster-scale checkpoint of a
+    // signing stage. localCheckpoint, not persist (r17): the lazy
+    // persist both pinned every consumer stage at full shuffle width
+    // (AQE cannot coalesce through a cached plan) and still recomputed
+    // the shingle lineage when concurrently-submitted consumer stages
+    // raced the first materialization (the bimodal spread documented on
+    // crossNearDupPairsMinhash). Callers that manage their own
+    // lifecycle (streaming sinks) use the FromRows/FromIndex entry
+    // points instead.
+    val sh = shingleRows(df, idCol, textCol, shingleWords).localCheckpoint()
     nearDupPairsFromRows(sh, bandRows(sh, numHashes, bands, rowsPerBand, seed), threshold)
   }
 
@@ -351,7 +357,14 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, threshold: Double = 0.9, maxDf: Long = 20): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, shingleWords).persist()
+    // localCheckpoint, not persist (r17): a persisted subplan's output
+    // partitioning is pinned (AQE cannot coalesce through a cached plan
+    // — spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+    // defaults false), so all five consumers of the old persist ran
+    // their stages at the full session shuffle width regardless of data
+    // size (measured: 518 tasks for this query at sf0.1). The
+    // checkpoint materializes with AQE-coalesced partitions.
+    val sh = shingleRows(df, idCol, textCol, shingleWords).localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -767,10 +780,10 @@ object Dedup {
     * never corpus-global. All arithmetic is integral: no float bridge
     * needed for the oracle.
     *
-    * The join keys the gram STRING (exact, engine-portable). At corpus
-    * scales where shuffling n·avg-token bytes per gram dominates, key
-    * xxhash64(gram) instead and accept the ~n·2^-64 collision odds per
-    * pair — the plan is unchanged. */
+    * The census and join key xxhash64(gram) over a narrow once-
+    * materialized (id, pos, hash) substrate (r17 — see the body
+    * comment); the gram-string form cost a second full substrate build
+    * plus n·avg-token bytes per shuffled gram. */
   /** Every n-gram occurrence with its contiguous 0-based start position
     * over the FILTERED tokens (raw split positions have gaps where
     * empties fell out) — (idCol, __pos, __g), the codegen'd
@@ -817,10 +830,23 @@ object Dedup {
   def repeatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 2, s"span grams need n >= 2, got $n")
+    // Narrow (id, pos, gram-hash) substrate, materialized ONCE (r17).
+    // The gram table feeds two consumers (the duplicate census and the
+    // matched-position join) and ReuseExchange cannot dedupe them —
+    // column pruning diverges the two subtrees — so the un-materialized
+    // form built the split + two windows + gram concat TWICE (measured:
+    // the two builds were the query's whole CPU profile). Keying by
+    // xxhash64(gram) instead of the gram string (the at-scale option
+    // the old scaladoc described) narrows the checkpoint and the join
+    // to 8-byte keys — ~n·avg-token× fewer substrate bytes — at
+    // ~|grams|²·2⁻⁶⁴ collision odds per corpus (oracle-checked exact at
+    // the test scales). */
     val grams = positionalGramRows(df, idCol, textCol, n)
-    val dupGrams = grams.groupBy("__g").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > 1).select("__g")
-    val hits = grams.join(dupGrams, Seq("__g")).select(col(idCol), col("__pos"))
+      .select(col(idCol), col("__pos"), xxhash64(col("__g")).as("__gh"))
+      .localCheckpoint()
+    val dupGrams = grams.groupBy("__gh").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__gh")
+    val hits = grams.join(dupGrams, Seq("__gh")).select(col(idCol), col("__pos"))
     mergeSpans(hits, idCol, n)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_dup_spans"),

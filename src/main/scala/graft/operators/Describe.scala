@@ -271,11 +271,18 @@ object Describe {
         val byFamily = want.flatMap(n => familyOf(n).map { case (f, conv) => (f, n, conv) })
           .groupBy(_._1)
         byFamily.foreach { case (family, members) =>
-          val pairs = df.select(explode(array(members.map { case (_, n, conv) =>
-            struct(lit(n).as("c"), conv.as("v"))
-          }: _*)).as("p"))
-            .select(col("p.c").as("c"), col("p.v").as("v"))
-            .filter(col("v").isNotNull)
+          // single-member family: plain projection, no explode machinery
+          // (r17 — describe_numeric/long/date profile exactly one column
+          // per family; the 1-element array explode bought nothing)
+          val pairs = (members match {
+            case Seq((_, n, conv)) =>
+              df.select(lit(n).as("c"), conv.as("v"))
+            case _ =>
+              df.select(explode(array(members.map { case (_, n, conv) =>
+                struct(lit(n).as("c"), conv.as("v"))
+              }: _*)).as("p"))
+                .select(col("p.c").as("c"), col("p.v").as("v"))
+          }).filter(col("v").isNotNull)
           val wantQ = members.map(_._2)
             .filter(n => family != "string" && wantsQuantiles(static(n)))
           // Exact type-7 quantiles, routed in two FREE tiers (both routes
@@ -308,7 +315,14 @@ object Describe {
           // consumer (the cached percentile job or the bracket chain) —
           // persist only when those extra consumers exist
           val freq0 = pairs.groupBy("c", "v").agg(count(lit(1)).as("f"))
-          val freq = if (ambigQ.nonEmpty) freq0.persist() else freq0
+          // localCheckpoint, not persist (r17): the cached-plan form
+          // pinned every consumer stage (job A, tier-2 percentile, the
+          // bracket chain) at full shuffle width — AQE cannot coalesce
+          // through a persisted subplan — measured as 145 tasks for the
+          // one-column numeric profile; the checkpoint materializes
+          // with AQE-coalesced partitions and the same three consumers
+          // read its blocks
+          val freq = if (ambigQ.nonEmpty) freq0.localCheckpoint() else freq0
           try {
             val madMembers = members.map(_._2).flatMap(n => madMeanOf(n).map(n -> _))
             // job A — ONE aggregation over the freq table: distinct

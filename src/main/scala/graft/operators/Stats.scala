@@ -233,8 +233,11 @@ object Stats {
     * hash-checks this end to end). Nulls are excluded; n = 0 fails
     * loudly. */
   def exactQuantiles(df: DataFrame, c: String, probs: Seq[Double]): Seq[Double] = {
-    val vals = valueFrequencies(df, c)
-      .persist() // perf only: two small downstream actions share the scan
+    // perf only: two small downstream actions share the scan.
+    // localCheckpoint like equiDepthHistogram's copy of this substrate
+    // (r17): the lazy persist pinned both consumers' stages at full
+    // shuffle width (AQE cannot coalesce a cached subplan)
+    val vals = valueFrequencies(df, c).localCheckpoint()
     try quantilesFromFrequencies(vals, probs)
     finally vals.unpersist(false)
   }

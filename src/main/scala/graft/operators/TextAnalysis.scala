@@ -725,14 +725,19 @@ object TextAnalysis {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val total = df.agg(count(lit(1)).as("n_docs"))
-    // persist once: the posting table feeds four branches (both sides of
-    // the pair join and both norm lookups) — without it each branch
-    // re-scans the corpus and re-aggregates tf (the minhash shingle-table
-    // precedent; Bench/Verify drop the blocks between queries)
+    // materialize once: the posting table feeds four branches (both
+    // sides of the pair join and both norm lookups) — without it each
+    // branch re-scans the corpus and re-aggregates tf (the minhash
+    // shingle-table precedent). localCheckpoint, not persist (r17): the
+    // lazy persist pinned all four consumer stages at full shuffle
+    // width (AQE cannot coalesce a cached subplan) and the four
+    // concurrently-submitted stages raced the first materialization,
+    // recomputing the tf lineage — the same two failure modes measured
+    // on containmentPairs (518→14 tasks there).
     val w = tf.join(dfreq, "term").crossJoin(broadcast(total))
       .select(col("doc_id"), col("term"),
         (col("tf") * log(col("n_docs") / col("df"))).as("w"))
-      .persist()
+      .localCheckpoint()
     val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     w.select(col("term"), col("doc_id").as("a"), col("w").as("wa"))
       .join(w.select(col("term"), col("doc_id").as("b"), col("w").as("wb")), Seq("term"))
