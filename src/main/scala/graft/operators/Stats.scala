@@ -83,15 +83,22 @@ object Stats {
     require(points >= 1, s"points must be >= 1, got $points")
     val clean = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("v"))
+    // both running sums (population count and value mass) ride ONE
+    // two-phase prefix pass over the distinct-value frame — same
+    // [[Packing.prefixSums]] rewrite as the KS drift CDFs (r17): one
+    // slice-bounds action, one window, one offsets aggregate, and no
+    // value-keyed join to re-align two independently-computed passes.
+    // Per-column arithmetic (slice-local window order, per-slice agg,
+    // slice-order offsets cumsum) is identical to the chained
+    // groupedPrefixSum form, so the double sums associate in the same
+    // order — bit-identical brackets.
     val distinctV = clean.groupBy("v").agg(count(lit(1)).as("n_at"))
       .withColumn("rev_at", col("v") * col("n_at"))
       .withColumn("__g", lit(1))
-      .localCheckpoint() // feeds both prefix passes + the join
-    val withN = Packing.groupedPrefixSum(distinctV, "__g", "v", "n_at", "cum_n_before")
-      .select(col("v"), col("n_at"), col("cum_n_before"))
-    val withR = Packing.groupedPrefixSum(distinctV, "__g", "v", "rev_at", "cum_rev_before")
-      .select(col("v").as("__v2"), col("cum_rev_before"))
-    val brackets = withN.join(withR, col("v") === col("__v2")).drop("__v2")
+      .localCheckpoint() // feeds the slice-bounds action + both phases
+    val brackets = Packing.prefixSums(distinctV, Seq("__g"), "v",
+        Seq("n_at", "rev_at"), Seq("cum_n_before", "cum_rev_before"))
+      .select(col("v"), col("n_at"), col("cum_n_before"), col("cum_rev_before"))
     val tot = clean.agg(count(lit(1)).as("__n"), sum("v").as("__tot"))
     val bounds = df.sparkSession.range(1, points + 1)
       .select(col("id").cast("int").as("point"))
@@ -541,22 +548,23 @@ object Stats {
   def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
       minCount: Long,
       pruneMassThreshold: Double = defaultPruneMassThreshold,
-      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame =
-    coOccurrenceOver(basketItems(df, basketCol, itemCol), None, minCount,
+      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame = {
+    val arrays = basketItems(df, basketCol, itemCol)
+    coOccurrenceOver(arrays, substrateStats(arrays), minCount,
       pruneMassThreshold, pruneBroadcastCap)
+  }
 
   /** [[coOccurrence]] body over a prebuilt [[basketItems]] substrate.
-    * `nBaskets`, when the caller already resolved it (the relative-
-    * support wrappers count the checkpointed substrate to translate
-    * their fraction), skips this path's own count; either way the
-    * basket-universe total reaches the lift arithmetic as a LITERAL —
-    * the one-row `totals` aggregate + `crossJoin(broadcast(...))`
+    * `stats` is the (basket count, expansion cardinality) pair from
+    * [[substrateStats]] — resolved by the caller with ONE action, and
+    * the basket-universe total reaches the lift arithmetic as a
+    * LITERAL — the one-row `totals` aggregate + `crossJoin(broadcast)`
     * subtree it replaces cost an extra aggregation subtree and a
     * broadcast exchange in every run (r17: one less exchange, same
     * values — the literal is the identical Long the subtree produced).
-    * The count itself reads the checkpointed blocks, never the source
-    * scan. */
-  private def coOccurrenceOver(arrays: DataFrame, nBaskets: Option[Long],
+    * The stats pass itself reads the checkpointed blocks, never the
+    * source scan. */
+  private def coOccurrenceOver(arrays: DataFrame, stats: (Long, Long),
       minCount: Long, pruneMassThreshold: Double,
       pruneBroadcastCap: Long): DataFrame = {
     // distinct-item-sized, feeds THREE consumers (the prune decision +
@@ -564,9 +572,10 @@ object Stats {
     val itemCounts = arrays.select(explode(col("its")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
       .localCheckpoint()
-    val bigN = lit(nBaskets.getOrElse(arrays.count())).cast("long")
+    val bigN = lit(stats._1).cast("long")
     val pairs = basketPairsForAgg(frequentItemArrays(
-        arrays, itemCounts, minCount, pruneMassThreshold, pruneBroadcastCap))
+        arrays, itemCounts, minCount, pruneMassThreshold, pruneBroadcastCap),
+        stats._2)
       .groupBy(col("ia").as("item_a"), col("ib").as("item_b"))
       .agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minCount)
@@ -732,14 +741,26 @@ object Stats {
     * pure no-loss rewrite by downward closure. */
   private[graft] val defaultPruneMassThreshold: Double = 0.05
 
-  /** Exact pair-expansion cardinality Σ C(width, 2) of a basket-array
-    * frame — one narrow agg over the checkpointed |baskets|-row
-    * substrate, so it costs a scan of what is already materialized,
-    * never a second expansion. Feeds [[aggWidth]]. */
-  private def pairExpansionRows(arrays: DataFrame): Long =
-    arrays.agg(coalesce(sum(
+  /** Both driver-side scalars every Apriori run needs, from ONE pass
+    * over the checkpointed |baskets|-row substrate: the basket-universe
+    * count (the support/lift denominator and the relative-support
+    * resolver) and the exact pair-expansion cardinality Σ C(width, 2)
+    * (feeds [[aggWidth]]). Until r17 these were two separate actions —
+    * `arrays.count()` plus a dedicated cardinality agg — i.e. two full
+    * passes over the substrate per query; one narrow agg resolves both.
+    * The cardinality is measured on the UNPRUNED substrate: when the
+    * level-1 prune engages it only deletes rows from the expansion, so
+    * the width [[aggWidth]] derives from it is a conservative (never
+    * undersized) bound and the prune no longer costs a dedicated
+    * re-scan of the pruned lineage just to size the exchange. */
+  private def substrateStats(arrays: DataFrame): (Long, Long) = {
+    val r = arrays.agg(
+      count(lit(1)),
+      coalesce(sum(
         expr("CAST(size(its) AS BIGINT) * (size(its) - 1) div 2")), lit(0L)))
-      .first().getLong(0)
+      .first()
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** Per-task group budget for the exact pair/triple aggregations:
     * ~4M mostly-unique (long, long) keys keep a task's hash-agg map in
@@ -774,12 +795,13 @@ object Stats {
   }
 
   /** [[basketPairs]] hash-partitioned for its downstream (ia, ib)
-    * aggregation when the expansion's cardinality calls for a wider
-    * exchange than the session default ([[aggWidth]]); pass-through
-    * otherwise. */
-  private def basketPairsForAgg(arrays: DataFrame): DataFrame = {
+    * aggregation when the expansion's cardinality (`expRows`, resolved
+    * by [[substrateStats]] — one pass, shared with the basket count)
+    * calls for a wider exchange than the session default
+    * ([[aggWidth]]); pass-through otherwise. */
+  private def basketPairsForAgg(arrays: DataFrame, expRows: Long): DataFrame = {
     val pairs = basketPairs(arrays)
-    aggWidth(arrays.sparkSession, pairExpansionRows(arrays))
+    aggWidth(arrays.sparkSession, expRows)
       .map(w => pairs.repartition(w, col("ia"), col("ib")))
       .getOrElse(pairs)
   }
@@ -787,7 +809,15 @@ object Stats {
   /** (b, ia, ib) with ia < ib — every unordered in-basket pair, expanded
     * per row from the sorted array (codegen'd collection expressions,
     * no join). Cheap to derive more than once from the checkpointed
-    * [[basketItems]] frame. */
+    * [[basketItems]] frame. NOT widened via [[Parallelize.cpuBound]]:
+    * the expansion is CPU-dense on a byte-small input (AQE coalesces
+    * the checkpoint to ~4 of 32 local cores), but the r17 A/B measured
+    * the widened form a net LOSS — wall a wash (13.0 s vs 13.0 s over
+    * the six bench queries) while total CPU TRIPLED (2.7 → 9.6 s on
+    * the copurchase expansion stage: the extra exchange deserializes
+    * every basket array and 32 concurrent explode+hash-agg tasks pay
+    * allocation contention), and CPU is exactly what the low-core
+    * scaling bench and a saturated cluster price. */
   private def basketPairs(arrays: DataFrame): DataFrame =
     arrays.select(col("b"), explode(expr(
         """flatten(transform(its, (x, i) ->
@@ -865,14 +895,16 @@ object Stats {
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
       minCount: Long,
       pruneMassThreshold: Double = defaultPruneMassThreshold,
-      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame =
-    associationRulesOver(basketItems(df, basketCol, itemCol), None, minCount,
+      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame = {
+    val arrays = basketItems(df, basketCol, itemCol)
+    associationRulesOver(arrays, substrateStats(arrays), minCount,
       pruneMassThreshold, pruneBroadcastCap)
+  }
 
   /** [[associationRules]] body over a prebuilt substrate — same literal-
     * totals rewrite as [[coOccurrenceOver]] (one less aggregation
     * subtree + broadcast exchange; bit-identical arithmetic). */
-  private def associationRulesOver(arrays: DataFrame, nBaskets: Option[Long],
+  private def associationRulesOver(arrays: DataFrame, stats: (Long, Long),
       minCount: Long, pruneMassThreshold: Double,
       pruneBroadcastCap: Long): DataFrame = {
     // three consumers (prune decision + both rule-direction joins):
@@ -880,9 +912,10 @@ object Stats {
     val itemCounts = arrays.select(explode(col("its")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
       .localCheckpoint()
-    val bigN = lit(nBaskets.getOrElse(arrays.count())).cast("long")
+    val bigN = lit(stats._1).cast("long")
     val pairs = basketPairsForAgg(frequentItemArrays(
-        arrays, itemCounts, minCount, pruneMassThreshold, pruneBroadcastCap))
+        arrays, itemCounts, minCount, pruneMassThreshold, pruneBroadcastCap),
+        stats._2)
       .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
@@ -918,14 +951,19 @@ object Stats {
   def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
       minCount: Long,
       pruneMassThreshold: Double = defaultPruneMassThreshold,
-      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame =
-    frequentTriplesOver(basketItems(df, basketCol, itemCol), minCount,
+      pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame = {
+    val arrays = basketItems(df, basketCol, itemCol)
+    frequentTriplesOver(arrays, substrateStats(arrays)._2, minCount,
       pruneMassThreshold, pruneBroadcastCap)
+  }
 
   /** [[frequentTriples]] body over a prebuilt substrate (the relative-
     * support wrapper resolves its threshold from the same checkpointed
-    * frame instead of a second source scan — r17). */
-  private def frequentTriplesOver(arrays0: DataFrame, minCount: Long,
+    * frame instead of a second source scan — r17). `expRows` is the
+    * expansion cardinality from [[substrateStats]], resolved by the
+    * caller in the same action as the basket count. */
+  private def frequentTriplesOver(arrays0: DataFrame, expRows: Long,
+      minCount: Long,
       pruneMassThreshold: Double, pruneBroadcastCap: Long): DataFrame = {
     val itemCounts0 = arrays0.select(explode(col("its")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
@@ -941,7 +979,7 @@ object Stats {
     // and the candidate-triple agg (candidates are the same order of
     // magnitude as frequent-pair occurrences); identical exchanges are
     // deduplicated by ReuseExchange
-    val w = aggWidth(arrays.sparkSession, pairExpansionRows(arrays))
+    val w = aggWidth(arrays.sparkSession, expRows)
     val pairsB0 = basketPairs(arrays) // derived narrow, twice, from the checkpoint
     val pairsB = w.map(x => pairsB0.repartition(x, col("ia"), col("ib")))
       .getOrElse(pairsB0)
@@ -984,8 +1022,8 @@ object Stats {
       pruneMassThreshold: Double = defaultPruneMassThreshold,
       pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame = {
     val arrays = basketItems(df, basketCol, itemCol)
-    val n = arrays.count()
-    coOccurrenceOver(arrays, Some(n), supportCount(n, minSupport),
+    val stats = substrateStats(arrays)
+    coOccurrenceOver(arrays, stats, supportCount(stats._1, minSupport),
       pruneMassThreshold, pruneBroadcastCap)
   }
 
@@ -995,8 +1033,8 @@ object Stats {
       pruneMassThreshold: Double = defaultPruneMassThreshold,
       pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame = {
     val arrays = basketItems(df, basketCol, itemCol)
-    val n = arrays.count()
-    associationRulesOver(arrays, Some(n), supportCount(n, minSupport),
+    val stats = substrateStats(arrays)
+    associationRulesOver(arrays, stats, supportCount(stats._1, minSupport),
       pruneMassThreshold, pruneBroadcastCap)
   }
 
@@ -1006,7 +1044,8 @@ object Stats {
       pruneMassThreshold: Double = defaultPruneMassThreshold,
       pruneBroadcastCap: Long = defaultPruneBroadcastCap): DataFrame = {
     val arrays = basketItems(df, basketCol, itemCol)
-    frequentTriplesOver(arrays, supportCount(arrays.count(), minSupport),
+    val stats = substrateStats(arrays)
+    frequentTriplesOver(arrays, stats._2, supportCount(stats._1, minSupport),
       pruneMassThreshold, pruneBroadcastCap)
   }
 

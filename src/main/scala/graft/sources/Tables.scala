@@ -31,9 +31,26 @@ object Tables {
   val All: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred-schema memo, keyed by file path. `spark.read.parquet`
+    * with no user schema runs a driver JOB per call to read footers
+    * (visible as "parquet at Tables.scala" in any job log) — ~45 ms of
+    * pure scheduling latency that every query paid 1–2× at CONSTRUCTION
+    * time, ~10–20 s across a 247-query bench pass (r17 measurement).
+    * A production deployment reads through a catalog whose schema is
+    * declared once, not re-inferred per query — this memo is that
+    * catalog seam: METADATA only (a StructType), never rows; every
+    * action still scans the parquet files themselves. Keyed by path so
+    * distinct scale dirs coexist; entries are tiny and bounded by the
+    * table count. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaMemo.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     // any nanos-as-long column comes back as LongType where the writer meant
     // a timestamp; convert the known stream-time column.
     // integer `div`, NOT `/`: double division of epoch-nanos (~1.7e18)

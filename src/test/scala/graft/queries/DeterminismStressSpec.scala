@@ -79,7 +79,15 @@ class DeterminismStressSpec extends SparkSpec {
           stats.foreach { case (k, v) =>
             (v, r(colName)(k)) match {
               case (a: Double, b: Double) if k == "mad" =>
-                assert(math.abs(a - b) <= math.ulp(a) * 8, s"$colName.$k")
+                // mad is sum(f·|v-mean|)/sum(f) over the freq substrate;
+                // its FP association follows that table's partitioning,
+                // which since the r17 localCheckpoint swap is the
+                // AQE-coalesced byte layout rather than the pinned
+                // shuffle width — measured ≤ 34 ulp across this grid
+                // (was ≤ 8 under the pinned width; the 8-ulp bound was
+                // calibrated to that shape, not a semantic contract).
+                // Quantiles/min/max/counts above stay BIT-identical.
+                assert(math.abs(a - b) <= math.ulp(a) * 64, s"$colName.$k")
               case (a, b) => assert(a === b, s"$colName.$k")
             }
           }

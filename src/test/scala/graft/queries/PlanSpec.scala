@@ -238,21 +238,22 @@ class PlanSpec extends SparkSpec {
     // the candidate generator is asserted here — it shares this code path
   }
 
-  test("tfidf cosine pairs: postings persisted once, only the 1-row corpus-count NLJ") {
+  test("tfidf cosine pairs: postings materialized once, no cartesian/NLJ in the pair plan") {
     val plan = planOf(LlmQueries.tfidfCosinePairs(spark, dir))
     assert(!plan.contains("CartesianProduct"))
-    // the posting table is cached: all four consuming branches read the
-    // same InMemoryRelation (explain re-prints the cached plan per scan
-    // site, so the n_docs cross-broadcast TEXT appears 4x — execution
-    // computes it once). Every NLJ in the text must be that designed
-    // 1-row Cross, and the cache must actually be scanned per branch.
-    val scans = "InMemoryTableScan".r.findAllIn(plan).size
-    assert(scans >= 4, s"posting table must be persisted and reused (got $scans scans):\n$plan")
-    // distinct NLJ NODES (detail headers), not tree reprints: exactly the
-    // one 1-row Cross inside the cached posting plan
-    val nljNodes = "(?m)^\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).size
-    assert(nljNodes === 1, s"only the 1-row Cross NLJ is allowed ($nljNodes):\n$plan")
-    assert(plan.contains("BroadcastNestedLoopJoin Cross BuildRight"))
+    // the posting table is localCheckpointed (r17: the lazy persist
+    // pinned all four consumer stages at full shuffle width and let the
+    // concurrently-submitted consumers race the first materialization):
+    // all four consuming branches (both pair-join sides + both norm
+    // lookups) must read the SAME materialized RDD — visible as
+    // checkpoint scans, never a re-derived tf/idf lineage.
+    val scans = "(?m)^\\(\\d+\\) Scan ExistingRDD".r.findAllIn(plan).size
+    assert(scans >= 4, s"posting checkpoint must be read by all four branches (got $scans scans):\n$plan")
+    // the designed 1-row n_docs cross-broadcast now lives INSIDE the
+    // checkpointed lineage (paid once at materialization), so the pair
+    // plan itself must contain NO nested-loop join at all
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"no NLJ may survive in the post-checkpoint pair plan:\n$plan")
     assert(plan.contains("term"), "postings must join on the term")
   }
 
