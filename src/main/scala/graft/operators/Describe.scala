@@ -397,6 +397,17 @@ object Describe {
             if (qCols.nonEmpty) {
               val nSlices = df.sparkSession.conf
                 .get("spark.sql.shuffle.partitions").toInt
+              // the chain's group key is a dense INT index, not the
+              // column-name string (r17): the name rode every exchange,
+              // sort and broadcast-join row of the d-sized prefix pass
+              // (~20 bytes + string hashing per row, 583k rows for the
+              // numeric profile at sf0.1) purely as an identifier. The
+              // 1:1 substitution keys the same row sets, so per-slice
+              // order and the Long cums — and therefore the bracketed
+              // quantiles — are bit-identical.
+              val idxOf = qCols.zipWithIndex.toMap
+              val ci = coalesce(qCols.map(n =>
+                when(col("c") === lit(n), lit(idxOf(n)))): _*)
               val slice = coalesce(qCols.map { n =>
                 val bucket = vBounds.get(n) match {
                   case Some((mn, mx)) if mn < mx =>
@@ -410,7 +421,7 @@ object Describe {
                       .when(vd === Double.NegativeInfinity, lit(-1))
                       .otherwise(bucket)
                   else bucket
-                when(col("c") === lit(n), guarded)
+                when(col("_ci") === lit(idxOf(n)), guarded)
               }: _*)
               val neededByCol = qCols.map { n =>
                 val cnt = nByCol(n)
@@ -418,15 +429,17 @@ object Describe {
                 n -> hs.flatMap(h =>
                   Seq(math.floor(h).toLong, math.min(math.ceil(h).toLong, cnt - 1))).distinct
               }.toMap
+              val narrowed = freq.filter(col("c").isin(qCols: _*))
+                .select(ci.as("_ci"), col("v"), col("f"))
               val cum = graft.operators.Packing.groupedPrefixSumSliced(
-                freq.filter(col("c").isin(qCols: _*)), "c", "v", "f", slice, "_cum")
+                narrowed, "_ci", "v", "f", slice, "_cum")
               val cond = qCols.map { n =>
-                col("c") === lit(n) && neededByCol(n).map(pos =>
+                col("_ci") === lit(idxOf(n)) && neededByCol(n).map(pos =>
                   col("_cum") <= pos && col("_cum") + col("f") > pos).reduce(_ || _)
               }.reduce(_ || _)
               val brackets = cum.filter(cond)
-                .select(col("c"), vd.as("v"), col("_cum"), col("f")).collect()
-                .groupBy(_.getString(0))
+                .select(col("_ci"), vd.as("v"), col("_cum"), col("f")).collect()
+                .groupBy(r => qCols(r.getInt(0)))
               qCols.foreach { n =>
                 val rows = brackets.getOrElse(n, Array.empty)
                 def valueAt(pos: Long): Double = rows
